@@ -1,0 +1,74 @@
+"""SparkSession factory tuned for the engine.
+
+The reference pins ``spark.sql.shuffle.partitions=1`` for a single box
+(reference pipeline/app.py:21); we instead default to a CPU-matched
+partition count and enable AQE so the same code re-plans itself on a
+real cluster (coalescing small shuffle partitions, skew-join splitting).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Configs that are safe & beneficial both on local[N] and on a large
+# cluster.  Anything cluster-size-specific (executor memory, instances)
+# is left to spark-submit.
+ENGINE_CONF: dict[str, str] = {
+    # Determinism: all timestamps interpreted/rendered in UTC so results
+    # match the DuckDB oracle bit-for-bit.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime re-planning replaces hand-tuned
+    # partition counts; skew-join splitting guards hot keys at scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (customer at sf0.1 is ~100k rows) broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for any pandas_udf / toPandas path (10-100x over pickling).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Streaming state that survives large key cardinality.
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # Scan sizing: 128 MiB splits keep scan tasks balanced at 100 TB.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def get_spark(
+    app_name: str = "eventstream-fanout-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get(
+        "SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally-built session
+    (the driver hands us one in ``__spark_entry__``)."""
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session - keep going
+    return spark

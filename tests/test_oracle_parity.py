@@ -1,0 +1,86 @@
+"""Local replica of the driver's correctness gate: run every registered
+query on Spark AND its DuckDB oracle at sf0.01, compare row count,
+column names, and exact (order-insensitive) values.
+
+Stricter than the driver's value-hash — exact per-cell equality after
+normalization — so anything green here should hash-match.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return str(v.normalize())
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # exact shortest repr — bitwise comparison
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm_rows(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return sorted(columns), out
+
+
+def _spark_result(spark, spec):
+    df = spec.fn(spark, SF_ORACLE)
+    return _norm_rows(df.columns, df.collect())
+
+
+def _duck_result(duck, spec):
+    cur = duck.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    return _norm_rows(cols, cur.fetchall())
+
+
+def _specs_with_oracle():
+    from eventstream_fanout_spark.plans.registry import QUERIES
+
+    return [s for s in QUERIES.values() if s.oracle is not None]
+
+
+@pytest.mark.parametrize(
+    "spec", _specs_with_oracle(), ids=lambda s: s.name
+)
+def test_oracle_parity(spark, duck, spec):
+    s_cols, s_rows = _spark_result(spark, spec)
+    d_cols, d_rows = _duck_result(duck, spec)
+    assert s_cols == d_cols, f"{spec.name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{spec.name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{spec.name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
+    )
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle must still execute and return a stable schema."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+
+    for spec in QUERIES.values():
+        if spec.oracle is None:
+            df = spec.fn(spark, SF_ORACLE)
+            assert df.columns, f"{spec.name}: empty schema"
+            assert df.count() >= 0
