@@ -11,11 +11,13 @@ both engines.  Two engine-native traps and their fixes:
   -0.0 to +0.0, which the engines print/hash differently.)
 
 * ``SUM(double)`` — summation order differs per engine/partitioning, so
-  the last ulp differs.  Fix: cast to decimal first (exact,
-  order-independent), sum, cast the final scalar back to double.  The
-  double->decimal cast itself is deterministic: a binary double's exact
-  decimal expansion is never a tie at the rounding digit, so rounding
-  mode differences can't bite.
+  the last ulp differs.  Worse, ``CAST(double AS DECIMAL)`` itself
+  diverges: DuckDB scales by a double multiply (inexact), Spark goes
+  through the shortest string repr.  Fix: quantize each value to
+  integer micro-units with pure IEEE ops (``floor(x*1e6 + 0.5)`` —
+  identical in both engines), sum those integers exactly as
+  DECIMAL(38,0) (order-independent, no overflow even at 100 TB row
+  counts), and divide back to double once at the end.
 
 These mirror the reference's only numeric derivation,
 ``ROUND(duration_ms/1000.0/length_seconds, 2)`` (reference
@@ -27,8 +29,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Wide enough for sf100-scale sums of prices (~1e13) at 10 decimal places.
-_DEC = "DECIMAL(30,10)"
+# Quantization unit for deterministic double sums: 1e-6 of the input
+# unit — far below any analytic significance, far above double noise.
+_Q = 1_000_000.0
 
 
 def round_half_up(col: Column, scale: int = 2) -> Column:
@@ -43,23 +46,30 @@ def sql_round_half_up(expr: str, scale: int = 2) -> str:
     return f"(FLOOR(({expr}) * {factor!r} + 0.5) / {factor!r})"
 
 
+def _quantized(col: Column) -> Column:
+    return F.floor(col * F.lit(_Q) + F.lit(0.5)).cast("decimal(38,0)")
+
+
 def dsum(col: Column, alias: str | None = None) -> Column:
-    """Order-independent double sum: decimal-exact accumulate, one final
-    cast back to double."""
-    out = F.sum(col.cast(_DEC)).cast("double")
+    """Order-independent, cross-engine-exact double sum (micro-unit
+    quantized)."""
+    out = F.sum(_quantized(col)).cast("double") / F.lit(_Q)
     return out.alias(alias) if alias else out
 
 
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS {_DEC})) AS DOUBLE)"
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * {_Q!r} + 0.5) AS DECIMAL(38,0))) "
+        f"AS DOUBLE) / {_Q!r})"
+    )
 
 
 def davg(col: Column, alias: str | None = None) -> Column:
-    """Order-independent double mean: exact decimal sum / count, divided
-    as doubles (single IEEE division, deterministic)."""
-    out = F.sum(col.cast(_DEC)).cast("double") / F.count(col)
+    """Order-independent, cross-engine-exact double mean: quantized sum,
+    then two IEEE divisions written identically in SQL."""
+    out = (F.sum(_quantized(col)).cast("double") / F.lit(_Q)) / F.count(col)
     return out.alias(alias) if alias else out
 
 
 def sql_davg(expr: str) -> str:
-    return f"(CAST(SUM(CAST(({expr}) AS {_DEC})) AS DOUBLE) / COUNT({expr}))"
+    return f"({sql_dsum(expr)} / COUNT({expr}))"

@@ -1,0 +1,180 @@
+"""Windowed-aggregate / top-k queries — batch forms of the reference's
+Redis aggregate layer (SURVEY.md §2.6 W1/W2/W4/W5) over ``events``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.windows import (
+    US,
+    epoch_bucket,
+    rolling_count_preceding,
+    sliding_counts,
+    sql_epoch_bucket,
+    topk_per_window,
+    tumbling_counts,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# W1 batch form: tumbling 10-minute counts per event_type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_tumbling_10m",
+    f"""
+    SELECT {sql_epoch_bucket('e.ts', 600)} AS window_start,
+           e.event_type,
+           COUNT(*) AS n_events
+    FROM events e
+    GROUP BY 1, 2
+    """,
+    description="tumbling 10-min event counts per type (reference W1 "
+    "documented intent, README.md:95-97)",
+    tags=("window", "agg"),
+)
+def window_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_counts(events, "ts", 600, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Sliding window: 10-minute width, 5-minute slide, per event_type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_sliding_10m_5m",
+    f"""
+    SELECT make_timestamp(epoch_us({sql_epoch_bucket('e.ts', 300)})
+                          - t.i * {300 * US}) AS window_start,
+           e.event_type,
+           COUNT(*) AS n_events
+    FROM events e
+    CROSS JOIN (SELECT UNNEST([0, 1]) AS i) t
+    GROUP BY 1, 2
+    """,
+    description="sliding 10-min/5-min event counts per type (W1 sliding form)",
+    tags=("window", "agg"),
+)
+def window_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sliding_counts(events, "ts", 600, 300, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# W2: top-k leaderboard — top 10 users by event count per day
+# (reference: Redis ZSET top10m + ZREVRANGE, pipeline/app.py:96-99).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_leaderboard_daily",
+    """
+    SELECT * FROM (
+      SELECT d AS day, user_id, n_events,
+             ROW_NUMBER() OVER (PARTITION BY d
+                                ORDER BY n_events DESC, user_id ASC) AS rank
+      FROM (
+        SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS d, e.user_id,
+               COUNT(*) AS n_events
+        FROM events e
+        GROUP BY 1, 2
+      )
+    ) WHERE rank <= 10
+    """,
+    description="top-10 leaderboard per day (reference W2: Redis top10m ZSET)",
+    tags=("window", "topk"),
+)
+def topk_leaderboard_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return topk_per_window(daily, 10, ["day"], "n_events", ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# W1 documented intent, per-row form: rolling count of the same user's
+# events in the preceding 10 minutes (RANGE frame).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_10m_user_count",
+    f"""
+    SELECT e.event_id, e.user_id, e.ts,
+           COUNT(*) OVER (PARTITION BY e.user_id
+                          ORDER BY epoch_us(e.ts)
+                          RANGE BETWEEN {600 * US} PRECEDING AND CURRENT ROW
+                         ) AS n_last_10m
+    FROM events e
+    """,
+    description="per-row rolling 10-min same-user event count (reference W1 "
+    "intent; RANGE frame on integer microseconds)",
+    tags=("window", "range-frame"),
+)
+def rolling_10m_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return rolling_count_preceding(events, "ts", "user_id", 600, "n_last_10m")
+
+
+# ---------------------------------------------------------------------------
+# Global top-k: single leaderboard over the whole range —
+# TakeOrderedAndProject, no full sort (W2 + W5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "global_leaderboard_top10",
+    """
+    SELECT e.user_id, COUNT(*) AS n_events
+    FROM events e
+    GROUP BY 1
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT 10
+    """,
+    description="global top-10 users by event count (reference ZREVRANGE "
+    "top10m 0 9, smoke.sh:31)",
+    tags=("topk", "agg"),
+)
+def global_leaderboard_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed distinct + tumbling hour buckets with an offset, exercising
+# bucket arithmetic beyond the trivial epoch alignment.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_distinct_users",
+    f"""
+    SELECT {sql_epoch_bucket('e.ts', 3600)} AS window_start,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events e
+    GROUP BY 1
+    """,
+    description="hourly distinct-user counts (exact distinct aggregate)",
+    tags=("window", "distinct"),
+)
+def hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        epoch_bucket(F.col("ts"), 3600).alias("window_start")
+    ).agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
