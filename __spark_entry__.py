@@ -14,7 +14,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+# Spawned executor Python workers inherit the environment, not the
+# driver's sys.path — make the package importable there too.
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        f"{_REPO_ROOT}:{os.environ['PYTHONPATH']}"
+        if os.environ.get("PYTHONPATH")
+        else _REPO_ROOT
+    )
 
 from eventstream_fanout_spark.plans.registry import QUERIES  # noqa: E402
 from eventstream_fanout_spark.session import apply_engine_conf  # noqa: E402

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (``array<float>``) —
+north-star surface: brute-force cosine top-k as the correctness
+baseline, random-hyperplane LSH bucketing as the 100 TB scale path.
+
+Scale design: brute force scores |corpus| rows per query — fine for a
+broadcast query batch, impossible for all-pairs.  The LSH variant
+assigns every vector an 8-bit bucket from the signs of 8 deterministic
+±1 hyperplane projections; queries probe only their own bucket
+(optionally Hamming-1 neighbors), so the join is bucket-local.  The
+hyperplanes derive from md5 (functions/hashing idea) so the SQL oracle
+reproduces them exactly; in production they'd be any fixed seed.
+
+All scoring goes through functions/vectors.py quantized math — JVM
+built-ins only, deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+
+NUM_HYPERPLANES = 8
+EMBED_DIM = 64
+
+
+def hyperplane_signs(j: int, dim: int = EMBED_DIM) -> list[int]:
+    """Deterministic ±1 hyperplane components: parity of md5("j,i")."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{j},{i}".encode()).hexdigest()
+        out.append(1 if (int(h[0], 16) % 2) else -1)
+    return out
+
+
+def brute_force_topk(
+    corpus: DataFrame, query: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine top-k of ``query`` (single row, ``qe`` array column)
+    against the corpus.  The query side is broadcast — the corpus scan
+    stays partition-parallel with no shuffle before the final top-k
+    (TakeOrderedAndProject)."""
+    scored = corpus.crossJoin(F.broadcast(query)).select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("qe")).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def lsh_bucket(embedding_col: F.Column) -> F.Column:
+    """8-bit LSH bucket id from hyperplane projection signs.  Uses the
+    same nano-quantized integer dot products as the oracle."""
+    quant = F.transform(
+        embedding_col,
+        lambda x: F.floor(x.cast("double") * F.lit(1e9) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    bucket = F.lit(0).cast("long")
+    for j in range(NUM_HYPERPLANES):
+        signs = F.array(
+            *[F.lit(s).cast("long") for s in hyperplane_signs(j)]
+        )
+        proj = F.aggregate(
+            F.zip_with(quant, signs, lambda e, s: e * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(
+            proj > 0, F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(corpus: DataFrame, query: DataFrame, k: int) -> DataFrame:
+    """ANN top-k probing only the query's LSH bucket.  Recall < 1 by
+    design; at scale the bucket join replaces the full scan."""
+    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col("embedding")))
+    qb = query.withColumn("qbucket", lsh_bucket(F.col("qe")))
+    candidates = bucketed.join(
+        F.broadcast(qb), F.col("bucket") == F.col("qbucket")
+    )
+    return (
+        candidates.select(
+            "vec_id",
+            "label",
+            "bucket",
+            cosine(F.col("embedding"), F.col("qe")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_near_pairs(corpus: DataFrame, min_cosine: float) -> DataFrame:
+    """All-pairs cosine >= threshold (brute force; the LSH bucket join
+    is the scale path — pairs within equal buckets only)."""
+    a = corpus.select(
+        F.col("vec_id").alias("vid_a"), F.col("embedding").alias("ea")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, F.col("vid_a") < F.col("vid_b"))
+        .select(
+            "vid_a",
+            "vid_b",
+            cosine(F.col("ea"), F.col("eb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(min_cosine))
+    )

@@ -1,0 +1,199 @@
+"""Dedup query family over ``documents`` with full DuckDB oracles.
+
+The injected-duplicates fixture (every 7th doc re-added with a shifted
+id) appears identically in the Spark query and the SQL oracle, giving
+the operators real duplicate groups to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    LSH_BANDS,
+    NUM_MINHASHES,
+    SIMHASH_BITS,
+    sql_band_hash,
+    sql_minhash_aggs,
+    sql_shingles,
+    sql_simhash_bit,
+    sql_tokens,
+)
+from ..operators.dedup import (
+    doc_shingles,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_docs,
+    simhash_near_pairs,
+    with_duplicates_injected,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+_INJECTED = """
+  injected AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  )
+"""
+
+_SHINGLED = f"""
+  toks AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+  ),
+  shingled AS (
+    SELECT DISTINCT doc_id, unnest({sql_shingles('toks')}) AS shingle FROM toks
+  )
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH {_INJECTED}
+    SELECT md5(text) AS content_md5,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM injected
+    GROUP BY 1
+    """,
+    description="exact dedup by content hash over documents + injected "
+    "duplicate copies (hash-groupBy; uniform key, no skew at scale)",
+    tags=("dedup", "extension"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_dedup_groups(with_duplicates_injected(docs))
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH {_SHINGLED}
+    SELECT doc_id, {sql_minhash_aggs('shingle')}
+    FROM shingled
+    GROUP BY doc_id
+    """,
+    description="16-hash MinHash signatures over word-3-gram shingles "
+    "(md5-salted mins; single pass, map-side combinable)",
+    tags=("dedup", "minhash", "extension"),
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_signatures(docs)
+
+
+_ROWS_PER_BAND = NUM_MINHASHES // LSH_BANDS
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {sql_band_hash(b, _ROWS_PER_BAND)} AS bh FROM sig"
+    for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLED},
+    sig AS (
+      SELECT doc_id, {sql_minhash_aggs('shingle')}
+      FROM shingled GROUP BY doc_id
+    ),
+    bands AS ({_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+    description="MinHash-LSH near-dup candidate pairs (4 bands x 4 rows; "
+    "join only within equal band buckets — the n² -> bucket-local scale path)",
+    tags=("dedup", "minhash", "lsh", "extension"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+@register(
+    "ngram_jaccard_dups",
+    f"""
+    WITH {_SHINGLED},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           (CAST(i.n_common AS DOUBLE)
+            / CAST(sa.n + sb.n - i.n_common AS DOUBLE)) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE (CAST(i.n_common AS DOUBLE)
+           / CAST(sa.n + sb.n - i.n_common AS DOUBLE)) >= 0.3
+    """,
+    description="exact word-3-gram Jaccard >= 0.3 pairs (ground-truth "
+    "verifier for LSH candidates; explode-join, not the scale path)",
+    tags=("dedup", "jaccard", "extension"),
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return jaccard_pairs(doc_shingles(docs), 0.3)
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM({sql_simhash_bit('tok', k)} * 2 - 1) AS s_{k}"
+    for k in range(SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN s_{k} > 0 THEN CAST({2**k} AS BIGINT) ELSE 0 END)"
+    for k in range(SIMHASH_BITS)
+)
+
+_SIMHASH_CTE = f"""
+  toked AS (
+    SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+  ),
+  bitsums AS (
+    SELECT doc_id, {_SIMHASH_SUMS} FROM toked GROUP BY doc_id
+  ),
+  sim AS (
+    SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bitsums
+  )
+"""
+
+
+@register(
+    "simhash_docs",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sim
+    """,
+    description="32-bit SimHash per document (signed per-bit sums over "
+    "token occurrences, one aggregation pass)",
+    tags=("dedup", "simhash", "extension"),
+)
+def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_docs(docs)
+
+
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    description="SimHash near-dup pairs at Hamming distance <= 6",
+    tags=("dedup", "simhash", "extension"),
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_pairs(simhash_docs(docs), 6)

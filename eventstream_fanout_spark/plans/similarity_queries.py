@@ -1,0 +1,199 @@
+"""Similarity-search queries over ``embeddings`` with DuckDB oracles.
+
+The oracles reproduce the quantized integer vector math exactly
+(functions/vectors.py); the LSH oracle inlines the same md5-derived
+hyperplane signs the Spark operator uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import sql_davg
+from ..functions.vectors import QV, norm2
+from ..operators.similarity import (
+    NUM_HYPERPLANES,
+    brute_force_topk,
+    embedding_near_pairs,
+    hyperplane_signs,
+    lsh_topk,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+_FLAT = f"""
+  flat AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+  ),
+  norms AS (
+    SELECT vec_id,
+           CAST(SUM(CAST(FLOOR(x * x * {QV!r} + 0.5) AS BIGINT))
+                AS DOUBLE) / {QV!r} AS n2
+    FROM flat GROUP BY vec_id
+  )
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH {_FLAT},
+    qf AS (SELECT i, x FROM flat WHERE vec_id = 0),
+    sums AS (
+      SELECT cf.vec_id,
+             CAST(SUM(CAST(FLOOR(cf.x * qf.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM flat cf JOIN qf ON cf.i = qf.i
+      WHERE cf.vec_id <> 0
+      GROUP BY cf.vec_id
+    )
+    SELECT s.vec_id, e.label,
+           (s.dot / (sqrt(na.n2) * sqrt(nq.n2))) AS cosine
+    FROM sums s
+    JOIN norms na ON na.vec_id = s.vec_id
+    JOIN norms nq ON nq.vec_id = 0
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    ORDER BY cosine DESC, s.vec_id ASC
+    LIMIT 10
+    """,
+    description="brute-force cosine top-10 neighbors of vec 0 (exact ANN "
+    "baseline; broadcast query, partition-parallel scan, TakeOrdered top-k)",
+    tags=("similarity", "ann", "extension"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    return brute_force_topk(corpus, _query_vec(spark, sf_dir), 10)
+
+
+# --- LSH-bucketed ANN (scale path) -------------------------------------
+
+_SIGNS_VALUES = ", ".join(
+    f"({j}, {i + 1}, {s})"
+    for j in range(NUM_HYPERPLANES)
+    for i, s in enumerate(hyperplane_signs(j))
+)
+
+_BUCKETS = f"""
+  signs(j, i, s) AS (SELECT * FROM (VALUES {_SIGNS_VALUES})),
+  quant AS (
+    SELECT vec_id, i,
+           CAST(FLOOR(x * {1e9!r} + 0.5) AS BIGINT) AS xq
+    FROM flat
+  ),
+  projs AS (
+    SELECT q.vec_id, s.j, SUM(q.xq * s.s) AS proj
+    FROM quant q JOIN signs s ON q.i = s.i
+    GROUP BY 1, 2
+  ),
+  buckets AS (
+    SELECT vec_id,
+           SUM(CASE WHEN proj > 0 THEN CAST(POW(2, j) AS BIGINT)
+                    ELSE 0 END) AS bucket
+    FROM projs GROUP BY vec_id
+  )
+"""
+
+
+@register(
+    "ann_lsh_bucket_topk",
+    f"""
+    WITH {_FLAT},
+    {_BUCKETS},
+    qf AS (SELECT i, x FROM flat WHERE vec_id = 0),
+    qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+    cands AS (
+      SELECT b.vec_id, b.bucket FROM buckets b, qb
+      WHERE b.bucket = qb.qbucket AND b.vec_id <> 0
+    ),
+    sums AS (
+      SELECT cf.vec_id,
+             CAST(SUM(CAST(FLOOR(cf.x * qf.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM flat cf JOIN qf ON cf.i = qf.i
+      WHERE cf.vec_id IN (SELECT vec_id FROM cands)
+      GROUP BY cf.vec_id
+    )
+    SELECT s.vec_id, e.label, c.bucket,
+           (s.dot / (sqrt(na.n2) * sqrt(nq.n2))) AS cosine
+    FROM sums s
+    JOIN cands c ON c.vec_id = s.vec_id
+    JOIN norms na ON na.vec_id = s.vec_id
+    JOIN norms nq ON nq.vec_id = 0
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    ORDER BY cosine DESC, s.vec_id ASC
+    LIMIT 10
+    """,
+    description="LSH-bucketed ANN top-10 (8 md5-derived hyperplanes -> "
+    "8-bit bucket; probe only the query's bucket — the 100 TB scale path)",
+    tags=("similarity", "ann", "lsh", "extension"),
+)
+def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    return lsh_topk(corpus, _query_vec(spark, sf_dir), 10)
+
+
+@register(
+    "embedding_near_pairs",
+    f"""
+    WITH {_FLAT},
+    pairsums AS (
+      SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+             CAST(SUM(CAST(FLOOR(a.x * b.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT p.vid_a, p.vid_b,
+           (p.dot / (sqrt(na.n2) * sqrt(nb.n2))) AS cosine
+    FROM pairsums p
+    JOIN norms na ON na.vec_id = p.vid_a
+    JOIN norms nb ON nb.vec_id = p.vid_b
+    WHERE (p.dot / (sqrt(na.n2) * sqrt(nb.n2))) >= 0.4
+    """,
+    description="embedding-cosine near-duplicate pairs (cosine >= 0.4, "
+    "brute force; bucket-join at scale)",
+    tags=("similarity", "dedup", "extension"),
+)
+def embedding_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, 0.4)
+
+
+@register(
+    "embedding_label_stats",
+    f"""
+    WITH {_FLAT}
+    SELECT e.label,
+           COUNT(*) AS n_vectors,
+           {sql_davg('sqrt(n.n2)')} AS mean_norm
+    FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+    GROUP BY e.label
+    """,
+    description="per-label vector counts and mean L2 norm (array agg + "
+    "deterministic mean)",
+    tags=("similarity", "agg", "extension"),
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.core import davg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.sqrt(norm2(F.col("embedding"))).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            davg(F.col("norm"), "mean_norm"),
+        )
+    )

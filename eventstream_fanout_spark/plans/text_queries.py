@@ -1,0 +1,202 @@
+"""Text-analysis + multimodal queries over ``documents`` with DuckDB
+oracles (the decode stub is rows-only — no SQL equivalent for
+mapInPandas plumbing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import sql_round_half_up
+from ..functions.hashing import sql_shingles, sql_tokens
+from ..operators.multimodal import decode_documents, to_media_table
+from ..operators.text_analysis import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    PUNCT_CLASS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    lang_scores,
+    quality_profile,
+    regex_token_counts,
+    winnow_fingerprints,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _sql_in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_QUALITY_SQL = f"""
+    WITH toked AS (
+      SELECT doc_id, text, {sql_tokens('text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars,
+           (CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
+                 AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS avg_token_len,
+           (CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))
+                 AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS punct_ratio,
+           (CAST(len(list_filter(toks, t -> t IN ({_sql_in_list(STOPWORDS)})))
+                 AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS stopword_ratio,
+           {sql_round_half_up(
+               "0.5 * (CAST(least(len(toks), 100) AS DOUBLE) / 100.0) "
+               "+ 0.3 * (1.0 - (CAST(length(text) - length(regexp_replace(text, '"
+               + PUNCT_CLASS
+               + "', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))) "
+               "+ 0.2 * (CAST(len(list_filter(toks, t -> t IN ("
+               + _sql_in_list(STOPWORDS)
+               + "))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))",
+               6,
+           )} AS quality_score
+    FROM toked
+"""
+
+
+@register(
+    "text_quality_profile",
+    _QUALITY_SQL,
+    description="per-doc quality metrics: token/char counts, mean token "
+    "length, punctuation & stopword ratios, blended quality score",
+    tags=("text", "extension"),
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_profile(docs)
+
+
+_LANG_SCORE_COLS = ", ".join(
+    f"len(list_filter(toks, t -> t IN ({_sql_in_list(markers)}))) AS s_{lang}"
+    for lang, markers in LANG_MARKERS.items()
+)
+
+
+def _lang_case() -> str:
+    branches = []
+    for lang in LANG_ORDER:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in LANG_ORDER if other != lang
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " END"
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, lang AS lang_true, {sql_tokens('text')} AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang_true, {_LANG_SCORE_COLS} FROM toked
+    )
+    SELECT doc_id, lang_true, s_en, s_es, s_fr, s_de, s_zh,
+           {_lang_case()} AS lang_pred
+    FROM scored
+    """,
+    description="heuristic language ID: marker-token hit counts per "
+    "language + deterministic argmax",
+    tags=("text", "extension"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_scores(docs)
+
+
+@register(
+    "token_count_regex",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_REGEX}')))
+             AS n_distinct_tokens
+    FROM documents
+    """,
+    description="BPE-ish regex tokenizer counts (letter runs / digit runs "
+    "/ single symbols)",
+    tags=("text", "extension"),
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return regex_token_counts(docs)
+
+
+@register(
+    "doc_fingerprint_winnow",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    positioned AS (
+      SELECT doc_id,
+             generate_subscripts({sql_shingles('toks')}, 1) AS pos,
+             md5(unnest({sql_shingles('toks')})) AS h
+      FROM toks
+    ),
+    winmins AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+      FROM positioned
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT wmin) AS n_fingerprints,
+           MIN(wmin) AS min_fingerprint
+    FROM winmins
+    WHERE pos >= 4
+    GROUP BY doc_id
+    """,
+    description="winnowing document fingerprints: rolling-min of shingle "
+    "hashes over a 4-position window (full windows only)",
+    tags=("text", "fingerprint", "extension"),
+)
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(FLOOR((octet_length(CAST(text AS BLOB)) + 255) / 256.0)
+                AS BIGINT) AS n_chunks,
+           source
+    FROM documents
+    """,
+    description="multimodal metadata projection: payload byte length, "
+    "content hash, 256-byte chunk count",
+    tags=("multimodal", "extension"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.floor(
+            (F.octet_length(F.col("text").cast("binary")) + F.lit(255))
+            / F.lit(256)
+        )
+        .cast("bigint")
+        .alias("n_chunks"),
+        "source",
+    )
+
+
+@register(
+    "multimodal_decode_stub",
+    None,  # mapInPandas plumbing — no SQL equivalent; rows-only check
+    description="Arrow-batched mapInPandas decode of binary payloads "
+    "(deterministic fake decode; real codec stubbed NotImplementedError)",
+    tags=("multimodal", "mapinpandas", "extension"),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_documents(to_media_table(docs))
