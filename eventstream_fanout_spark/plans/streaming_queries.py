@@ -1,0 +1,104 @@
+"""Streaming-surface queries.
+
+Two kinds of correctness evidence:
+
+* ``cdc_parse_roundtrip`` — the CDC envelope parser verified against a
+  plain relational oracle (the round-trip must be the identity).
+* ``stream_enrich_availablenow`` / ``stream_window_counts_watermark`` —
+  real Structured Streaming executions (file source, availableNow,
+  memory sink) whose results a *batch* SQL oracle predicts exactly:
+  stateless enrichment equals the batch plan; watermarked append-mode
+  window counts equal the batch windows closed by the final watermark
+  (window_end <= max(ts) - delay).  This upgrades the usual
+  "rows-only" streaming check into a hash-checked one.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.enrichment import enrich_events
+from ..sources.cdc import parse_cdc_envelope, to_cdc_json
+from ..sources.tables import load_table, load_table_stream
+from .reference_queries import _FLAGSHIP_ORACLE
+from .registry import register
+
+
+@register(
+    "cdc_parse_roundtrip",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props, 'c' AS op
+    FROM events
+    """,
+    description="Debezium envelope wire-format round-trip: wrap events "
+    "in CDC JSON, parse with the typed from_json envelope schema "
+    "(reference P1-P5, pipeline/app.py:44-53) — must be the identity",
+    tags=("streaming", "cdc", "json"),
+)
+def cdc_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return parse_cdc_envelope(to_cdc_json(events)).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "op"
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain a streaming DataFrame with availableNow into a memory sink
+    and return the materialized result."""
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "stream_enrich_availablenow",
+    _FLAGSHIP_ORACLE,
+    description="the flagship enrichment executed as a real Structured "
+    "Streaming query (file source, availableNow, memory sink) — "
+    "stateless transform, so the batch oracle predicts it exactly",
+    tags=("streaming", "join", "derived"),
+)
+def stream_enrich_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table_stream(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return _run_to_memory(enrich_events(events, customer), spark)
+
+
+@register(
+    "stream_window_counts_watermark",
+    """
+    WITH base AS (
+      SELECT make_timestamp((epoch_us(ts) - (epoch_us(ts) % 600000000)))
+               AS window_start,
+             event_type,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events
+    FROM base
+    WHERE epoch_us(window_start) + 600000000
+          <= (SELECT max(epoch_us(ts)) FROM events) - 600000000
+    """,
+    description="watermarked append-mode tumbling window counts as a real "
+    "streaming query; oracle = batch windows closed by the final "
+    "watermark (window_end <= max(ts) - 10min)",
+    tags=("streaming", "window", "watermark"),
+)
+def stream_window_counts_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.aggregates import windowed_counts
+
+    events = load_table_stream(spark, sf_dir, "events")
+    counts = windowed_counts(events, "event_type", width="10 minutes")
+    out = _run_to_memory(counts, spark)
+    return out.select("window_start", "event_type", "n_events")

@@ -35,6 +35,9 @@ ENGINE_CONF: dict[str, str] = {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     # Scan sizing: 128 MiB splits keep scan tasks balanced at 100 TB.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # CPU-matched shuffle parallelism (AQE coalesces further; streaming
+    # state stores don't use AQE, so the static default matters there).
+    "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
 }

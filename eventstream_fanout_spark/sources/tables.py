@@ -53,6 +53,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming (file-source) variant of :func:`load_table` — same
+    nanos-timestamp handling, schema pinned from the batch reader."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    nanos_cols = _NANOS_TS_COLUMNS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # The streaming file source requires a directory; select the single
+    # table file out of it with a glob filter.
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() use."""
     for name in TABLES:

@@ -1,0 +1,260 @@
+"""Streaming-layer tests: CDC envelope round-trip, checkpointed fan-out
+with batch-id idempotency, watermark late-data semantics, cross-batch
+dedup — the reference's streaming surface (SURVEY.md §2.6-2.7) pinned
+with controlled micro-batches.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventstream_fanout_spark.operators.enrichment import enrich_events
+from eventstream_fanout_spark.sources.cdc import parse_cdc_envelope, to_cdc_json
+from eventstream_fanout_spark.sources.tables import load_table
+from eventstream_fanout_spark.streaming.aggregates import (
+    dedup_within_watermark,
+    windowed_counts,
+)
+from eventstream_fanout_spark.streaming.fanout import (
+    parquet_sink,
+    start_fanout,
+    webhook_sink,
+)
+from eventstream_fanout_spark.streaming.sources import json_file_stream
+from tests.conftest import SF_SMOKE
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@pytest.fixture()
+def events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_cdc_roundtrip_batch(spark, events):
+    """to_cdc_json -> parse_cdc_envelope reproduces the rows exactly."""
+    wire = to_cdc_json(events)
+    back = parse_cdc_envelope(wire).select(*EVENT_COLS)
+    orig = events.select(*EVENT_COLS)
+    assert back.exceptAll(orig).isEmpty() and orig.exceptAll(back).isEmpty()
+
+
+def test_cdc_delete_and_garbage_dropped(spark):
+    """Debezium deletes (after=null) and malformed JSON -> dropped (P5)."""
+    raw = spark.createDataFrame(
+        [
+            ('{"payload": {"op": "d", "after": null, "before": null}}',),
+            ("this is not json",),
+            (
+                '{"payload": {"op": "c", "after": {"event_id": 7, '
+                '"ts": "2024-01-01T00:00:00.000000Z", "user_id": 1, '
+                '"event_type": "play", "value": 1.5, "props": "{}"}}}',
+            ),
+        ],
+        ["value"],
+    )
+    out = parse_cdc_envelope(raw)
+    rows = out.collect()
+    assert [r["event_id"] for r in rows] == [7]
+    assert rows[0]["op"] == "c"
+
+
+def _write_cdc_files(spark, events, path: str, n_files: int = 2) -> int:
+    rows = to_cdc_json(events).collect()
+    os.makedirs(path, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        with open(os.path.join(path, f"batch-{i}.jsonl"), "w") as fh:
+            for r in rows[i * per : (i + 1) * per]:
+                fh.write(r["value"] + "\n")
+    return len(rows)
+
+
+def test_fanout_end_to_end_and_idempotent_restart(spark, events, tmp_path):
+    """File stream -> CDC parse -> enrichment -> 3-sink fan-out with
+    checkpoint; a restart with the same checkpoint reprocesses nothing."""
+    src = str(tmp_path / "cdc")
+    n_events = _write_cdc_files(spark, events, src)
+    customer = load_table(spark, SF_SMOKE, "customer")
+    warehouse = str(tmp_path / "warehouse")
+    hooks = str(tmp_path / "hooks")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run() -> None:
+        stream = parse_cdc_envelope(json_file_stream(spark, src)).drop("op")
+        q = start_fanout(
+            stream,
+            [parquet_sink(warehouse), webhook_sink(hooks)],
+            checkpoint_dir=ckpt,
+            transform=lambda df: enrich_events(df, customer),
+            query_name="fanout-test",
+        )
+        q.awaitTermination(120)
+
+    run()
+    out = spark.read.parquet(warehouse)
+    assert out.count() == n_events
+    # enrichment happened inside the stream
+    assert "engagement_pct" in out.columns
+    deliveries = []
+    for f in glob.glob(os.path.join(hooks, "*.jsonl")):
+        with open(f) as fh:
+            deliveries += [json.loads(line) for line in fh]
+    assert len(deliveries) == n_events
+    assert {d["idempotency_key"] for d in deliveries} == {
+        str(r["event_id"]) for r in events.collect()
+    }
+    # restart: checkpoint says everything is processed -> no growth
+    run()
+    assert spark.read.parquet(warehouse).count() == n_events
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row older than watermark - delay when it arrives in a later
+    micro-batch must not appear in any emitted window (T5)."""
+    src = str(tmp_path / "wm")
+    os.makedirs(src)
+
+    def env(eid: int, ts: str) -> str:
+        return json.dumps(
+            {
+                "payload": {
+                    "op": "c",
+                    "after": {
+                        "event_id": eid,
+                        "ts": ts,
+                        "user_id": 1,
+                        "event_type": "view",
+                        "value": 1.0,
+                        "props": "{}",
+                    },
+                }
+            }
+        )
+
+    with open(os.path.join(src, "f1.jsonl"), "w") as fh:
+        fh.write(env(1, "2024-01-01T00:01:00.000000Z") + "\n")
+        fh.write(env(2, "2024-01-01T01:00:00.000000Z") + "\n")  # advances wm
+
+    stream = parse_cdc_envelope(json_file_stream(spark, src, max_files_per_trigger=1))
+    counts = windowed_counts(stream, "event_type", width="10 minutes")
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late row: 00:02 while watermark is 01:00 - 10min = 00:50
+        with open(os.path.join(src, "f2.jsonl"), "w") as fh:
+            fh.write(env(3, "2024-01-01T00:02:00.000000Z") + "\n")
+        q.processAllAvailable()
+        rows = {
+            (r["window_start"].isoformat(), r["n_events"])
+            for r in spark.sql("SELECT * FROM wm_test").collect()
+        }
+    finally:
+        q.stop()
+    # the 00:00 window was emitted with 1 event when the watermark
+    # passed; the late event 3 must not re-open it or add a new row
+    assert ("2024-01-01T00:00:00", 1) in rows
+    assert ("2024-01-01T00:00:00", 2) not in rows
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event ids across micro-batches are dropped while the
+    watermark keeps their state alive (W3)."""
+    src = str(tmp_path / "dd")
+    os.makedirs(src)
+
+    def env(eid: int, ts: str) -> str:
+        return json.dumps(
+            {
+                "payload": {
+                    "op": "c",
+                    "after": {
+                        "event_id": eid,
+                        "ts": ts,
+                        "user_id": 1,
+                        "event_type": "view",
+                        "value": 1.0,
+                        "props": "{}",
+                    },
+                }
+            }
+        )
+
+    with open(os.path.join(src, "f1.jsonl"), "w") as fh:
+        fh.write(env(1, "2024-01-01T00:01:00.000000Z") + "\n")
+        fh.write(env(1, "2024-01-01T00:01:30.000000Z") + "\n")  # same-batch dup
+        fh.write(env(2, "2024-01-01T00:02:00.000000Z") + "\n")
+
+    stream = dedup_within_watermark(
+        parse_cdc_envelope(json_file_stream(spark, src, max_files_per_trigger=1)),
+        ["event_id"],
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_test")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "f2.jsonl"), "w") as fh:
+            fh.write(env(2, "2024-01-01T00:03:00.000000Z") + "\n")  # cross-batch dup
+            fh.write(env(3, "2024-01-01T00:04:00.000000Z") + "\n")
+        q.processAllAvailable()
+        ids = sorted(
+            r["event_id"] for r in spark.sql("SELECT * FROM dd_test").collect()
+        )
+    finally:
+        q.stop()
+    assert ids == [1, 2, 3]
+
+
+def test_batch_streaming_equivalence(spark, events, tmp_path):
+    """The same windowed_counts transform over the same data agrees
+    between batch execution and a full streaming pass (restricted to
+    windows the watermark closed)."""
+    src = str(tmp_path / "eq")
+    _write_cdc_files(spark, events, src, n_files=1)
+    stream = parse_cdc_envelope(json_file_stream(spark, src))
+    counts = windowed_counts(stream, "event_type", width="1 hour")
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("eq_test")
+        .option("checkpointLocation", str(tmp_path / "eq_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM eq_test").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_counts(events, "event_type", width="1 hour").collect()
+    }
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    closed = {
+        k: v
+        for k, v in batch.items()
+        if (k[0].timestamp() + 3600) <= (max_ts.timestamp() - 600)
+    }
+    assert streamed.items() >= closed.items()
+    assert set(streamed) <= set(batch)
+    for k, v in streamed.items():
+        assert batch[k] == v
