@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, no driver
+materialization) so timings measure the engine, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference surface (flagship + windows + leaderboard),
+# warehouse breadth (TPC-H analogues), and the north-star extension ops.
+HEADLINE = [
+    "flagship_enrich",
+    "cdc_parse_roundtrip",
+    "window_tumbling_10m",
+    "window_sliding_10m_5m",
+    "rolling_10m_user_count",
+    "topk_leaderboard_daily",
+    "global_leaderboard_top10",
+    "hourly_distinct_users",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "rollup_nation_segment",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_dups",
+    "simhash_docs",
+    "ann_cosine_topk",
+    "ann_lsh_bucket_topk",
+    "text_quality_profile",
+    "doc_fingerprint_winnow",
+    "multimodal_decode_stub",
+]
+
+
+def main() -> None:
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from eventstream_fanout_spark.session import get_spark
+
+    spark = get_spark(app_name="eventstream-fanout-bench")
+    try:
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        timings: dict[str, float] = {}
+        # warm the JVM/scan path once (not timed)
+        QUERIES["count_star"].fn(spark, SF_DIR).collect()
+        for name in HEADLINE:
+            spec = QUERIES[name]
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline-suite wall seconds (noop sink, "
+                    f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

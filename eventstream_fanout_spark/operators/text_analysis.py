@@ -110,9 +110,10 @@ def winnow_fingerprints(
     Returns per-doc fingerprint count and the lexicographic min."""
     from pyspark.sql import Window as W
 
-    sh = docs.select(
+    toked = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    sh = toked.select(
         "doc_id",
-        F.posexplode(shingles(tokens(F.col(text_col)))).alias("pos", "shingle"),
+        F.posexplode(shingles(F.col("toks"))).alias("pos", "shingle"),
     ).withColumn("h", F.md5(F.col("shingle")))
     w = (
         W.partitionBy("doc_id")
