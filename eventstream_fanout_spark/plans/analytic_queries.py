@@ -1,0 +1,301 @@
+"""Analytic/window-function breadth: rank family, lag/lead,
+sessionization (gap-based), conversion funnel, manual percentile_disc,
+pivot, CUBE — the warehouse analytics a complete engine serves
+(reference read-path §3.2 generalized).
+
+Every query keeps a total deterministic order inside window frames
+(ties broken on unique ids) so the oracle hashes match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.core import davg, dsum, sql_davg, sql_dsum
+from ..sources.tables import load_table
+from .registry import register
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+@register(
+    "rank_family",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           RANK() OVER w AS bal_rank,
+           DENSE_RANK() OVER w AS bal_dense_rank,
+           ROW_NUMBER() OVER w AS bal_row,
+           CAST(NTILE(4) OVER w AS INTEGER) AS bal_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    description="rank/dense_rank/row_number/ntile over per-segment "
+    "balance ordering",
+    tags=("analytic", "window-fn"),
+)
+def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.row_number().over(w).alias("bal_row"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+@register(
+    "lag_lead_deltas",
+    """
+    SELECT event_id, user_id, ts, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           value - LAG(value) OVER w AS value_delta,
+           CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT)
+             AS us_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    description="lag/lead with per-user event ordering: previous/next "
+    "values and inter-event deltas",
+    tags=("analytic", "window-fn"),
+)
+def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_v = F.lag("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        prev_v.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - prev_v).alias("value_delta"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .cast("bigint")
+        .alias("us_since_prev"),
+    )
+
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+                  > {SESSION_GAP_S * 1_000_000}
+                  OR LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new_session) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    description="gap-based sessionization (30-min inactivity): lag + "
+    "cumulative-sum session ids, per-session stats — the batch form of "
+    "streaming session windows",
+    tags=("analytic", "session", "window-fn"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        F.when(
+            prev_ts.isNull()
+            | (
+                (F.unix_micros("ts") - F.unix_micros(prev_ts))
+                > SESSION_GAP_S * 1_000_000
+            ),
+            1,
+        ).otherwise(0)
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        is_new.alias("is_new_session"),
+    ).withColumn("session_id", F.sum("is_new_session").over(wcum))
+    return sessions.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "conversion_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      COUNT(first_signup) AS n_signed_up,
+      COUNT(first_purchase) AS n_purchased,
+      COUNT(CASE WHEN first_purchase > first_signup THEN 1 END)
+        AS n_converted_after_signup
+    FROM firsts
+    """,
+    description="conversion funnel: first-touch timestamps per stage via "
+    "conditional MIN, ordered-conversion count",
+    tags=("analytic", "funnel"),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count("first_purchase").alias("n_purchased"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_signup"), 1)
+        ).alias("n_converted_after_signup"),
+    )
+
+
+@register(
+    "percentile_disc_manual",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN c_acctbal END) AS p50_acctbal,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                    THEN c_acctbal END) AS p90_acctbal
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+    description="exact discrete percentiles (p50/p90) via row_number + "
+    "count windows — engine-agnostic percentile_disc",
+    tags=("analytic", "percentile", "window-fn"),
+)
+def percentile_disc_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    wall = Window.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    def pick(q: float):
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("c_acctbal"),
+            )
+        )
+
+    return ranked.groupBy("c_mktsegment").agg(
+        pick(0.5).alias("p50_acctbal"), pick(0.9).alias("p90_acctbal")
+    )
+
+
+@register(
+    "pivot_event_types",
+    f"""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")}
+             AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+    description="pivot: per-user event-type count matrix + conditional "
+    "revenue sum (Spark pivot() vs CASE-sum oracle)",
+    tags=("analytic", "pivot"),
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    # pivot COUNT yields NULL for absent combos; oracle's COUNT(CASE)
+    # yields 0 — fill to match.
+    purchase_value = e.groupBy("user_id").agg(
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                F.lit(0.0)
+            ),
+            "purchase_value",
+        )
+    )
+    return counts.join(purchase_value, "user_id")
+
+
+@register(
+    "cube_type_band",
+    f"""
+    SELECT event_type,
+           CASE WHEN value < 50 THEN 'small' ELSE 'large' END AS band,
+           COUNT(*) AS n_events,
+           {sql_davg('value')} AS mean_value
+    FROM events
+    GROUP BY CUBE (event_type,
+                   CASE WHEN value < 50 THEN 'small' ELSE 'large' END)
+    """,
+    description="CUBE grouping sets over (event_type, value band) with "
+    "deterministic means",
+    tags=("analytic", "cube", "agg"),
+)
+def cube_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "band", F.when(F.col("value") < 50, "small").otherwise("large")
+    )
+    return e.cube("event_type", "band").agg(
+        F.count(F.lit(1)).alias("n_events"), davg(F.col("value"), "mean_value")
+    )

@@ -60,6 +60,8 @@ def _load_all() -> None:
     for modname in (
         "reference_queries",
         "relational_queries",
+        "scalar_queries",
+        "analytic_queries",
         "window_queries",
         "dedup_queries",
         "similarity_queries",

@@ -335,6 +335,213 @@ def union_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q6 analogue: the canonical pushdown-friendly filter + aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+    """,
+    description="TPC-H Q6 forecast revenue: tight range predicates + "
+    "single aggregate (pure scan+filter+partial-agg, zero joins)",
+    tags=("relational", "agg", "tpch"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 analogue: returned-items revenue per customer, top 20.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    description="TPC-H Q10 returned items: 4-way join, per-customer "
+    "revenue, ordered top-20",
+    tags=("relational", "join", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 analogue: promo revenue share (conditional aggregate ratio).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_promo_revenue_share",
+    f"""
+    SELECT
+      ({sql_dsum("CASE WHEN p.p_type = 'PROMO' "
+                 "THEN l.l_extendedprice * (1.0 - l.l_discount) "
+                 "ELSE 0.0 END")}
+       / {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')})
+        AS promo_share,
+      COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+    description="TPC-H Q14 promo revenue share: broadcast part join + "
+    "conditional-aggregate ratio",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    joined = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return joined.agg(
+        (dsum(promo) / dsum(revenue)).alias("promo_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 analogue: disjunctive multi-clause join predicate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    description="TPC-H Q19: OR-of-ANDs predicate across both join sides "
+    "(exercises predicate normalization + join filtering)",
+    tags=("relational", "join", "tpch"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return joined.where(clause).agg(
+        dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigation correctness: salted join must equal the plain join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_join_counts",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    description="salted shuffle join (deterministic salt from event_id, "
+    "dimension exploded x8) — oracle is the *plain* join: salting must "
+    "not change results, only key distribution (skew mitigation at scale)",
+    tags=("relational", "join", "skew"),
+)
+def salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salts = 8
+    e = _t(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % n_salts).cast("int")
+    )
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = e.join(
+        c,
+        (F.col("user_id") == F.col("c_custkey"))
+        & (e["salt"] == c["salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Correlated scalar-aggregate pattern: customers above their nation's
 # average balance (join against a grouped subquery).
 # ---------------------------------------------------------------------------

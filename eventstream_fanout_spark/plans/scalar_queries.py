@@ -1,0 +1,217 @@
+"""Scalar-function coverage queries (SURVEY.md §2.8 plus the breadth a
+complete engine needs): string, date/time, math, and array functions,
+each verified against the DuckDB oracle.
+
+Determinism notes: transcendental functions (exp/ln/pow) are avoided in
+oracle queries — libm results differ across engines; sqrt is
+IEEE-defined and safe.  Day-of-week is avoided (engines disagree on
+numbering conventions); year/month/day/hour extraction is portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "string_functions",
+    """
+    SELECT doc_id,
+           upper(substr(text, 1, 12)) AS prefix_upper,
+           length(text) AS n_chars,
+           replace(substr(text, 1, 30), ' ', '_') AS snake,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           (text LIKE '%data%') AS mentions_data,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '', 'g') AS devoweled,
+           levenshtein(substr(text, 1, 10), 'spark query') AS lev_to_spark,
+           concat(source, ':', lang) AS source_lang
+    FROM documents
+    """,
+    description="string function family: case, substr, replace, pad, "
+    "LIKE, regexp_replace, levenshtein, concat",
+    tags=("scalar", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("prefix_upper"),
+        F.length("text").alias("n_chars"),
+        F.replace(
+            F.substring("text", 1, 30), F.lit(" "), F.lit("_")
+        ).alias("snake"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.col("text").like("%data%").alias("mentions_data"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "").alias(
+            "devoweled"
+        ),
+        F.levenshtein(F.substring("text", 1, 10), F.lit("spark query")).alias(
+            "lev_to_spark"
+        ),
+        F.concat("source", F.lit(":"), "lang").alias("source_lang"),
+    )
+
+
+@register(
+    "datetime_functions",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS d,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(minute(ts) AS INTEGER) AS mi,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+           ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS INTEGER)
+             AS days_since_start,
+           strftime(ts, '%Y-%m-%d') AS ymd
+    FROM events
+    """,
+    description="date/time family: component extraction, trunc, interval "
+    "arithmetic, day difference, formatting",
+    tags=("scalar", "datetime"),
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("days_since_start"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ymd"),
+    )
+
+
+@register(
+    "math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000.0) AS dist_from_50k,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+           sqrt(l_extendedprice) AS price_sqrt,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_side,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           CAST(l_orderkey % 16 AS BIGINT) AS shard
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    description="math family: abs, ceil/floor, sqrt (IEEE-safe), sign, "
+    "greatest/least, modulo sharding",
+    tags=("scalar", "math"),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("dist_from_50k"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_bucket"),
+        F.floor(F.col("l_extendedprice") / 1000.0)
+        .cast("bigint")
+        .alias("price_k"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_side"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        (F.col("l_orderkey") % 16).cast("bigint").alias("shard"),
+    )
+
+
+@register(
+    "array_functions",
+    """
+    WITH toked AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           list_sort(list_distinct(toks))[1:5] AS first5_sorted,
+           list_contains(toks, 'data') AS has_data,
+           toks[1] AS first_token,
+           toks[len(toks)] AS last_token,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS top3_csv
+    FROM toked
+    """,
+    description="array family: size, distinct, sort, slice, contains, "
+    "element access, join-to-string",
+    tags=("scalar", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    )
+    sorted_distinct = F.array_sort(F.array_distinct(F.col("toks")))
+    return toked.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.slice(sorted_distinct, 1, 5).alias("first5_sorted"),
+        F.array_contains("toks", "data").alias("has_data"),
+        F.element_at("toks", 1).alias("first_token"),
+        F.element_at("toks", -1).alias("last_token"),
+        F.array_join(F.slice(sorted_distinct, 1, 3), ",").alias("top3_csv"),
+    )
+
+
+@register(
+    "conditional_functions",
+    """
+    SELECT event_id,
+           CASE WHEN value < 10 THEN 'low'
+                WHEN value < 100 THEN 'mid'
+                ELSE 'high' END AS value_band,
+           coalesce(json_extract_string(props, '$.missing'),
+                    json_extract_string(props, '$.k'), 'none') AS first_prop,
+           nullif(event_type, 'error') AS type_or_null,
+           (CASE WHEN event_type IN ('purchase', 'signup')
+                 THEN 1 ELSE 0 END) AS is_conversion,
+           ifnull(nullif(event_type, 'error'), 'ERR') AS type_masked
+    FROM events
+    """,
+    description="conditional family: CASE bands, coalesce chains, nullif, "
+    "IN-list, ifnull",
+    tags=("scalar", "conditional"),
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    type_or_null = F.nullif(F.col("event_type"), F.lit("error"))
+    return e.select(
+        "event_id",
+        band.alias("value_band"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing"),
+            F.get_json_object("props", "$.k"),
+            F.lit("none"),
+        ).alias("first_prop"),
+        type_or_null.alias("type_or_null"),
+        F.col("event_type")
+        .isin("purchase", "signup")
+        .cast("int")
+        .alias("is_conversion"),
+        F.ifnull(type_or_null, F.lit("ERR")).alias("type_masked"),
+    )

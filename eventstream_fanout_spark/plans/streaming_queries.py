@@ -102,3 +102,83 @@ def stream_window_counts_watermark(spark: SparkSession, sf_dir: str) -> DataFram
     counts = windowed_counts(events, "event_type", width="10 minutes")
     out = _run_to_memory(counts, spark)
     return out.select("window_start", "event_type", "n_events")
+
+
+@register(
+    "stream_leaderboard_complete",
+    """
+    SELECT * FROM (
+      SELECT window_start, user_id, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, user_id ASC) AS rank
+      FROM (
+        SELECT make_timestamp((epoch_us(ts) - (epoch_us(ts) % 86400000000)))
+                 AS window_start,
+               user_id, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rank <= 10
+    """,
+    description="streaming leaderboard, complete-mode daily window counts "
+    "(the reference's Redis ZSET semantics: full rebuild per trigger) + "
+    "top-10 rank — complete mode drops nothing, so the batch oracle "
+    "predicts it exactly",
+    tags=("streaming", "window", "topk"),
+)
+def stream_leaderboard_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ..streaming.aggregates import leaderboard
+
+    events = load_table_stream(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(
+            F.window(F.col("ts"), "1 day").alias("win"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"), "user_id", "n_events"
+        )
+    )
+    name = f"q_{_uuid.uuid4().hex[:12]}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return leaderboard(spark.table(name), 10, "user_id")
+
+
+@register(
+    "stream_stateful_user_totals",
+    None,  # custom state-store operator; checked by equivalence in pytest
+    description="custom stateful operator: applyInPandasWithState running "
+    "per-user totals (state-store-backed version of the reference's Redis "
+    "INCRBY counters); rows-only here, batch-equivalence pinned in tests",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import running_user_totals
+
+    events = load_table_stream(spark, sf_dir, "events")
+    totals = running_user_totals(events)
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # latest emission per user = the final totals
+    from pyspark.sql import Window
+
+    out = spark.table(name)
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    return out.withColumn("rn", w).where(F.col("rn") == 1).drop("rn")

@@ -178,3 +178,25 @@ def hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("user_id")).alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL sketch) — engine-specific sketch values, so
+# rows-only for the driver; the pytest suite bounds the error vs exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketches differ per engine; accuracy pinned in pytest
+    description="approx_count_distinct (HyperLogLog++) per event type — "
+    "the mergeable-sketch path for 100 TB cardinality estimation; "
+    "error bound vs exact asserted in tests",
+    tags=("window", "approx", "sketch"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,86 @@
+"""Equivalence/accuracy tests for the operators the SQL oracle can't
+check: the applyInPandasWithState running totals (batch equivalence)
+and approx_count_distinct (error bound vs exact)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventstream_fanout_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_stateful_totals_match_batch(spark, tmp_path):
+    """Final applyInPandasWithState totals across multiple micro-batches
+    must equal the batch groupBy over the same data."""
+    from eventstream_fanout_spark.streaming.stateful import running_user_totals
+
+    import os
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two flat files -> with maxFilesPerTrigger=1, two micro-batches
+    # (the file source does not recurse into df.write's directories)
+    pdf = events.toPandas()
+    pdf[pdf["event_id"] % 2 == 0].to_parquet(f"{src}/a.parquet", index=False)
+    pdf[pdf["event_id"] % 2 == 1].to_parquet(f"{src}/b.parquet", index=False)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{src}/a.parquet").schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    totals = running_user_totals(stream)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_eq")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM stateful_eq")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        final = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            for r in out.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in running_user_totals(events).collect()
+    }
+    assert final == batch
+    # and the stream genuinely ran >1 batch (cumulative emissions exist)
+    assert spark.sql("SELECT count(*) FROM stateful_eq").collect()[0][0] > len(
+        batch
+    )
+
+
+def test_approx_distinct_error_bound(spark):
+    from eventstream_fanout_spark.plans.registry import QUERIES
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
+        assert rel_err < 0.1, (k, approx[k], exact[k])
