@@ -37,7 +37,18 @@ HEADLINE = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_predicates",
     "rollup_nation_segment",
+    "salted_join_counts",
+    "sessionize_events",
+    "conversion_funnel",
+    "rank_family",
+    "lag_lead_deltas",
+    "pivot_event_types",
+    "percentile_disc_manual",
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_dups",
