@@ -1,0 +1,168 @@
+"""Composed training-data pipeline queries — the end-to-end use case
+the extension operators exist for: clean a raw corpus (quality gate →
+language gate → exact dedup → MinHash-LSH near-dup removal) and cluster
+duplicates.
+
+``dup_clusters`` pairs Spark's iterative min-label propagation with a
+DuckDB *recursive CTE* oracle — the iterative-algorithm class done both
+ways and hash-compared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sql_minhash_aggs, sql_shingles, sql_tokens
+from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+from ..operators.text_analysis import quality_profile
+from ..sources.tables import load_table
+from .dedup_queries import _BANDS_SQL, _SHINGLED
+from .registry import register
+
+MIN_TOKENS = 20
+MIN_QUALITY = 0.45
+KEEP_LANGS = ("en", "es", "fr")
+
+
+@register(
+    "corpus_clean_pipeline",
+    f"""
+    WITH {_SHINGLED},
+    sig AS (
+      SELECT doc_id, {sql_minhash_aggs('shingle')}
+      FROM shingled GROUP BY doc_id
+    ),
+    bands AS ({_BANDS_SQL}),
+    near_dup_losers AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    quality AS (
+      SELECT doc_id, lang,
+             len({sql_tokens('text')}) AS n_tokens,
+             md5(text) AS content_md5
+      FROM documents
+      WHERE len({sql_tokens('text')}) >= {MIN_TOKENS}
+        AND lang IN {KEEP_LANGS!r}
+    ),
+    exact_canonical AS (
+      SELECT content_md5, MIN(doc_id) AS doc_id
+      FROM quality GROUP BY content_md5
+    )
+    SELECT q.doc_id, q.lang, q.n_tokens
+    FROM quality q
+    JOIN exact_canonical ec ON ec.doc_id = q.doc_id
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dup_losers)
+    """,
+    description="end-to-end corpus cleaning: token-count + language gate "
+    "-> exact-dedup canonicals -> MinHash-LSH near-dup removal (keep "
+    "smaller id). The composition every training-data pipeline runs.",
+    tags=("pipeline", "dedup", "text", "extension"),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prof = quality_profile(docs).select("doc_id", "n_tokens")
+    quality = (
+        docs.join(prof, "doc_id")
+        .where(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & F.col("lang").isin(*KEEP_LANGS)
+        )
+        .select(
+            "doc_id", "lang", "n_tokens", F.md5("text").alias("content_md5")
+        )
+    )
+    canonical = quality.groupBy("content_md5").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    losers = (
+        lsh_candidate_pairs(minhash_signatures(docs.select("doc_id", "text")))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.join(canonical.select("doc_id"), "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@register(
+    "dup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLED},
+    sig AS (
+      SELECT doc_id, {sql_minhash_aggs('shingle')}
+      FROM shingled GROUP BY doc_id
+    ),
+    bands AS ({_BANDS_SQL}),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    bidir AS (
+      SELECT src, dst FROM edges
+      UNION SELECT dst AS src, src AS dst FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM bidir),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM nodes
+      UNION
+      SELECT b.dst AS doc_id, reach.r
+      FROM reach JOIN bidir b ON b.src = reach.doc_id
+    )
+    SELECT doc_id, MIN(r) AS cluster_id
+    FROM reach
+    GROUP BY doc_id
+    """,
+    description="near-duplicate clusters: connected components over the "
+    "LSH candidate graph — Spark iterative min-label propagation vs a "
+    "DuckDB recursive-CTE transitive closure, hash-compared",
+    tags=("pipeline", "dedup", "iterative", "extension"),
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = lsh_candidate_pairs(minhash_signatures(docs))
+    bidir = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        bidir.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    # min-label propagation to fixpoint (dup clusters are tiny — a few
+    # hops; the loop is driver-side but each step is a distributed join)
+    for _ in range(20):
+        neighbor_min = (
+            bidir.join(
+                labels.withColumnRenamed("doc_id", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")

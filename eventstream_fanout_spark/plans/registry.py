@@ -66,6 +66,7 @@ def _load_all() -> None:
         "dedup_queries",
         "similarity_queries",
         "text_queries",
+        "pipeline_queries",
         "streaming_queries",
     ):
         fq = f"{pkg}.{modname}"

@@ -172,6 +172,66 @@ def embedding_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_lsh_near_pairs",
+    f"""
+    WITH {_FLAT},
+    {_BUCKETS},
+    cand AS (
+      SELECT a.vec_id AS vid_a, b.vec_id AS vid_b
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    pairsums AS (
+      SELECT fa.vec_id AS vid_a, fb.vec_id AS vid_b,
+             CAST(SUM(CAST(FLOOR(fa.x * fb.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM flat fa
+      JOIN flat fb ON fa.i = fb.i
+      JOIN cand c ON c.vid_a = fa.vec_id AND c.vid_b = fb.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT p.vid_a, p.vid_b,
+           (p.dot / (sqrt(na.n2) * sqrt(nb.n2))) AS cosine
+    FROM pairsums p
+    JOIN norms na ON na.vec_id = p.vid_a
+    JOIN norms nb ON nb.vec_id = p.vid_b
+    WHERE (p.dot / (sqrt(na.n2) * sqrt(nb.n2))) >= 0.15
+    """,
+    description="embedding near-dup pairs via LSH buckets: score only "
+    "same-bucket pairs (the n² -> bucket-local scale path), cosine >= 0.15",
+    tags=("similarity", "dedup", "lsh", "extension"),
+)
+def embedding_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_bucket
+    from ..functions.vectors import cosine as _cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("eb"),
+        "bucket",
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .select(
+            "vid_a",
+            "vid_b",
+            _cosine(F.col("ea"), F.col("eb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.15)
+    )
+
+
+@register(
     "embedding_label_stats",
     f"""
     WITH {_FLAT}
