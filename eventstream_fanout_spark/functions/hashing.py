@@ -64,20 +64,52 @@ def sql_salted_md5(salt: str, expr: str) -> str:
     return f"md5('{salt}|' || ({expr}))"
 
 
-def minhash_aggs(shingle_col: Column) -> list[Column]:
-    """The MinHash signature as NUM_MINHASHES min-of-salted-md5
-    aggregate expressions (apply after exploding shingles)."""
+# Each salted md5 (32 hex chars) yields 4 independent 8-hex (32-bit)
+# hash slots — 16 minhashes from 4 md5 calls instead of 16.  The md5s
+# are materialized as columns *before* the aggregation (aggregate
+# expressions don't share subexpressions), so each shingle is hashed
+# exactly NUM_MINHASHES/SLICES_PER_MD5 times.
+SLICES_PER_MD5 = 4
+SLICE_LEN = 8
+NUM_SALTS = NUM_MINHASHES // SLICES_PER_MD5
+
+
+def minhash_hash_cols(shingle_col: Column) -> list[tuple[str, Column]]:
+    """(name, column) pairs for the salted md5s to materialize pre-agg."""
     return [
-        F.min(salted_md5(str(h), shingle_col)).alias(f"mh_{h}")
-        for h in range(NUM_MINHASHES)
+        (f"__mh_h{s}", salted_md5(str(s), shingle_col))
+        for s in range(NUM_SALTS)
     ]
 
 
-def sql_minhash_aggs(shingle_expr: str) -> str:
+def minhash_min_aggs() -> list[Column]:
+    """MIN-of-slice aggregates over the materialized hash columns."""
+    out = []
+    for h in range(NUM_MINHASHES):
+        salt, slice_i = divmod(h, SLICES_PER_MD5)
+        piece = F.substring(
+            F.col(f"__mh_h{salt}"), slice_i * SLICE_LEN + 1, SLICE_LEN
+        )
+        out.append(F.min(piece).alias(f"mh_{h}"))
+    return out
+
+
+def sql_minhash_hash_cols(shingle_expr: str) -> str:
     return ", ".join(
-        f"MIN({sql_salted_md5(str(h), shingle_expr)}) AS mh_{h}"
-        for h in range(NUM_MINHASHES)
+        f"{sql_salted_md5(str(s), shingle_expr)} AS __mh_h{s}"
+        for s in range(NUM_SALTS)
     )
+
+
+def sql_minhash_min_aggs() -> str:
+    parts = []
+    for h in range(NUM_MINHASHES):
+        salt, slice_i = divmod(h, SLICES_PER_MD5)
+        parts.append(
+            f"MIN(substr(__mh_h{salt}, {slice_i * SLICE_LEN + 1}, "
+            f"{SLICE_LEN})) AS mh_{h}"
+        )
+    return ", ".join(parts)
 
 
 def band_hash(b: int, rows_per_band: int) -> Column:

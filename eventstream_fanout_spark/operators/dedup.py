@@ -30,7 +30,8 @@ from ..functions.hashing import (
     NUM_MINHASHES,
     SIMHASH_BITS,
     band_hash,
-    minhash_aggs,
+    minhash_hash_cols,
+    minhash_min_aggs,
     shingles,
     tokens,
 )
@@ -75,10 +76,12 @@ def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """MinHash signature (NUM_MINHASHES md5-min columns) per doc."""
-    return doc_shingles(docs, text_col).groupBy("doc_id").agg(
-        *minhash_aggs(F.col("shingle"))
-    )
+    """MinHash signature (NUM_MINHASHES min-of-hash-slice columns) per
+    doc; the salted md5s are materialized once per shingle, then sliced."""
+    sh = doc_shingles(docs, text_col)
+    for name, col in minhash_hash_cols(F.col("shingle")):
+        sh = sh.withColumn(name, col)
+    return sh.groupBy("doc_id").agg(*minhash_min_aggs())
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:

@@ -15,7 +15,8 @@ from ..functions.hashing import (
     NUM_MINHASHES,
     SIMHASH_BITS,
     sql_band_hash,
-    sql_minhash_aggs,
+    sql_minhash_hash_cols,
+    sql_minhash_min_aggs,
     sql_shingles,
     sql_simhash_bit,
     sql_tokens,
@@ -50,6 +51,17 @@ _SHINGLED = f"""
   )
 """
 
+# Shared signature CTE chain: shingles -> materialized salted md5s ->
+# min-of-slice signature (mirrors operators/dedup.minhash_signatures).
+_SIG_CTES = f"""{_SHINGLED},
+  hashed AS (
+    SELECT doc_id, {sql_minhash_hash_cols('shingle')} FROM shingled
+  ),
+  sig AS (
+    SELECT doc_id, {sql_minhash_min_aggs()} FROM hashed GROUP BY doc_id
+  )
+"""
+
 
 @register(
     "dedup_exact",
@@ -73,13 +85,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_signatures",
     f"""
-    WITH {_SHINGLED}
-    SELECT doc_id, {sql_minhash_aggs('shingle')}
-    FROM shingled
-    GROUP BY doc_id
+    WITH {_SIG_CTES}
+    SELECT * FROM sig
     """,
     description="16-hash MinHash signatures over word-3-gram shingles "
-    "(md5-salted mins; single pass, map-side combinable)",
+    "(4 salted md5s sliced into 16 32-bit slots; single pass, "
+    "map-side combinable)",
     tags=("dedup", "minhash", "extension"),
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,11 +108,7 @@ _BANDS_SQL = " UNION ALL ".join(
 @register(
     "minhash_lsh_pairs",
     f"""
-    WITH {_SHINGLED},
-    sig AS (
-      SELECT doc_id, {sql_minhash_aggs('shingle')}
-      FROM shingled GROUP BY doc_id
-    ),
+    WITH {_SIG_CTES},
     bands AS ({_BANDS_SQL})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b

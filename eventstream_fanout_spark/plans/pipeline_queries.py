@@ -13,11 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import sql_minhash_aggs, sql_shingles, sql_tokens
+from ..functions.hashing import sql_tokens
 from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
 from ..operators.text_analysis import quality_profile
 from ..sources.tables import load_table
-from .dedup_queries import _BANDS_SQL, _SHINGLED
+from .dedup_queries import _BANDS_SQL, _SIG_CTES
 from .registry import register
 
 MIN_TOKENS = 20
@@ -28,11 +28,7 @@ KEEP_LANGS = ("en", "es", "fr")
 @register(
     "corpus_clean_pipeline",
     f"""
-    WITH {_SHINGLED},
-    sig AS (
-      SELECT doc_id, {sql_minhash_aggs('shingle')}
-      FROM shingled GROUP BY doc_id
-    ),
+    WITH {_SIG_CTES},
     bands AS ({_BANDS_SQL}),
     near_dup_losers AS (
       SELECT DISTINCT b.doc_id AS doc_id
@@ -92,11 +88,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dup_clusters",
     f"""
-    WITH RECURSIVE {_SHINGLED},
-    sig AS (
-      SELECT doc_id, {sql_minhash_aggs('shingle')}
-      FROM shingled GROUP BY doc_id
-    ),
+    WITH RECURSIVE {_SIG_CTES},
     bands AS ({_BANDS_SQL}),
     edges AS (
       SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst

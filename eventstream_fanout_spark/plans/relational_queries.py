@@ -506,6 +506,46 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q18 analogue: HAVING over a grouped subquery + join back.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_volume_orders",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           big.total_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING {sql_dsum('l_quantity')} > 150.0
+    ) big ON big.l_orderkey = o.o_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+    description="TPC-H Q18 large-volume orders: HAVING on a grouped "
+    "subquery joined back to orders, ordered top-20",
+    tags=("relational", "having", "tpch"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .where(F.col("total_qty") > 150.0)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew-mitigation correctness: salted join must equal the plain join.
 # ---------------------------------------------------------------------------
 

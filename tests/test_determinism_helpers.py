@@ -1,0 +1,92 @@
+"""Edge-case tests for the cross-engine determinism helpers: negative
+values, NULL groups, -0.0 normalization, and the kafka-shaped binary
+value path of the CDC parser."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from eventstream_fanout_spark.functions.core import (
+    davg,
+    dsum,
+    round_half_up,
+    sql_davg,
+    sql_dsum,
+    sql_round_half_up,
+)
+
+CASES = [2.675, -2.675, 0.125, -0.125, 1e-9, -1e-9, 0.0, 12345.6789, -0.005]
+
+
+def test_round_half_up_matches_duckdb(spark):
+    sdf = spark.createDataFrame([(x,) for x in CASES], ["x"])
+    s_vals = [
+        r["r"]
+        for r in sdf.select(round_half_up(F.col("x"), 2).alias("r"))
+        .orderBy("x")
+        .collect()
+    ]
+    con = duckdb.connect()
+    d_vals = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_round_half_up('x', 2)} FROM (SELECT unnest({CASES!r}) AS x) ORDER BY x"
+        ).fetchall()
+    ]
+    assert [repr(a) for a in s_vals] == [repr(b) for b in d_vals]
+    # -0.0 never escapes (repr would differ between engines' hashes)
+    assert all(repr(v) != "-0.0" for v in s_vals)
+
+
+def test_dsum_davg_null_and_negative_groups(spark):
+    rows = [
+        Row(g="a", x=1.5),
+        Row(g="a", x=-2.25),
+        Row(g="b", x=None),
+        Row(g="b", x=None),  # all-NULL group
+        Row(g="c", x=-0.000001),
+    ]
+    sdf = spark.createDataFrame(rows)
+    got = {
+        r["g"]: (r["s"], r["m"])
+        for r in sdf.groupBy("g")
+        .agg(dsum(F.col("x"), "s"), davg(F.col("x"), "m"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, x DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(r["g"], r["x"]) for r in rows]
+    )
+    want = {
+        g: (s, m)
+        for g, s, m in con.execute(
+            f"SELECT g, {sql_dsum('x')} AS s, {sql_davg('x')} AS m FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert {k: (repr(v[0]), repr(v[1])) for k, v in got.items()} == {
+        k: (repr(v[0]), repr(v[1])) for k, v in want.items()
+    }
+    assert got["b"] == (None, None)
+
+
+def test_cdc_parser_accepts_kafka_binary_values(spark):
+    """The Kafka source yields value:binary — the parser must cast it
+    (reference P1) without a string-typed intermediate."""
+    from eventstream_fanout_spark.sources.cdc import parse_cdc_envelope
+
+    payload = (
+        '{"payload": {"op": "c", "after": {"event_id": 42, '
+        '"ts": "2024-01-01T00:00:00.000000Z", "user_id": 9, '
+        '"event_type": "view", "value": 3.5, "props": "{}"}}}'
+    )
+    kafka_shaped = spark.createDataFrame(
+        [(bytearray(payload.encode()), "topic", 0, 17)],
+        "value binary, topic string, partition int, offset long",
+    )
+    rows = parse_cdc_envelope(kafka_shaped).collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 42
+    assert rows[0]["ts"].isoformat() == "2024-01-01T00:00:00"
