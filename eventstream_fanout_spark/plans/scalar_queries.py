@@ -174,6 +174,118 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frame_functions",
+    """
+    SELECT event_id, user_id, ts, value,
+           first_value(value) OVER w AS first_in_user,
+           last_value(value) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING)
+             AS last_in_user,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    description="frame functions: first/last value with explicit frames, "
+    "percent_rank, cume_dist",
+    tags=("scalar", "window-fn"),
+)
+def frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.first("value").over(w).alias("first_in_user"),
+        F.last("value").over(wfull).alias("last_in_user"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "json_nested_roundtrip",
+    """
+    SELECT event_id,
+           CAST(event_id AS VARCHAR) AS id_back,
+           value * 2.0 AS arr_second,
+           event_type AS inner_type
+    FROM events
+    """,
+    description="nested JSON construction + path extraction: to_json of "
+    "struct{id, arr[2], inner{type}} then get_json_object paths back — "
+    "must be the identity (oracle computes expected values directly)",
+    tags=("scalar", "json"),
+)
+def json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.array(F.col("value"), F.col("value") * 2.0).alias("arr"),
+            F.struct(F.col("event_type").alias("type")).alias("inner"),
+        )
+    )
+    built = e.select("event_id", doc.alias("doc"))
+    return built.select(
+        "event_id",
+        F.get_json_object("doc", "$.id").alias("id_back"),
+        F.get_json_object("doc", "$.arr[1]").cast("double").alias("arr_second"),
+        F.get_json_object("doc", "$.inner.type").alias("inner_type"),
+    )
+
+
+@register(
+    "dq_expectation_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN event_type IN
+                 ('click','view','purchase','signup','error')
+               THEN 1 ELSE 0 END) AS pass_event_type_enum,
+           SUM(CASE WHEN value IS NOT NULL AND value >= 0.0
+               THEN 1 ELSE 0 END) AS pass_value_nonnegative,
+           SUM(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS pass_ts_present,
+           SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+               THEN 1 ELSE 0 END) AS pass_props_has_k,
+           SUM(CASE WHEN event_type IN
+                 ('click','view','purchase','signup','error')
+                AND (value IS NOT NULL AND value >= 0.0)
+                AND ts IS NOT NULL
+                AND json_extract_string(props, '$.k') IS NOT NULL
+               THEN 1 ELSE 0 END) AS pass_all
+    FROM events
+    """,
+    description="data-quality expectation profile — the engine-side "
+    "CHECK-constraint analogue (reference enum CHECKs, "
+    "sql/00_init_schema.sql:5,13): per-expectation pass counts in one pass",
+    tags=("scalar", "quality", "reference"),
+)
+def dq_expectation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import expectation_profile
+
+    e = load_table(spark, sf_dir, "events")
+    return expectation_profile(
+        e,
+        {
+            "event_type_enum": F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error"
+            ),
+            "value_nonnegative": F.col("value").isNotNull()
+            & (F.col("value") >= 0.0),
+            "ts_present": F.col("ts").isNotNull(),
+            "props_has_k": F.get_json_object("props", "$.k").isNotNull(),
+        },
+    )
+
+
+@register(
     "conditional_functions",
     """
     SELECT event_id,

@@ -21,6 +21,7 @@ from eventstream_fanout_spark.streaming.aggregates import (
     windowed_counts,
 )
 from eventstream_fanout_spark.streaming.fanout import (
+    leaderboard_sink,
     parquet_sink,
     start_fanout,
     webhook_sink,
@@ -83,13 +84,29 @@ def test_fanout_end_to_end_and_idempotent_restart(spark, events, tmp_path):
     customer = load_table(spark, SF_SMOKE, "customer")
     warehouse = str(tmp_path / "warehouse")
     hooks = str(tmp_path / "hooks")
+    board = str(tmp_path / "leaderboard")
     ckpt = str(tmp_path / "ckpt")
+
+    def per_batch_counts(df):
+        # K3 analogue: per-batch windowed counts feeding the leaderboard
+        from eventstream_fanout_spark.streaming.aggregates import (
+            windowed_counts,
+        )
+
+        return windowed_counts(df, "user_id", width="1 day").select(
+            "window_start", "user_id", "n_events"
+        )
 
     def run() -> None:
         stream = parse_cdc_envelope(json_file_stream(spark, src)).drop("op")
+        board_sink = leaderboard_sink(board, 10, "user_id")
+        board_sink = type(board_sink)(
+            board_sink.name,
+            lambda df, bid, _w=board_sink.write: _w(per_batch_counts(df), bid),
+        )
         q = start_fanout(
             stream,
-            [parquet_sink(warehouse), webhook_sink(hooks)],
+            [parquet_sink(warehouse), webhook_sink(hooks), board_sink],
             checkpoint_dir=ckpt,
             transform=lambda df: enrich_events(df, customer),
             query_name="fanout-test",
@@ -109,6 +126,17 @@ def test_fanout_end_to_end_and_idempotent_restart(spark, events, tmp_path):
     assert {d["idempotency_key"] for d in deliveries} == {
         str(r["event_id"]) for r in events.collect()
     }
+    # leaderboard sink: ZREVRANGE-style read contract — per-window
+    # ranked rows, at most k=10 per window, ranks contiguous from 1
+    lb = spark.read.parquet(board)
+    assert lb.columns == ["window_start", "user_id", "n_events", "rank"]
+    per_window = {}
+    for r in lb.collect():
+        per_window.setdefault(r["window_start"], []).append(r["rank"])
+    assert per_window
+    for ranks in per_window.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
     # restart: checkpoint says everything is processed -> no growth
     run()
     assert spark.read.parquet(warehouse).count() == n_events
