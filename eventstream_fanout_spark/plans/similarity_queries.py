@@ -76,6 +76,60 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(corpus, _query_vec(spark, sf_dir), 10)
 
 
+@register(
+    "ann_batch_topk",
+    f"""
+    WITH {_FLAT},
+    queries AS (SELECT vec_id AS qid, i, x FROM flat WHERE vec_id < 5),
+    corpus AS (SELECT vec_id, i, x FROM flat WHERE vec_id >= 5),
+    sums AS (
+      SELECT q.qid, c.vec_id,
+             CAST(SUM(CAST(FLOOR(c.x * q.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM corpus c JOIN queries q ON c.i = q.i
+      GROUP BY q.qid, c.vec_id
+    ),
+    scored AS (
+      SELECT s.qid, s.vec_id,
+             (s.dot / (sqrt(nc.n2) * sqrt(nq.n2))) AS cosine
+      FROM sums s
+      JOIN norms nc ON nc.vec_id = s.vec_id
+      JOIN norms nq ON nq.vec_id = s.qid
+    )
+    SELECT * FROM (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    description="batch ANN: top-5 neighbors for a batch of 5 query "
+    "vectors in one pass (broadcast query batch, row_number per query — "
+    "the production shape: one scan serves the whole query batch)",
+    tags=("similarity", "ann", "extension"),
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine as _cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.where(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "qid",
+        "vec_id",
+        _cosine(F.col("embedding"), F.col("qe")).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+
+
 # --- LSH-bucketed ANN (scale path) -------------------------------------
 
 _SIGNS_VALUES = ", ".join(
