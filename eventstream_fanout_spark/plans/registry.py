@@ -62,6 +62,7 @@ def _load_all() -> None:
         "relational_queries",
         "scalar_queries",
         "analytic_queries",
+        "asof_queries",
         "window_queries",
         "dedup_queries",
         "similarity_queries",

@@ -153,6 +153,55 @@ def stream_leaderboard_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+    """,
+    description="stream-stream interval join (watermarked both sides, "
+    "two-sided time bound for state eviction) executed as a real "
+    "streaming query — inner-join completeness means the batch oracle "
+    "predicts it exactly",
+    tags=("streaming", "join", "interval"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import interval_join
+
+    events = load_table_stream(spark, sf_dir, "events")
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    c = (
+        load_table_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = interval_join(
+        p.withColumnRenamed("user_id", "key"),
+        c.withColumnRenamed("c_user_id", "key"),
+        key="key",
+        left_ts="ts",
+        right_ts="c_ts",
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("c_event_id").alias("click_id"),
+        F.col("key").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("c_ts").alias("click_ts"),
+    )
+    return _run_to_memory(joined, spark)
+
+
+@register(
     "stream_stateful_user_totals",
     None,  # custom state-store operator; checked by equivalence in pytest
     description="custom stateful operator: applyInPandasWithState running "

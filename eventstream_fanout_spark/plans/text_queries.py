@@ -4,6 +4,7 @@ mapInPandas plumbing)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -187,6 +188,33 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_chunks"),
         "source",
+    )
+
+
+@register(
+    "pandas_udf_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+             AS n_tokens_udf
+    FROM documents
+    """,
+    description="Arrow-vectorized pandas UDF (token counting in pandas) "
+    "hash-matched against the SQL oracle — demonstrates the §2.9 UDF "
+    "seam; hot-path queries stay JVM-side (see test_plan_quality)",
+    tags=("text", "pandas-udf", "extension"),
+)
+def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        # python str.split() == trim + split on whitespace runs
+        return texts.str.strip().str.split().str.len().astype("int32")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", n_tokens(F.col("text")).alias("n_tokens_udf")
     )
 
 
