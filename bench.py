@@ -58,6 +58,14 @@ HEADLINE = [
     "text_quality_profile",
     "doc_fingerprint_winnow",
     "multimodal_decode_stub",
+    "corpus_clean_pipeline",
+    "asof_click_before_purchase",
+    "range_join_click_purchase_1h",
+    # real Structured Streaming executions (availableNow -> memory);
+    # the reference's latency envelope is "enrichment inside a 5 s
+    # micro-batch" (README.md:99) — these time a full drain
+    "stream_enrich_availablenow",
+    "stream_window_counts_watermark",
 ]
 
 

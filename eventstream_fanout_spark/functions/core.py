@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 
 # Quantization unit for deterministic double sums: 1e-6 of the input
 # unit — far below any analytic significance, far above double noise.
+# Domain: |x| < ~9e12 (x*_Q must stay inside the exact long range of
+# floor(double)); property-tested to 1e12 in tests/.
 _Q = 1_000_000.0
 
 
