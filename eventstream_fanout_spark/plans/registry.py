@@ -63,6 +63,7 @@ def _load_all() -> None:
         "scalar_queries",
         "analytic_queries",
         "asof_queries",
+        "upsert_queries",
         "window_queries",
         "dedup_queries",
         "similarity_queries",

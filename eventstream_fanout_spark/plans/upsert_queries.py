@@ -1,0 +1,104 @@
+"""CDC apply / merge-upsert query: a synthesized Debezium-style change
+batch (inserts, updates incl. multi-change last-wins, deletes) applied
+to the customer snapshot — the MERGE semantics the reference's
+append-only sink lacks.  The change batch is generated deterministically
+from the table itself, identically in Spark and the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.upsert import apply_cdc_batch
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "cdc_apply_merge",
+    """
+    WITH changes AS (
+      SELECT c_custkey AS k, 'u' AS op, 1 AS seq,
+             c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'u', 2,
+             c_name, c_nationkey, c_acctbal + 200.0, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'd', 1,
+             CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+      FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 100000, 'c', 1,
+             c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 2
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(c.c_custkey, l.k) AS c_custkey,
+           CASE WHEN l.op IS NOT NULL THEN l.c_name
+                ELSE c.c_name END AS c_name,
+           CASE WHEN l.op IS NOT NULL THEN l.c_nationkey
+                ELSE c.c_nationkey END AS c_nationkey,
+           CASE WHEN l.op IS NOT NULL THEN l.c_acctbal
+                ELSE c.c_acctbal END AS c_acctbal,
+           CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment
+                ELSE c.c_mktsegment END AS c_mktsegment
+    FROM customer c
+    FULL OUTER JOIN latest l ON c.c_custkey = l.k
+    WHERE l.op IS NULL OR l.op <> 'd'
+    """,
+    description="CDC apply / MERGE: last-wins change collapse + "
+    "full-outer upsert (insert/update/delete) of a snapshot — the MERGE "
+    "semantics the reference's append-only sink lacks "
+    "(operators/upsert.py)",
+    tags=("cdc", "merge", "upsert", "extension"),
+)
+def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    payload = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+    def change(filter_mod, op, seq, acct_delta=None, key_shift=0):
+        df = c.where(F.col("c_custkey") % 10 == filter_mod)
+        if op == "d":
+            sel = [
+                (F.col("c_custkey") + key_shift).alias("c_custkey"),
+                F.lit(op).alias("op"),
+                F.lit(seq).alias("seq"),
+                F.lit(None).cast("string").alias("c_name"),
+                F.lit(None).cast("int").alias("c_nationkey"),
+                F.lit(None).cast("double").alias("c_acctbal"),
+                F.lit(None).cast("string").alias("c_mktsegment"),
+            ]
+        else:
+            acct = (
+                F.col("c_acctbal") + F.lit(float(acct_delta))
+                if acct_delta
+                else F.col("c_acctbal")
+            )
+            sel = [
+                (F.col("c_custkey") + key_shift).alias("c_custkey"),
+                F.lit(op).alias("op"),
+                F.lit(seq).alias("seq"),
+                F.col("c_name"),
+                F.col("c_nationkey"),
+                acct.alias("c_acctbal"),
+                F.col("c_mktsegment"),
+            ]
+        return df.select(*sel)
+
+    changes = (
+        change(0, "u", 1, acct_delta=100)
+        .unionByName(change(0, "u", 2, acct_delta=200))
+        .unionByName(change(1, "d", 1))
+        .unionByName(change(2, "c", 1, key_shift=100_000))
+    )
+    return apply_cdc_batch(
+        c, changes, key="c_custkey", order_cols=["seq"]
+    ).select("c_custkey", *payload)
