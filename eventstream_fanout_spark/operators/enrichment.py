@@ -64,21 +64,31 @@ def dim_from_customer(customer: DataFrame) -> DataFrame:
     )
 
 
-def with_derived_columns(df: DataFrame) -> DataFrame:
-    """D1/D2 with the reference's exact NULL semantics."""
-    value = F.col("value")
-    denom = F.col("c_acctbal")
+def with_derived_columns(
+    df: DataFrame,
+    value_col: str = "value",
+    denom_col: str = "c_acctbal",
+    pct_scale: float = 100.0,
+) -> DataFrame:
+    """D1/D2 with the reference's exact NULL semantics.
+
+    The reference computes ``ROUND((duration_ms/1000.0)/length_seconds,
+    2)`` (pipeline/app.py:74-76) — that is ``pct_scale = 1/1000`` with
+    duration in ``value_col`` and length in ``denom_col``
+    (tests/test_reference_smoke.py pins the golden 0.03/0.10 outputs).
+    The flagship testdata mapping uses ``pct_scale = 100`` because
+    acctbal >> value; NULL propagation + half-up round are identical.
+    Guard denom=0 (UUID keys in the reference can't be 0, acctbal can).
+    """
+    value = F.col(value_col)
+    denom = F.col(denom_col)
     engagement_seconds = F.when(value.isNull(), F.lit(None).cast("double")).otherwise(
         (value / F.lit(1000.0)).cast("double")
     )
-    # Reference: ROUND((duration_ms/1000.0)/length_seconds, 2).  Scaled
-    # x100 here because acctbal >> value; semantics (NULL propagation +
-    # half-up round to 2) preserved.  Guard denom=0 (UUID keys in the
-    # reference can't be 0, acctbal can).
     engagement_pct = F.when(
         value.isNull() | denom.isNull() | (denom == F.lit(0.0)),
         F.lit(None).cast("double"),
-    ).otherwise(round_half_up((F.lit(100.0) * value) / denom, 2))
+    ).otherwise(round_half_up((F.lit(pct_scale) * value) / denom, 2))
     return df.withColumn("engagement_seconds", engagement_seconds).withColumn(
         "engagement_pct", engagement_pct
     )
