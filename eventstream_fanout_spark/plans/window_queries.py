@@ -181,6 +181,113 @@ def hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gap-filled time series: a generated hourly spine left-joined to the
+# aggregate so empty buckets surface as zero (the shape dashboards and
+# downstream ML featurization need; missing from naive GROUP BY).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_filled_hourly_counts",
+    f"""
+    WITH bounds AS (
+      SELECT {sql_epoch_bucket('min(ts)', 3600)} AS lo,
+             {sql_epoch_bucket('max(ts)', 3600)} AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window_start
+      FROM bounds
+    ),
+    agg AS (
+      SELECT {sql_epoch_bucket('ts', 3600)} AS window_start,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    )
+    SELECT s.window_start,
+           COALESCE(a.n, 0) AS n_signups
+    FROM spine s LEFT JOIN agg a ON a.window_start = s.window_start
+    """,
+    description="gap-filled hourly time series: generated hour spine "
+    "(sequence/generate_series) left-joined to sparse counts, empty "
+    "buckets as zero",
+    tags=("window", "spine", "agg"),
+)
+def gap_filled_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        epoch_bucket(F.min("ts"), 3600).alias("lo"),
+        epoch_bucket(F.max("ts"), 3600).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start")
+    )
+    agg = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy(epoch_bucket(F.col("ts"), 3600).alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(agg, "window_start", "left").select(
+        "window_start", F.coalesce("n", F.lit(0)).alias("n_signups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic string aggregation: sorted collect_list -> joined CSV
+# (listagg/string_agg with a pinned order).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_agg_top_users",
+    """
+    SELECT event_type,
+           string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id ASC)
+             AS top_users_csv
+    FROM (
+      SELECT * FROM (
+        SELECT event_type, user_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, user_id ASC) AS rn
+        FROM (SELECT event_type, user_id, COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+      ) WHERE rn <= 5
+    )
+    GROUP BY event_type
+    """,
+    description="string aggregation with pinned ordering: top-5 users "
+    "per event type as a sorted CSV (array_sort(collect_list) in Spark, "
+    "ordered string_agg in SQL)",
+    tags=("agg", "string-agg"),
+)
+def string_agg_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    top5 = counts.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 5
+    )
+    # sort numerically, then stringify (string sort would put 10 < 9)
+    return top5.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("user_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("top_users_csv")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Approximate distinct (HLL sketch) — engine-specific sketch values, so
 # rows-only for the driver; the pytest suite bounds the error vs exact.
 # ---------------------------------------------------------------------------

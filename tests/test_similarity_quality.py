@@ -1,0 +1,53 @@
+"""Quality/consistency checks the SQL oracle can't express: LSH ANN
+results must be consistent with brute force (same scores, subset of
+candidates), and the engine session must keep its scale-critical
+configs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def test_lsh_ann_consistent_with_brute_force(spark):
+    from eventstream_fanout_spark.plans.registry import QUERIES
+
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in QUERIES["ann_cosine_topk"].fn(spark, SF_ORACLE).collect()
+    }
+    # brute force over the full corpus (not just top-10) for score lookup
+    from eventstream_fanout_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from eventstream_fanout_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    query = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    all_scores = {
+        r["vec_id"]: r["cosine"]
+        for r in brute_force_topk(corpus, query, corpus.count()).collect()
+    }
+    lsh = QUERIES["ann_lsh_bucket_topk"].fn(spark, SF_ORACLE).collect()
+    assert lsh, "LSH probe returned nothing"
+    for r in lsh:
+        # identical scoring math: the LSH cosine must equal brute force
+        assert all_scores[r["vec_id"]] == r["cosine"]
+    # ranks within the LSH result are consistent (descending cosine)
+    cosines = [r["cosine"] for r in lsh]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_engine_session_configs(spark):
+    """Scale-critical session conf must not silently regress."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) >= 8
+    assert (
+        "RocksDB"
+        in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    )

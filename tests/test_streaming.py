@@ -249,6 +249,84 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert ids == [1, 2, 3]
 
 
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: unmatched left rows must
+    emit with NULL right columns once the watermark passes (the
+    no-data flush batch at availableNow end advances it)."""
+    src_l = str(tmp_path / "l")
+    src_r = str(tmp_path / "r")
+    os.makedirs(src_l)
+    os.makedirs(src_r)
+
+    def env(eid: int, ts: str, etype: str) -> str:
+        return json.dumps(
+            {
+                "payload": {
+                    "op": "c",
+                    "after": {
+                        "event_id": eid,
+                        "ts": ts,
+                        "user_id": 1,
+                        "event_type": etype,
+                        "value": 1.0,
+                        "props": "{}",
+                    },
+                }
+            }
+        )
+
+    # outer-row emission needs the GLOBAL min watermark (both streams)
+    # to pass the unmatched row's time: purchase 3 / click 11 are
+    # late sentinels that advance both watermarks past purchase 2
+    with open(f"{src_l}/l.jsonl", "w") as fh:
+        fh.write(env(1, "2024-01-01T00:10:00.000000Z", "purchase") + "\n")
+        fh.write(env(2, "2024-01-01T02:00:00.000000Z", "purchase") + "\n")
+        fh.write(env(3, "2024-01-01T04:30:00.000000Z", "purchase") + "\n")
+    with open(f"{src_r}/r.jsonl", "w") as fh:
+        # click 10 matches purchase 1 (5 min prior); click 11 is outside
+        # every purchase's 1 h lookback but advances the right watermark
+        fh.write(env(10, "2024-01-01T00:05:00.000000Z", "click") + "\n")
+        fh.write(env(11, "2024-01-01T03:30:00.000000Z", "click") + "\n")
+
+    left = parse_cdc_envelope(json_file_stream(spark, src_l)).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "1 minute")
+    right = parse_cdc_envelope(json_file_stream(spark, src_r)).where(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 minute")
+    joined = left.join(
+        right,
+        (F.col("key") == F.col("r_key"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("soj_test")
+        .option("checkpointLocation", str(tmp_path / "soj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["purchase_id"]: r["click_id"]
+        for r in spark.sql("SELECT * FROM soj_test").collect()
+    }
+    # purchase 1 matched; purchase 2 emitted unmatched once the global
+    # watermark passed it; purchase 3 (the sentinel) is still withheld
+    assert rows.get(1) == 10
+    assert 2 in rows and rows[2] is None
+    assert 3 not in rows
+
+
 def test_batch_streaming_equivalence(spark, events, tmp_path):
     """The same windowed_counts transform over the same data agrees
     between batch execution and a full streaming pass (restricted to
