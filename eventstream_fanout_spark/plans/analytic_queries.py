@@ -278,6 +278,71 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_explicit",
+    """
+    SELECT n.n_name, c.c_mktsegment,
+           CAST(GROUPING(n.n_name) AS INTEGER) AS g_nation,
+           CAST(GROUPING(c.c_mktsegment) AS INTEGER) AS g_segment,
+           COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+    """,
+    description="explicit GROUPING SETS with GROUPING() indicator flags "
+    "(via spark.sql over registered views — the SQL entry path)",
+    tags=("analytic", "grouping-sets", "sql-api"),
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    _lt(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_mktsegment,
+               CAST(grouping(n.n_name) AS INT) AS g_nation,
+               CAST(grouping(c.c_mktsegment) AS INT) AS g_segment,
+               COUNT(*) AS n_customers
+        FROM gs_customer c JOIN gs_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+        """
+    )
+
+
+@register(
+    "explode_outer_rare_tokens",
+    """
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t LIKE 'z%') AS rare
+      FROM documents
+    ),
+    padded AS (
+      SELECT doc_id,
+             CASE WHEN len(rare) = 0 THEN [CAST(NULL AS VARCHAR)]
+                  ELSE rare END AS rare
+      FROM toked
+    )
+    SELECT doc_id, unnest(rare) AS rare_token FROM padded
+    """,
+    description="explode_outer: docs with no matching tokens survive "
+    "with a NULL row (null-preserving lateral expansion)",
+    tags=("scalar", "array", "explode"),
+)
+def explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import tokens
+    from ..sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    rare = F.filter(
+        tokens(F.col("text")), lambda t: t.startswith("z")
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(rare).alias("rare_token")
+    )
+
+
+@register(
     "cube_type_band",
     f"""
     SELECT event_type,

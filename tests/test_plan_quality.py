@@ -44,6 +44,30 @@ def test_dimension_joins_broadcast(spark, queries):
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
 
 
+def test_smj_fallback_when_broadcast_disabled(spark, queries):
+    """With broadcasting off, the fact-fact join must degrade to a
+    shuffle join (SortMergeJoin/ShuffledHashJoin), never a cartesian —
+    the plan shape a 100 TB orders⋈lineitem actually runs."""
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.sources.tables import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = load_table(spark, SF_ORACLE, "orders")
+        l = load_table(spark, SF_ORACLE, "lineitem")
+        j = o.join(l, o.o_orderkey == l.l_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = _formatted_plan(j)
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_no_python_udfs_on_reference_surface(spark, queries):
     """Reference-surface + relational queries must stay JVM-side
     (BatchEvalPython/ArrowEvalPython would mean a Python UDF crept in)."""
