@@ -61,6 +61,8 @@ HEADLINE = [
     "corpus_clean_pipeline",
     "asof_click_before_purchase",
     "range_join_click_purchase_1h",
+    "cdc_apply_merge",
+    "gap_filled_hourly_counts",
     # real Structured Streaming executions (availableNow -> memory);
     # the reference's latency envelope is "enrichment inside a 5 s
     # micro-batch" (README.md:99) — these time a full drain

@@ -582,6 +582,61 @@ def salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling — hash-gated instead of RNG (reproducible
+# across engines, runs, and partitionings; the right way to sample a
+# 100 TB training corpus).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <= '1f'
+    """,
+    description="deterministic ~12.5% sample via md5 gate on the key "
+    "(reproducible everywhere, unlike RNG TABLESAMPLE)",
+    tags=("relational", "sampling"),
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    gate = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    return e.where(gate <= "1f").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "stratified_sample_20_per_type",
+    """
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR)) ASC,
+                                         event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 20
+    """,
+    description="stratified sample: exactly 20 rows per event type, "
+    "selected by hash order (deterministic, unbiased within stratum)",
+    tags=("relational", "sampling", "window-fn"),
+)
+def stratified_sample_20_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")).asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("event_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Correlated scalar-aggregate pattern: customers above their nation's
 # average balance (join against a grouped subquery).
 # ---------------------------------------------------------------------------
