@@ -149,6 +149,54 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_native",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+                  > {SESSION_GAP_S * 1_000_000}
+                  OR LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new_session) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_S} SECONDS AS session_end_padded,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    description="Spark's native session_window (30-min gap) cross-"
+    "validated against the lag+cumsum sessionization construction — "
+    "the two formulations must produce identical sessions",
+    tags=("analytic", "session", "window"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    win = F.session_window(F.col("ts"), f"{SESSION_GAP_S} seconds")
+    return (
+        e.groupBy(win.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_padded"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "conversion_funnel",
     """
     WITH firsts AS (

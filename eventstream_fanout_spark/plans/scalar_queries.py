@@ -286,6 +286,46 @@ def dq_expectation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_functions",
+    """
+    WITH built AS (
+      SELECT event_id,
+             map(['k', 'uid'],
+                 [CAST(json_extract_string(props, '$.k') AS BIGINT),
+                  user_id]) AS m
+      FROM events
+    )
+    SELECT event_id,
+           (m['k'])[1] AS k_val,
+           (m['uid'])[1] AS uid_val,
+           CAST(cardinality(m) AS INTEGER) AS n_entries,
+           array_to_string(map_keys(m), ',') AS keys_csv
+    FROM built
+    """,
+    description="map type family: construction, key extraction, "
+    "cardinality, key listing (DuckDB extraction yields a list — "
+    "indexed for scalar parity)",
+    tags=("scalar", "map"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"),
+        F.get_json_object("props", "$.k").cast("bigint"),
+        F.lit("uid"),
+        F.col("user_id"),
+    )
+    built = e.select("event_id", m.alias("m"))
+    return built.select(
+        "event_id",
+        F.col("m").getItem("k").alias("k_val"),
+        F.col("m").getItem("uid").alias("uid_val"),
+        F.size("m").alias("n_entries"),
+        F.array_join(F.map_keys("m"), ",").alias("keys_csv"),
+    )
+
+
+@register(
     "conditional_functions",
     """
     SELECT event_id,

@@ -286,6 +286,58 @@ def embedding_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "higher_order_array_functions",
+    f"""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           (CAST(list_sum(list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QV!r} + 0.5)
+                           AS BIGINT))) AS DOUBLE) / {QV!r}) AS comp_sum,
+           (CAST(list_sum(list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(CASE WHEN x > 0.1 THEN 0.1
+                                            WHEN x < -0.1 THEN -0.1
+                                            ELSE x END AS DOUBLE) * {QV!r}
+                                 + 0.5) AS BIGINT))) AS DOUBLE) / {QV!r})
+             AS clipped_sum
+    FROM embeddings
+    """,
+    description="higher-order array functions as first-class ops: "
+    "filter (positive count), transform+aggregate (quantized component "
+    "sum), clamp-then-sum — the per-row vector toolkit, JVM-side",
+    tags=("similarity", "array", "higher-order"),
+)
+def higher_order_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+
+    def qsum(arr):
+        q = F.transform(
+            arr,
+            lambda v: F.floor(
+                v.cast("double") * F.lit(QV) + F.lit(0.5)
+            ).cast("long"),
+        )
+        return (
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b)
+            .cast("double")
+            / F.lit(QV)
+        )
+
+    clipped = F.transform(
+        x,
+        lambda v: F.when(v > 0.1, F.lit(0.1).cast("float"))
+        .when(v < -0.1, F.lit(-0.1).cast("float"))
+        .otherwise(v),
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(x, lambda v: v > 0)).alias("n_positive"),
+        qsum(x).alias("comp_sum"),
+        qsum(clipped).alias("clipped_sum"),
+    )
+
+
+@register(
     "embedding_label_stats",
     f"""
     WITH {_FLAT}
