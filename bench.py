@@ -81,12 +81,17 @@ def main() -> None:
         timings: dict[str, float] = {}
         # warm the JVM/scan path once (not timed)
         QUERIES["count_star"].fn(spark, SF_DIR).collect()
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
         for name in HEADLINE:
             spec = QUERIES[name]
-            t0 = time.perf_counter()
-            df = spec.fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(runs):  # min-of-N damps shared-box noise
+                t0 = time.perf_counter()
+                df = spec.fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(

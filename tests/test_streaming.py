@@ -196,6 +196,43 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert ("2024-01-01T00:00:00", 2) not in rows
 
 
+def test_streaming_sliding_window_counts(spark, events, tmp_path):
+    """Sliding windows (10 min / 5 min) in streaming append mode: every
+    emitted (window, key) count matches the batch computation."""
+    src = str(tmp_path / "sw")
+    _write_cdc_files(spark, events, src, n_files=1)
+    stream = parse_cdc_envelope(json_file_stream(spark, src))
+    counts = windowed_counts(
+        stream, "event_type", width="10 minutes", slide="5 minutes"
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sw_test")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sw_test").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_counts(
+            events, "event_type", width="10 minutes", slide="5 minutes"
+        ).collect()
+    }
+    assert streamed, "no sliding windows emitted"
+    for k, v in streamed.items():
+        assert batch[k] == v
+    # each event lands in exactly width/slide = 2 windows
+    assert sum(batch.values()) == 2 * events.count()
+
+
 def test_dedup_within_watermark(spark, tmp_path):
     """Duplicate event ids across micro-batches are dropped while the
     watermark keeps their state alive (W3)."""
