@@ -288,6 +288,43 @@ def string_agg_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-width histogram — binned distribution profile (the shape every
+# data-quality dashboard needs; one partial-aggregatable pass).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           CAST(FLOOR(value / 25.0) AS BIGINT) * CAST(25.0 AS DOUBLE)
+             AS bin_lo,
+           COUNT(*) AS n,
+           MIN(value) AS bin_min,
+           MAX(value) AS bin_max
+    FROM events
+    GROUP BY 1
+    """,
+    description="fixed-width (25-unit) value histogram with per-bin "
+    "min/max — single partial-aggregatable pass",
+    tags=("agg", "histogram"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / F.lit(25.0)).cast("bigint")
+    return (
+        events.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bin_min"),
+            F.max("value").alias("bin_max"),
+        )
+        .withColumn("bin_lo", F.col("bin") * F.lit(25.0))
+        .select("bin", "bin_lo", "n", "bin_min", "bin_max")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Approximate distinct (HLL sketch) — engine-specific sketch values, so
 # rows-only for the driver; the pytest suite bounds the error vs exact.
 # ---------------------------------------------------------------------------
