@@ -25,7 +25,10 @@ if _REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
         else _REPO_ROOT
     )
 
-from eventstream_fanout_spark.plans.registry import QUERIES  # noqa: E402
+from eventstream_fanout_spark.plans.registry import (  # noqa: E402
+    QUERIES,
+    ordered_queries,
+)
 from eventstream_fanout_spark.session import apply_engine_conf  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -49,12 +52,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__doc__ = spec.description
         return run
 
-    return {name: wrap(spec) for name, spec in QUERIES.items()}
+    return {name: wrap(spec) for name, spec in ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query; omitted entries get the
     driver's weaker rows-only check."""
     return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in ordered_queries().items()
+        if spec.oracle is not None
     }

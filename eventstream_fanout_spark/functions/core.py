@@ -19,6 +19,15 @@ both engines.  Two engine-native traps and their fixes:
   DECIMAL(38,0) (order-independent, no overflow even at 100 TB row
   counts), and divide back to double once at the end.
 
+  One more trap inside the fix: when the exact integer sum exceeds
+  2^53, ``CAST(decimal AS DOUBLE)`` itself diverges — Spark rounds the
+  BigDecimal correctly once, DuckDB converts its HUGEINT through two
+  64-bit halves (double-rounding, off by one ulp; found by the
+  hypothesis property test at |sum| ~ 5.8e17 micro-units).  Fix: cast
+  the decimal sum to a STRING first — decimal->string is exact digits
+  in both engines, string->double is correctly rounded in both — then
+  one shared IEEE division.  Exact at every magnitude.
+
 These mirror the reference's only numeric derivation,
 ``ROUND(duration_ms/1000.0/length_seconds, 2)`` (reference
 pipeline/app.py:71-76), while staying oracle-exact.
@@ -54,22 +63,27 @@ def _quantized(col: Column) -> Column:
 
 def dsum(col: Column, alias: str | None = None) -> Column:
     """Order-independent, cross-engine-exact double sum (micro-unit
-    quantized)."""
-    out = F.sum(_quantized(col)).cast("double") / F.lit(_Q)
+    quantized; decimal->string->double keeps the final cast correctly
+    rounded at any magnitude — see module docstring)."""
+    out = (
+        F.sum(_quantized(col)).cast("string").cast("double") / F.lit(_Q)
+    )
     return out.alias(alias) if alias else out
 
 
 def sql_dsum(expr: str) -> str:
     return (
-        f"(CAST(SUM(CAST(FLOOR(({expr}) * {_Q!r} + 0.5) AS DECIMAL(38,0))) "
-        f"AS DOUBLE) / {_Q!r})"
+        f"(CAST(CAST(SUM(CAST(FLOOR(({expr}) * {_Q!r} + 0.5) "
+        f"AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / {_Q!r})"
     )
 
 
 def davg(col: Column, alias: str | None = None) -> Column:
     """Order-independent, cross-engine-exact double mean: quantized sum,
     then two IEEE divisions written identically in SQL."""
-    out = (F.sum(_quantized(col)).cast("double") / F.lit(_Q)) / F.count(col)
+    out = (
+        F.sum(_quantized(col)).cast("string").cast("double") / F.lit(_Q)
+    ) / F.count(col)
     return out.alias(alias) if alias else out
 
 

@@ -143,7 +143,8 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(toks) AS n_tokens,
            len(list_distinct(toks)) AS n_distinct,
-           list_sort(list_distinct(toks))[1:5] AS first5_sorted,
+           array_to_string(list_sort(list_distinct(toks))[1:5], ',')
+             AS first5_sorted,
            list_contains(toks, 'data') AS has_data,
            toks[1] AS first_token,
            toks[len(toks)] AS last_token,
@@ -165,7 +166,9 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
-        F.slice(sorted_distinct, 1, 5).alias("first5_sorted"),
+        F.array_join(F.slice(sorted_distinct, 1, 5), ",").alias(
+            "first5_sorted"
+        ),
         F.array_contains("toks", "data").alias("has_data"),
         F.element_at("toks", 1).alias("first_token"),
         F.element_at("toks", -1).alias("last_token"),
@@ -246,20 +249,21 @@ def json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_expectation_profile",
     """
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN event_type IN
+           CAST(SUM(CASE WHEN event_type IN
                  ('click','view','purchase','signup','error')
-               THEN 1 ELSE 0 END) AS pass_event_type_enum,
-           SUM(CASE WHEN value IS NOT NULL AND value >= 0.0
-               THEN 1 ELSE 0 END) AS pass_value_nonnegative,
-           SUM(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS pass_ts_present,
-           SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
-               THEN 1 ELSE 0 END) AS pass_props_has_k,
-           SUM(CASE WHEN event_type IN
+               THEN 1 ELSE 0 END) AS BIGINT) AS pass_event_type_enum,
+           CAST(SUM(CASE WHEN value IS NOT NULL AND value >= 0.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS pass_value_nonnegative,
+           CAST(SUM(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_ts_present,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS pass_props_has_k,
+           CAST(SUM(CASE WHEN event_type IN
                  ('click','view','purchase','signup','error')
                 AND (value IS NOT NULL AND value >= 0.0)
                 AND ts IS NOT NULL
                 AND json_extract_string(props, '$.k') IS NOT NULL
-               THEN 1 ELSE 0 END) AS pass_all
+               THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
     FROM events
     """,
     description="data-quality expectation profile — the engine-side "

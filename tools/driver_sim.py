@@ -48,6 +48,33 @@ def value_hash(cols, rows):
     for ln in lines: h.update(ln.encode()); h.update(b"\n")
     return h.hexdigest()[:16]
 
+def pandas_path_issues(name, sdf, oracle_sql):
+    """Replicate the REAL driver's pandas canonicalization hazards.
+
+    Round 1 lesson: the harness converts both result sets to pandas and
+    sorts the frame; fetchall()-based hashing (above) misses two failure
+    classes the pandas path hits:
+      * DuckDB HUGEINT (bare SUM of ints) -> float64 while Spark emits
+        int64  => value-hash mismatch (8973 vs 8973.0).
+      * array-typed output columns -> numpy.ndarray cells, unhashable in
+        pandas sort_values => hard driver ERROR.
+    Returns a list of human-readable issue strings (empty == safe).
+    """
+    issues = []
+    spd = sdf.toPandas()
+    dpd = con.execute(oracle_sql).fetch_df()
+    for frame, side in ((spd, "spark"), (dpd, "duck")):
+        for c in frame.columns:
+            if frame[c].dtype == object:
+                cell = next((v for v in frame[c] if v is not None), None)
+                if isinstance(cell, (list, tuple)) or type(cell).__name__ == "ndarray":
+                    issues.append(f"{side}.{c}: unhashable {type(cell).__name__} cells")
+    for c in set(spd.columns) & set(dpd.columns):
+        sk, dk = spd[c].dtype.kind, dpd[c].dtype.kind
+        if sk != dk and {sk, dk} != {"O"}:
+            issues.append(f"{c}: dtype kind spark={spd[c].dtype} duck={dpd[c].dtype}")
+    return issues
+
 qs, oracles = E.queries(), E.oracle_sql()
 fails = 0
 for name, fn in qs.items():
@@ -62,7 +89,10 @@ for name, fn in qs.items():
     drows = cur.fetchall()
     sh, dh = value_hash(scols, srows), value_hash(dcols, drows)
     ok = (sorted(scols) == sorted(dcols)) and len(srows) == len(drows) and sh == dh
-    print(f"{name}: spark={len(srows)} duck={len(drows)} hash {'MATCH' if ok else 'MISMATCH ' + sh + ' vs ' + dh}")
+    pd_issues = pandas_path_issues(name, sdf, oracles[name])
+    ok = ok and not pd_issues
+    print(f"{name}: spark={len(srows)} duck={len(drows)} hash {'MATCH' if ok else 'MISMATCH ' + sh + ' vs ' + dh}"
+          + ("".join(f"\n    PANDAS-PATH: {i}" for i in pd_issues)))
     if not ok: fails += 1
 print("RESULT:", "ALL MATCH" if fails == 0 else f"{fails} FAILURES")
 sys.exit(1 if fails else 0)
