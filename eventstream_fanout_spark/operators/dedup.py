@@ -12,12 +12,15 @@ Scale design (the point of each variant):
   hash, so cost is sum of bucket sizes squared, not n².  This is the
   scale path that replaces the exact-Jaccard self-join.
 * **SimHash**: 32 aggregate expressions in one pass; near-dup pairs via
-  Hamming distance on a 32-bit int — pair generation can bucket on
-  rotated bit-slices at scale (here: threshold filter after LSH-style
-  self-join on simhash prefix).
-* **exact n-gram Jaccard**: the ground-truth verifier — an
-  explode-and-join on shingles.  Quadratic in hot shingles; used to
-  verify LSH candidates, never as the primary pairing at scale.
+  Hamming distance on a 32-bit int — pair generation slices the code
+  into ``max_hamming + 1`` bit-bands and equi-joins on
+  (band_idx, band_bits): by pigeonhole every qualifying pair shares an
+  exact band, so the candidate set is bucket-local (lossless), and the
+  exact Hamming filter runs only on candidates.
+* **exact n-gram Jaccard**: the ground-truth verifier — computes exact
+  Jaccard ONLY for supplied candidate pairs (from LSH); the
+  free-running all-co-shingled-pairs form is quadratic in hot shingles
+  and deliberately not exposed.
 """
 
 from __future__ import annotations
@@ -118,25 +121,29 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    doc_shingle_df: DataFrame, min_jaccard: float
+def jaccard_verify_candidates(
+    doc_shingle_df: DataFrame, candidates: DataFrame, min_jaccard: float
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for every co-shingled pair, filtered to
-    >= min_jaccard.  Quantized to 6 decimals deterministically."""
+    """Exact shingle-set Jaccard computed ONLY for the supplied
+    ``candidates`` (doc_a, doc_b) pairs — the LSH-verifier composition.
+
+    Scale shape: the shingle self-join is restricted to candidate rows
+    (two equi-joins keyed by doc id), so cost is
+    O(|candidates| * shingles-per-doc), never quadratic in hot
+    shingles.  Use after :func:`lsh_candidate_pairs`."""
     sizes = doc_shingle_df.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
-    a = doc_shingle_df.alias("a")
-    b = doc_shingle_df.alias("b")
+    sh_a = doc_shingle_df.select(
+        F.col("doc_id").alias("doc_a"), "shingle"
+    )
+    sh_b = doc_shingle_df.select(
+        F.col("doc_id").alias("doc_b"), "shingle"
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(
@@ -181,20 +188,69 @@ def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return bit_sums.select("doc_id", value.alias("simhash"))
 
 
+def _hamming_bands(max_hamming: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(offset, width) slices covering ``bits`` bits in ``max_hamming+1``
+    contiguous bands.  Pigeonhole: two codes within Hamming distance
+    ``max_hamming`` differ in at most ``max_hamming`` bands, so they
+    agree EXACTLY on at least one of the ``max_hamming+1`` bands —
+    candidate generation by band equi-join is lossless."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    out, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_near_pairs(sim: DataFrame, max_hamming: int) -> DataFrame:
-    """Pairs with Hamming distance <= threshold on the 32-bit simhash."""
-    a = sim.alias("a")
-    b = sim.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn("hamming", ham)
-        .where(F.col("hamming") <= F.lit(max_hamming))
+    """Pairs with Hamming distance <= threshold on the 32-bit simhash.
+
+    Scale path: NOT an all-pairs join.  The code is sliced into
+    ``max_hamming + 1`` bit-bands; by pigeonhole any qualifying pair
+    shares >= 1 exact band, so candidates come from an equi-join on
+    (band_idx, band_bits) — shuffle-partitioned by band bucket, cost
+    sum-of-bucket² like MinHash-LSH — then the exact Hamming filter
+    runs only on candidates."""
+    bands = _hamming_bands(max_hamming)
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i, (off, w) in enumerate(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band_idx", "bb.band_bits")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
             F.col("b.doc_id").alias("doc_b"),
-            "hamming",
+            F.col("b.simhash").alias("sim_b"),
         )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("doc_a", "doc_b", "hamming")
     )

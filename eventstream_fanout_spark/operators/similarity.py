@@ -96,13 +96,23 @@ def lsh_topk(corpus: DataFrame, query: DataFrame, k: int) -> DataFrame:
     )
 
 
-def embedding_near_pairs(corpus: DataFrame, min_cosine: float) -> DataFrame:
-    """All-pairs cosine >= threshold (brute force; the LSH bucket join
-    is the scale path — pairs within equal buckets only)."""
-    a = corpus.select(
+def embedding_near_pairs(
+    corpus: DataFrame, min_cosine: float, sample_mod: int = 16
+) -> DataFrame:
+    """Ground-truth cosine >= threshold pairs on an EXPLICITLY CAPPED
+    deterministic sample (``vec_id % sample_mod == 0``).
+
+    This is the brute-force verifier, deliberately sample-gated: the
+    pair join is O((n/sample_mod)²), so the registered surface contains
+    no unbounded all-pairs operator.  The full-corpus scale path is the
+    LSH bucket equi-join (``embedding_lsh_near_pairs``); use this one
+    to estimate its recall on the sample.  ``sample_mod=1`` (full
+    corpus) is available for tests only."""
+    sampled = corpus.where(F.col("vec_id") % sample_mod == 0)
+    a = sampled.select(
         F.col("vec_id").alias("vid_a"), F.col("embedding").alias("ea")
     )
-    b = corpus.select(
+    b = sampled.select(
         F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb")
     )
     return (

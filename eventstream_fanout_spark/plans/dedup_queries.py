@@ -24,7 +24,7 @@ from ..functions.hashing import (
 from ..operators.dedup import (
     doc_shingles,
     exact_dedup_groups,
-    jaccard_pairs,
+    jaccard_verify_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_docs,
@@ -126,12 +126,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_dups",
     f"""
-    WITH {_SHINGLED},
+    WITH {_SIG_CTES},
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingled a JOIN shingled b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shingled a ON a.doc_id = c.doc_a
+      JOIN shingled b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b, i.n_common,
@@ -143,13 +150,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (CAST(i.n_common AS DOUBLE)
            / CAST(sa.n + sb.n - i.n_common AS DOUBLE)) >= 0.3
     """,
-    description="exact word-3-gram Jaccard >= 0.3 pairs (ground-truth "
-    "verifier for LSH candidates; explode-join, not the scale path)",
-    tags=("dedup", "jaccard", "extension"),
+    description="exact word-3-gram Jaccard >= 0.3, computed ONLY for "
+    "MinHash-LSH candidate pairs (the verifier composition: cost "
+    "O(|candidates| x shingles/doc), never quadratic in hot shingles)",
+    tags=("dedup", "jaccard", "lsh", "extension"),
 )
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return jaccard_pairs(doc_shingles(docs), 0.3)
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    return jaccard_verify_candidates(doc_shingles(docs), cand, 0.3)
 
 
 _SIMHASH_SUMS = ", ".join(
@@ -198,7 +207,10 @@ def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
-    description="SimHash near-dup pairs at Hamming distance <= 6",
+    description="SimHash near-dup pairs at Hamming distance <= 6 "
+    "(Spark plan: pigeonhole bit-band equi-join candidates + exact "
+    "Hamming filter — lossless, bucket-local; oracle states the "
+    "all-pairs semantics the banded plan must reproduce)",
     tags=("dedup", "simhash", "extension"),
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:

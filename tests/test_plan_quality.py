@@ -68,6 +68,26 @@ def test_smj_fallback_when_broadcast_disabled(spark, queries):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_pair_generators_are_bucketed_not_cartesian(spark, queries):
+    """The dedup pair generators must stay bucket-local equi-joins:
+    a BroadcastNestedLoopJoin/CartesianProduct here is the n² scale
+    killer the banded designs exist to avoid.  (embedding_near_pairs
+    is exempt BY DESIGN: it is the ground-truth verifier, explicitly
+    capped to a deterministic sample — asserted separately.)"""
+    for name in ("simhash_near_pairs", "minhash_lsh_pairs", "ngram_jaccard_dups"):
+        plan = _formatted_plan(queries[name].fn(spark, SF_ORACLE))
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} is all-pairs"
+        assert "CartesianProduct" not in plan, f"{name} is a cartesian"
+
+
+def test_embedding_near_pairs_is_sample_capped(spark, queries):
+    """The brute-force recall verifier must scan only the explicit
+    deterministic sample: the modulo filter has to reach both scans
+    BEFORE the pair join."""
+    plan = _formatted_plan(queries["embedding_near_pairs"].fn(spark, SF_ORACLE))
+    assert plan.count("% 4) = 0") >= 2 or plan.count("% 4 = 0") >= 2, plan
+
+
 def test_no_python_udfs_on_reference_surface(spark, queries):
     """Reference-surface + relational queries must stay JVM-side
     (BatchEvalPython/ArrowEvalPython would mean a Python UDF crept in)."""
