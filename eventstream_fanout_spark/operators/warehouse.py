@@ -9,7 +9,9 @@ the lakehouse way:
 * parquet dictionary encoding stands in for LowCardinality(String).
 
 At 100 TB add bucketing on the join key (``bucketBy``) so repeated
-joins/aggregations on it shuffle zero bytes.
+joins/aggregations on it shuffle zero bytes —
+:func:`write_bucketed_table` / :func:`colocated_join` below, with the
+zero-Exchange plan asserted in tests/test_warehouse.py.
 """
 
 from __future__ import annotations
@@ -45,3 +47,54 @@ def read_warehouse_month(
     """Month-filtered read — the filter must prune to one partition
     directory (asserted in tests/test_warehouse.py)."""
     return spark.read.parquet(path).where(F.col("event_month") == month)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed on the join key.
+
+    This is the fact-fact shuffle eliminator: two tables bucketed on
+    the same key with the same bucket count join with ZERO Exchange
+    nodes — each task reads bucket *i* of both sides.  At 100 TB that
+    converts the dominant cost of ``orders ⋈ lineitem`` (a full
+    both-sides shuffle) into a co-located merge.  ``sort_cols`` adds
+    per-bucket sort order (the MergeTree ``ORDER BY`` analogue): with
+    one file per bucket Spark can also elide the SMJ's Sort.
+
+    Bucket count at scale: pick so each bucket is 100-500 MB
+    (e.g. 100 TB fact / 256 MB ≈ 400k buckets is too many files — use
+    bucketing on the PRUNED grain, e.g. per month-partition, or 4096
+    buckets of ~25 GB read by multiple cores each).
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket keys.  With equal
+    bucket counts the physical plan contains no Exchange on either side
+    (asserted in tests/test_warehouse.py::test_bucketed_join_zero_exchange)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(
+        right, left[left_key] == right[right_key], how
+    )

@@ -12,25 +12,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+#: Exact option set of the reference reader (pipeline/app.py:39-42) —
+#: single source of truth for the builder and its tests.
+def kafka_options(
+    brokers: str, topic: str, starting_offsets: str = "latest"
+) -> dict[str, str]:
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
     topic: str,
     starting_offsets: str = "latest",
+    format: str = "kafka",
 ) -> DataFrame:
     """Reference S1: CDC topic subscription.  Yields the standard Kafka
     columns (key/value binary, topic, partition, offset, timestamp).
 
     At scale: one Spark input partition per Kafka partition; set
     ``minPartitions`` to fan out hotter topics.
+
+    ``format`` is a test seam: this container ships no kafka connector
+    jar, so tests register a Python data source with the identical
+    schema under another name and route the SAME builder through it —
+    proving the option plumbing and unresolved streaming plan without a
+    broker (see tests/test_sources_jdbc_kafka.py).
     """
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+    reader = spark.readStream.format(format)
+    for k, v in kafka_options(brokers, topic, starting_offsets).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def json_file_stream(

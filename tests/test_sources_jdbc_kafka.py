@@ -1,0 +1,236 @@
+"""Source-builder coverage: S2 (JDBC dimension) end-to-end against an
+embedded Derby database, and S1 (Kafka reader) at the unresolved-plan /
+option level without a broker.
+
+Derby ships in $SPARK_HOME/jars (Hive metastore dependency), so the
+JDBC path is a REAL ``spark.read.format("jdbc")`` roundtrip — write the
+dimension over JDBC, read it back through the builder, including a
+range-partitioned parallel read (the scale knob the reference omits).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventstream_fanout_spark.sources.jdbc import (
+    content_dimension,
+    jdbc_dimension,
+)
+from eventstream_fanout_spark.streaming.sources import (
+    kafka_options,
+    kafka_stream,
+)
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "dimdb"
+    return f"jdbc:derby:{db};create=true"
+
+
+@pytest.fixture(scope="module")
+def seeded_dim(spark, derby_url):
+    dim = spark.createDataFrame(
+        [(1, "video", 120), (2, "article", None), (3, "video", 300),
+         (4, "audio", 45)],
+        "id int, content_type string, length_seconds int",
+    )
+    (
+        dim.write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "content")
+        .option("driver", DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    return dim
+
+
+def test_jdbc_dimension_roundtrip(spark, derby_url, seeded_dim):
+    """S2: the reference's exact projection (app.py:60-68) through a
+    real JDBC read — key cast to string + renamed, payload columns."""
+    got = content_dimension(spark, derby_url, driver=DERBY_DRIVER)
+    assert got.columns == ["content_id", "content_type", "length_seconds"]
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {
+        ("1", "video", 120),
+        ("2", "article", None),
+        ("3", "video", 300),
+        ("4", "audio", 45),
+    }
+
+
+def test_jdbc_partitioned_read(spark, derby_url, seeded_dim):
+    """Range-partitioned parallel JDBC read: numPartitions parallel
+    range queries, no data loss/duplication at the boundaries."""
+    df = jdbc_dimension(
+        spark,
+        derby_url,
+        "content",
+        driver=DERBY_DRIVER,
+        partition_column="id",
+        lower_bound=1,
+        upper_bound=5,
+        num_partitions=3,
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 4
+    assert {r["id"] for r in df.select("id").collect()} == {1, 2, 3, 4}
+
+
+def test_jdbc_pushdown_subquery(spark, derby_url, seeded_dim):
+    """dbtable accepts a pushdown subquery — the filter runs in the
+    database, not in Spark."""
+    df = jdbc_dimension(
+        spark,
+        derby_url,
+        '(SELECT "id", "content_type" FROM content'
+        " WHERE CAST(\"content_type\" AS VARCHAR(32)) = 'video') AS t",
+        driver=DERBY_DRIVER,
+    )
+    assert sorted(r["id"] for r in df.collect()) == [1, 3]
+
+
+def test_jdbc_as_fanout_dim_provider(spark, derby_url, seeded_dim, tmp_path):
+    """S2 wired into the fan-out: the per-batch transform loads the
+    dimension over JDBC (reference re-reads it every micro-batch,
+    app.py:59-66) and broadcast-joins it to the batch."""
+    from eventstream_fanout_spark.streaming.fanout import (
+        parquet_sink,
+        start_fanout,
+    )
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "b.json").write_text(
+        '{"event_id": 10, "content_id": "1"}\n'
+        '{"event_id": 11, "content_id": "4"}\n'
+    )
+    stream = (
+        spark.readStream.schema("event_id long, content_id string")
+        .json(str(src_dir))
+    )
+
+    def enrich(batch_df):
+        dim = content_dimension(spark, derby_url, driver=DERBY_DRIVER)
+        return batch_df.join(F.broadcast(dim), "content_id", "left")
+
+    out = tmp_path / "out"
+    q = start_fanout(
+        stream,
+        [parquet_sink(str(out))],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        transform=enrich,
+        query_name="jdbc_dim_fanout",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["content_type"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {(10, "video"), (11, "audio")}
+
+
+# --- S1: Kafka reader, broker-free ------------------------------------
+
+
+def test_kafka_stream_option_plumbing(spark, tmp_path):
+    """Route the kafka_stream builder through a Python data source with
+    the identical schema whose stream reader EMITS the options it
+    received as kafka-shaped rows: draining one availableNow batch
+    proves the exact reference options (pipeline/app.py:39-42) flow
+    builder -> source resolution -> running stream, without a broker."""
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _OptsEchoReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self._opts = dict(options)
+
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def latestOffset(self):
+            return {"batch": 1}
+
+        def partitions(self, start, end):
+            return [InputPartition(start["batch"])]
+
+        def read(self, partition):
+            import datetime
+
+            if partition.value != 0:
+                return
+            ts = datetime.datetime(2024, 1, 1)
+            for i, (k, v) in enumerate(sorted(self._opts.items())):
+                yield (k.encode(), str(v).encode(), "opts", 0, i, ts, 0)
+
+        def commit(self, end):
+            pass
+
+    class KafkaStandin(DataSource):
+        @classmethod
+        def name(cls):
+            return "kafka_standin"
+
+        def schema(self):
+            return KAFKA_SCHEMA
+
+        def streamReader(self, schema):
+            return _OptsEchoReader(self.options)
+
+    try:
+        spark.dataSource.register(KafkaStandin)
+    except Exception:
+        pass  # already registered in this JVM
+
+    df = kafka_stream(
+        spark,
+        "broker-1:9092,broker-2:9092",
+        "cdc.public.engagement_events",
+        format="kafka_standin",
+    )
+    assert df.isStreaming
+    assert df.schema.simpleString() == (
+        "struct<key:binary,value:binary,topic:string,partition:int,"
+        "offset:bigint,timestamp:timestamp,timestampType:int>"
+    )
+
+    sink = f"kafka_standin_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        bytes(r["key"]).decode(): bytes(r["value"]).decode()
+        for r in spark.sql(f"SELECT key, value FROM {sink}").collect()
+    }
+    for k, v in kafka_options(
+        "broker-1:9092,broker-2:9092", "cdc.public.engagement_events"
+    ).items():
+        assert got.get(k.lower()) == v, (k, got)
+
+
+def test_kafka_stream_reaches_jvm_source_resolution(spark):
+    """With the real format name the builder must fail ONLY on the
+    missing connector jar (this container ships none) — i.e. the
+    options and plan construction are otherwise sound."""
+    with pytest.raises(Exception, match="(?i)kafka"):
+        kafka_stream(spark, "broker:9092", "cdc.public.engagement_events")

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 
 from eventstream_fanout_spark.operators.enrichment import enrich_events
 from eventstream_fanout_spark.operators.warehouse import (
+    colocated_join,
     read_warehouse_month,
+    write_bucketed_table,
     write_warehouse,
 )
 from eventstream_fanout_spark.sources.tables import load_table
@@ -50,3 +52,51 @@ def test_partitioned_write_and_pruning(spark, tmp_path):
 
     # a non-existent month scans zero rows via pruning
     assert read_warehouse_month(spark, path, "1999-12").count() == 0
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_zero_exchange(spark):
+    """The 100 TB fact-fact join story: orders and lineitem bucketed on
+    the join key -> SortMergeJoin with ZERO Exchange nodes; the same
+    join on plain parquet shuffles both sides.  Results identical."""
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed_table(orders, "orders_b", "o_orderkey", 8,
+                         sort_cols=("o_orderkey",))
+    write_bucketed_table(lineitem, "lineitem_b", "l_orderkey", 8,
+                         sort_cols=("l_orderkey",))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        bucketed = colocated_join(
+            spark, "orders_b", "lineitem_b", "o_orderkey", "l_orderkey"
+        )
+        plan = _plan(bucketed)
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+        # contrast: identical join on the unbucketed parquet shuffles
+        plain = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        assert "Exchange" in _plan(plain)
+
+        # correctness: same row count either way
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
