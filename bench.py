@@ -68,6 +68,17 @@ HEADLINE = [
     # micro-batch" (README.md:99) — these time a full drain
     "stream_enrich_availablenow",
     "stream_window_counts_watermark",
+    # round 2 additions (wall total is NOT comparable to round 1's
+    # 40-query suite — compare per-query timings across rounds)
+    "simhash_near_pairs",
+    "embedding_lsh_near_pairs",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q13_customer_order_distribution",
+    "q16_part_supplier_counts",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -47,7 +47,14 @@ _Q = 1_000_000.0
 
 def round_half_up(col: Column, scale: int = 2) -> Column:
     """Half-up rounding from IEEE primitives; bit-identical to the SQL
-    emitted by :func:`sql_round_half_up`."""
+    emitted by :func:`sql_round_half_up`.
+
+    Negative inputs round toward +infinity (floor(x*f + 0.5) pulls
+    -2.675 to -2.67), which DIFFERS from Java/Spark HALF_UP (away from
+    zero, -2.68).  This is deliberate: the identical formula runs on
+    both engines, so oracle parity holds for every sign; use
+    ``floor(abs(x)*f + 0.5)*sign(x)/f`` on BOTH sides instead if
+    away-from-zero fidelity ever matters more than formula symmetry."""
     factor = float(10**scale)
     return F.floor(col * F.lit(factor) + F.lit(0.5)) / F.lit(factor)
 
