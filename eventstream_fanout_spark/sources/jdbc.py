@@ -67,6 +67,79 @@ def jdbc_dimension(
     return reader.load()
 
 
+def jdbc_batch_writer(
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+):
+    """Idempotent JDBC warehouse sink for ``foreachBatch`` fan-out
+    (the K2 analogue over JDBC instead of parquet).
+
+    Effectively-once posture without database-side MERGE: every row
+    carries its micro-batch id, and a replayed batch DELETEs its own
+    id before re-inserting — the same batch-id-keyed overwrite the
+    parquet sink does with dynamic partition overwrite.  The DELETE
+    runs once on the driver (a metadata-sized statement); the INSERT
+    is Spark's executor-parallel JDBC append, so rows never funnel
+    through the driver.
+    """
+    from pyspark.sql import functions as F
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        # clear any previous attempt of this batch id (replay safety).
+        # Spark's JDBC writer creates columns as quoted identifiers, so
+        # the predicate must quote too (Derby/Postgres fold unquoted
+        # names the other way).
+        delete_stmt = (
+            f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}'
+        )
+        jvm = spark._jvm
+        props = jvm.java.util.Properties()
+        if user is not None:
+            props.setProperty("user", user)
+        if password is not None:
+            props.setProperty("password", password)
+        if driver is not None:
+            jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            try:
+                conn.createStatement().executeUpdate(delete_stmt)
+            except Exception as exc:
+                # only the very first batch may fail here (table not
+                # created yet) — anything else is a real error and
+                # must fail the batch so Spark retries it
+                meta = conn.getMetaData().getTables(
+                    None, None, table.upper(), None
+                )
+                if meta.next():
+                    raise RuntimeError(
+                        f"batch-id cleanup failed on existing table "
+                        f"{table}: {exc}"
+                    ) from exc
+        finally:
+            conn.close()
+        writer = (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .mode("append")
+        )
+        if user is not None:
+            writer = writer.option("user", user)
+        if password is not None:
+            writer = writer.option("password", password)
+        if driver is not None:
+            writer = writer.option("driver", driver)
+        writer.save()
+
+    return write
+
+
 def content_dimension(spark: SparkSession, url: str, **jdbc_opts) -> DataFrame:
     """The reference's exact dimension projection
     (``pipeline/app.py:67-68``): key cast to string and renamed to the

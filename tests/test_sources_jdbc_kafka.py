@@ -139,6 +139,56 @@ def test_jdbc_as_fanout_dim_provider(spark, derby_url, seeded_dim, tmp_path):
     assert got == {(10, "video"), (11, "audio")}
 
 
+def test_jdbc_sink_idempotent_replay(spark, derby_url, tmp_path):
+    """K2-over-JDBC: the fan-out's JDBC warehouse sink is batch-id
+    keyed — replaying the same micro-batch DELETEs its own rows first,
+    so a crash-replay never duplicates."""
+    from eventstream_fanout_spark.sources.jdbc import (
+        jdbc_batch_writer,
+        jdbc_dimension,
+    )
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        start_fanout,
+    )
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "b.json").write_text(
+        '{"event_id": 1, "v": 10}\n{"event_id": 2, "v": 20}\n'
+    )
+    stream = (
+        spark.readStream.schema("event_id long, v long").json(str(src_dir))
+    )
+    writer = jdbc_batch_writer(
+        derby_url, "sink_events", driver=DERBY_DRIVER
+    )
+    q = start_fanout(
+        stream,
+        [FanoutSink("jdbc_warehouse", writer)],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="jdbc_sink_fanout",
+    )
+    q.awaitTermination(120)
+
+    def read_sink():
+        return jdbc_dimension(
+            spark, derby_url, "sink_events", driver=DERBY_DRIVER
+        )
+
+    first = [tuple(r) for r in read_sink().collect()]
+    assert sorted((r[0], r[1]) for r in first) == [(1, 10), (2, 20)]
+
+    # simulate a replay of batch 0 (crash between sink and commit):
+    # same rows, same batch id -> the sink must overwrite, not append
+    batch_df = spark.createDataFrame(
+        [(1, 10), (2, 20)], "event_id long, v long"
+    )
+    writer(batch_df, 0)
+    again = [tuple(r) for r in read_sink().collect()]
+    assert sorted(again) == sorted(first), "replay duplicated rows"
+
+
 # --- S1: Kafka reader, broker-free ------------------------------------
 
 
