@@ -49,6 +49,62 @@ def read_warehouse_month(
     return spark.read.parquet(path).where(F.col("event_month") == month)
 
 
+def zorder_value(x: F.Column, y: F.Column, bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleaving of two non-negative integer keys:
+    bit i of x lands at position 2i, bit i of y at 2i+1.
+
+    Sorting/`sortWithinPartitions` by this value co-locates rows that
+    are close in BOTH dimensions, so parquet row-group min/max skipping
+    works for predicates on either key — the DataBricks OPTIMIZE
+    ZORDER technique from IEEE primitives, identical in the SQL oracle.
+    """
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.shiftleft(
+            F.shiftrightunsigned(x.cast("long"), i).bitwiseAND(F.lit(1)),
+            2 * i,
+        )
+        out = out + F.shiftleft(
+            F.shiftrightunsigned(y.cast("long"), i).bitwiseAND(F.lit(1)),
+            2 * i + 1,
+        )
+    return out
+
+
+def sql_zorder_value(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_value` (same bit ops, same order)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target_mb)`` files.
+
+    Streaming sinks produce one file per batch per partition; at 100 TB
+    that's millions of KB-sized files whose open/footer overhead
+    dominates scans.  Periodic compaction to row-group-sized files is
+    standard warehouse hygiene.  Returns the output file count.
+    """
+    import math
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    fs = jvm.Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(jvm.Path(path))
+    n_files = max(1, math.ceil(summary.getLength() / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -308,3 +308,44 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_frac"),
         )
     )
+
+
+# --- Z-order layout key -----------------------------------------------
+
+
+def _zorder_sql() -> str:
+    from ..operators.warehouse import sql_zorder_value
+
+    return f"""
+    SELECT event_id, user_id,
+           CAST(FLOOR(value) AS BIGINT) AS vbucket,
+           {sql_zorder_value('user_id', 'CAST(FLOOR(value) AS BIGINT)', 16)}
+             AS zvalue
+    FROM events
+    WHERE user_id >= 0 AND value >= 0.0
+    """
+
+
+@register(
+    "zorder_layout_key",
+    _zorder_sql(),
+    description="Morton/Z-order layout key interleaving (user_id, "
+    "floor(value)) bit-by-bit — sortWithinPartitions on this key "
+    "co-locates rows close in BOTH dimensions so parquet row-group "
+    "min/max skipping serves predicates on either column (the OPTIMIZE "
+    "ZORDER technique, from IEEE-identical integer bit ops)",
+    tags=("warehouse", "layout", "extension"),
+)
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warehouse import zorder_value
+
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") >= 0) & (F.col("value") >= 0.0)
+    )
+    vbucket = F.floor(F.col("value")).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        vbucket.alias("vbucket"),
+        zorder_value(F.col("user_id"), vbucket, 16).alias("zvalue"),
+    )

@@ -228,3 +228,64 @@ def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_documents(to_media_table(docs))
+
+
+@register(
+    "doc_chunks_udtf",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    indexed AS (
+      SELECT doc_id, toks,
+             CAST(unnest(range(0, CAST(ceil(len(toks) / 40.0) AS BIGINT)))
+                  AS INTEGER) AS chunk_idx
+      FROM toked
+    ),
+    chunked AS (
+      SELECT doc_id, chunk_idx,
+             toks[(chunk_idx * 40 + 1)
+                  : least((chunk_idx + 1) * 40, len(toks))] AS chunk
+      FROM indexed
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INTEGER) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM chunked
+    """,
+    description="document chunking for context windows via a PySpark "
+    "UDTF (LATERAL table function yielding 40-token chunks with index "
+    "and size) — the §2.9 table-function seam, hash-matched against a "
+    "pure-SQL slicing oracle; chunking is per-row generative so the "
+    "UDTF shape (one input row -> N output rows) is the natural fit",
+    tags=("text", "udtf", "chunking", "extension"),
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk_text string")
+    class ChunkTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [
+                t for t in re.split(r"\s+", text.strip().lower()) if t
+            ]
+            for i in range(0, (len(toks) + 39) // 40):
+                chunk = toks[i * 40 : (i + 1) * 40]
+                yield i, len(chunk), " ".join(chunk)
+
+    fn_name = f"chunk_tokens_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fn_name, ChunkTokens)
+    docs = load_table(spark, sf_dir, "documents")
+    view = f"docs_{uuid.uuid4().hex[:8]}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT doc_id, c.chunk_idx, c.n_tokens, c.chunk_text
+        FROM {view}, LATERAL {fn_name}(text) c
+        """
+    )

@@ -344,3 +344,31 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "approx_quantiles_value",
+    None,  # KLL/GK sketches differ per engine; accuracy pinned in pytest
+    description="approx_percentile sketch of event value per event type "
+    "(p25/p50/p75/p90/p99, accuracy 10000) exploded to one row per "
+    "quantile — the mergeable-sketch path for 100 TB quantile "
+    "estimation; rank error bound vs exact asserted in tests",
+    tags=("window", "approx", "sketch"),
+)
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pcts = [0.25, 0.5, 0.75, 0.9, 0.99]
+    sketched = events.groupBy("event_type").agg(
+        F.percentile_approx("value", pcts, 10000).alias("qs")
+    )
+    labels = F.array(*[F.lit(p) for p in pcts])
+    return sketched.select(
+        "event_type",
+        F.explode(F.arrays_zip(labels.alias("p"), F.col("qs").alias("v"))).alias(
+            "z"
+        ),
+    ).select(
+        "event_type",
+        F.col("z.p").alias("quantile"),
+        F.col("z.v").alias("value_approx"),
+    )

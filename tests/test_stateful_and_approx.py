@@ -84,3 +84,55 @@ def test_approx_distinct_error_bound(spark):
     for k in exact:
         rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
         assert rel_err < 0.1, (k, approx[k], exact[k])
+
+
+def test_approx_quantiles_error_bound(spark, duck):
+    """approx_percentile(accuracy=10000) must land within 1% rank error
+    of the exact quantile (compared via the exact values bracketing the
+    target rank in DuckDB)."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERIES["approx_quantiles_value"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 25  # 5 event types x 5 quantiles
+    for r in rows:
+        lo, hi = max(0.0, r["quantile"] - 0.01), min(1.0, r["quantile"] + 0.01)
+        bracket = duck.execute(
+            """
+            SELECT quantile_disc(value, ?) AS lo, quantile_disc(value, ?) AS hi
+            FROM events WHERE event_type = ?
+            """,
+            [lo, hi, r["event_type"]],
+        ).fetchone()
+        assert bracket[0] <= r["value_approx"] <= bracket[1], (
+            r["event_type"], r["quantile"], r["value_approx"], bracket,
+        )
+
+
+def test_observation_metrics_zero_extra_pass(spark):
+    """Data-quality counters via df.observe(): metrics accumulate
+    DURING the action (one pass, no second scan) — the ingest-time DQ
+    hook a 100 TB pipeline needs instead of a separate validation job."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    obs = Observation("dq")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+        F.sum(
+            (~F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error"
+            )).cast("long")
+        ).alias("bad_enum"),
+    )
+    n = observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == events.count()
+    assert got["bad_enum"] == 0
+    assert got["null_values"] >= 0

@@ -61,6 +61,63 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def test_compact_parquet_small_files(spark, tmp_path):
+    """64 tiny streaming-sink-style files compact to the byte-budgeted
+    count with no data change."""
+    from eventstream_fanout_spark.operators.warehouse import compact_parquet
+
+    events = load_table(spark, SF_SMOKE, "events")
+    fragged = str(tmp_path / "fragged")
+    events.repartition(64).write.parquet(fragged)
+    assert len(glob.glob(os.path.join(fragged, "part-*"))) == 64
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_parquet(spark, fragged, compacted, target_mb=128)
+    files = glob.glob(os.path.join(compacted, "part-*"))
+    assert len(files) == n and n < 8  # sf0.001 events ≪ 128 MB
+    assert spark.read.parquet(compacted).count() == events.count()
+
+
+def test_zorder_layout_skipping(spark, tmp_path):
+    """Sorting by the Z-order key must give row-group locality in BOTH
+    dimensions: with one row group per output file, a point predicate
+    on either column should touch a small fraction of files (min/max
+    skipping proxy, checked via per-file min/max of both columns)."""
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.operators.warehouse import zorder_value
+
+    events = load_table(spark, SF_SMOKE, "events").where(
+        (F.col("user_id") >= 0) & (F.col("value") >= 0.0)
+    )
+    vbucket = F.floor(F.col("value")).cast("bigint")
+    path = str(tmp_path / "zordered")
+    (
+        events.select("event_id", "user_id", vbucket.alias("vbucket"))
+        .withColumn("z", zorder_value(F.col("user_id"), F.col("vbucket"), 16))
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .write.parquet(path)
+    )
+    stats = (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+            F.min("vbucket").alias("vlo"), F.max("vbucket").alias("vhi"),
+        )
+        .collect()
+    )
+    n_files = len(stats)
+    assert n_files >= 8
+    # a selective range predicate on EITHER dimension overlaps few files
+    u_hits = sum(1 for r in stats if r["ulo"] <= 100 <= r["uhi"])
+    v_hits = sum(1 for r in stats if r["vlo"] <= 5 <= r["vhi"])
+    assert u_hits <= n_files // 2, (u_hits, n_files)
+    assert v_hits <= n_files // 2, (v_hits, n_files)
+
+
 def test_bucketed_join_zero_exchange(spark):
     """The 100 TB fact-fact join story: orders and lineitem bucketed on
     the join key -> SortMergeJoin with ZERO Exchange nodes; the same
