@@ -349,3 +349,98 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         vbucket.alias("vbucket"),
         zorder_value(F.col("user_id"), vbucket, 16).alias("zvalue"),
     )
+
+
+# --- one-pass table profile (ANALYZE analogue) ------------------------
+
+
+@register(
+    "table_profile",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             CAST(COUNT(event_id) AS BIGINT) AS nn_eid,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS d_eid,
+             CAST(MIN(event_id) AS DOUBLE) AS lo_eid,
+             CAST(MAX(event_id) AS DOUBLE) AS hi_eid,
+             CAST(COUNT(user_id) AS BIGINT) AS nn_uid,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d_uid,
+             CAST(MIN(user_id) AS DOUBLE) AS lo_uid,
+             CAST(MAX(user_id) AS DOUBLE) AS hi_uid,
+             CAST(COUNT(value) AS BIGINT) AS nn_val,
+             CAST(COUNT(DISTINCT value) AS BIGINT) AS d_val,
+             CAST(MIN(value) AS DOUBLE) AS lo_val,
+             CAST(MAX(value) AS DOUBLE) AS hi_val,
+             CAST(COUNT(event_type) AS BIGINT) AS nn_et,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d_et,
+             MIN(event_type) AS lo_et,
+             MAX(event_type) AS hi_et
+      FROM events
+    )
+    SELECT 'event_id' AS col_name, CAST(n - nn_eid AS BIGINT) AS n_nulls,
+           d_eid AS n_distinct, lo_eid AS min_num, hi_eid AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM a
+    UNION ALL
+    SELECT 'user_id', CAST(n - nn_uid AS BIGINT), d_uid, lo_uid, hi_uid,
+           NULL, NULL FROM a
+    UNION ALL
+    SELECT 'value', CAST(n - nn_val AS BIGINT), d_val, lo_val, hi_val,
+           NULL, NULL FROM a
+    UNION ALL
+    SELECT 'event_type', CAST(n - nn_et AS BIGINT), d_et, NULL, NULL,
+           lo_et, hi_et FROM a
+    """,
+    description="one-pass table profile (ANALYZE analogue): per-column "
+    "null count, exact distinct count, min/max — a single wide "
+    "aggregate exploded to one row per column; numeric bounds carried "
+    "as doubles (no arithmetic, so cross-engine exact), string bounds "
+    "as-is. The ingest-gate statistics a 100 TB pipeline records per "
+    "partition",
+    tags=("quality", "profile", "extension"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("event_id").alias("nn_eid"),
+        F.countDistinct("event_id").alias("d_eid"),
+        F.min("event_id").cast("double").alias("lo_eid"),
+        F.max("event_id").cast("double").alias("hi_eid"),
+        F.count("user_id").alias("nn_uid"),
+        F.countDistinct("user_id").alias("d_uid"),
+        F.min("user_id").cast("double").alias("lo_uid"),
+        F.max("user_id").cast("double").alias("hi_uid"),
+        F.count("value").alias("nn_val"),
+        F.countDistinct("value").alias("d_val"),
+        F.min("value").cast("double").alias("lo_val"),
+        F.max("value").cast("double").alias("hi_val"),
+        F.count("event_type").alias("nn_et"),
+        F.countDistinct("event_type").alias("d_et"),
+        F.min("event_type").alias("lo_et"),
+        F.max("event_type").alias("hi_et"),
+    )
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+
+    def row(name, nn, d, lo_n, hi_n, lo_s, hi_s):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            (F.col("n") - F.col(nn)).cast("bigint").alias("n_nulls"),
+            F.col(d).cast("bigint").alias("n_distinct"),
+            (F.col(lo_n) if lo_n else null_d).alias("min_num"),
+            (F.col(hi_n) if hi_n else null_d).alias("max_num"),
+            (F.col(lo_s) if lo_s else null_s).alias("min_str"),
+            (F.col(hi_s) if hi_s else null_s).alias("max_str"),
+        )
+
+    return a.select(
+        F.explode(
+            F.array(
+                row("event_id", "nn_eid", "d_eid", "lo_eid", "hi_eid", None, None),
+                row("user_id", "nn_uid", "d_uid", "lo_uid", "hi_uid", None, None),
+                row("value", "nn_val", "d_val", "lo_val", "hi_val", None, None),
+                row("event_type", "nn_et", "d_et", None, None, "lo_et", "hi_et"),
+            )
+        ).alias("p")
+    ).select("p.*")

@@ -85,10 +85,10 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dup_clusters",
-    f"""
-    WITH RECURSIVE {_SIG_CTES},
+# Shared SQL: LSH edge graph -> recursive transitive closure ->
+# min-reachable-id cluster labels (docs with no near-dup edge are
+# absent; callers COALESCE to the doc's own id).
+_CLUSTER_CTES = f"""{_SIG_CTES},
     bands AS ({_BANDS_SQL}),
     edges AS (
       SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
@@ -105,10 +105,17 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT b.dst AS doc_id, reach.r
       FROM reach JOIN bidir b ON b.src = reach.doc_id
-    )
-    SELECT doc_id, MIN(r) AS cluster_id
-    FROM reach
-    GROUP BY doc_id
+    ),
+    clusters AS (
+      SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    )"""
+
+
+@register(
+    "dup_clusters",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT doc_id, cluster_id FROM clusters
     """,
     description="near-duplicate clusters: connected components over the "
     "LSH candidate graph — Spark iterative min-label propagation vs a "
@@ -158,3 +165,44 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", "cluster_id")
+
+
+@register(
+    "leakage_safe_splits",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+                                     AS VARCHAR)), 1, 2) < '20'
+                THEN 'test'
+                WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+                                     AS VARCHAR)), 1, 2) < '40'
+                THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    """,
+    description="leakage-safe train/val/test split: documents are "
+    "assigned by md5 gate on their NEAR-DUP CLUSTER id (singleton docs "
+    "use their own id), so near-duplicates can never straddle the "
+    "train/test boundary — the contamination guard every training "
+    "corpus needs; ~12.5% test / ~12.5% val / ~75% train, "
+    "deterministic across engines/runs/partitionings",
+    tags=("pipeline", "dedup", "sampling", "extension"),
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    gate = F.substring(F.md5(cluster.cast("string")), 1, 2)
+    split = (
+        F.when(gate < "20", "test").when(gate < "40", "val").otherwise("train")
+    )
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            split.alias("split"),
+        )
+    )

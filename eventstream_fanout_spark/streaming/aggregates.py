@@ -82,3 +82,59 @@ def leaderboard(
         windowed.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# --- incremental rollup (continuous-aggregate analogue) ----------------
+
+
+def rollup_sink(path: str, *keys: str, ts_col: str = "ts", width: str = "1 hour"):
+    """Merge-on-read continuous aggregate (the TimescaleDB/ClickHouse
+    materialized-rollup analogue done the lakehouse way).
+
+    Each micro-batch writes its PARTIAL aggregate (count/sum per
+    (window, keys)) under ``batch_id=N`` — an idempotent overwrite, so
+    crash-replay of a batch replaces its own partial instead of
+    double-counting (the classic incremental-rollup replay bug).
+    :func:`read_rollup` folds the partials at read time; compacting
+    them into a base table periodically is the same code path.
+    Returns a sink function for ``foreachBatch`` / ``FanoutSink``.
+    """
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        partial = (
+            df.groupBy(
+                F.window(F.col(ts_col), width).alias("win"), *keys
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("double")).alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                *keys,
+                "n_events",
+                "sum_value",
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        (
+            partial.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return write
+
+
+def read_rollup(spark, path: str, *keys: str) -> DataFrame:
+    """Fold the per-batch partial aggregates into the current rollup
+    (count and sum are decomposable, so partial-of-partials is exact)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("window_start", *keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )

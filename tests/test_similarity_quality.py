@@ -51,3 +51,35 @@ def test_engine_session_configs(spark):
         "RocksDB"
         in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     )
+
+
+def test_leakage_safe_splits_no_cross_split_neardups(spark):
+    """The contamination guard: every LSH near-dup candidate pair must
+    land entirely inside ONE split, and the split fractions must be in
+    the neighborhood of the 12.5/12.5/75 gates."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    splits = QUERIES["leakage_safe_splits"].fn(spark, SF_ORACLE)
+    by_doc = {r["doc_id"]: r["split"] for r in splits.collect()}
+
+    from eventstream_fanout_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from eventstream_fanout_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    assert pairs, "fixture should produce near-dup candidates"
+    for p in pairs:
+        assert by_doc[p["doc_a"]] == by_doc[p["doc_b"]], (
+            p["doc_a"], p["doc_b"],
+            by_doc[p["doc_a"]], by_doc[p["doc_b"]],
+        )
+
+    n = len(by_doc)
+    frac = {s: sum(1 for v in by_doc.values() if v == s) / n
+            for s in ("test", "val", "train")}
+    assert 0.05 < frac["test"] < 0.25 and 0.05 < frac["val"] < 0.25
+    assert frac["train"] > 0.5

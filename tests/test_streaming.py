@@ -401,3 +401,89 @@ def test_batch_streaming_equivalence(spark, events, tmp_path):
     assert set(streamed) <= set(batch)
     for k, v in streamed.items():
         assert batch[k] == v
+
+
+def test_incremental_rollup_matches_batch_and_replays(spark, tmp_path):
+    """The continuous-aggregate pattern: per-batch partials folded at
+    read time must equal the one-shot batch rollup, and replaying a
+    batch id must not double-count."""
+    import glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.sources.tables import load_table
+    from eventstream_fanout_spark.streaming.aggregates import (
+        read_rollup,
+        rollup_sink,
+    )
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        start_fanout,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = tmp_path / "src"
+    # two source files -> two micro-batches with maxFilesPerTrigger=1
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    rollup_path = str(tmp_path / "rollup")
+    sink = rollup_sink(rollup_path, "event_type")
+    q = start_fanout(
+        stream,
+        [FanoutSink("rollup", sink)],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="rollup_stream",
+    )
+    q.awaitTermination(180)
+
+    batch_dirs = glob.glob(rollup_path + "/batch_id=*")
+    assert len(batch_dirs) >= 2, batch_dirs
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in read_rollup(spark, rollup_path, "event_type").collect()
+    }
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in (
+            events.groupBy(
+                F.window("ts", "1 hour").alias("win"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("double")).alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type", "n_events", "sum_value",
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0], k
+        assert abs((got[k][1] or 0.0) - (expect[k][1] or 0.0)) < 1e-6, k
+
+    # replay batch 0 with the same data -> rollup unchanged
+    sink(events.where(F.col("event_id") % 2 == 0), 0)
+    again = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in read_rollup(spark, rollup_path, "event_type").collect()
+    }
+    assert again == {k: v[0] for k, v in got.items()}, "replay double-counted"
