@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.core import sql_davg
 from ..functions.hashing import (
     shingles,
     sql_shingles,
@@ -444,3 +445,123 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+
+
+# --- benchmark decontamination ----------------------------------------
+
+
+@register(
+    "benchmark_decontamination",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({sql_shingles('toks')}) AS shingle
+      FROM toked
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM shingled WHERE doc_id < 10
+    ),
+    corpus AS (
+      SELECT doc_id, shingle FROM shingled WHERE doc_id >= 10
+    ),
+    stats AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM corpus c LEFT JOIN bench b ON b.shingle = c.shingle
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           (CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)) AS overlap_frac,
+           ((CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)) >= 0.5)
+             AS contaminated
+    FROM stats
+    """,
+    description="benchmark decontamination: fraction of each corpus "
+    "doc's distinct word-3-grams that appear in the held-out benchmark "
+    "set (docs 0-9 stand in for an eval suite); docs over the overlap "
+    "threshold are flagged for removal before training. The benchmark "
+    "side is tiny -> broadcast; the corpus side is one explode + "
+    "partial agg (the standard eval-contamination guard)",
+    tags=("text", "decontamination", "quality", "extension"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    shingled = toked.select(
+        "doc_id", F.explode(shingles(F.col("toks"))).alias("shingle")
+    ).distinct()
+    bench = (
+        shingled.where(F.col("doc_id") < 10).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = shingled.where(F.col("doc_id") >= 10)
+    frac = F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
+    return (
+        corpus.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            frac.alias("overlap_frac"),
+            (frac >= 0.5).alias("contaminated"),
+        )
+    )
+
+
+# --- rarity-based quality score (perplexity proxy) --------------------
+
+
+@register(
+    "token_rarity_score",
+    f"""
+    WITH occurrences AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    freqs AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM occurrences GROUP BY tok
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {sql_davg('1000000.0 / CAST(f.freq AS DOUBLE)')} AS mean_rarity
+    FROM occurrences o JOIN freqs f ON f.tok = o.tok
+    GROUP BY o.doc_id
+    """,
+    description="rarity-based quality signal (log-free perplexity "
+    "proxy): mean inverse corpus frequency of each doc's token "
+    "occurrences — docs of common filler score low, rare-token docs "
+    "score high; two partial-agg passes over one explode, vocabulary "
+    "side broadcast (transcendental log avoided for cross-engine "
+    "determinism; see functions/core.py)",
+    tags=("text", "quality", "extension"),
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.core import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freqs = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    rarity = F.lit(1000000.0) / F.col("freq").cast("double")
+    return (
+        occ.join(F.broadcast(freqs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            davg(rarity, "mean_rarity"),
+        )
+    )
