@@ -135,9 +135,18 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    # min-label propagation to fixpoint (dup clusters are tiny — a few
-    # hops; the loop is driver-side but each step is a distributed join)
-    for _ in range(20):
+    # min-label propagation to fixpoint with POINTER JUMPING: each
+    # round first takes the min over direct neighbors, then replaces
+    # every label by the label OF its current label (path halving) —
+    # convergence in O(log diameter) rounds instead of O(diameter), so
+    # a chain-shaped cluster of any realistic size converges well
+    # inside the bound.  Non-convergence RAISES: callers
+    # (leakage_safe_splits) build a no-straddle guarantee on these
+    # labels, and a silently-unconverged result would leak near-dups
+    # across the train/test boundary.
+    max_rounds = 25  # 2^25 ≈ 3e7-hop diameter, beyond any real corpus
+    converged = False
+    for _ in range(max_rounds):
         neighbor_min = (
             bidir.join(
                 labels.withColumnRenamed("doc_id", "src"), "src"
@@ -145,12 +154,29 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+        )
+        # path halving: label <- label(label)
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"),
+            F.col("cluster_id").alias("p_label"),
+        )
+        updated = (
+            stepped.join(
+                parent, stepped["cluster_id"] == parent["p_id"], "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("p_label", "cluster_id"),
                 ).alias("cluster_id"),
             )
         )
@@ -163,7 +189,15 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = updated.localCheckpoint(eager=True)
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge in "
+            f"{max_rounds} pointer-jumping rounds — refusing to return "
+            f"possibly-split clusters (downstream leakage_safe_splits "
+            f"depends on complete components)"
+        )
     return labels.select("doc_id", "cluster_id")
 
 

@@ -105,10 +105,23 @@ FRONT: list[str] = [
 
 def ordered_queries() -> dict[str, QuerySpec]:
     """Registry in evidence-priority order: FRONT names first (in list
-    order), then the remainder in registration order."""
-    front = [n for n in FRONT if n in QUERIES]
-    rest = [n for n in QUERIES if n not in set(front)]
-    return {n: QUERIES[n] for n in [*front, *rest]}
+    order), then the remainder in registration order.
+
+    Unknown FRONT names RAISE: a typo or un-synced rename would
+    otherwise silently waste one of the bounded driver-evidence slots
+    this list exists to control.
+    """
+    unknown = [n for n in FRONT if n not in QUERIES]
+    if unknown:
+        raise ValueError(
+            f"FRONT names not in registry (typo or renamed query): "
+            f"{unknown}"
+        )
+    dupes = [n for n in set(FRONT) if FRONT.count(n) > 1]
+    if dupes:
+        raise ValueError(f"duplicate FRONT names: {dupes}")
+    rest = [n for n in QUERIES if n not in set(FRONT)]
+    return {n: QUERIES[n] for n in [*FRONT, *rest]}
 
 
 def register(

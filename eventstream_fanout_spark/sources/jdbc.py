@@ -58,6 +58,12 @@ def jdbc_dimension(
     if driver is not None:
         reader = reader.option("driver", driver)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound "
+                "(Spark splits the read into numPartitions range-bounded "
+                "queries between them)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
@@ -111,11 +117,20 @@ def jdbc_batch_writer(
             except Exception as exc:
                 # only the very first batch may fail here (table not
                 # created yet) — anything else is a real error and
-                # must fail the batch so Spark retries it
-                meta = conn.getMetaData().getTables(
-                    None, None, table.upper(), None
-                )
-                if meta.next():
+                # must fail the batch so Spark retries it.  Probe
+                # existence with a 0-row SELECT rather than catalog
+                # metadata: identifier case-folding differs per
+                # database (Derby folds up, Postgres folds down), and
+                # a wrong-cased getTables() probe would silently
+                # swallow real DELETE failures.
+                try:
+                    conn.createStatement().executeQuery(
+                        f"SELECT 1 FROM {table} WHERE 1 = 0"
+                    )
+                    exists = True
+                except Exception:
+                    exists = False
+                if exists:
                     raise RuntimeError(
                         f"batch-id cleanup failed on existing table "
                         f"{table}: {exc}"

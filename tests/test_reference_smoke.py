@@ -140,3 +140,22 @@ def test_parquet_sink_batch_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(path).count() == 5
     sink.write(df, 8)  # a new batch appends
     assert spark.read.parquet(path).count() == 10
+
+
+def test_registry_front_window_valid():
+    """The 50-slot driver-evidence window: FRONT must be exactly 50
+    known, distinct names and lead the ordered registry (a typo here
+    silently costs a query its correctness evidence — ordered_queries
+    raises on unknown/duplicate names, pinned here)."""
+    from eventstream_fanout_spark.plans.registry import (
+        FRONT,
+        QUERIES,
+        ordered_queries,
+    )
+
+    assert len(FRONT) == 50
+    assert len(set(FRONT)) == 50
+    assert set(FRONT) <= set(QUERIES)
+    ordered = list(ordered_queries())
+    assert ordered[: len(FRONT)] == FRONT
+    assert len(ordered) == len(QUERIES)
