@@ -90,3 +90,60 @@ def test_cdc_parser_accepts_kafka_binary_values(spark):
     rows = parse_cdc_envelope(kafka_shaped).collect()
     assert len(rows) == 1 and rows[0]["event_id"] == 42
     assert rows[0]["ts"].isoformat() == "2024-01-01T00:00:00"
+
+def test_asof_join_matches_pandas_on_spark_merge_asof(spark):
+    """Cross-validate the union+forward-fill as-of operator against an
+    INDEPENDENT implementation: pyspark.pandas.merge_asof (backward
+    direction, by-key).  Same most-recent-prior click per purchase.
+
+    ps.merge_asof keeps simultaneous-timestamp resolution unspecified,
+    so compare on (purchase, asof click ts) rather than click ids, and
+    only for users whose click timestamps are unique."""
+    import pyspark.pandas as ps
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from eventstream_fanout_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ours = {
+        r["event_id"]: r["asof_event_id"]
+        for r in QUERIES["asof_click_before_purchase"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+
+    e = load_table(spark, SF_SMOKE, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    # users with duplicate click timestamps: tie-break differs by
+    # implementation contract — exclude them from the comparison
+    dup_users = {
+        r["user_id"]
+        for r in clicks.groupBy("user_id", "ts")
+        .count()
+        .where(F.col("count") > 1)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    psl = purchases.pandas_api().sort_values("ts")
+    psr = clicks.pandas_api().sort_values("ts")
+    merged = ps.merge_asof(
+        psl, psr, on="ts", by="user_id", direction="backward"
+    ).to_pandas()
+
+    checked = 0
+    for row in merged.itertuples():
+        if row.user_id in dup_users:
+            continue
+        expect = None if row.click_id != row.click_id else int(row.click_id)
+        assert ours[int(row.purchase_id)] == expect, (
+            row.purchase_id, ours[int(row.purchase_id)], expect,
+        )
+        checked += 1
+    assert checked > 100  # the comparison actually exercised data
