@@ -240,3 +240,39 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             split.alias("split"),
         )
     )
+
+
+@register(
+    "neardup_graph_triangles",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+    description="triangle count on the near-dup candidate graph "
+    "(graph-analytics shape): edges stored once with src < dst, so "
+    "each triangle is counted exactly once by the ordered 3-way "
+    "equi-join — partial-agg count, shuffles keyed on node ids; a "
+    "high triangle density signals dup CLUSTERS rather than chains, "
+    "which changes the dedup keep-policy",
+    tags=("pipeline", "graph", "extension"),
+)
+def neardup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = lsh_candidate_pairs(minhash_signatures(docs)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

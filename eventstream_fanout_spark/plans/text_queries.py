@@ -289,3 +289,111 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view}, LATERAL {fn_name}(text) c
         """
     )
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+    WITH occurrences AS (
+      SELECT DISTINCT doc_id, unnest({sql_tokens('text')}) AS tok
+      FROM documents
+    )
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           array_to_string(list_sort(list(doc_id))[1:20], ',')
+             AS postings_head
+    FROM occurrences
+    GROUP BY tok
+    """,
+    description="inverted-index build (search/retrieval side of the "
+    "pipeline): token -> document frequency + head of the sorted "
+    "posting list; one explode + partial-agg groupBy — posting lists "
+    "sorted deterministically (collect_list alone is order-unstable "
+    "across partitionings, hence sort_array) and serialized for the "
+    "hash gate",
+    tags=("text", "index", "extension"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).distinct()
+    return occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+        ).alias("postings_head"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH occurrences AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM occurrences GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM occurrences GROUP BY tok
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.tok,
+             (CAST(t.tf AS DOUBLE)
+              * (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)))
+               AS tfidf
+      FROM tf t JOIN df d ON d.tok = t.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, rank FROM (
+      SELECT doc_id, tok, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, tok ASC)
+                  AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    description="TF-IDF top-3 terms per document with a log-free idf "
+    "(N/df ratio — transcendentals diverge across engines, the ratio "
+    "preserves the ranking): tf and df from one explode via two "
+    "partial aggs, vocabulary broadcast back, per-doc top-k window",
+    tags=("text", "tfidf", "extension"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    tf = occ.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = occ.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tfidf", "rank")
+    )

@@ -102,3 +102,48 @@ def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc_batch(
         c, changes, key="c_custkey", order_cols=["seq"]
     ).select("c_custkey", *payload)
+
+
+@register(
+    "scd2_dimension_history",
+    """
+    WITH changes AS (
+      SELECT user_id, ts, event_type, value, event_id
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    )
+    SELECT user_id,
+           event_id AS change_id,
+           event_type AS attr_event_type,
+           value AS attr_value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+    description="SCD Type-2 dimension history: each change record "
+    "becomes a versioned row with [valid_from, valid_to) effectivity "
+    "and an is_current flag via LEAD over the change sequence — the "
+    "standard warehouse dimension-versioning pattern (one shuffle on "
+    "the business key, window fn; no self-join)",
+    tags=("upsert", "scd2", "warehouse"),
+)
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    valid_to = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_id").alias("change_id"),
+        F.col("event_type").alias("attr_event_type"),
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
