@@ -487,3 +487,78 @@ def test_incremental_rollup_matches_batch_and_replays(spark, tmp_path):
         for r in read_rollup(spark, rollup_path, "event_type").collect()
     }
     assert again == {k: v[0] for k, v in got.items()}, "replay double-counted"
+
+
+def test_fanout_partial_sink_failure_recovers_without_duplicates(
+    spark, tmp_path
+):
+    """Effectively-once under PARTIAL fan-out failure: sink 1 (warehouse)
+    writes its batch, then sink 2 raises -> the batch is uncommitted and
+    the stream fails.  A restart from the same checkpoint replays the
+    batch; the warehouse sink's batch-id overwrite replaces its earlier
+    half-written output instead of appending -> no duplicate rows."""
+    import glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        parquet_sink,
+        start_fanout,
+    )
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "b.json").write_text(
+        "\n".join(
+            _json.dumps({"event_id": i, "v": i * 10}) for i in range(6)
+        )
+    )
+
+    warehouse = str(tmp_path / "wh")
+    poison_marker = tmp_path / "poison_armed"
+    poison_marker.write_text("1")
+
+    def poison_write(df, batch_id):
+        # fail only while armed (first attempt); succeed after restart
+        import os as _os
+
+        if _os.path.exists(str(poison_marker)):
+            raise RuntimeError("downstream webhook outage")
+
+    def make_stream():
+        return (
+            spark.readStream.schema("event_id long, v long")
+            .json(str(src_dir))
+        )
+
+    q = start_fanout(
+        make_stream(),
+        [parquet_sink(warehouse), FanoutSink("poison", poison_write)],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="fanout_poisoned",
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # expected: poisoned sink fails the batch
+    assert q.exception() is not None, "poisoned sink should fail the query"
+
+    # sink 1 already wrote its half of the failed batch
+    assert glob.glob(warehouse + "/batch_id=*"), "warehouse wrote first"
+
+    # outage over: disarm and restart from the SAME checkpoint
+    poison_marker.unlink()
+    q2 = start_fanout(
+        make_stream(),
+        [parquet_sink(warehouse), FanoutSink("poison", poison_write)],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="fanout_recovered",
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    out = spark.read.parquet(warehouse)
+    assert out.count() == 6, "replayed batch duplicated or lost rows"
+    assert out.select("event_id").distinct().count() == 6
