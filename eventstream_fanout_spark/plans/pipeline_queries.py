@@ -276,3 +276,59 @@ def neardup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+@register(
+    "cluster_canonical_best_quality",
+    f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    membership AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             len({sql_tokens('d.text')}) AS n_tokens
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS canonical_doc_id, n_tokens FROM (
+      SELECT cluster_id, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM membership
+    ) WHERE rn = 1
+    """,
+    description="policy-driven dedup: per near-dup cluster keep the "
+    "HIGHEST-QUALITY member (longest token count, id tiebreak) instead "
+    "of the naive smallest-id — the keep-policy real corpora want "
+    "(composition: recursive cluster closure + per-cluster argmax "
+    "window)",
+    tags=("pipeline", "dedup", "quality", "extension"),
+)
+def cluster_canonical_best_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import tokens as _tokens
+
+    labels = dup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("bigint").alias(
+            "n_tokens"
+        )
+    )
+    membership = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_tokens",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        membership.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "n_tokens",
+        )
+    )

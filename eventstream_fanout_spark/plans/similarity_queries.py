@@ -366,3 +366,80 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("norm"), "mean_norm"),
         )
     )
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH {_FLAT},
+    anchors AS (SELECT vec_id AS qid, i, x FROM flat WHERE vec_id < 5),
+    corpus AS (SELECT vec_id, i, x FROM flat WHERE vec_id >= 5),
+    sums AS (
+      SELECT a.qid, c.vec_id,
+             CAST(SUM(CAST(FLOOR(c.x * a.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM corpus c JOIN anchors a ON c.i = a.i
+      GROUP BY a.qid, c.vec_id
+    ),
+    scored AS (
+      SELECT s.qid, s.vec_id, ec.label AS neg_label, ea.label AS qlabel,
+             (s.dot / (sqrt(nc.n2) * sqrt(nq.n2))) AS cosine
+      FROM sums s
+      JOIN norms nc ON nc.vec_id = s.vec_id
+      JOIN norms nq ON nq.vec_id = s.qid
+      JOIN embeddings ec ON ec.vec_id = s.vec_id
+      JOIN embeddings ea ON ea.vec_id = s.qid
+      WHERE ec.label <> ea.label
+    )
+    SELECT qid, vec_id AS negative_id, neg_label, cosine, rank FROM (
+      SELECT qid, vec_id, neg_label, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, vec_id ASC)
+                  AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 2
+    """,
+    description="hard-negative mining for contrastive training: for "
+    "each anchor vector, the top-2 most-similar vectors with a "
+    "DIFFERENT label — the highest-loss negatives a contrastive batch "
+    "wants; one corpus scan serves the whole anchor batch (broadcast "
+    "anchors), per-anchor top-k window. At 100 TB the LSH-bucketed "
+    "probe replaces the scan, same as ann_lsh_bucket_topk",
+    tags=("similarity", "mining", "extension"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine as _cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5).select(
+        "vec_id", "embedding", F.col("label").alias("neg_label")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .where(F.col("neg_label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            "neg_label",
+            _cosine(F.col("embedding"), F.col("qe")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 2)
+        .select(
+            "qid",
+            F.col("vec_id").alias("negative_id"),
+            "neg_label",
+            "cosine",
+            "rank",
+        )
+    )
