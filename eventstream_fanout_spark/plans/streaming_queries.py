@@ -312,3 +312,98 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     )
     return out.withColumn("rn", w).where(F.col("rn") == 1).drop("rn")
+
+
+@register(
+    "bad_records_quarantine",
+    """
+    SELECT event_id AS orig_event_id,
+           (event_id % 13 = 0) AS is_quarantined,
+           (CASE WHEN event_id % 13 <> 0 THEN event_id END)
+             AS parsed_event_id,
+           (CASE WHEN event_id % 13 <> 0 THEN value END) AS parsed_value
+    FROM events
+    """,
+    description="bad-records quarantine: every 13th event's JSON "
+    "payload is deterministically corrupted before a typed from_json "
+    "parse; unparseable rows route to quarantine (null struct -> "
+    "flagged, payload retained for ops) instead of being dropped "
+    "silently. The oracle predicts by construction which rows MUST "
+    "fail, so the query verifies Spark's actual parse/fail behavior "
+    "on both populations",
+    tags=("streaming", "quality", "quarantine"),
+)
+def bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(F.col("event_id").alias("id"), F.col("value").alias("v"))
+    )
+    corrupted = F.when(
+        F.col("event_id") % 13 == 0, F.concat(F.lit("garbage{"), payload)
+    ).otherwise(payload)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    raw = e.select(
+        F.col("event_id").alias("orig_event_id"), corrupted.alias("raw")
+    )
+    parsed = raw.withColumn("p", F.from_json(F.col("raw"), schema))
+    # PERMISSIVE from_json yields a struct of NULLs (not a NULL struct)
+    # for malformed input — quarantine on the mandatory field
+    return parsed.select(
+        "orig_event_id",
+        F.col("p.id").isNull().alias("is_quarantined"),
+        F.col("p.id").alias("parsed_event_id"),
+        F.col("p.v").alias("parsed_value"),
+    )
+
+
+@register(
+    "schema_drift_report",
+    """
+    WITH drifted AS (
+      SELECT event_id,
+             CASE WHEN event_id % 9 = 0 THEN '{"legacy": true}'
+                  WHEN event_id % 5 = 0
+                  THEN regexp_replace(props, '}$', ', "trace_id": "t"}')
+                  ELSE props END AS aug
+      FROM events
+    ),
+    keyed AS (
+      SELECT event_id, unnest(json_keys(aug)) AS key FROM drifted
+    )
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (key IN ('k')) AS is_expected
+    FROM keyed
+    GROUP BY key
+    """,
+    description="schema-drift report: per-JSON-key row counts over a "
+    "payload stream with injected drift (a legacy producer and an "
+    "extra tracing field), flagged against the expected schema — the "
+    "detect-before-break monitor an evolving 100 TB ingest needs "
+    "(json_object_keys + explode + partial-agg count; no UDFs)",
+    tags=("streaming", "quality", "schema-drift"),
+)
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    aug = (
+        F.when(F.col("event_id") % 9 == 0, F.lit('{"legacy": true}'))
+        .when(
+            F.col("event_id") % 5 == 0,
+            F.regexp_replace(F.col("props"), r"\}$", ', "trace_id": "t"}'),
+        )
+        .otherwise(F.col("props"))
+    )
+    keyed = e.select(
+        "event_id", F.explode(F.json_object_keys(aug)).alias("key")
+    )
+    return keyed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.first(F.col("key").isin("k")).alias("is_expected"),
+    )
