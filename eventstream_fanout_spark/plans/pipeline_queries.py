@@ -261,8 +261,14 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    edges = lsh_candidate_pairs(minhash_signatures(docs)).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    # materialize the candidate edges once: the shingle/minhash/band
+    # lineage is the costliest subtree here, and the 3-way self-join
+    # would otherwise re-execute it per alias (ReuseExchange is only
+    # opportunistic) — same localCheckpoint pattern as dup_clusters
+    edges = (
+        lsh_candidate_pairs(minhash_signatures(docs))
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")

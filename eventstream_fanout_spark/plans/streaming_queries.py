@@ -321,7 +321,9 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
            (event_id % 13 = 0) AS is_quarantined,
            (CASE WHEN event_id % 13 <> 0 THEN event_id END)
              AS parsed_event_id,
-           (CASE WHEN event_id % 13 <> 0 THEN value END) AS parsed_value
+           (CASE WHEN event_id % 13 <> 0 THEN
+              (CASE WHEN isnan(value) THEN -1.0 ELSE value END) END)
+             AS parsed_value
     FROM events
     """,
     description="bad-records quarantine: every 13th event's JSON "
@@ -337,8 +339,15 @@ def bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     e = load_table(spark, sf_dir, "events")
+    # nanvl guard: to_json renders NaN as an invalid JSON token, which
+    # would quarantine rows the construction-based oracle doesn't
+    # predict — map non-finite values to a sentinel on BOTH sides so
+    # the only parse failures are the injected corruptions
     payload = F.to_json(
-        F.struct(F.col("event_id").alias("id"), F.col("value").alias("v"))
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.nanvl(F.col("value"), F.lit(-1.0)).alias("v"),
+        )
     )
     corrupted = F.when(
         F.col("event_id") % 13 == 0, F.concat(F.lit("garbage{"), payload)
@@ -370,7 +379,8 @@ def bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id,
              CASE WHEN event_id % 9 = 0 THEN '{"legacy": true}'
                   WHEN event_id % 5 = 0
-                  THEN regexp_replace(props, '}$', ', "trace_id": "t"}')
+                  THEN substr(props, 1, length(props) - 1)
+                       || ', "trace_id": "t"}'
                   ELSE props END AS aug
       FROM events
     ),
@@ -392,18 +402,23 @@ def bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # string surgery (not a regex anchor: Java '$' matches before a
+    # trailing newline, RE2's does not — substr is engine-identical);
+    # precondition: props is compact well-formed JSON ending in '}'
+    inject = F.concat(
+        F.expr("substring(props, 1, length(props) - 1)"),
+        F.lit(', "trace_id": "t"}'),
+    )
     aug = (
         F.when(F.col("event_id") % 9 == 0, F.lit('{"legacy": true}'))
-        .when(
-            F.col("event_id") % 5 == 0,
-            F.regexp_replace(F.col("props"), r"\}$", ', "trace_id": "t"}'),
-        )
+        .when(F.col("event_id") % 5 == 0, inject)
         .otherwise(F.col("props"))
     )
     keyed = e.select(
         "event_id", F.explode(F.json_object_keys(aug)).alias("key")
     )
-    return keyed.groupBy("key").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.first(F.col("key").isin("k")).alias("is_expected"),
+    return (
+        keyed.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("is_expected", F.col("key").isin("k"))
     )

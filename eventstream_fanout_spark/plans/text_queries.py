@@ -314,12 +314,11 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "index", "extension"),
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import tokens as _tokens
+
     docs = load_table(spark, sf_dir, "documents")
     occ = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-        ).alias("tok"),
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
     ).distinct()
     return occ.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
@@ -368,9 +367,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..functions.hashing import tokens as _tokens
+
     docs = load_table(spark, sf_dir, "documents")
     occ = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
     )
     tf = occ.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")

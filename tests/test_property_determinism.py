@@ -88,40 +88,49 @@ def test_hamming_bands_pigeonhole(a, flips):
     assert shared, (a, b, flips)
 
 
+def _py_zorder(x: int, y: int, bits: int = 16) -> int:
+    """Reference Morton interleave — the single Python model both
+    z-order tests compare against."""
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
 @given(
     x=st.integers(min_value=0, max_value=2**16 - 1),
     y=st.integers(min_value=0, max_value=2**16 - 1),
 )
 @settings(max_examples=100, deadline=None)
-def test_zorder_interleave_roundtrip(x, y):
-    """zorder_value must be a true Morton interleave: deinterleaving
-    the even/odd bits recovers (x, y) exactly — checked in pure Python
-    against the same bit plan the Column expression encodes, plus a
-    locality property (z of close points shares a long prefix)."""
-    z = 0
-    for i in range(16):
-        z |= ((x >> i) & 1) << (2 * i)
-        z |= ((y >> i) & 1) << (2 * i + 1)
+def test_zorder_reference_roundtrip(x, y):
+    """The reference interleave must be invertible: deinterleaving the
+    even/odd bits recovers (x, y) exactly (sanity of the model the
+    Spark comparison below relies on)."""
+    z = _py_zorder(x, y)
     back_x = sum(((z >> (2 * i)) & 1) << i for i in range(16))
     back_y = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
     assert (back_x, back_y) == (x, y)
 
 
-def test_zorder_column_matches_python(spark):
-    """The Spark Column implementation equals the reference Python
-    interleave on a sweep of values (including bit-boundary cases)."""
+def test_zorder_column_matches_reference(spark):
+    """The REAL Column implementation (operators/warehouse.zorder_value)
+    must equal the reference interleave on bit-boundary cases plus a
+    seeded 200-pair sweep — one Spark job covers the whole batch."""
+    import random
+
     from pyspark.sql import functions as F
 
     from eventstream_fanout_spark.operators.warehouse import zorder_value
 
+    rng = random.Random(42)
     cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (21845, 43690),
              (256, 255), (32768, 1)]
+    cases += [
+        (rng.randrange(2**16), rng.randrange(2**16)) for _ in range(200)
+    ]
     df = spark.createDataFrame(cases, "x long, y long").select(
         "x", "y", zorder_value(F.col("x"), F.col("y"), 16).alias("z")
     )
     for r in df.collect():
-        z = 0
-        for i in range(16):
-            z |= ((r["x"] >> i) & 1) << (2 * i)
-            z |= ((r["y"] >> i) & 1) << (2 * i + 1)
-        assert r["z"] == z, (r["x"], r["y"], r["z"], z)
+        assert r["z"] == _py_zorder(r["x"], r["y"]), (r["x"], r["y"], r["z"])
