@@ -443,3 +443,62 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "embedding_int8_quantization",
+    """
+    WITH flat2 AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    ranges AS (
+      SELECT vec_id, MIN(x) AS lo, MAX(x) AS hi FROM flat2 GROUP BY vec_id
+    ),
+    coded AS (
+      SELECT f.vec_id, f.x, r.lo, r.hi,
+             CASE WHEN r.hi = r.lo THEN 0.0
+                  ELSE FLOOR((f.x - r.lo) / ((r.hi - r.lo) / 255.0) + 0.5)
+             END AS code
+      FROM flat2 f JOIN ranges r ON r.vec_id = f.vec_id
+    ),
+    errs AS (
+      SELECT vec_id, lo, hi,
+             ABS(lo + code * (CASE WHEN hi = lo THEN 0.0
+                              ELSE (hi - lo) / 255.0 END) - x) AS err
+      FROM coded
+    )
+    SELECT vec_id, MIN(lo) AS lo, MIN(hi) AS hi, MAX(err) AS max_abs_err
+    FROM errs
+    GROUP BY vec_id
+    """,
+    description="int8 embedding quantization (the storage format for "
+    "100 TB vector stores): per-vector min/max affine scale to 0..255 "
+    "codes, dequantization error bounded by scale/2 — pure IEEE "
+    "arithmetic identical in both engines; one explode + two partial "
+    "aggs (error-bound property also pinned in pytest)",
+    tags=("similarity", "quantization", "extension"),
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    lo = F.array_min(x)
+    hi = F.array_max(x)
+    scale = F.when(hi == lo, F.lit(0.0)).otherwise(
+        (hi - lo) / F.lit(255.0)
+    )
+    code = F.transform(
+        x,
+        lambda v: F.when(hi == lo, F.lit(0.0)).otherwise(
+            F.floor((v - lo) / ((hi - lo) / F.lit(255.0)) + F.lit(0.5))
+        ),
+    )
+    errs = F.zip_with(
+        code, x, lambda c, v: F.abs(lo + c * scale - v)
+    )
+    return emb.select(
+        "vec_id",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        F.array_max(errs).alias("max_abs_err"),
+    )

@@ -398,3 +398,59 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "tok", "tfidf", "rank")
     )
+
+
+@register(
+    "media_header_parse",
+    """
+    SELECT doc_id,
+           TRUE AS magic_ok,
+           CAST(64 + doc_id % 1024 AS BIGINT) AS width,
+           CAST(48 + (doc_id * 7) % 768 AS BIGINT) AS height,
+           CAST(1 + doc_id % 4 AS BIGINT) AS channels,
+           CAST(15 AS INTEGER) AS n_bytes,
+           upper(substr(md5(text), 1, 16)) AS body_hex
+    FROM documents
+    """,
+    description="real binary decode in JVM built-ins (multimodal "
+    "upgrade beyond the metadata projection + codec stub): a synthetic "
+    "image-like payload — magic FFD8, 2-byte width/height, 1-byte "
+    "channels, 8 body bytes — is ASSEMBLED as a true binary column "
+    "(unhex) and PARSED back by byte offset (binary substring -> hex "
+    "-> conv). The oracle predicts every parsed field by construction, "
+    "so the query verifies the full binary round-trip against ground "
+    "truth; the same slice-and-convert plumbing decodes any "
+    "fixed-layout media header at 100 TB without leaving codegen",
+    tags=("multimodal", "binary", "extension"),
+)
+def media_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    width = F.lit(64) + F.col("doc_id") % 1024
+    height = F.lit(48) + (F.col("doc_id") * 7) % 768
+    channels = F.lit(1) + F.col("doc_id") % 4
+    hex_of = lambda col, n: F.lpad(  # noqa: E731
+        F.conv(col.cast("string"), 10, 16), n, "0"
+    )
+    header_hex = F.concat(
+        F.lit("FFD8"),
+        hex_of(width, 4),
+        hex_of(height, 4),
+        hex_of(channels, 2),
+        F.upper(F.substring(F.md5("text"), 1, 16)),
+    )
+    payload = F.unhex(header_hex)  # a REAL binary column
+    built = docs.select("doc_id", payload.alias("payload"))
+    # parse back purely from the bytes
+    b = F.col("payload")
+    field = lambda pos, nbytes: F.conv(  # noqa: E731
+        F.hex(F.substring(b, pos, nbytes)), 16, 10
+    ).cast("bigint")
+    return built.select(
+        "doc_id",
+        (F.hex(F.substring(b, 1, 2)) == "FFD8").alias("magic_ok"),
+        field(3, 2).alias("width"),
+        field(5, 2).alias("height"),
+        field(7, 1).alias("channels"),
+        F.octet_length(b).cast("int").alias("n_bytes"),
+        F.hex(F.substring(b, 8, 8)).alias("body_hex"),
+    )

@@ -83,3 +83,20 @@ def test_leakage_safe_splits_no_cross_split_neardups(spark):
             for s in ("test", "val", "train")}
     assert 0.05 < frac["test"] < 0.25 and 0.05 < frac["val"] < 0.25
     assert frac["train"] > 0.5
+
+
+def test_int8_quantization_error_bound(spark):
+    """Affine int8 quantization with half-up rounding must keep every
+    element within half a quantization step of its dequantized code."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERIES["embedding_int8_quantization"].fn(
+        spark, SF_ORACLE
+    ).collect()
+    assert len(rows) > 100
+    for r in rows:
+        step = (r["hi"] - r["lo"]) / 255.0
+        assert r["max_abs_err"] <= step / 2 + 1e-12, (
+            r["vec_id"], r["max_abs_err"], step,
+        )
