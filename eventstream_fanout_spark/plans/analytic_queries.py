@@ -412,3 +412,77 @@ def cube_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.cube("event_type", "band").agg(
         F.count(F.lit(1)).alias("n_events"), davg(F.col("value"), "mean_value")
     )
+
+
+@register(
+    "winsorized_values",
+    """
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    bounds AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                      THEN value END) AS p05,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN value END) AS p95
+      FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.value,
+           least(greatest(r.value, b.p05), b.p95) AS value_winsorized,
+           (r.value < b.p05 OR r.value > b.p95) AS was_clipped
+    FROM ranked r JOIN bounds b ON b.event_type = r.event_type
+    """,
+    description="winsorization (outlier clipping) at exact per-group "
+    "p05/p95: discrete percentiles via row_number+count windows, "
+    "bounds broadcast back, least/greatest clip — the standard "
+    "preprocessing step before numeric features feed a model; no "
+    "value leaves its group's observed range",
+    tags=("analytic", "percentile", "preprocessing"),
+)
+def winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ranked.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            clipped.alias("value_winsorized"),
+            (
+                (F.col("value") < F.col("p05"))
+                | (F.col("value") > F.col("p95"))
+            ).alias("was_clipped"),
+        )
+    )

@@ -502,3 +502,34 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.alias("hi"),
         F.array_max(errs).alias("max_abs_err"),
     )
+
+
+@register(
+    "label_balanced_sample",
+    """
+    SELECT vec_id, label FROM (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                         vec_id ASC) AS rn
+      FROM embeddings
+    ) WHERE rn <= 25
+    """,
+    description="label-balanced embedding sample: exactly 25 vectors "
+    "per label chosen by hash order (deterministic, unbiased within "
+    "class) — the class-rebalance step before training a probe/"
+    "classifier on skewed labels; one shuffle on the label key",
+    tags=("similarity", "sampling", "extension"),
+)
+def label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select("vec_id", "label")
+    )
