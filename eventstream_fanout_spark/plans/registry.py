@@ -102,6 +102,22 @@ FRONT: list[str] = [
     "stream_dedup_distinct",
 ]
 
+# ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands, replace FRONT with
+# the queries that then still lack a driver-green row — as of round-2
+# end these 25 carry local (driver_sim/spot_check) evidence only:
+#   repetition_profile, pii_redaction, domain_mix_sample,
+#   sequence_packing, vocab_coverage, approx_quantiles_value,
+#   doc_chunks_udtf, stream_session_window_watermark,
+#   zorder_layout_key, leakage_safe_splits, table_profile,
+#   benchmark_decontamination, token_rarity_score,
+#   scd2_dimension_history, inverted_index_postings, tfidf_top_terms,
+#   neardup_graph_triangles, cluster_canonical_best_quality,
+#   hard_negative_mining, bad_records_quarantine, schema_drift_report,
+#   media_header_parse, embedding_int8_quantization,
+#   winsorized_values, label_balanced_sample
+# plus any round-3 additions; pad remaining slots with round-1/2-green
+# queries (rotate, don't retire — the local gates keep them honest).
+
 
 def ordered_queries() -> dict[str, QuerySpec]:
     """Registry in evidence-priority order: FRONT names first (in list
