@@ -96,6 +96,84 @@ def lsh_topk(corpus: DataFrame, query: DataFrame, k: int) -> DataFrame:
     )
 
 
+IVF_SEED_LO, IVF_SEED_HI = 10, 17  # 8 deterministic seed centroids
+IVF_NPROBE = 2
+
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """IVF coarse-quantizer "training" stand-in: a deterministic seed
+    set of corpus vectors (vec_id 10..17) plays the centroid role so the
+    SQL oracle can reproduce the index bit-for-bit.  In production the
+    centroids come from a k-means fit over a sample and ship as a small
+    broadcast artifact (like the LSH hyperplanes); every plan below is
+    identical either way — only where the 8 rows come from changes."""
+    return emb.where(
+        (F.col("vec_id") >= IVF_SEED_LO) & (F.col("vec_id") <= IVF_SEED_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    ties to the lowest cid) -> (vec_id, list_id).
+
+    Scale shape: broadcast the k centroids, k cosines per row (a pure
+    map, one corpus scan), then a map-side-combining groupBy on vec_id
+    whose payload is 16 bytes/row.  No corpus-vs-corpus join anywhere.
+    At index-build time this runs once and persists as the inverted
+    lists; queries never touch it."""
+    scored = (
+        corpus.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "cid",
+            cosine(F.col("embedding"), F.col("ce")).alias("ccos"),
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))
+        ).alias("m")
+    )
+    return best.select("vec_id", (-F.col("m.ncid")).alias("list_id"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-Flat ANN top-k: probe the ``nprobe`` inverted lists nearest
+    the query and brute-force only those lists (~nprobe/k_lists of the
+    corpus instead of all of it).  Recall < 1 by design; raising nprobe
+    trades scan fraction for recall — the standard IVF dial."""
+    centroids = ivf_centroids(corpus)
+    assign = ivf_assign(corpus, centroids)
+    probes = (
+        query.crossJoin(F.broadcast(centroids))
+        .select("cid", cosine(F.col("qe"), F.col("ce")).alias("qcos"))
+        .orderBy(F.desc("qcos"), F.asc("cid"))
+        .limit(nprobe)
+        .select(F.col("cid").alias("probe_cid"))
+    )
+    probed = assign.join(
+        F.broadcast(probes), F.col("list_id") == F.col("probe_cid")
+    ).select("vec_id", "list_id")
+    cand = corpus.join(probed, "vec_id")
+    return (
+        cand.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            "list_id",
+            cosine(F.col("embedding"), F.col("qe")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_near_pairs(
     corpus: DataFrame, min_cosine: float, sample_mod: int = 16
 ) -> DataFrame:

@@ -505,6 +505,89 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_FLAT},
+    cent AS (SELECT vec_id AS cid, i, x FROM flat
+             WHERE vec_id BETWEEN 10 AND 17),
+    corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0),
+    adots AS (
+      SELECT corp.vec_id, cent.cid,
+             CAST(SUM(CAST(FLOOR(corp.x * cent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM corp JOIN cent ON corp.i = cent.i
+      GROUP BY 1, 2
+    ),
+    acos AS (
+      SELECT a.vec_id, a.cid,
+             (a.dot / (sqrt(nv.n2) * sqrt(nc.n2))) AS ccos
+      FROM adots a
+      JOIN norms nv ON nv.vec_id = a.vec_id
+      JOIN norms nc ON nc.vec_id = a.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM acos
+      ) WHERE rn = 1
+    ),
+    qdots AS (
+      SELECT cent.cid,
+             CAST(SUM(CAST(FLOOR(qf.x * cent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM flat qf JOIN cent ON qf.i = cent.i
+      WHERE qf.vec_id = 0
+      GROUP BY 1
+    ),
+    probes AS (
+      SELECT q.cid FROM qdots q
+      JOIN norms nq ON nq.vec_id = 0
+      JOIN norms nc ON nc.vec_id = q.cid
+      ORDER BY (q.dot / (sqrt(nq.n2) * sqrt(nc.n2))) DESC, q.cid ASC
+      LIMIT 2
+    ),
+    cdots AS (
+      SELECT corp.vec_id,
+             CAST(SUM(CAST(FLOOR(corp.x * qf.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM corp
+      JOIN (SELECT i, x FROM flat WHERE vec_id = 0) qf ON corp.i = qf.i
+      WHERE corp.vec_id IN (
+        SELECT a.vec_id FROM assign a JOIN probes p ON a.list_id = p.cid
+      )
+      GROUP BY 1
+    )
+    SELECT c.vec_id, e.label, a.list_id,
+           (c.dot / (sqrt(nv.n2) * sqrt(nq.n2))) AS cosine
+    FROM cdots c
+    JOIN assign a ON a.vec_id = c.vec_id
+    JOIN norms nv ON nv.vec_id = c.vec_id
+    JOIN norms nq ON nq.vec_id = 0
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    ORDER BY cosine DESC, c.vec_id ASC
+    LIMIT 10
+    """,
+    description="IVF-Flat ANN top-10: 8 deterministic seed centroids, "
+    "nearest-centroid inverted lists (broadcast centroids -> pure map "
+    "assignment + tiny-payload argmax agg), query probes its 2 nearest "
+    "lists and brute-forces only those (~nprobe/k of the corpus). The "
+    "second ANN scale path next to LSH buckets; nprobe is the "
+    "recall/scan-fraction dial. In production the centroids are a "
+    "k-means artifact broadcast like the LSH hyperplanes; index build "
+    "is one scan, amortized over all queries",
+    tags=("similarity", "ann", "ivf", "extension"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    return ivf_topk(corpus, _query_vec(spark, sf_dir), 10)
+
+
+@register(
     "label_balanced_sample",
     """
     SELECT vec_id, label FROM (

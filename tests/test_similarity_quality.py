@@ -100,3 +100,50 @@ def test_int8_quantization_error_bound(spark):
         assert r["max_abs_err"] <= step / 2 + 1e-12, (
             r["vec_id"], r["max_abs_err"], step,
         )
+
+
+def test_ivf_ann_consistent_with_brute_force(spark):
+    """IVF-Flat probe results must carry brute-force-identical scores,
+    come from at most nprobe inverted lists, and the index must assign
+    every corpus vector to exactly one list."""
+    from eventstream_fanout_spark.operators.similarity import (
+        IVF_NPROBE,
+        brute_force_topk,
+        ivf_assign,
+        ivf_centroids,
+    )
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from eventstream_fanout_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    query = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    all_scores = {
+        r["vec_id"]: r["cosine"]
+        for r in brute_force_topk(corpus, query, corpus.count()).collect()
+    }
+    ivf = QUERIES["ann_ivf_topk"].fn(spark, SF_ORACLE).collect()
+    assert ivf, "IVF probe returned nothing"
+    for r in ivf:
+        assert all_scores[r["vec_id"]] == r["cosine"]
+    assert len({r["list_id"] for r in ivf}) <= IVF_NPROBE
+    cosines = [r["cosine"] for r in ivf]
+    assert cosines == sorted(cosines, reverse=True)
+
+    # the inverted index is a partition of the corpus
+    assign = ivf_assign(corpus, ivf_centroids(corpus))
+    assert assign.count() == corpus.count()
+    assert assign.select("vec_id").distinct().count() == corpus.count()
+
+    # candidate scoring stays list-local: no unbounded cartesian (the
+    # only nested-loop joins are against constant-size broadcast sides)
+    plan = (
+        QUERIES["ann_ivf_topk"]
+        .fn(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
