@@ -75,6 +75,88 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cross-document boilerplate removal (C4-style) --------------------
+
+_BLOCK_WORDS = 8
+_BOILERPLATE_MIN_DOCS = 2
+
+
+@register(
+    "boilerplate_block_removal",
+    f"""
+    WITH words AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS ord,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id,
+             CAST((ord - 1) // {_BLOCK_WORDS} AS BIGINT) AS bidx,
+             string_agg(w, ' ' ORDER BY ord) AS btext
+      FROM words
+      GROUP BY doc_id, CAST((ord - 1) // {_BLOCK_WORDS} AS BIGINT)
+    ),
+    counts AS (
+      SELECT btext, COUNT(DISTINCT doc_id) AS ndocs
+      FROM blocks GROUP BY btext
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN c.ndocs >= {_BOILERPLATE_MIN_DOCS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(
+             CASE WHEN c.ndocs < {_BOILERPLATE_MIN_DOCS} THEN b.btext END,
+             ' ' ORDER BY b.bidx), '') AS kept_text
+    FROM blocks b JOIN counts c ON c.btext = b.btext
+    GROUP BY b.doc_id
+    """,
+    description="cross-document boilerplate removal (the C4 'repeated "
+    "line' rule re-expressed for word-stream docs): chunk every doc "
+    "into fixed 8-word blocks, drop any block that appears verbatim in "
+    ">= 2 distinct docs, reassemble the surviving text in order. Three "
+    "shuffle stages — block-count groupBy, join back on the block key, "
+    "per-doc reassembly — each partial-aggregated; at 100 TB join on "
+    "xxhash64(block) instead of the raw text to cut shuffle width",
+    tags=("text", "curation", "dedup", "extension"),
+)
+def boilerplate_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nb = F.ceil(F.size(words) / F.lit(_BLOCK_WORDS)).cast("int")
+    blocks_arr = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda b: F.array_join(
+            F.slice(words, b * _BLOCK_WORDS + 1, _BLOCK_WORDS), " "
+        ),
+    )
+    blocks = docs.select(
+        "doc_id", F.posexplode(blocks_arr).alias("bidx", "btext")
+    )
+    counts = blocks.groupBy("btext").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    flagged = blocks.join(counts, "btext")
+    kept = F.when(
+        F.col("ndocs") < _BOILERPLATE_MIN_DOCS,
+        F.struct(F.col("bidx"), F.col("btext")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(
+            F.when(F.col("ndocs") >= _BOILERPLATE_MIN_DOCS, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["btext"]
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
 # --- PII detection / redaction ----------------------------------------
 
 _EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"

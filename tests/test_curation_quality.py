@@ -1,0 +1,39 @@
+"""Curation-operator invariants the SQL oracle can't see: the oracle
+proves Spark==DuckDB, not that the operator does anything useful —
+these pin non-degeneracy and reassembly identity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def test_boilerplate_removal_nondegenerate_and_identity(spark):
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from eventstream_fanout_spark.sources.tables import load_table
+
+    out = QUERIES["boilerplate_block_removal"].fn(spark, SF_ORACLE)
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    joined = out.join(docs, "doc_id").cache()
+    try:
+        # the threshold actually fires on the injected near-dups
+        removed = joined.agg(F.sum("n_removed")).first()[0]
+        assert removed and removed > 0, "no boilerplate flagged: degenerate"
+        # and doesn't fire everywhere
+        untouched = joined.where(F.col("n_removed") == 0)
+        assert untouched.count() > 0
+        # reassembly identity: docs with nothing removed round-trip
+        assert (
+            untouched.where(F.col("kept_text") != F.col("text")).count() == 0
+        )
+        # removal accounting: kept blocks + removed blocks = all blocks
+        kept_blocks = F.when(F.col("kept_text") == "", F.lit(0)).otherwise(
+            F.ceil(F.size(F.split(F.col("kept_text"), " ")) / 8)
+        )
+        bad = joined.where(
+            kept_blocks + F.col("n_removed") != F.col("n_blocks")
+        )
+        assert bad.count() == 0
+    finally:
+        joined.unpersist()
