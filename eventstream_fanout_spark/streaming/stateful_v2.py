@@ -1,0 +1,113 @@
+"""Custom stateful streaming operator via ``transformWithStateInPandas``
+(Spark 4's arbitrary-state API, the successor to
+``applyInPandasWithState`` used in streaming/stateful.py — richer state
+primitives: named ValueState/ListState/MapState, timers, state TTL).
+
+``TotalsProcessor`` maintains the same per-user (n_events, total_value)
+accumulator as ``running_user_totals`` (the engine-native replacement
+for the reference's fire-and-forget ``INCRBY eng10m:{id}`` counters,
+reference pipeline/app.py:92-95), with one upgrade: the running sum is
+kept in exact nano-unit int64 (the functions/vectors.py quantization
+pattern), so the final totals are bit-identical to a SQL oracle no
+matter how rows are batched — a hash-checkable custom stateful
+operator, not just a rows-only one.
+
+Scale notes: state lives in the RocksDB state store (the session conf
+pins RocksDBStateStoreProvider), one keyed partition per shuffle task;
+per-batch work is Arrow-batched pandas on executors.  ``ttlDurationMs``
+on the value state is the idiomatic replacement for the reference's
+Redis ``EXPIRE 600`` — left unset because the oracle checks lifetime
+totals.
+
+Container gap (declared, same policy as the media-decode stub): the
+transformWithState runtime speaks a protobuf-based state-server
+protocol and this container ships no ``google.protobuf`` — plan
+construction and analysis work (asserted in tests), execution is
+gated on :func:`tws_runtime_available`; the full stream-vs-batch
+equivalence test self-activates where protobuf exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+QV = 1_000_000_000.0  # nano-unit quantization, shared with vectors.py
+
+
+def tws_runtime_available() -> bool:
+    """True when the Python protobuf runtime the transformWithState
+    state-server protocol needs is importable."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TotalsProcessor(StatefulProcessor):
+    """Per-user running (count, quantized sum(value)) in a ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n long, total_q long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+        import pandas as pd
+
+        n, total_q = (
+            self._totals.get() if self._totals.exists() else (0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            v = np.nan_to_num(
+                pdf["value"].to_numpy(dtype="float64"), nan=0.0
+            )
+            total_q += int(
+                np.floor(v * QV + 0.5).astype("int64").sum()
+            )
+        self._totals.update((n, total_q))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total_q / QV],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_v2(events: DataFrame) -> DataFrame:
+    """transformWithState version of ``running_user_totals`` — same
+    output contract (exact-quantized sum), same batch fallback."""
+    from pyspark.sql import functions as F
+
+    if not events.isStreaming:
+        vq = F.floor(
+            F.nanvl(F.coalesce(F.col("value"), F.lit(0.0)), F.lit(0.0))
+            * F.lit(QV)
+            + F.lit(0.5)
+        ).cast("long")
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(vq).cast("double") / F.lit(QV)).alias("total_value"),
+        )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
