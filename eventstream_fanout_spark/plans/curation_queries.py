@@ -647,3 +647,101 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(rarity, "mean_rarity"),
         )
     )
+
+# --- source/domain reputation (corpus-mix input) -----------------------
+
+
+def _source_reputation_oracle() -> str:
+    from .text_queries import _QUALITY_SQL
+
+    return f"""
+    WITH quality AS (
+      SELECT doc_id, quality_score FROM ({_QUALITY_SQL})
+    ),
+    dupflag AS (
+      SELECT doc_id,
+             (COUNT(*) OVER (PARTITION BY md5(text)) > 1) AS is_dup
+      FROM documents
+    ),
+    per_source AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             {sql_davg('q.quality_score')} AS mean_quality,
+             (CAST(SUM(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) AS dup_rate
+      FROM documents d
+      JOIN quality q ON q.doc_id = d.doc_id
+      JOIN dupflag f ON f.doc_id = d.doc_id
+      GROUP BY d.source
+    ),
+    langs AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, lang
+    ),
+    top_lang AS (
+      SELECT source, lang AS top_lang, c AS top_lang_docs FROM (
+        SELECT source, lang, c,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang ASC) AS rn
+        FROM langs
+      ) WHERE rn = 1
+    )
+    SELECT p.source, p.n_docs, p.mean_quality, p.dup_rate,
+           t.top_lang, t.top_lang_docs
+    FROM per_source p JOIN top_lang t ON t.source = p.source
+    """
+
+
+@register(
+    "source_reputation_profile",
+    _source_reputation_oracle(),
+    description="per-source (domain) reputation rollup: doc count, "
+    "exact mean quality score, exact-duplicate rate, dominant language "
+    "— the standard input to corpus mixing / domain up-down-weighting. "
+    "Shape: one groupBy(source) over doc-level signals (quality "
+    "profile reused, dup flag from a hash-count join), plus a tiny "
+    "(source, lang) mode agg joined back. All keys are low-cardinality "
+    "-> map-side combine does the heavy lifting at 100 TB; the md5 "
+    "dup-count join is the same uniform-key shuffle as dedup_exact",
+    tags=("text", "curation", "quality", "extension"),
+)
+def source_reputation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.core import davg
+    from ..operators.text_analysis import quality_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_profile(docs).select("doc_id", "quality_score")
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    hcnt = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    flags = hashed.join(hcnt, "h").select(
+        "doc_id", (F.col("c") > 1).alias("is_dup")
+    )
+    joined = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(flags, "doc_id")
+    )
+    per_source = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        davg(F.col("quality_score"), "mean_quality"),
+        (
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )
+    langs = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top_lang = (
+        langs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("c").alias("top_lang_docs"),
+        )
+    )
+    return per_source.join(top_lang, "source")
