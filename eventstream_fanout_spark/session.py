@@ -30,6 +30,9 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for any pandas_udf / toPandas path (10-100x over pickling).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs batch through Arrow too (BatchEvalPythonUDTF ->
+    # ArrowEvalPythonUDTF): no row-at-a-time pickling on the UDTF seam.
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # Streaming state that survives large key cardinality.
     "spark.sql.streaming.stateStore.providerClass":
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",

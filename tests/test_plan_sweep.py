@@ -1,0 +1,81 @@
+"""Repo-wide plan-hygiene sweep over the ENTIRE registered batch
+surface — the standing version of the per-query plan tests: no
+unbounded cartesian anywhere, nested-loop joins only against
+constant-size broadcast sides that are explicitly allowlisted, and no
+row-at-a-time Python UDFs (Arrow-batched pandas UDFs only where
+declared).  A new query that regresses scale hygiene fails here
+without anyone having to remember to add a test."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+# Queries whose plan legitimately contains BroadcastNestedLoopJoin:
+# every one is a crossJoin against a CONSTANT-size broadcast side
+# (1-row query vector, 5-row anchor batch, 8-row centroid set) — per-row
+# work bounded by a constant, so the "nested loop" is really a map.
+BNLJ_ALLOWED = {
+    "ann_cosine_topk",
+    "ann_batch_topk",
+    "ann_lsh_bucket_topk",
+    "ann_ivf_topk",
+    "hard_negative_mining",
+    "embedding_near_pairs",  # sample-capped ground-truth verifier
+    "corpus_clean_pipeline",  # chains the ANN scoring above
+    "benchmark_decontamination",  # broadcast bench-probe set
+    # scalar-subquery joins: the build side is a 1-row aggregate
+    # (TPC-H threshold / total-doc-count), a constant by construction
+    "q11_important_balance",
+    "q22_global_sales_opportunity",
+    "tfidf_top_terms",
+    "vocab_coverage",
+}
+
+# Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
+# declared Python seams: Arrow-batched, never row-at-a-time).
+ARROW_ALLOWED = {
+    "pandas_udf_token_count",
+    "multimodal_decode_stub",
+    "multimodal_meta",
+    "media_header_parse",
+    "doc_chunks_udtf",
+}
+
+
+def _batch_specs():
+    from eventstream_fanout_spark.plans.registry import QUERIES
+
+    return [
+        s
+        for s in QUERIES.values()
+        if "streaming" not in s.tags or s.name in (
+            # streaming-tagged but batch-evaluated (no stream started)
+            "bad_records_quarantine",
+            "schema_drift_report",
+        )
+    ]
+
+
+@pytest.mark.parametrize(
+    "spec", _batch_specs(), ids=lambda s: s.name
+)
+def test_plan_hygiene(spark, spec):
+    df = spec.fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, (
+        f"{spec.name}: unbounded cartesian in plan"
+    )
+    if "BroadcastNestedLoopJoin" in plan:
+        assert spec.name in BNLJ_ALLOWED, (
+            f"{spec.name}: BroadcastNestedLoopJoin outside the "
+            "constant-broadcast allowlist"
+        )
+    assert "BatchEvalPython" not in plan, (
+        f"{spec.name}: row-at-a-time Python UDF in the hot path"
+    )
+    if "ArrowEvalPython" in plan or "MapInPandas" in plan:
+        assert spec.name in ARROW_ALLOWED, (
+            f"{spec.name}: undeclared Python seam"
+        )
