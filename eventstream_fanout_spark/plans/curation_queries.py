@@ -745,3 +745,56 @@ def source_reputation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_source.join(top_lang, "source")
+
+# --- text normalization (pre-dedup canonical form) ---------------------
+
+
+@register(
+    "text_normalization_roundtrip",
+    """
+    WITH messy AS (
+      SELECT doc_id, text,
+             ('  ' ||
+              replace(
+                CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END,
+                ' ',
+                CASE WHEN doc_id % 3 = 0 THEN '  ' ELSE ' ' END)
+              || ' ') AS aug
+      FROM documents
+    )
+    SELECT doc_id,
+           ((doc_id % 7 = 0) OR (doc_id % 3 = 0)) AS was_cased_or_spaced,
+           md5(trim(lower(regexp_replace(aug, ' +', ' ', 'g'))))
+             AS norm_md5,
+           (trim(lower(regexp_replace(aug, ' +', ' ', 'g'))) = text)
+             AS roundtrip_ok
+    FROM messy
+    """,
+    description="text normalization (the canonical form every dedup "
+    "pass should key on): lowercase + whitespace-collapse + trim. "
+    "Deterministic case/spacing mess is injected on both sides so the "
+    "normalizer provably fires, and the round-trip flag verifies "
+    "normalize(mess(text)) == text for every doc. Pure per-row "
+    "expressions — zero shuffles, whole-stage codegen",
+    tags=("text", "curation", "normalize", "extension"),
+)
+def text_normalization_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cased = F.when(
+        F.col("doc_id") % 7 == 0, F.upper(F.col("text"))
+    ).otherwise(F.col("text"))
+    spaced = F.when(
+        F.col("doc_id") % 3 == 0, F.regexp_replace(cased, " ", "  ")
+    ).otherwise(cased)
+    aug = F.concat(F.lit("  "), spaced, F.lit(" "))
+    norm = F.trim(F.lower(F.regexp_replace(aug, " +", " ")))
+    return docs.select(
+        "doc_id",
+        ((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 3 == 0)).alias(
+            "was_cased_or_spaced"
+        ),
+        F.md5(norm).alias("norm_md5"),
+        (norm == F.col("text")).alias("roundtrip_ok"),
+    )
