@@ -115,8 +115,15 @@ FRONT: list[str] = [
 #   hard_negative_mining, bad_records_quarantine, schema_drift_report,
 #   media_header_parse, embedding_int8_quantization,
 #   winsorized_values, label_balanced_sample
-# plus any round-3 additions; pad remaining slots with round-1/2-green
-# queries (rotate, don't retire — the local gates keep them honest).
+# plus the round-3 additions (ann_ivf_topk, boilerplate_block_removal,
+# source_reputation_profile, text_normalization_roundtrip); pad
+# remaining slots with round-1/2-green queries (rotate, don't retire —
+# the local gates keep them honest).
+#
+# NOTE (round 3): CORRECTNESS_r02 never materialized (no driver
+# artifacts landed between rounds), so the round-2 FRONT above is
+# still the highest-value unproven set and stays for the round-3
+# check; the rotation described here shifts to round 4.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:
