@@ -372,3 +372,89 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.p").alias("quantile"),
         F.col("z.v").alias("value_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch algebra (round 3): Apache DataSketches builtins — theta
+# sketches give SET OPERATIONS on sketches (union/intersection/
+# difference of user sets without materializing them) and HLL sketches
+# are mergeable (store per-partition sketches, fold at read — the
+# warehouse rollup pattern for 100 TB cardinality).  Sketch bytes are
+# engine-specific, so rows-only for the driver; pytest bounds the
+# estimates against exact values and pins merge losslessness.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theta_sketch_user_sets",
+    None,  # sketch estimates are engine-specific; bounds in pytest
+    description="theta-sketch set algebra over user sets: sketch the "
+    "purchase-users and error-users sets independently, then estimate "
+    "union / intersection / difference WITHOUT materializing either "
+    "set — the distributed set-op path at 100 TB (sketches are bytes, "
+    "merge is associative; the exact twin is "
+    "set_ops_purchasers_vs_errors)",
+    tags=("window", "approx", "sketch", "theta"),
+)
+def theta_sketch_user_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sketches = events.groupBy().agg(
+        F.theta_sketch_agg(
+            F.when(
+                F.col("event_type") == "purchase", F.col("user_id")
+            )
+        ).alias("purch"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "error", F.col("user_id"))
+        ).alias("err"),
+    )
+    return sketches.select(
+        F.round(
+            F.theta_sketch_estimate(F.col("purch")), 0
+        ).cast("long").alias("purchasers_est"),
+        F.round(
+            F.theta_sketch_estimate(F.col("err")), 0
+        ).cast("long").alias("error_users_est"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_union(F.col("purch"), F.col("err"))
+            ),
+            0,
+        ).cast("long").alias("either_est"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("purch"), F.col("err"))
+            ),
+            0,
+        ).cast("long").alias("both_est"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("purch"), F.col("err"))
+            ),
+            0,
+        ).cast("long").alias("purch_only_est"),
+    )
+
+
+@register(
+    "hll_daily_merge_distinct",
+    None,  # sketch estimates are engine-specific; bounds in pytest
+    description="mergeable-HLL rollup: per-day HLL sketches of "
+    "user_id folded with hll_union_agg to a global distinct estimate "
+    "— the store-sketches/merge-on-read warehouse pattern (a rollup "
+    "table of sketch bytes re-aggregates to ANY grouping without "
+    "rescanning facts); merge losslessness vs the direct single-pass "
+    "sketch is pinned in pytest",
+    tags=("window", "approx", "sketch", "hll"),
+)
+def hll_daily_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("distinct_users_merged"),
+    )

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from eventstream_fanout_spark.sources.tables import load_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_stateful_totals_match_batch(spark, tmp_path):
@@ -226,3 +226,65 @@ def test_transform_with_state_plan_and_batch_fallback(spark, tmp_path):
     finally:
         q.stop()
     assert final == got
+
+
+def test_theta_sketch_estimates_bounded(spark):
+    """Theta-sketch set-op estimates must land within the sketch error
+    envelope of the exact set sizes (and be internally consistent)."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+
+    r = QUERIES["theta_sketch_user_sets"].fn(spark, SF_ORACLE).collect()[0]
+    e = load_table(spark, SF_ORACLE, "events")
+    p = {
+        x[0]
+        for x in e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    x = {
+        x[0]
+        for x in e.where(F.col("event_type") == "error")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+
+    def close(est, exact):
+        return abs(est - exact) <= max(0.05 * exact, 2)
+
+    assert close(r["purchasers_est"], len(p))
+    assert close(r["error_users_est"], len(x))
+    assert close(r["either_est"], len(p | x))
+    assert close(r["both_est"], len(p & x))
+    assert close(r["purch_only_est"], len(p - x))
+    # internal consistency of the algebra
+    assert r["either_est"] >= max(r["purchasers_est"], r["error_users_est"])
+    assert r["both_est"] <= min(r["purchasers_est"], r["error_users_est"])
+
+
+def test_hll_merge_lossless_and_bounded(spark):
+    """Folding per-day HLL sketches must give the same estimate as one
+    direct pass (merge losslessness — the property that makes a rollup
+    table of sketch bytes re-aggregatable), and land near exact."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+
+    merged = (
+        QUERIES["hll_daily_merge_distinct"]
+        .fn(spark, SF_ORACLE)
+        .collect()[0]
+    )
+    e = load_table(spark, SF_ORACLE, "events")
+    direct = (
+        e.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", 14)
+            ).cast("long")
+        ).collect()[0][0]
+    )
+    exact = e.select("user_id").distinct().count()
+    assert merged["distinct_users_merged"] == direct
+    assert abs(merged["distinct_users_merged"] - exact) <= max(
+        0.05 * exact, 2
+    )
+    assert merged["n_days"] > 1  # the fold genuinely merged sketches
