@@ -486,3 +486,43 @@ def winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("was_clipped"),
         )
     )
+
+
+@register(
+    "unpivot_event_matrix",
+    """
+    WITH wide AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+               AS purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'click' AS event_type, click AS n FROM wide
+    UNION ALL
+    SELECT user_id, 'view' AS event_type, view AS n FROM wide
+    UNION ALL
+    SELECT user_id, 'purchase' AS event_type, purchase AS n FROM wide
+    """,
+    description="unpivot/melt as a first-class relational op: the "
+    "per-user event-type count matrix widened by pivot() is melted "
+    "back to long form with DataFrame.unpivot (Spark's native melt) — "
+    "wide-to-long is the standard reshape before per-metric analysis; "
+    "the oracle is the UNION-ALL expansion",
+    tags=("analytic", "unpivot", "reshape"),
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["click", "view", "purchase"],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
