@@ -798,3 +798,58 @@ def text_normalization_roundtrip(
         F.md5(norm).alias("norm_md5"),
         (norm == F.col("text")).alias("roundtrip_ok"),
     )
+
+# --- deterministic global training-order shuffle -----------------------
+
+
+@register(
+    "corpus_shuffle_order",
+    """
+    SELECT doc_id,
+           md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)) ASC,
+                      doc_id ASC) AS BIGINT) AS global_pos
+    FROM documents
+    """,
+    description="deterministic global training-order shuffle: every doc "
+    "gets a reproducible position in the corpus-wide md5 order (the "
+    "shuffled write order a training-data exporter needs). Computed "
+    "scalably: the first md5 byte-pair buckets the corpus 256 ways, "
+    "row_number runs per bucket in parallel, and a 256-row cumulative "
+    "count window turns bucket-local ranks into global positions — "
+    "because the bucket is a PREFIX of the sort key, bucket-then-key "
+    "order equals pure key order, so no single-partition global window "
+    "is ever needed",
+    tags=("text", "curation", "ordering", "extension"),
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    hashed = docs.select(
+        "doc_id", sk.alias("shuffle_key")
+    ).withColumn("bucket", F.substring("shuffle_key", 1, 2))
+    wb = Window.partitionBy("bucket").orderBy(
+        F.asc("shuffle_key"), F.asc("doc_id")
+    )
+    ranked = hashed.withColumn("rn", F.row_number().over(wb))
+    counts = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    # 256 rows max: the running-sum window is tiny by construction
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("c").over(wcum), F.lit(0))
+    ).select("bucket", "offset")
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("offset") + F.col("rn")).cast("bigint").alias(
+                "global_pos"
+            ),
+        )
+    )
