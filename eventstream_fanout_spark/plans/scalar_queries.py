@@ -371,3 +371,36 @@ def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_conversion"),
         F.ifnull(type_or_null, F.lit("ERR")).alias("type_masked"),
     )
+
+
+@register(
+    "variant_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           'OBJECT<k: BIGINT>' AS vschema,
+           (event_id % 13 <> 0) AS parse_ok
+    FROM events
+    """,
+    description="Spark 4 VARIANT path for semi-structured props (the "
+    "modern replacement for per-field get_json_object chains, "
+    "reference pipeline/app.py:46-52): parse_json once, typed "
+    "variant_get extraction, schema_of_variant introspection, and "
+    "try_parse_json safe-parsing over deterministically corrupted "
+    "copies (every 13th row) — the oracle predicts the parse failures "
+    "by construction",
+    tags=("scalar", "json", "variant"),
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    corrupted = F.when(
+        F.col("event_id") % 13 == 0,
+        F.concat(F.lit("garbage{"), F.col("props")),
+    ).otherwise(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.schema_of_variant(v).alias("vschema"),
+        F.try_parse_json(corrupted).isNotNull().alias("parse_ok"),
+    )

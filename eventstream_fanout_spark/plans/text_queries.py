@@ -454,3 +454,43 @@ def media_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(b).cast("int").alias("n_bytes"),
         F.hex(F.substring(b, 8, 8)).alias("body_hex"),
     )
+
+
+@register(
+    "arrow_doc_lengths",
+    """
+    SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+    description="mapInArrow seam: per-batch pyarrow.compute over "
+    "zero-copy Arrow record batches (the lowest-overhead Python "
+    "extension point, below pandas conversion) — completes the Python "
+    "surface next to pandas_udf / mapInPandas / UDTF / "
+    "applyInPandasWithState; deterministic utf8_length keeps it "
+    "hash-checked like any built-in query",
+    tags=("text", "udf", "arrow", "extension"),
+)
+def arrow_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batch_lengths(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(
+                        pc.utf8_length(
+                            b.column(b.schema.get_field_index("text"))
+                        ),
+                        pa.int32(),
+                    ),
+                ],
+                names=["doc_id", "n_chars"],
+            )
+
+    return docs.mapInArrow(
+        batch_lengths, schema="doc_id long, n_chars int"
+    )

@@ -42,6 +42,7 @@ ARROW_ALLOWED = {
     "multimodal_meta",
     "media_header_parse",
     "doc_chunks_udtf",
+    "arrow_doc_lengths",
 }
 
 
@@ -76,7 +77,10 @@ def test_plan_hygiene(spark, spec):
     assert "BatchEvalPython" not in plan, (
         f"{spec.name}: row-at-a-time Python UDF in the hot path"
     )
-    if "ArrowEvalPython" in plan or "MapInPandas" in plan:
+    if any(
+        node in plan
+        for node in ("ArrowEvalPython", "MapInPandas", "MapInArrow")
+    ):
         assert spec.name in ARROW_ALLOWED, (
             f"{spec.name}: undeclared Python seam"
         )
