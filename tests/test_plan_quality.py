@@ -10,6 +10,8 @@ import io
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_ORACLE
 
 
@@ -100,3 +102,53 @@ def test_no_python_udfs_on_reference_surface(spark, queries):
     ):
         plan = _formatted_plan(queries[name].fn(spark, SF_ORACLE))
         assert "EvalPython" not in plan, f"{name} executes Python per-row"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Runtime proof of the skew story the session conf promises: a
+    join where 90% of rows share one key must come back from AQE with
+    the hot partition SPLIT (SortMergeJoin(skew=true) + AQEShuffleRead
+    skewed) — the mechanism that saves hot-key joins at 100 TB without
+    manual salting.  Thresholds are scaled down to fire at test size;
+    the mechanism is size-independent."""
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "100k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("x").alias("lab")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 270100
+        final = (
+            j._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "SortMergeJoin(skew=true)" in final
+        assert "skewed" in final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
