@@ -458,3 +458,36 @@ def hll_daily_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_users_merged"),
     )
+
+
+@register(
+    "bitmap_distinct_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    description="EXACT distinct counting via bitmap aggregates — the "
+    "exact counterpart of the HLL sketch path: ids bucket by "
+    "bitmap_bucket_number (32768 bits per bucket, so any id range "
+    "works), per-bucket bitmaps OR-merge associatively, counts sum. "
+    "A rollup table of bitmap bytes re-aggregates to any grouping "
+    "with NO approximation error and no fact rescan; the oracle is "
+    "plain COUNT(DISTINCT), which the bitmaps must equal exactly. "
+    "bit_position is 1-based, hence the +1 shift for 0-based ids",
+    tags=("window", "bitmap", "distinct", "extension"),
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    uid1 = F.col("user_id") + F.lit(1)
+    per_bucket = events.groupBy(
+        "event_type", F.bitmap_bucket_number(uid1).alias("bucket")
+    ).agg(
+        F.bitmap_count(
+            F.bitmap_construct_agg(F.bitmap_bit_position(uid1))
+        ).alias("cnt")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_users")
+    )
