@@ -143,3 +143,28 @@ def test_fanout_processing_time_trigger(spark, tmp_path):
         q.stop()
     ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 2]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema-on-read evolution: a table whose later files gained a
+    column must read as the merged schema with NULL back-fill
+    (mergeSchema=true) — the warehouse reality of evolving producers;
+    pairs with schema_drift_report, which FLAGS the drift upstream."""
+    import os
+
+    base = str(tmp_path / "evolved")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(f"{base}/v1")
+    spark.createDataFrame(
+        [(3, "c", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(f"{base}/v2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "en")}
