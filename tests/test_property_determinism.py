@@ -134,3 +134,38 @@ def test_zorder_column_matches_reference(spark):
     )
     for r in df.collect():
         assert r["z"] == _py_zorder(r["x"], r["y"]), (r["x"], r["y"], r["z"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_bucket_prefix_global_order_property(ids):
+    """The corpus_shuffle_order trick, pinned as pure algebra: because
+    the bucket is a string PREFIX of the sort key, (bucket, key) order
+    equals plain key order, so bucket-local ranks + cumulative bucket
+    offsets reproduce the global ROW_NUMBER exactly — for ANY id set."""
+    import hashlib
+
+    keyed = sorted(
+        (hashlib.md5(f"shuf:{i}".encode()).hexdigest(), i) for i in ids
+    )
+    global_pos = {i: p + 1 for p, (_, i) in enumerate(keyed)}
+
+    # bucketed recomputation (what the Spark plan does)
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for k, i in keyed:
+        buckets[k[:2]].append((k, i))
+    offset, recomputed = 0, {}
+    for b in sorted(buckets):
+        for rn, (_, i) in enumerate(sorted(buckets[b]), start=1):
+            recomputed[i] = offset + rn
+        offset += len(buckets[b])
+    assert recomputed == global_pos
