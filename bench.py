@@ -79,6 +79,14 @@ HEADLINE = [
     "q13_customer_order_distribution",
     "q16_part_supplier_counts",
     "q21_waiting_suppliers",
+    # round 3 additions
+    "ann_ivf_topk",
+    "boilerplate_block_removal",
+    "embedding_random_projection",
+    "corpus_shuffle_order",
+    "bitmap_distinct_users",
+    "variant_props_extract",
+    "training_export_pipeline",
 ]
 
 

@@ -338,3 +338,214 @@ def cluster_canonical_best_quality(
             "n_tokens",
         )
     )
+
+
+_EXPORT_PACK_BUDGET = 512.0
+
+
+@register(
+    "training_export_pipeline",
+    f"""
+    WITH {_SIG_CTES},
+    bands AS ({_BANDS_SQL}),
+    near_dup_losers AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    quality AS (
+      SELECT doc_id, lang,
+             CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens,
+             md5(text) AS content_md5
+      FROM documents
+      WHERE len({sql_tokens('text')}) >= {MIN_TOKENS}
+        AND lang IN {KEEP_LANGS!r}
+    ),
+    exact_canonical AS (
+      SELECT content_md5, MIN(doc_id) AS doc_id
+      FROM quality GROUP BY content_md5
+    ),
+    clean AS (
+      SELECT q.doc_id, q.lang, q.n_tokens
+      FROM quality q
+      JOIN exact_canonical ec ON ec.doc_id = q.doc_id
+      WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dup_losers)
+    ),
+    ex_toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    ex_shingled AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_transform(
+          generate_series(1, len(toks) - 2),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ) AS shingle
+      FROM ex_toked
+    ),
+    ex_bench AS (SELECT DISTINCT shingle FROM ex_shingled WHERE doc_id < 10),
+    contaminated AS (
+      SELECT c.doc_id
+      FROM (SELECT doc_id, shingle FROM ex_shingled WHERE doc_id >= 10) c
+      LEFT JOIN ex_bench b ON b.shingle = c.shingle
+      GROUP BY c.doc_id
+      HAVING (CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) >= 0.5
+    ),
+    mixed AS (
+      SELECT cl.doc_id, cl.lang, cl.n_tokens FROM clean cl
+      WHERE cl.doc_id >= 10
+        AND cl.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND substr(md5(CAST(cl.doc_id AS VARCHAR)), 1, 2) <
+            (CASE cl.lang WHEN 'en' THEN '40'
+                          WHEN 'zh' THEN 'g'
+                          ELSE 'cc' END)
+    ),
+    ordered AS (
+      SELECT doc_id, lang, n_tokens,
+             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM mixed
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(ROW_NUMBER() OVER
+             (ORDER BY shuffle_key ASC, doc_id ASC) AS BIGINT)
+             AS global_pos,
+           CAST(SUM(n_tokens) OVER
+             (ORDER BY shuffle_key ASC, doc_id ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(FLOOR(CAST(SUM(n_tokens) OVER
+             (ORDER BY shuffle_key ASC, doc_id ASC
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+             / {_EXPORT_PACK_BUDGET!r}) AS BIGINT) AS pack_id
+    FROM ordered
+    """,
+    description="the full training-data export, end to end: quality + "
+    "language gates -> exact-dedup canonicals -> MinHash-LSH near-dup "
+    "removal -> benchmark decontamination (docs 0-9 as the held-out "
+    "eval set, 3-gram overlap >= 0.5 dropped) -> deterministic "
+    "domain-mix re-weighting -> reproducible global shuffle order -> "
+    "512-token sequence packing with global cumulative token counts. "
+    "Every stage is the registered operator it reuses; the global "
+    "order/cumsum use the bucket-prefix two-level trick (parallel "
+    "per-bucket windows + a 256-row offset fold), never a "
+    "single-partition window — the whole pipeline is the scale shape "
+    "a 100 TB exporter runs nightly, hash-checked end-to-end",
+    tags=("pipeline", "curation", "export", "extension"),
+)
+def training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality + language gates, exact canonicals, LSH losers
+    prof = quality_profile(docs).select("doc_id", "n_tokens")
+    quality = (
+        docs.join(prof, "doc_id")
+        .where(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & F.col("lang").isin(*KEEP_LANGS)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.md5("text").alias("content_md5"),
+        )
+    )
+    canonical = quality.groupBy("content_md5").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    losers = (
+        lsh_candidate_pairs(
+            minhash_signatures(docs.select("doc_id", "text"))
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = quality.join(
+        canonical.select("doc_id"), "doc_id", "left_semi"
+    ).join(losers, "doc_id", "left_anti")
+
+    # 2. benchmark decontamination (bench = docs 0-9, broadcast)
+    ex_shingled = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(shingles(F.col("toks"))).alias("shingle"))
+        .distinct()
+    )
+    bench = (
+        ex_shingled.where(F.col("doc_id") < 10).select("shingle").distinct()
+    )
+    corpus_sh = ex_shingled.where(F.col("doc_id") >= 10)
+    contaminated = (
+        corpus_sh.join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))),
+            "shingle",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("overlap")
+        )
+        .where(F.col("overlap") >= 0.5)
+        .select("doc_id")
+    )
+
+    # 3. domain-mix gate (md5-prefix keep rates)
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = (
+        F.when(F.col("lang") == "en", "40")
+        .when(F.col("lang") == "zh", "g")
+        .otherwise("cc")
+    )
+    mixed = (
+        clean.where(F.col("doc_id") >= 10)
+        .join(contaminated, "doc_id", "left_anti")
+        .where(gate < threshold)
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+    # 4. global shuffle order + cumulative tokens, bucket-prefix style
+    sk = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    keyed = mixed.withColumn("shuffle_key", sk).withColumn(
+        "bucket", F.substring("shuffle_key", 1, 2)
+    )
+    wb = Window.partitionBy("bucket").orderBy(
+        F.asc("shuffle_key"), F.asc("doc_id")
+    )
+    ranked = keyed.withColumn("rn", F.row_number().over(wb)).withColumn(
+        "cum_local", F.sum("n_tokens").over(wb)
+    )
+    per_bucket = keyed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("n_tokens").alias("t")
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("row_off"),
+        F.coalesce(F.sum("t").over(wcum), F.lit(0)).alias("tok_off"),
+    )
+    cum_tokens = (F.col("tok_off") + F.col("cum_local")).cast("bigint")
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("row_off") + F.col("rn")).cast("bigint").alias(
+                "global_pos"
+            ),
+            cum_tokens.alias("cum_tokens"),
+            F.floor(
+                (cum_tokens - F.col("n_tokens")).cast("double")
+                / F.lit(_EXPORT_PACK_BUDGET)
+            )
+            .cast("bigint")
+            .alias("pack_id"),
+        )
+    )
