@@ -94,7 +94,10 @@ FRONT: list[str] = [
     "q15_top_supplier",
     "q16_part_supplier_counts",
     "q17_small_quantity_revenue",
-    "q20_promotion_suppliers",
+    # round 3: the composed export is the single highest-value unproven
+    # query (one green row evidences the whole curation family);
+    # q20_promotion_suppliers rotates back on local evidence
+    "training_export_pipeline",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
     # slot 50: upgrades W3 (cross-batch dedup) from pytest-only to
