@@ -491,3 +491,40 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum("cnt").cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "kll_daily_merge_quantiles",
+    None,  # sketch estimates are engine-specific; bounds in pytest
+    description="mergeable KLL quantile sketches: per-day sketches of "
+    "event value folded pairwise (F.aggregate over the collected "
+    "sketch array) into one global sketch — the store-sketches/"
+    "merge-on-read path for percentile rollups, same pattern as the "
+    "HLL and bitmap rollups but for ranks. The merged sketch's total "
+    "count is EXACT (asserted == COUNT(*)); p50/p90/p99 carry the KLL "
+    "rank-error bound, bracketed against exact quantiles in pytest",
+    tags=("window", "approx", "sketch", "kll"),
+)
+def kll_daily_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.kll_sketch_agg_double(
+            F.nanvl(F.col("value"), F.lit(0.0)), 200
+        ).alias("sk")
+    )
+    arr = daily.agg(F.collect_list("sk").alias("sks"))
+    merged = arr.select(
+        F.aggregate(
+            F.slice(F.col("sks"), 2, F.size("sks") - 1),
+            F.element_at(F.col("sks"), 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("m")
+    )
+    return merged.select(
+        F.kll_sketch_get_n_double("m").cast("bigint").alias("n_total"),
+        F.kll_sketch_get_quantile_double("m", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("m", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("m", F.lit(0.99)).alias("p99"),
+    )

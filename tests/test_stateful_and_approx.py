@@ -288,3 +288,27 @@ def test_hll_merge_lossless_and_bounded(spark):
         0.05 * exact, 2
     )
     assert merged["n_days"] > 1  # the fold genuinely merged sketches
+
+
+def test_kll_merge_count_exact_and_quantiles_bounded(spark, duck):
+    """The KLL daily-merge rollup: merged total count must be EXACT,
+    and each quantile estimate must land inside the exact values
+    bracketing +-2% rank (k=200 guarantees ~1.3% single-sketch rank
+    error; merging compounds it slightly)."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+
+    r = (
+        QUERIES["kll_daily_merge_quantiles"]
+        .fn(spark, SF_ORACLE)
+        .collect()[0]
+    )
+    exact_n = load_table(spark, SF_ORACLE, "events").count()
+    assert r["n_total"] == exact_n
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        lo_q, hi_q = max(0.0, q - 0.02), min(1.0, q + 0.02)
+        lo, hi = duck.execute(
+            "SELECT quantile_disc(value, ?), quantile_disc(value, ?) "
+            "FROM events",
+            [lo_q, hi_q],
+        ).fetchone()
+        assert lo <= r[col] <= hi, (col, r[col], lo, hi)
