@@ -219,3 +219,63 @@ def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_near_pairs(simhash_docs(docs), 3)
+
+
+@register(
+    "neardup_edit_distance_verify",
+    f"""
+    WITH {_SIG_CTES},
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           (1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                  / CAST(greatest(length(da.text), length(db.text))
+                         AS DOUBLE)) AS edit_sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    """,
+    description="character-level verification of LSH near-dup "
+    "candidates: exact Levenshtein distance + normalized similarity "
+    "for every candidate pair — the third verifier signal beside "
+    "n-gram Jaccard and cosine. Candidate-scoped by construction "
+    "(edit distance is O(len²) per pair, so it must NEVER free-run "
+    "over all pairs; the LSH equi-join bounds the pair count), "
+    "equi-joined back to text by doc id",
+    tags=("dedup", "verify", "extension"),
+)
+def neardup_edit_distance_verify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs.select("doc_id", "text"))
+    ).select("doc_a", "doc_b").distinct()
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
+    )
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("bigint").alias("edit_dist"),
+            (
+                F.lit(1.0)
+                - dist.cast("double")
+                / F.greatest(F.length("ta"), F.length("tb")).cast(
+                    "double"
+                )
+            ).alias("edit_sim"),
+        )
+    )
