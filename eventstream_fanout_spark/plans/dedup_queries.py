@@ -279,3 +279,95 @@ def neardup_edit_distance_verify(
             ).alias("edit_sim"),
         )
     )
+
+
+_MH_MATCH_SUM = " + ".join(
+    f"(CASE WHEN sa.mh_{h} = sb.mh_{h} THEN 1 ELSE 0 END)"
+    for h in range(NUM_MINHASHES)
+)
+
+
+@register(
+    "minhash_accuracy_report",
+    f"""
+    WITH {_SIG_CTES},
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN shingled s1 ON s1.doc_id = c.doc_a
+      JOIN shingled s2 ON s2.doc_id = c.doc_b
+                      AND s2.shingle = s1.shingle
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             (CAST({_MH_MATCH_SUM} AS DOUBLE)
+              / {float(NUM_MINHASHES)!r}) AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           (CAST(i.n_common AS DOUBLE)
+            / CAST(za.n + zb.n - i.n_common AS DOUBLE)) AS exact_jaccard,
+           e.est_jaccard,
+           ABS(e.est_jaccard
+               - (CAST(i.n_common AS DOUBLE)
+                  / CAST(za.n + zb.n - i.n_common AS DOUBLE))) AS abs_err
+    FROM inter i
+    JOIN est e ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    """,
+    description="MinHash sketch accuracy, made a first-class result "
+    "(the dedup counterpart of ann_recall_report): for every LSH "
+    "candidate pair, the signature-agreement Jaccard estimate next to "
+    "the exact shingle-set Jaccard and the absolute error — E[est] = "
+    "exact with sd <= 1/sqrt(16); everything md5-deterministic so "
+    "even the error column hash-matches the oracle",
+    tags=("dedup", "accuracy", "extension"),
+)
+def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sig).select("doc_a", "doc_b").distinct()
+    sh = doc_shingles(docs)
+    exact = jaccard_verify_candidates(sh, cand, 0.0).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{h}").alias(f"a{h}") for h in range(NUM_MINHASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{h}").alias(f"b{h}") for h in range(NUM_MINHASHES)],
+    )
+    matches = None
+    for h in range(NUM_MINHASHES):
+        term = (F.col(f"a{h}") == F.col(f"b{h}")).cast("int")
+        matches = term if matches is None else matches + term
+    est = (matches.cast("double") / F.lit(float(NUM_MINHASHES))).alias(
+        "est_jaccard"
+    )
+    return (
+        exact.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "exact_jaccard",
+            est,
+            F.abs(
+                (matches.cast("double") / F.lit(float(NUM_MINHASHES)))
+                - F.col("exact_jaccard")
+            ).alias("abs_err"),
+        )
+    )
