@@ -87,11 +87,77 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return sh.groupBy("doc_id").agg(*minhash_min_aggs())
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """LSH banding: docs sharing any band hash become candidate pairs.
-    The join key is (band, band_hash) — bucket-local, never all-pairs."""
+# Hot-bucket salting knobs (PERF.md: 30x max/mean band-bucket skew at
+# sf0.1; on a real corpus a degenerate band value concentrates a
+# super-linear share of candidate pairs in one task).  Buckets larger
+# than HOT_BUCKET_CAP are split into HOT_BUCKET_SALTS sub-tasks.
+HOT_BUCKET_CAP = 1_000
+HOT_BUCKET_SALTS = 8
+
+
+def _salted_bucket_pairs(
+    banded: DataFrame,
+    keys: list[str],
+    id_col: str,
+    hot_cap: int = HOT_BUCKET_CAP,
+    n_salts: int = HOT_BUCKET_SALTS,
+) -> DataFrame:
+    """Self-join ``banded`` within equal-``keys`` buckets, producing the
+    ordered pair columns ``a.* / b.*`` — with buckets larger than
+    ``hot_cap`` salted into ``n_salts`` sub-tasks.
+
+    Lossless skew split: the left side gets a computed salt
+    ``xxhash64(id) % n_salts``; the right side is replicated once per
+    salt (only inside hot buckets), so every qualifying pair meets on
+    exactly one salt value and the result set is IDENTICAL to the
+    unsalted join.  The hot-bucket set is heavy-hitters-by-definition
+    (size > cap), so it broadcasts; non-hot buckets pay zero
+    replication.  The join stays a pure equi-join on
+    (keys..., salt) — no BNLJ, AQE-independent, deterministic."""
+    hot = F.broadcast(
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > hot_cap)
+        .select(*keys, F.lit(n_salts).alias("_ns"))
+    )
+    a = (
+        banded.join(hot, keys, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_ns").isNotNull(),
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("_ns")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_ns")
+    )
+    b = (
+        banded.join(hot, keys, "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("int"),
+                    (F.coalesce(F.col("_ns"), F.lit(1)) - F.lit(1)).cast(
+                        "int"
+                    ),
+                )
+            ),
+        )
+        .drop("_ns")
+    )
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a._salt") == F.col("b._salt")
+    )
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return a.alias("a").join(b.alias("b"), cond)
+
+
+def banded_signatures(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) — one row per LSH band per doc."""
     rows_per_band = NUM_MINHASHES // LSH_BANDS
-    bands = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(
@@ -105,15 +171,16 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
-    a = bands.alias("a")
-    b = bands.alias("b")
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+    The join key is (band, band_hash) — bucket-local, never all-pairs;
+    buckets above HOT_BUCKET_CAP are salt-split (lossless, see
+    :func:`_salted_bucket_pairs`)."""
+    bands = banded_signatures(signatures)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _salted_bucket_pairs(bands, ["band", "bh"], "doc_id")
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -244,15 +311,8 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band_idx", "bb.band_bits")
-    a = banded.alias("a")
-    b = banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _salted_bucket_pairs(banded, ["band_idx", "band_bits"], "doc_id")
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("a.simhash").alias("sim_a"),

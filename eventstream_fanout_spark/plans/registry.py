@@ -40,93 +40,64 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # round-1 driver failures, fixed in round 2 — must re-prove
-    "array_functions",
-    "dq_expectation_profile",
-    # LLM-pipeline surface: dedup family
-    "dedup_exact",
-    "minhash_signatures",
+    # --- round-4 rotation: the 42 registered queries that have never
+    # had a driver CORRECTNESS row (r1 ∪ r3 diff; VERDICT r3 item 1).
+    # Slots 1..42, in registration order. ---
+    "q20_promotion_suppliers",
+    "variant_props_extract",
+    "winsorized_values",
+    "unpivot_event_matrix",
+    "scd2_dimension_history",
+    "approx_quantiles_value",
+    "theta_sketch_user_sets",
+    "hll_daily_merge_distinct",
+    "bitmap_distinct_users",
+    "kll_daily_merge_quantiles",
+    "neardup_edit_distance_verify",
+    "minhash_accuracy_report",
+    "hard_negative_mining",
+    "embedding_int8_quantization",
+    "ann_ivf_topk",
+    "label_balanced_sample",
+    "embedding_random_projection",
+    "ann_recall_report",
+    "doc_chunks_udtf",
+    "inverted_index_postings",
+    "tfidf_top_terms",
+    "media_header_parse",
+    "arrow_doc_lengths",
+    "repetition_profile",
+    "boilerplate_block_removal",
+    "pii_redaction",
+    "domain_mix_sample",
+    "sequence_packing",
+    "vocab_coverage",
+    "zorder_layout_key",
+    "table_profile",
+    "benchmark_decontamination",
+    "token_rarity_score",
+    "source_reputation_profile",
+    "text_normalization_roundtrip",
+    "corpus_shuffle_order",
+    "leakage_safe_splits",
+    "neardup_graph_triangles",
+    "cluster_canonical_best_quality",
+    "stream_session_window_watermark",
+    "bad_records_quarantine",
+    "schema_drift_report",
+    # --- slots 43..50: rotation-backs whose code paths change this
+    # round (LSH/SimHash hot-bucket salting touches every LSH-composed
+    # query) plus the r3 perf-flagged ann_cosine_topk — re-prove them
+    # green against the new plans. ---
     "minhash_lsh_pairs",
-    "ngram_jaccard_dups",
-    "simhash_docs",
     "simhash_near_pairs",
-    # similarity / ANN family
-    "ann_cosine_topk",
-    "ann_batch_topk",
-    "ann_lsh_bucket_topk",
-    "embedding_near_pairs",
-    "embedding_lsh_near_pairs",
-    "embedding_label_stats",
-    # text analysis family
-    "text_quality_profile",
-    "lang_id_heuristic",
-    "token_count_regex",
-    "doc_fingerprint_winnow",
-    "multimodal_meta",
-    "pandas_udf_token_count",
-    "multimodal_decode_stub",
-    "higher_order_array_functions",
-    # composed pipelines
+    "ngram_jaccard_dups",
     "corpus_clean_pipeline",
-    "dup_clusters",
-    # streaming oracle surface
-    "cdc_parse_roundtrip",
-    "stream_enrich_availablenow",
-    "stream_window_counts_watermark",
-    "stream_leaderboard_complete",
-    "stream_interval_join",
-    "stream_stateful_user_totals",
-    # analytic extras never driver-checked in round 1
-    "global_leaderboard_top10",
-    "hourly_distinct_users",
-    "gap_filled_hourly_counts",
-    "string_agg_top_users",
-    "value_histogram",
-    "approx_distinct_users",
-    # --- new in round 2 (slots 37..49) ---
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_balance",
-    "q12_shipping_delay_priority",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    # round 3: the composed export is the single highest-value unproven
-    # query (one green row evidences the whole curation family);
-    # q20_promotion_suppliers rotates back on local evidence
     "training_export_pipeline",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    # slot 50: upgrades W3 (cross-batch dedup) from pytest-only to
-    # oracle-checked driver evidence
-    "stream_dedup_distinct",
+    "dup_clusters",
+    "embedding_lsh_near_pairs",
+    "ann_cosine_topk",
 ]
-
-# ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands, replace FRONT with
-# the queries that then still lack a driver-green row — as of round-2
-# end these 25 carry local (driver_sim/spot_check) evidence only:
-#   repetition_profile, pii_redaction, domain_mix_sample,
-#   sequence_packing, vocab_coverage, approx_quantiles_value,
-#   doc_chunks_udtf, stream_session_window_watermark,
-#   zorder_layout_key, leakage_safe_splits, table_profile,
-#   benchmark_decontamination, token_rarity_score,
-#   scd2_dimension_history, inverted_index_postings, tfidf_top_terms,
-#   neardup_graph_triangles, cluster_canonical_best_quality,
-#   hard_negative_mining, bad_records_quarantine, schema_drift_report,
-#   media_header_parse, embedding_int8_quantization,
-#   winsorized_values, label_balanced_sample
-# plus the round-3 additions (ann_ivf_topk, boilerplate_block_removal,
-# source_reputation_profile, text_normalization_roundtrip); pad
-# remaining slots with round-1/2-green queries (rotate, don't retire —
-# the local gates keep them honest).
-#
-# NOTE (round 3): CORRECTNESS_r02 never materialized (no driver
-# artifacts landed between rounds), so the round-2 FRONT above is
-# still the highest-value unproven set and stays for the round-3
-# check; the rotation described here shifts to round 4.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

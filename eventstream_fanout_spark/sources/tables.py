@@ -33,24 +33,38 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-# read natively (PARQUET_TYPE_ILLEGAL).  We read them as raw int64 nanos
-# (legacy conf) and truncate to microsecond timestamps — exactly what
-# DuckDB's reader does, so oracle parity holds.
-_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Event-time columns, normalized to TIMESTAMP (LTZ) on load.  The
+# driver's generator has shipped two physical encodings across rounds:
+#   * parquet TIMESTAMP(NANOS), which Spark 4 refuses to read natively
+#     (PARQUET_TYPE_ILLEGAL) — read as raw int64 nanos (legacy conf)
+#     and truncate to microsecond timestamps, exactly what DuckDB does;
+#   * parquet timestamp[us] with isAdjustedToUTC=false, which Spark
+#     loads as TIMESTAMP_NTZ — a type ``withWatermark``/event-time
+#     semantics reject outright, so cast to TIMESTAMP.  The cast
+#     interprets the naive value in the session timezone and collect()
+#     renders it back in the same timezone, so it is value-preserving
+#     for oracle parity (DuckDB keeps the naive value as-is).
+_EVENT_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _normalize_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) == "bigint":  # nanos-as-long
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    nanos_cols = _NANOS_TS_COLUMNS.get(name, ())
-    if nanos_cols:
+    ts_cols = _EVENT_TS_COLUMNS.get(name, ())
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _normalize_ts(df, ts_cols)
 
 
 def load_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -58,8 +72,8 @@ def load_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos-timestamp handling, schema pinned from the batch reader."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    nanos_cols = _NANOS_TS_COLUMNS.get(name, ())
-    if nanos_cols:
+    ts_cols = _EVENT_TS_COLUMNS.get(name, ())
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     raw_schema = spark.read.parquet(path).schema
@@ -70,10 +84,7 @@ def load_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _normalize_ts(df, ts_cols)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,101 @@
+"""Hot-bucket salting in the LSH/SimHash candidate joins
+(operators/dedup.py:_salted_bucket_pairs) — the skew fix VERDICT r3
+item 3 asked for.
+
+The salted join must be LOSSLESS (identical pair set to the unsalted
+equi-join, every pair exactly once) and must actually ENGAGE on a
+bucket above the cap (left rows spread over all salts, right rows
+replicated n_salts times inside the hot bucket, zero replication
+outside it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventstream_fanout_spark.operators.dedup import (
+    HOT_BUCKET_CAP,
+    _salted_bucket_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_docs,
+    simhash_near_pairs,
+)
+from eventstream_fanout_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+def _banded_fixture(spark, hot_n=40, cold_n=6):
+    """One degenerate bucket with ``hot_n`` members (the short-doc
+    pathology) plus ``cold_n`` singleton buckets."""
+    rows = [(i, 0, 777) for i in range(hot_n)]
+    rows += [(1000 + i, 0, 1000 + i) for i in range(cold_n)]
+    return spark.createDataFrame(rows, "doc_id long, band int, bh long")
+
+
+def _pair_set(df):
+    return {
+        (r["doc_a"], r["doc_b"])
+        for r in df.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        ).collect()
+    }
+
+
+def test_salted_join_lossless_and_exactly_once(spark):
+    banded = _banded_fixture(spark)
+    salted = _salted_bucket_pairs(
+        banded, ["band", "bh"], "doc_id", hot_cap=10, n_salts=4
+    )
+    unsalted = _salted_bucket_pairs(
+        banded, ["band", "bh"], "doc_id", hot_cap=10**9
+    )
+    hot_expected = {(a, b) for a in range(40) for b in range(40) if a < b}
+    assert _pair_set(unsalted) == hot_expected
+    assert _pair_set(salted) == hot_expected
+    # exactly once — no pair may surface through two salt values
+    assert salted.count() == len(hot_expected)
+
+
+def test_salting_engages_only_on_hot_buckets(spark):
+    banded = _banded_fixture(spark)
+    salted = _salted_bucket_pairs(
+        banded, ["band", "bh"], "doc_id", hot_cap=10, n_salts=4
+    )
+    left = salted.select(
+        F.col("a.doc_id").alias("doc_id"), F.col("a._salt").alias("salt")
+    ).distinct()
+    hot_salts = {
+        r["salt"] for r in left.where(F.col("doc_id") < 1000).collect()
+    }
+    # xxhash64 spreads 40 ids over 4 salts; all salts must be in use
+    assert hot_salts == {0, 1, 2, 3}
+    # cold buckets never salt (and have no pairs — singletons)
+    cold = salted.where(F.col("a.doc_id") >= 1000)
+    assert cold.count() == 0
+
+
+def test_salted_join_stays_equi_join(spark):
+    """No BroadcastNestedLoopJoin / CartesianProduct may appear: the
+    salt must ride the equi-join keys, not a theta join."""
+    banded = _banded_fixture(spark)
+    plan = (
+        _salted_bucket_pairs(banded, ["band", "bh"], "doc_id", hot_cap=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fixture_pairs_unchanged_by_default_caps(spark):
+    """On the real fixture (no bucket near HOT_BUCKET_CAP) the salted
+    operators must reproduce the oracle-pinned pair counts."""
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    assert HOT_BUCKET_CAP == 1_000
+    lsh = lsh_candidate_pairs(minhash_signatures(docs))
+    assert lsh.count() == 25  # CORRECTNESS_r03 minhash_lsh_pairs
+    sim = simhash_near_pairs(simhash_docs(docs), max_hamming=3)
+    assert sim.count() == 3790  # CORRECTNESS_r03 simhash_near_pairs
