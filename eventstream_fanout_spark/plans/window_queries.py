@@ -346,13 +346,138 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_rank_brackets(
+    df, val: "F.Column", keys: list[str], pcts: list[float], margin: float
+):
+    """Exact rank-bracket values per (keys, quantile): the data elements
+    at 1-based ranks ``floor((p-margin)*n)`` and ``ceil((p+margin)*n)``
+    — the sandwich an approximate-quantile estimate must land inside.
+
+    Scale shape: global ranks come from the bucket-prefix two-level
+    algebra (``floor(v)`` range-buckets preserve value order, so
+    rank = bucket offset + local rank) — no single-partition window
+    over the fact table; the offset window runs over per-bucket
+    aggregate rows only.  Bracket values are actual data elements (no
+    interpolation arithmetic), so Spark and a SQL oracle agree on them
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    vals = df.select(*keys, val.alias("v")).withColumn(
+        "vb", F.floor(F.col("v")).cast("long")
+    )
+    w_local = Window.partitionBy(*keys, "vb").orderBy("v")
+    local = vals.withColumn("lr", F.row_number().over(w_local))
+    per_b = vals.groupBy(*keys, "vb").agg(F.count(F.lit(1)).alias("c"))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per_b.select(
+        *keys,
+        "vb",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+    )
+    sizes = per_b.groupBy(*keys).agg(F.sum("c").cast("long").alias("n"))
+    ranked = local.join(F.broadcast(offs), [*keys, "vb"]).withColumn(
+        "rk", (F.col("off") + F.col("lr")).cast("long")
+    )
+    specs = sizes.crossJoin(
+        F.broadcast(
+            local.sparkSession.range(1).select(
+                F.explode(F.array(*[F.lit(p) for p in pcts])).alias(
+                    "quantile"
+                )
+            )
+        )
+    ).select(
+        *keys,
+        "quantile",
+        "n",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor((F.col("quantile") - F.lit(margin)) * F.col("n")).cast(
+                "long"
+            ),
+        ).alias("lo_rk"),
+        F.least(
+            F.col("n"),
+            F.ceil((F.col("quantile") + F.lit(margin)) * F.col("n")).cast(
+                "long"
+            ),
+        ).alias("hi_rk"),
+    )
+    lo = (
+        ranked.join(
+            F.broadcast(specs.withColumnRenamed("lo_rk", "rk")),
+            [*keys, "rk"],
+        )
+        .select(*keys, "quantile", "n", F.col("v").alias("lo_exact"))
+    )
+    hi = (
+        ranked.join(
+            F.broadcast(specs.withColumnRenamed("hi_rk", "rk")),
+            [*keys, "rk"],
+        )
+        .select(*keys, "quantile", F.col("v").alias("hi_exact"))
+    )
+    return lo.join(hi, [*keys, "quantile"])
+
+
+def _sql_rank_brackets(
+    val_sql: str, keys: list[str], pcts: list[float], margin: float
+) -> str:
+    """DuckDB twin of :func:`_exact_rank_brackets` (plain ROW_NUMBER —
+    the oracle needn't scale)."""
+    part = f"PARTITION BY {', '.join(keys)}" if keys else ""
+    keysel = "".join(f"{k}, " for k in keys)
+    keyjoin = " AND ".join(f"r.{k} = s.{k}" for k in keys) or "TRUE"
+    pvals = ", ".join(f"(CAST({p} AS DOUBLE))" for p in pcts)
+    return f"""
+    vraw AS (SELECT {keysel}{val_sql} AS v FROM events),
+    vr AS (
+      SELECT {keysel}v,
+             ROW_NUMBER() OVER ({part} ORDER BY v) AS rk
+      FROM vraw
+    ),
+    vn AS (
+      SELECT {keysel}CAST(COUNT(*) AS BIGINT) AS n FROM vraw
+      {('GROUP BY ' + ', '.join(keys)) if keys else ''}
+    ),
+    q(quantile) AS (VALUES {pvals}),
+    spec AS (
+      SELECT {"".join(f"vn.{k}, " for k in keys)}vn.n, q.quantile,
+             GREATEST(1, CAST(FLOOR((q.quantile - {margin}) * vn.n)
+                              AS BIGINT)) AS lo_rk,
+             LEAST(vn.n, CAST(CEIL((q.quantile + {margin}) * vn.n)
+                              AS BIGINT)) AS hi_rk
+      FROM vn, q
+    ),
+    brackets AS (
+      SELECT {"".join(f"s.{k}, " for k in keys)}s.quantile, s.n,
+             MAX(CASE WHEN r.rk = s.lo_rk THEN r.v END) AS lo_exact,
+             MAX(CASE WHEN r.rk = s.hi_rk THEN r.v END) AS hi_exact
+      FROM spec s JOIN vr r ON {keyjoin}
+      GROUP BY {"".join(f"s.{k}, " for k in keys)}s.quantile, s.n
+    )
+    """
+
+
 @register(
     "approx_quantiles_value",
-    None,  # KLL/GK sketches differ per engine; accuracy pinned in pytest
+    f"""
+    WITH {_sql_rank_brackets("value", ["event_type"], [0.25, 0.5, 0.75, 0.9, 0.99], 0.02)}
+    SELECT event_type, quantile, lo_exact, hi_exact,
+           TRUE AS within_bound
+    FROM brackets
+    """,
     description="approx_percentile sketch of event value per event type "
-    "(p25/p50/p75/p90/p99, accuracy 10000) exploded to one row per "
-    "quantile — the mergeable-sketch path for 100 TB quantile "
-    "estimation; rank error bound vs exact asserted in tests",
+    "(p25/p50/p75/p90/p99, accuracy 10000), SANDWICH-checked: the "
+    "output carries the exact rank-bracket elements at p±0.02 and a "
+    "boolean asserting the estimate landed inside — the bound (not the "
+    "engine-specific estimate) is what the oracle hash-checks, so the "
+    "sketch's rank-error guarantee (1/accuracy << 0.02) gets real "
+    "driver evidence instead of a rows-only pass",
     tags=("window", "approx", "sketch"),
 )
 def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,15 +487,30 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", pcts, 10000).alias("qs")
     )
     labels = F.array(*[F.lit(p) for p in pcts])
-    return sketched.select(
+    est = sketched.select(
         "event_type",
-        F.explode(F.arrays_zip(labels.alias("p"), F.col("qs").alias("v"))).alias(
-            "z"
-        ),
+        F.explode(
+            F.arrays_zip(labels.alias("p"), F.col("qs").alias("v"))
+        ).alias("z"),
     ).select(
         "event_type",
         F.col("z.p").alias("quantile"),
         F.col("z.v").alias("value_approx"),
+    )
+    brackets = _exact_rank_brackets(
+        events, F.col("value"), ["event_type"], pcts, 0.02
+    )
+    return brackets.join(
+        F.broadcast(est), ["event_type", "quantile"]
+    ).select(
+        "event_type",
+        "quantile",
+        "lo_exact",
+        "hi_exact",
+        (
+            (F.col("value_approx") >= F.col("lo_exact"))
+            & (F.col("value_approx") <= F.col("hi_exact"))
+        ).alias("within_bound"),
     )
 
 
@@ -387,13 +527,33 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "theta_sketch_user_sets",
-    None,  # sketch estimates are engine-specific; bounds in pytest
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+             MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(p) AS BIGINT) AS purchasers_exact,
+           CAST(SUM(e) AS BIGINT) AS error_users_exact,
+           CAST(SUM(CASE WHEN p = 1 OR e = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS either_exact,
+           CAST(SUM(p * e) AS BIGINT) AS both_exact,
+           CAST(SUM(CASE WHEN p = 1 AND e = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS purch_only_exact,
+           TRUE AS theta_within_5pct
+    FROM per_user
+    """,
     description="theta-sketch set algebra over user sets: sketch the "
     "purchase-users and error-users sets independently, then estimate "
     "union / intersection / difference WITHOUT materializing either "
     "set — the distributed set-op path at 100 TB (sketches are bytes, "
-    "merge is associative; the exact twin is "
-    "set_ops_purchasers_vs_errors)",
+    "merge is associative).  SANDWICH-checked (upgraded from "
+    "rows-only, VERDICT r3 item 6): output carries the EXACT set-op "
+    "cardinalities plus a boolean asserting every theta estimate is "
+    "within 5% (default lgK=12 gives ~3*1/sqrt(4096) ≈ 4.7% at 3σ; "
+    "below 4096 distinct the sketch is exact-mode) — the bound is "
+    "what the oracle hash-checks",
     tags=("window", "approx", "sketch", "theta"),
 )
 def theta_sketch_user_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,43 +568,80 @@ def theta_sketch_user_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "error", F.col("user_id"))
         ).alias("err"),
     )
-    return sketches.select(
-        F.round(
-            F.theta_sketch_estimate(F.col("purch")), 0
-        ).cast("long").alias("purchasers_est"),
-        F.round(
-            F.theta_sketch_estimate(F.col("err")), 0
-        ).cast("long").alias("error_users_est"),
-        F.round(
-            F.theta_sketch_estimate(
-                F.theta_union(F.col("purch"), F.col("err"))
-            ),
-            0,
-        ).cast("long").alias("either_est"),
-        F.round(
-            F.theta_sketch_estimate(
-                F.theta_intersection(F.col("purch"), F.col("err"))
-            ),
-            0,
-        ).cast("long").alias("both_est"),
-        F.round(
-            F.theta_sketch_estimate(
-                F.theta_difference(F.col("purch"), F.col("err"))
-            ),
-            0,
-        ).cast("long").alias("purch_only_est"),
+    est = sketches.select(
+        F.theta_sketch_estimate(F.col("purch")).alias("purch_e"),
+        F.theta_sketch_estimate(F.col("err")).alias("err_e"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("purch"), F.col("err"))
+        ).alias("either_e"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("purch"), F.col("err"))
+        ).alias("both_e"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("purch"), F.col("err"))
+        ).alias("only_e"),
+    )
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    is_e = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    per_user = events.groupBy("user_id").agg(
+        F.max(is_p).alias("p"), F.max(is_e).alias("e")
+    )
+    exact = per_user.agg(
+        F.sum("p").cast("bigint").alias("purchasers_exact"),
+        F.sum("e").cast("bigint").alias("error_users_exact"),
+        F.sum(
+            F.when((F.col("p") == 1) | (F.col("e") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("either_exact"),
+        F.sum(F.col("p") * F.col("e")).cast("bigint").alias("both_exact"),
+        F.sum(
+            F.when((F.col("p") == 1) & (F.col("e") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("purch_only_exact"),
+    )
+
+    def ok(e: str, x: str):  # |est - exact| <= max(5% of exact, 1)
+        return F.abs(F.col(e) - F.col(x)) <= F.greatest(
+            F.lit(0.05) * F.col(x), F.lit(1.0)
+        )
+
+    return exact.crossJoin(F.broadcast(est)).select(
+        "purchasers_exact",
+        "error_users_exact",
+        "either_exact",
+        "both_exact",
+        "purch_only_exact",
+        (
+            ok("purch_e", "purchasers_exact")
+            & ok("err_e", "error_users_exact")
+            & ok("either_e", "either_exact")
+            & ok("both_e", "both_exact")
+            & ok("only_e", "purch_only_exact")
+        ).alias("theta_within_5pct"),
     )
 
 
 @register(
     "hll_daily_merge_distinct",
-    None,  # sketch estimates are engine-specific; bounds in pytest
+    """
+    SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+             AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             AS distinct_users_exact,
+           TRUE AS hll_within_5pct
+    FROM events
+    """,
     description="mergeable-HLL rollup: per-day HLL sketches of "
     "user_id folded with hll_union_agg to a global distinct estimate "
     "— the store-sketches/merge-on-read warehouse pattern (a rollup "
     "table of sketch bytes re-aggregates to ANY grouping without "
-    "rescanning facts); merge losslessness vs the direct single-pass "
-    "sketch is pinned in pytest",
+    "rescanning facts).  SANDWICH-checked (upgraded from rows-only, "
+    "VERDICT r3 item 6): output carries the EXACT distinct count and "
+    "a boolean asserting the merged estimate is within 5% "
+    "(lgConfigK=14 → rsd ≈ 0.8%, 5% ≈ 6σ) — the bound is what the "
+    "oracle hash-checks; merge losslessness stays pinned in pytest",
     tags=("window", "approx", "sketch", "hll"),
 )
 def hll_daily_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,11 +649,26 @@ def hll_daily_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
-    return daily.agg(
+    merged = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.hll_sketch_estimate(F.hll_union_agg("sk"))
-        .cast("long")
-        .alias("distinct_users_merged"),
+        .cast("double")
+        .alias("est"),
+    )
+    exact = events.agg(
+        F.countDistinct("user_id").cast("bigint").alias(
+            "distinct_users_exact"
+        )
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "distinct_users_exact",
+        (
+            F.abs(F.col("est") - F.col("distinct_users_exact"))
+            <= F.greatest(
+                F.lit(0.05) * F.col("distinct_users_exact"), F.lit(1.0)
+            )
+        ).alias("hll_within_5pct"),
     )
 
 
@@ -495,18 +707,32 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kll_daily_merge_quantiles",
-    None,  # sketch estimates are engine-specific; bounds in pytest
+    f"""
+    WITH {_sql_rank_brackets(
+        "CASE WHEN isnan(value) THEN 0.0 ELSE value END",
+        [], [0.5, 0.9, 0.99], 0.03,
+    )}
+    SELECT quantile, lo_exact, hi_exact, n AS n_total,
+           TRUE AS within_bound
+    FROM brackets
+    """,
     description="mergeable KLL quantile sketches: per-day sketches of "
     "event value folded pairwise (F.aggregate over the collected "
     "sketch array) into one global sketch — the store-sketches/"
     "merge-on-read path for percentile rollups, same pattern as the "
-    "HLL and bitmap rollups but for ranks. The merged sketch's total "
-    "count is EXACT (asserted == COUNT(*)); p50/p90/p99 carry the KLL "
-    "rank-error bound, bracketed against exact quantiles in pytest",
+    "HLL and bitmap rollups but for ranks.  SANDWICH-checked "
+    "(upgraded from rows-only, VERDICT r3 item 6): one row per "
+    "quantile carrying the exact rank-bracket elements at p±0.03 "
+    "(k=200 → rank error ≈ 1.7%), the EXACT total count (the merged "
+    "sketch's n must equal COUNT(*)), and the within-bracket boolean "
+    "— all oracle-hashable.  The empty-input fold is guarded "
+    "(F.size > 0), per ADVICE r3: empty events yields zero rows, not "
+    "an array-index error",
     tags=("window", "approx", "sketch", "kll"),
 )
 def kll_daily_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    pcts = [0.5, 0.9, 0.99]
     daily = events.groupBy(
         F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(
@@ -516,15 +742,44 @@ def kll_daily_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arr = daily.agg(F.collect_list("sk").alias("sks"))
     merged = arr.select(
-        F.aggregate(
-            F.slice(F.col("sks"), 2, F.size("sks") - 1),
-            F.element_at(F.col("sks"), 1),
-            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        F.when(
+            F.size("sks") > 0,
+            F.aggregate(
+                F.slice(F.col("sks"), 2, F.size("sks") - 1),
+                F.element_at(F.col("sks"), 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ),
         ).alias("m")
+    ).where(F.col("m").isNotNull())
+    est = merged.select(
+        F.kll_sketch_get_n_double("m").cast("bigint").alias("sk_n"),
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in pcts]).alias("p"),
+                F.array(
+                    *[
+                        F.kll_sketch_get_quantile_double("m", F.lit(p))
+                        for p in pcts
+                    ]
+                ).alias("v"),
+            )
+        ).alias("z"),
+    ).select(
+        "sk_n",
+        F.col("z.p").alias("quantile"),
+        F.col("z.v").alias("est"),
     )
-    return merged.select(
-        F.kll_sketch_get_n_double("m").cast("bigint").alias("n_total"),
-        F.kll_sketch_get_quantile_double("m", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("m", F.lit(0.9)).alias("p90"),
-        F.kll_sketch_get_quantile_double("m", F.lit(0.99)).alias("p99"),
+    brackets = _exact_rank_brackets(
+        events, F.nanvl(F.col("value"), F.lit(0.0)), [], pcts, 0.03
+    )
+    return brackets.join(F.broadcast(est), ["quantile"]).select(
+        "quantile",
+        "lo_exact",
+        "hi_exact",
+        F.col("n").cast("bigint").alias("n_total"),
+        (
+            (F.col("sk_n") == F.col("n"))
+            & (F.col("est") >= F.col("lo_exact"))
+            & (F.col("est") <= F.col("hi_exact"))
+        ).alias("within_bound"),
     )
