@@ -94,6 +94,23 @@ def with_derived_columns(
     )
 
 
+def warehouse_typed(df: DataFrame) -> DataFrame:
+    """Typed warehouse projection: cast ``engagement_pct`` to
+    Decimal(5,2), matching the reference warehouse DDL
+    (``Nullable(Decimal(5,2))``, clickhouse/init.sql:14).  The
+    reference job emits double (pipeline/app.py:76) and relies on the
+    warehouse to coerce on insert; here the cast is explicit at the
+    sink boundary so the parquet files carry the declared type —
+    closing the last typed-parity delta with the reference's sink
+    schema.  NULL passes through (Nullable); the value is already
+    half-up-rounded to 2 places, so the cast is exact."""
+    if "engagement_pct" not in df.columns:
+        return df
+    return df.withColumn(
+        "engagement_pct", F.col("engagement_pct").cast("decimal(5,2)")
+    )
+
+
 def enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Full enrichment: parse -> filter -> broadcast left join -> derive
     -> sink projection.  Works identically on a batch DataFrame and on

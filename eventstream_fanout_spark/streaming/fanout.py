@@ -37,7 +37,10 @@ class FanoutSink:
 
 
 def parquet_sink(
-    path: str, partition_by: tuple[str, ...] = (), mode: str = "overwrite"
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    project: Callable[[DataFrame], DataFrame] | None = None,
 ) -> FanoutSink:
     """Warehouse sink (reference K2, ClickHouse stand-in): executor-side
     partitioned parquet append, batch-id-keyed for idempotent replay.
@@ -46,9 +49,14 @@ def parquet_sink(
     overwrites its own directory (dynamic partition overwrite), never
     duplicates.  ``partition_by`` adds warehouse-style partitions
     (e.g. month(event_ts) mirroring reference clickhouse/init.sql:21).
+    ``project`` applies a final typed projection at the sink boundary
+    (e.g. :func:`operators.enrichment.warehouse_typed` for the
+    Decimal(5,2) ``engagement_pct`` the reference DDL declares).
     """
 
     def write(df: DataFrame, batch_id: int) -> None:
+        if project is not None:
+            df = project(df)
         out = df.withColumn("batch_id", F.lit(batch_id))
         writer = out.write.mode(mode).option(
             "partitionOverwriteMode", "dynamic"

@@ -37,3 +37,24 @@ def test_boilerplate_removal_nondegenerate_and_identity(spark):
         assert bad.count() == 0
     finally:
         joined.unpersist()
+
+
+def test_variant_props_fixture_invariant(spark, duck):
+    """The variant_props_extract oracle hardcodes vschema =
+    'OBJECT<k: BIGINT>' and parse_ok = (event_id % 13 <> 0) — valid
+    only while every props cell is exactly {"k": <int>}.  Pin that
+    generator invariant so a fixture change fails HERE with a clear
+    message instead of as an opaque driver hash diff (ADVICE r3)."""
+    bad = duck.execute(
+        """
+        SELECT COUNT(*) FROM events
+        WHERE json_structure(props) NOT IN
+              ('{"k":"BIGINT"}', '{"k":"UBIGINT"}')
+           OR json_extract(props, '$.k') IS NULL
+        """
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} events rows break the props == {{'k': int}} invariant "
+        "the variant_props_extract oracle depends on — update the "
+        "hardcoded vschema/parse_ok in scalar_queries.py"
+    )

@@ -35,6 +35,8 @@ def _seed_envelopes() -> list[str]:
     rows = [
         (1, "11111111-1111-1111-1111-111111111111", "play", 60000, "web"),
         (2, "22222222-2222-2222-2222-222222222222", "finish", 180000, "ios"),
+        # SURVEY §7.3 decimal-parity fixture: 90000ms/1800s -> 0.05
+        (3, "33333333-3333-3333-3333-333333333333", "play", 90000, "web"),
     ]
     out = []
     for eid, user, etype, duration, device in rows:
@@ -100,33 +102,43 @@ def test_reference_smoke_goldens(spark, tmp_path):
 
     from eventstream_fanout_spark.streaming.fanout import FanoutSink
 
+    from eventstream_fanout_spark.operators.enrichment import warehouse_typed
+
     stream = parse_cdc_envelope(json_file_stream(spark, src)).drop("op")
     q = start_fanout(
         stream,
-        [parquet_sink(warehouse), FanoutSink("board", board_write)],
+        [
+            parquet_sink(warehouse, project=warehouse_typed),
+            FanoutSink("board", board_write),
+        ],
         checkpoint_dir=str(tmp_path / "ckpt"),
         transform=enrich,
         query_name="reference-smoke",
     )
     q.awaitTermination(120)
 
-    rows = {
-        r["event_id"]: r for r in spark.read.parquet(warehouse).collect()
-    }
-    assert set(rows) == {1, 2}
+    wh = spark.read.parquet(warehouse)
+    rows = {r["event_id"]: r for r in wh.collect()}
+    assert set(rows) == {1, 2, 3}
     # golden derived values from the reference docs
     assert rows[1]["engagement_seconds"] == 60.0
     assert rows[2]["engagement_seconds"] == 180.0
-    assert rows[1]["engagement_pct"] == 0.03
-    assert rows[2]["engagement_pct"] == 0.10
+    # sink parity: engagement_pct lands as Decimal(5,2), the type the
+    # reference warehouse DDL declares (clickhouse/init.sql:14)
+    from decimal import Decimal
+
+    assert dict(wh.dtypes)["engagement_pct"] == "decimal(5,2)"
+    assert rows[1]["engagement_pct"] == Decimal("0.03")
+    assert rows[2]["engagement_pct"] == Decimal("0.10")
+    assert rows[3]["engagement_pct"] == Decimal("0.05")  # SURVEY §7.3
     assert rows[1]["content_type"] == "podcast"
     assert rows[1]["device"] == "web" and rows[2]["device"] == "ios"
 
-    # leaderboard golden: {content …0001: 2} at rank 1
+    # leaderboard golden: {content …0001: N events} at rank 1
     lb = spark.read.parquet(board).collect()
     assert len(lb) == 1
     assert lb[0]["content_id"] == CONTENT_ID
-    assert lb[0]["n_events"] == 2
+    assert lb[0]["n_events"] == 3
     assert lb[0]["rank"] == 1
 
 
