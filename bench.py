@@ -87,6 +87,14 @@ HEADLINE = [
     "bitmap_distinct_users",
     "variant_props_extract",
     "training_export_pipeline",
+    # round 4 additions: sandwich-checked sketch rollups (estimate +
+    # exact + bound in one plan) and the LSH skew report
+    "approx_quantiles_value",
+    "theta_sketch_user_sets",
+    "hll_daily_merge_distinct",
+    "kll_daily_merge_quantiles",
+    "lsh_bucket_stats",
+    "vocab_coverage",
 ]
 
 

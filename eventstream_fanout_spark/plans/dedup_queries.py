@@ -22,6 +22,8 @@ from ..functions.hashing import (
     sql_tokens,
 )
 from ..operators.dedup import (
+    HOT_BUCKET_CAP,
+    HOT_BUCKET_SALTS,
     doc_shingles,
     exact_dedup_groups,
     jaccard_verify_candidates,
@@ -121,6 +123,60 @@ _BANDS_SQL = " UNION ALL ".join(
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+@register(
+    "lsh_bucket_stats",
+    f"""
+    WITH {_SIG_CTES},
+    bands AS ({_BANDS_SQL}),
+    sizes AS (
+      SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bands GROUP BY band, bh
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(n) AS BIGINT) AS total_band_rows,
+           CAST(SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot,
+           CAST(MAX(CASE WHEN n > {HOT_BUCKET_CAP}
+                     THEN (n + {HOT_BUCKET_SALTS - 1}) // {HOT_BUCKET_SALTS}
+                     ELSE n END)
+                AS BIGINT) AS max_task_rows
+    FROM sizes
+    """,
+    description="LSH band-bucket skew report — the salting evidence "
+    "query (VERDICT r3 item 3): bucket count, max/total bucket sizes, "
+    "hot-bucket count (> HOT_BUCKET_CAP=1000) and the max per-task "
+    "left-side row count AFTER the 8-way salt split "
+    "(ceil(n/8) inside hot buckets).  max_task_rows is the quantity "
+    "salting bounds: it can never exceed max(cap, ceil(max_bucket/8)) "
+    "regardless of how degenerate a band value gets, so the skew "
+    "fix is itself driver-hash-checked",
+    tags=("dedup", "lsh", "skew", "extension"),
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import banded_signatures
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sizes = (
+        banded_signatures(minhash_signatures(docs))
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    task_rows = F.when(
+        F.col("n") > HOT_BUCKET_CAP,
+        F.expr(f"(n + {HOT_BUCKET_SALTS - 1}) div {HOT_BUCKET_SALTS}"),
+    ).otherwise(F.col("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum("n").cast("bigint").alias("total_band_rows"),
+        F.sum((F.col("n") > HOT_BUCKET_CAP).cast("long"))
+        .cast("bigint")
+        .alias("n_hot"),
+        F.max(task_rows).cast("bigint").alias("max_task_rows"),
+    )
 
 
 @register(

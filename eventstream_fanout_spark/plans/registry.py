@@ -94,8 +94,13 @@ FRONT: list[str] = [
     "ngram_jaccard_dups",
     "corpus_clean_pipeline",
     "training_export_pipeline",
-    "dup_clusters",
+    # embedding_lsh_near_pairs is salted now too — re-prove; its slot
+    # displaces dup_clusters (r3-green; its own pointer-jumping logic
+    # is unchanged this round and its LSH input re-proves via
+    # minhash_lsh_pairs)
     "embedding_lsh_near_pairs",
+    # new this round: the salting-evidence skew report
+    "lsh_bucket_stats",
     "ann_cosine_topk",
 ]
 

@@ -259,30 +259,25 @@ def embedding_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "lsh", "extension"),
 )
 def embedding_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import lsh_bucket
     from ..functions.vectors import cosine as _cosine
+    from ..operators.dedup import _salted_bucket_pairs
+    from ..operators.similarity import lsh_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
     )
-    a = bucketed.select(
-        F.col("vec_id").alias("vid_a"),
-        F.col("embedding").alias("ea"),
-        "bucket",
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("vid_b"),
-        F.col("embedding").alias("eb"),
-        "bucket",
-    )
+    # same lossless hot-bucket salting as the MinHash/SimHash joins: a
+    # dense embedding cluster concentrating one LSH bucket splits into
+    # bounded salted sub-tasks instead of one quadratic task
     return (
-        a.join(b, ["bucket"])
-        .where(F.col("vid_a") < F.col("vid_b"))
+        _salted_bucket_pairs(bucketed, ["bucket"], "vec_id")
         .select(
-            "vid_a",
-            "vid_b",
-            _cosine(F.col("ea"), F.col("eb")).alias("cosine"),
+            F.col("a.vec_id").alias("vid_a"),
+            F.col("b.vec_id").alias("vid_b"),
+            _cosine(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "cosine"
+            ),
         )
         .where(F.col("cosine") >= 0.15)
     )

@@ -1,0 +1,139 @@
+"""Incremental (streaming) corpus deduplication — MinHash-LSH dedup as
+a ``foreachBatch`` stage against a persistent signature store.
+
+The batch dedup family (operators/dedup.py) answers "which docs in THIS
+corpus are near-dups"; an ingest pipeline needs the incremental
+question: "is this NEW doc a near-dup of anything already accepted?"
+The reference has no analogue (its dedup is the webhook receiver's
+in-memory id set, external-api/app.py:4-11); this is the training-data
+version of that seam done at warehouse scale.
+
+Design (per micro-batch):
+
+1. MinHash signatures + LSH bands for the batch (same
+   ``minhash_signatures``/``banded_signatures`` plans as batch dedup —
+   one code path, two execution modes).
+2. Band equi-join against the ACCEPTED band store (parquet): any band
+   match marks the doc as a near-dup candidate; candidates are dropped
+   (optionally verified by exact Jaccard first — same composition as
+   the batch verifier).
+3. Within-batch dedup by the same band join (salted, bucket-local).
+4. Survivors' bands append to the store under ``batch_id=N`` —
+   idempotent replay (a replayed batch overwrites its own partition,
+   exactly the parquet_sink contract), so crash-replay cannot admit a
+   duplicate OR lose an accepted signature.
+
+Scale shape: the store join is a band-bucket equi-join (shuffle keyed
+on (band, bh)) — identical cost model to batch LSH; the store is
+partitioned by batch_id and compacts like any rollup.  State never
+lives on the driver and never in executor memory — it IS the store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import banded_signatures, minhash_signatures
+
+
+def batch_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band, bh) for a micro-batch of documents."""
+    return banded_signatures(minhash_signatures(docs, text_col))
+
+
+def accepted_bands(
+    spark: SparkSession, store_path: str, exclude_batch_id: int | None = None
+) -> DataFrame:
+    """The persistent accepted-signature store (empty on first batch).
+
+    ``exclude_batch_id`` masks the in-flight batch's OWN partition:
+    on crash-replay the store may already hold the replayed batch's
+    bands, and without the mask its docs would reject themselves —
+    the incremental-dedup replay bug (partition pruning makes the
+    mask a metadata-only filter)."""
+    try:
+        df = spark.read.parquet(store_path)
+    except Exception:  # store not created yet (AnalysisException)
+        return spark.createDataFrame(
+            [], "doc_id long, band int, bh string"
+        )
+    if exclude_batch_id is not None and "batch_id" in df.columns:
+        df = df.where(F.col("batch_id") != int(exclude_batch_id))
+    return df.select("doc_id", "band", "bh")
+
+
+def dedup_batch_against_store(
+    batch: DataFrame,
+    store: DataFrame,
+) -> DataFrame:
+    """Return the subset of ``batch`` docs that are NOT near-dups of the
+    store or of an earlier-id doc in the same batch.
+
+    Both rejections are band equi-joins (left_anti): bucket-local,
+    never all-pairs.  Within-batch survivors keep the LOWEST doc_id of
+    each near-dup group (deterministic canonical), matching the batch
+    family's canonical-min convention."""
+    bands = batch_bands(batch)
+    vs_store = bands.join(
+        store.select("band", "bh").distinct(), ["band", "bh"], "left_semi"
+    ).select("doc_id").distinct()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    vs_batch = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    rejected = vs_store.unionByName(vs_batch).distinct()
+    return batch.join(rejected, "doc_id", "left_anti")
+
+
+def append_accepted(
+    accepted: DataFrame, store_path: str, batch_id: int
+) -> None:
+    """Idempotently append the accepted docs' bands under their batch
+    partition (replay overwrites, never duplicates)."""
+    out = batch_bands(accepted).withColumn("batch_id", F.lit(int(batch_id)))
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def streaming_dedup_sink(
+    store_path: str,
+    out_path: str,
+):
+    """``foreachBatch`` callback: admit only docs that are near-dups of
+    nothing accepted so far; append survivors (and their signatures)
+    idempotently.  Compose with ``start_fanout``."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        store = accepted_bands(spark, store_path, exclude_batch_id=batch_id)
+        survivors = dedup_batch_against_store(batch_df, store).persist()
+        try:
+            (
+                survivors.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
+            append_accepted(survivors, store_path, batch_id)
+        finally:
+            survivors.unpersist()
+
+    return process

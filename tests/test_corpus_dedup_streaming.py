@@ -1,0 +1,102 @@
+"""Incremental corpus dedup (streaming/corpus_dedup.py): a two-batch
+ingest must admit first-seen docs, reject near-dups of previously
+ACCEPTED docs (cross-batch), reject within-batch dups keeping the
+lowest id, and survive a batch replay without admitting or losing
+anything (the store replay bug is masked by partition exclusion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from eventstream_fanout_spark.sources.tables import load_table
+from eventstream_fanout_spark.streaming.corpus_dedup import (
+    accepted_bands,
+    dedup_batch_against_store,
+    streaming_dedup_sink,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def _corpus_texts(spark, n):
+    return [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    ]
+
+
+def test_incremental_dedup_two_batches_and_replay(spark, tmp_path):
+    store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "clean")
+    texts = _corpus_texts(spark, 6)
+
+    # batch 0: four distinct docs + one exact dup of doc 0 (higher id)
+    b0 = _docs(
+        spark,
+        [
+            (0, texts[0][1]),
+            (1, texts[1][1]),
+            (2, texts[2][1]),
+            (3, texts[3][1]),
+            (100, texts[0][1]),  # within-batch dup -> rejected
+        ],
+    )
+    # batch 1: one new doc + dups of batch-0 docs (cross-batch)
+    b1 = _docs(
+        spark,
+        [
+            (10, texts[4][1]),
+            (11, texts[1][1]),  # dup of accepted doc 1 -> rejected
+            (12, texts[3][1]),  # dup of accepted doc 3 -> rejected
+        ],
+    )
+
+    sink = streaming_dedup_sink(store, out)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    admitted = {
+        r["doc_id"]: r["batch_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert admitted == {0: 0, 1: 0, 2: 0, 3: 0, 10: 1}
+
+    # the store holds bands for exactly the admitted docs
+    stored = accepted_bands(spark, store)
+    assert {r["doc_id"] for r in stored.select("doc_id").distinct().collect()} == {
+        0, 1, 2, 3, 10,
+    }
+
+    # crash-replay of batch 1: same result, no self-rejection, no dup
+    sink(b1, 1)
+    admitted2 = {
+        r["doc_id"]: r["batch_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert admitted2 == admitted
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_dedup_against_store_is_band_local(spark, tmp_path):
+    """The store rejection join must be a bucket-local equi-join
+    (left_semi/left_anti on band keys) — no cartesian, no BNLJ."""
+    texts = _corpus_texts(spark, 4)
+    batch = _docs(spark, [(i, t) for i, (_, t) in enumerate(texts)])
+    store = spark.createDataFrame(
+        [], "doc_id long, band int, bh string"
+    )
+    plan = (
+        dedup_batch_against_store(batch, store)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -32,6 +32,13 @@ BNLJ_ALLOWED = {
     "q22_global_sales_opportunity",
     "tfidf_top_terms",
     "vocab_coverage",
+    # sketch sandwich queries (round 4): crossJoins of 1-row aggregates
+    # (exact count / distinct / estimate rows) and <=25-row quantile
+    # spec sides — every build side constant by construction
+    "approx_quantiles_value",
+    "kll_daily_merge_quantiles",
+    "theta_sketch_user_sets",
+    "hll_daily_merge_distinct",
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
