@@ -25,7 +25,7 @@ Scale design (the point of each variant):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -110,42 +110,34 @@ def _salted_bucket_pairs(
     ``xxhash64(id) % n_salts``; the right side is replicated once per
     salt (only inside hot buckets), so every qualifying pair meets on
     exactly one salt value and the result set is IDENTICAL to the
-    unsalted join.  The hot-bucket set is heavy-hitters-by-definition
-    (size > cap), so it broadcasts; non-hot buckets pay zero
-    replication.  The join stays a pure equi-join on
-    (keys..., salt) — no BNLJ, AQE-independent, deterministic."""
-    hot = F.broadcast(
-        banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .where(F.col("_bn") > hot_cap)
-        .select(*keys, F.lit(n_salts).alias("_ns"))
-    )
-    a = (
-        banded.join(hot, keys, "left")
-        .withColumn(
-            "_salt",
-            F.when(
-                F.col("_ns").isNotNull(),
-                F.pmod(F.xxhash64(F.col(id_col)), F.col("_ns")).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_ns")
-    )
-    b = (
-        banded.join(hot, keys, "left")
-        .withColumn(
-            "_salt",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("int"),
-                    (F.coalesce(F.col("_ns"), F.lit(1)) - F.lit(1)).cast(
-                        "int"
-                    ),
-                )
-            ),
-        )
-        .drop("_ns")
-    )
+    unsalted join.  Non-hot buckets pay zero replication, and the join
+    stays a pure equi-join on (keys..., salt) — no BNLJ,
+    AQE-independent, deterministic.
+
+    Bucket sizes come from a count window over the banded rows
+    themselves (partitioned on the join keys) — NOT a separate
+    aggregate-and-broadcast-join subtree, which would recompute the
+    (expensive) upstream signature pipeline a third time and taxed the
+    no-hot-bucket common case ~1.4x at sf0.1.  The window's shuffle is
+    the same keys-partitioning the join needs anyway; counting a hot
+    bucket is O(n) — it is the pairing, not the counting, that
+    salting bounds."""
+    wn = Window.partitionBy(*keys)
+    sized = banded.withColumn("_bn", F.count(F.lit(1)).over(wn))
+    ns = F.when(F.col("_bn") > hot_cap, F.lit(n_salts)).otherwise(F.lit(1))
+    a = sized.withColumn(
+        "_salt",
+        F.when(
+            F.col("_bn") > hot_cap,
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("_bn")
+    b = sized.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), (ns - F.lit(1)).cast("int"))
+        ),
+    ).drop("_bn")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
         F.col("a._salt") == F.col("b._salt")
     )

@@ -218,18 +218,13 @@ def ivf_topk(
     ``centroids`` defaults to the deterministic seed set (the oracle
     path); pass :func:`ivf_fit_centroids` output for the fitted index.
     An empty/short centroid set (corpus lacking the seed ids) raises
-    instead of silently returning zero rows (ADVICE r3)."""
+    AT EXECUTION instead of silently returning zero rows (ADVICE r3).
+    The guard is lazy — a 1-row centroid-count aggregate gates the
+    query vector column inside the plan, so no extra Spark job runs
+    (an eager ``count()`` here measurably doubled the ANN bench)."""
     expected = IVF_SEED_HI - IVF_SEED_LO + 1
     if centroids is None:
         centroids = ivf_centroids(corpus)
-    n_cents = centroids.limit(expected + 1).count()  # bounded 9-row scan
-    if n_cents != expected:
-        raise ValueError(
-            f"IVF centroid set has {n_cents} rows, expected {expected} — "
-            f"corpus lacks the seed vec_ids {IVF_SEED_LO}..{IVF_SEED_HI} "
-            "or the fitted quantizer dropped lists; refusing to probe a "
-            "broken index"
-        )
     assign = ivf_assign(corpus, centroids)
     probes = (
         query.crossJoin(F.broadcast(centroids))
@@ -243,7 +238,7 @@ def ivf_topk(
     ).select("vec_id", "list_id")
     cand = corpus.join(probed, "vec_id")
     qn = query.withColumn("qn2", norm2(F.col("qe")))
-    return (
+    topk = (
         cand.crossJoin(F.broadcast(qn))
         .select(
             "vec_id",
@@ -256,6 +251,38 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+    # Broken-index guard (ADVICE r3), lazy: a 0-row union branch whose
+    # filter must evaluate assert_true over the always-present 1-row
+    # centroid-count aggregate — raises AT EXECUTION on a missing/
+    # short/over-full centroid set (including the all-empty case an
+    # in-row gate cannot catch), and costs no separate Spark job (an
+    # eager count() here measurably doubled the ANN bench).
+    ncent = centroids.agg(F.count(F.lit(1)).cast("int").alias("_ncent"))
+    guard = (
+        ncent.select(
+            F.assert_true(
+                F.col("_ncent") == expected,
+                F.concat(
+                    F.lit("IVF centroid set has "),
+                    F.col("_ncent").cast("string"),
+                    F.lit(
+                        f" rows, expected {expected} — corpus lacks "
+                        f"the seed vec_ids {IVF_SEED_LO}..{IVF_SEED_HI}"
+                        " or the fitted quantizer dropped lists; "
+                        "refusing to probe a broken index"
+                    ),
+                ),
+            ).alias("_a")
+        )
+        .where(F.col("_a").isNotNull())  # always false; evaluates _a
+        .select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in topk.schema.fields
+            ]
+        )
+    )
+    return topk.unionByName(guard)
 
 
 def embedding_near_pairs(

@@ -185,8 +185,9 @@ def test_fitted_ivf_centroids_improve_or_match_recall(spark):
 
 
 def test_ivf_topk_refuses_broken_centroid_set(spark):
-    """A corpus lacking the seed vec_ids must raise loudly instead of
-    silently returning zero rows (ADVICE r3)."""
+    """A corpus lacking the seed vec_ids must raise loudly (at
+    execution — the guard is a lazy in-plan check, not an extra job)
+    instead of silently returning zero rows (ADVICE r3)."""
     import pytest
 
     from eventstream_fanout_spark.operators.similarity import ivf_topk
@@ -197,8 +198,9 @@ def test_ivf_topk_refuses_broken_centroid_set(spark):
     query = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
     )
-    with pytest.raises(ValueError, match="centroid set"):
-        ivf_topk(corpus, query, 10)
+    broken = ivf_topk(corpus, query, 10)  # constructs fine (lazy)
+    with pytest.raises(Exception, match="centroid set"):
+        broken.collect()
 
 
 def test_random_projection_jl_guarantee(spark):
