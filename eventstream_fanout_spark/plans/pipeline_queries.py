@@ -549,3 +549,69 @@ def training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pack_id"),
         )
     )
+
+
+@register(
+    "incremental_dedup_sim",
+    f"""
+    WITH {_SIG_CTES},
+    bands AS ({_BANDS_SQL}),
+    b0 AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    b1 AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    rej0 AS (
+      SELECT DISTINCT a.doc_id FROM b0 a JOIN b0 b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id > b.doc_id
+    ),
+    acc0 AS (
+      SELECT DISTINCT doc_id FROM b0
+      WHERE doc_id NOT IN (SELECT doc_id FROM rej0)
+    ),
+    store AS (
+      SELECT DISTINCT band, bh FROM bands
+      WHERE doc_id IN (SELECT doc_id FROM acc0)
+    ),
+    rej1 AS (
+      SELECT DISTINCT a.doc_id FROM b1 a JOIN store s
+        ON a.band = s.band AND a.bh = s.bh
+      UNION
+      SELECT DISTINCT a.doc_id FROM b1 a JOIN b1 b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id > b.doc_id
+    ),
+    acc1 AS (
+      SELECT DISTINCT doc_id FROM b1
+      WHERE doc_id NOT IN (SELECT doc_id FROM rej1)
+    )
+    SELECT doc_id, CAST(0 AS INTEGER) AS batch_id FROM acc0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER) AS batch_id FROM acc1
+    """,
+    description="incremental corpus dedup simulated as a batch plan: "
+    "the corpus splits by doc_id parity into two successive ingest "
+    "'micro-batches'; batch 0 admits docs with no LSH band match to a "
+    "lower-id batch-0 doc, its accepted bands become the signature "
+    "store, and batch 1 admits docs matching neither the store nor a "
+    "lower-id batch-1 doc — exactly the semantics of "
+    "streaming/corpus_dedup.py's foreachBatch sink (same band-join "
+    "code path), hash-checkable because the batch split is "
+    "deterministic.  This gives the incremental-dedup operator "
+    "oracle-grade evidence beyond its streaming pytest",
+    tags=("pipeline", "dedup", "streaming", "extension"),
+)
+def incremental_dedup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.corpus_dedup import (
+        batch_bands,
+        dedup_batch_against_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    empty_store = spark.createDataFrame([], "doc_id long, band int, bh string")
+    acc0 = dedup_batch_against_store(b0, empty_store)
+    store = batch_bands(acc0)
+    acc1 = dedup_batch_against_store(b1, store)
+    return acc0.select(
+        "doc_id", F.lit(0).cast("int").alias("batch_id")
+    ).unionByName(
+        acc1.select("doc_id", F.lit(1).cast("int").alias("batch_id"))
+    )
