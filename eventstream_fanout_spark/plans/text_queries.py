@@ -494,3 +494,54 @@ def arrow_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         batch_lengths, schema="doc_id long, n_chars int"
     )
+
+
+@register(
+    "wav_audio_decode",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+             CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             CAST(100 + doc_id % 50 AS BIGINT) AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(n_frames * channels AS INTEGER) - 1)) AS i
+      FROM params
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(SUM(CAST((doc_id*31 + i*17) % 65536 - 32768 AS BIGINT)
+                      * CAST((doc_id*31 + i*17) % 65536 - 32768 AS BIGINT))
+                  AS BIGINT) AS sum_sq,
+             CAST(MAX(ABS((doc_id*31 + i*17) % 65536 - 32768))
+                  AS INTEGER) AS peak
+      FROM s GROUP BY doc_id
+    )
+    SELECT p.doc_id, TRUE AS magic_ok, p.sample_rate, p.channels,
+           p.n_frames,
+           CAST((p.doc_id*31) % 65536 - 32768 AS INTEGER) AS first_sample,
+           f.peak, f.sum_sq
+    FROM params p JOIN feats f ON f.doc_id = p.doc_id
+    """,
+    description="REAL audio decode, hash-checked (upgrades the "
+    "multimodal decode seam beyond the stub for the audio modality): "
+    "a genuine RIFF/WAVE PCM16 file is synthesized per doc (stdlib "
+    "wave module writes the container) as a binary column, then a "
+    "second Arrow-batched mapInPandas parses it back with the REAL "
+    "wave parser — RIFF magic, sample rate, channel count, frame "
+    "count, first sample, peak amplitude, and exact integer energy "
+    "(sum of squares).  The waveform is integer arithmetic on "
+    "(doc_id, sample index), so the oracle regenerates every decoded "
+    "feature; image/video codecs remain import-gated (no libs in "
+    "container)",
+    tags=("multimodal", "audio", "binary", "udf", "extension"),
+)
+def wav_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_wav, synth_wav_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav(synth_wav_table(docs))
