@@ -2,15 +2,18 @@
 typed metadata, processed by Arrow-batched ``mapInPandas`` (north-star
 surface).
 
-The container has no image/video libraries, so IMAGE decode is a STUB
-(clearly marked): ``decode_documents`` produces deterministic fake
-features derived from the payload bytes, and ``_real_decode`` raises
-NotImplementedError behind an import gate.  AUDIO decode is REAL
-(round 4): :func:`synth_wav_table` / :func:`decode_wav` below write
-and parse genuine RIFF/WAVE PCM16 files with the stdlib ``wave``
-module — hash-checked end-to-end by the ``wav_audio_decode`` query.
-Everything Spark-side — schema, binary column handling, Arrow batch
-shape, partition-parallel execution — is real and tested for both.
+Two modalities decode for REAL with nothing beyond the stdlib
+(round 4): AUDIO via :func:`synth_wav_table`/:func:`decode_wav`
+(genuine RIFF/WAVE PCM16 through the ``wave`` module) and IMAGE via
+:func:`synth_png_table`/:func:`decode_png` (spec-correct PNG chunks,
+CRC32 verification, inflate, 5-filter scanline reconstruction) — both
+hash-checked end-to-end by the ``wav_audio_decode`` /
+``png_image_decode`` queries.  Codec-library formats (JPEG, video)
+remain a STUB: ``decode_documents`` produces deterministic fake
+features and ``_real_decode`` raises NotImplementedError behind an
+import gate.  Everything Spark-side — schema, binary column handling,
+Arrow batch shape, partition-parallel execution — is real and tested
+for all paths.
 
 Scale notes: payloads stay columnar (parquet binary) end-to-end;
 mapInPandas streams Arrow batches so executor memory holds one batch,
@@ -203,3 +206,160 @@ def decode_wav(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=WAV_DECODED_SCHEMA)
+
+
+# --- real image decode (round 4): PNG via stdlib ----------------------
+#
+# Same upgrade as WAV for the image modality: PNG needs only zlib +
+# struct.  The synth side writes spec-correct non-interlaced 8-bit
+# grayscale PNGs (signature, IHDR/IDAT/IEND chunks with real CRC32s,
+# per-scanline filter bytes, deflate-compressed).  The decode side is
+# a REAL minimal PNG decoder: chunk walk with CRC verification, IHDR
+# parse, IDAT concat + inflate, and full 5-filter scanline
+# reconstruction (None/Sub/Up/Average/Paeth per the spec — not just
+# the filter the synth happens to emit).  JPEG/video stay gated.
+
+PNG_DECODED_SCHEMA = (
+    "doc_id long, sig_ok boolean, crc_ok boolean, width int, height int, "
+    "bit_depth int, color_type int, first_pixel int, pixel_sum long"
+)
+
+
+def synth_png_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) — a real 8-bit grayscale PNG per doc.
+    Deterministic: width = 4 + doc_id%5, height = 3 + doc_id%4,
+    pixel(x, y) = (doc_id*7 + y*13 + x*31) % 256."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                _struct.pack(">I", len(data))
+                + ctype
+                + data
+                + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        def make(doc_id: int) -> bytes:
+            w = 4 + doc_id % 5
+            h = 3 + doc_id % 4
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            raw = b"".join(
+                b"\x00"  # filter type None per scanline
+                + bytes((doc_id * 7 + y * 13 + x * 31) % 256 for x in range(w))
+                for y in range(h)
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(raw, 9))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [make(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """REAL minimal PNG decode (stdlib only): chunk walk + CRC32
+    verification, IHDR parse, IDAT inflate, and spec-complete scanline
+    unfiltering (filters 0-4) for 8-bit grayscale.  Integer outputs
+    only, so the oracle matches bit-for-bit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        def decode(payload: bytes):
+            sig_ok = payload[:8] == b"\x89PNG\r\n\x1a\n"
+            pos, crc_ok, idat = 8, True, b""
+            width = height = bit_depth = color_type = 0
+            while pos + 8 <= len(payload):
+                (length,) = _struct.unpack(">I", payload[pos : pos + 4])
+                ctype = payload[pos + 4 : pos + 8]
+                data = payload[pos + 8 : pos + 8 + length]
+                (crc,) = _struct.unpack(
+                    ">I", payload[pos + 8 + length : pos + 12 + length]
+                )
+                if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                    crc_ok = False
+                if ctype == b"IHDR":
+                    width, height, bit_depth, color_type = _struct.unpack(
+                        ">IIBB", data[:10]
+                    )
+                elif ctype == b"IDAT":
+                    idat += data
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            raw = _zlib.decompress(idat)
+            stride = width  # 8-bit grayscale: 1 byte/pixel
+            pixels = []
+            prev = bytes(stride)
+            for y in range(height):
+                row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+                ftype, line = row[0], bytearray(row[1:])
+                for x in range(stride):
+                    a = line[x - 1] if x > 0 else 0
+                    b = prev[x]
+                    c = prev[x - 1] if x > 0 else 0
+                    if ftype == 1:
+                        line[x] = (line[x] + a) & 0xFF
+                    elif ftype == 2:
+                        line[x] = (line[x] + b) & 0xFF
+                    elif ftype == 3:
+                        line[x] = (line[x] + (a + b) // 2) & 0xFF
+                    elif ftype == 4:
+                        line[x] = (line[x] + paeth(a, b, c)) & 0xFF
+                prev = bytes(line)
+                pixels.extend(prev)
+            return (
+                sig_ok,
+                crc_ok,
+                width,
+                height,
+                bit_depth,
+                color_type,
+                pixels[0] if pixels else 0,
+                sum(pixels),
+            )
+
+        for pdf in it:
+            rows = [decode(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig_ok": [r[0] for r in rows],
+                    "crc_ok": [r[1] for r in rows],
+                    "width": [r[2] for r in rows],
+                    "height": [r[3] for r in rows],
+                    "bit_depth": [r[4] for r in rows],
+                    "color_type": [r[5] for r in rows],
+                    "first_pixel": [r[6] for r in rows],
+                    "pixel_sum": [r[7] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PNG_DECODED_SCHEMA)

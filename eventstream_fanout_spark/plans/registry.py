@@ -106,10 +106,10 @@ FRONT: list[str] = [
 
 # ROUND-5 ROTATION PLAN: assuming CORRECTNESS_r04 lands green, the
 # only registered queries without a driver row will be the round-4
-# additions that missed this window — incremental_dedup_sim and
-# wav_audio_decode — plus whatever round 5 adds; fill the remaining
-# ~46 slots with rotation-backs of any query whose code path round 5
-# touches (the local gates keep the rest honest).
+# additions that missed this window — incremental_dedup_sim,
+# wav_audio_decode, png_image_decode — plus whatever round 5 adds;
+# fill the remaining ~45 slots with rotation-backs of any query whose
+# code path round 5 touches (the local gates keep the rest honest).
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

@@ -1,0 +1,144 @@
+"""The real stdlib codecs behind wav_audio_decode / png_image_decode:
+the PNG decoder must reconstruct all five scanline filters (the synth
+side only ever emits filter 0, so the Sub/Up/Average/Paeth paths need
+direct evidence), verify CRCs, and the WAV path must round-trip stereo
+interleaving exactly."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import Row
+
+from eventstream_fanout_spark.operators.multimodal import (
+    decode_png,
+    decode_wav,
+    synth_png_table,
+    synth_wav_table,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(width, height, filtered_rows) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(bytes([f]) + bytes(row) for f, row in filtered_rows)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _decode_one(spark, payload: bytes):
+    media = spark.createDataFrame([Row(doc_id=0, payload=bytearray(payload))])
+    return decode_png(media).collect()[0]
+
+
+def test_png_all_five_filters_reconstruct(spark):
+    # Target image (4x5), one row per filter type:
+    #   row0 (None):    10 20 30 40
+    #   row1 (Sub):     5 15 25 35   -> deltas 5 10 10 10
+    #   row2 (Up):      7 17 27 37   -> ups    2  2  2  2
+    #   row3 (Average): 8 18 28 38   -> avg predictor floor((a+b)/2)
+    #   row4 (Paeth):   9 19 29 39
+    target = [
+        [10, 20, 30, 40],
+        [5, 15, 25, 35],
+        [7, 17, 27, 37],
+        [8, 18, 28, 38],
+        [9, 19, 29, 39],
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    rows = []
+    prev = [0, 0, 0, 0]
+    for y, (ftype) in enumerate([0, 1, 2, 3, 4]):
+        cur = target[y]
+        enc = []
+        for x in range(4):
+            a = cur[x - 1] if x > 0 else 0
+            b = prev[x]
+            c = prev[x - 1] if x > 0 else 0
+            if ftype == 0:
+                enc.append(cur[x] & 0xFF)
+            elif ftype == 1:
+                enc.append((cur[x] - a) & 0xFF)
+            elif ftype == 2:
+                enc.append((cur[x] - b) & 0xFF)
+            elif ftype == 3:
+                enc.append((cur[x] - (a + b) // 2) & 0xFF)
+            else:
+                enc.append((cur[x] - paeth(a, b, c)) & 0xFF)
+        rows.append((ftype, enc))
+        prev = cur
+
+    r = _decode_one(spark, _png(4, 5, rows))
+    assert r["sig_ok"] and r["crc_ok"]
+    assert (r["width"], r["height"]) == (4, 5)
+    flat = [v for row in target for v in row]
+    assert r["first_pixel"] == 10
+    assert r["pixel_sum"] == sum(flat)
+
+
+def test_png_corrupted_crc_detected(spark):
+    payload = bytearray(_png(4, 3, [(0, [1, 2, 3, 4])] * 3))
+    # IHDR chunk: signature(8) + length(4) + type(4) + data(13) -> its
+    # stored CRC sits at bytes 29..33; flipping it breaks the checksum
+    # without perturbing any parsed field
+    payload[30] ^= 0xFF
+    r = _decode_one(spark, bytes(payload))
+    assert not r["crc_ok"]
+    assert (r["width"], r["height"]) == (4, 3)  # parse still sound
+
+
+def test_wav_stereo_interleave_roundtrip(spark):
+    """Stereo docs (odd doc_id): the wave module interleaves L/R
+    frames; decode must see n_frames (not n_samples) and the exact
+    flat-sample features."""
+    docs = spark.createDataFrame([Row(doc_id=1), Row(doc_id=2)])
+    out = {r["doc_id"]: r for r in decode_wav(synth_wav_table(docs)).collect()}
+    for doc_id in (1, 2):
+        channels = 1 + doc_id % 2
+        n_frames = 100 + doc_id % 50
+        samples = [
+            (doc_id * 31 + i * 17) % 65536 - 32768
+            for i in range(n_frames * channels)
+        ]
+        r = out[doc_id]
+        assert r["magic_ok"]
+        assert r["channels"] == channels
+        assert r["n_frames"] == n_frames
+        assert r["first_sample"] == samples[0]
+        assert r["peak"] == max(abs(s) for s in samples)
+        assert r["sum_sq"] == sum(s * s for s in samples)
+
+
+def test_png_synth_is_spec_correct(spark):
+    """The synthesized PNGs must decode with sig/crc OK and the
+    documented formula dimensions."""
+    docs = spark.createDataFrame([Row(doc_id=d) for d in range(8)])
+    out = {
+        r["doc_id"]: r
+        for r in decode_png(synth_png_table(docs)).collect()
+    }
+    for d in range(8):
+        r = out[d]
+        assert r["sig_ok"] and r["crc_ok"]
+        assert r["width"] == 4 + d % 5 and r["height"] == 3 + d % 4
+        assert r["bit_depth"] == 8 and r["color_type"] == 0

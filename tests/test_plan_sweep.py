@@ -49,6 +49,7 @@ ARROW_ALLOWED = {
     "multimodal_meta",
     "media_header_parse",
     "wav_audio_decode",  # real stdlib WAV synth+decode, mapInPandas x2
+    "png_image_decode",  # real stdlib PNG synth+decode, mapInPandas x2
     "doc_chunks_udtf",
     "arrow_doc_lengths",
 }
