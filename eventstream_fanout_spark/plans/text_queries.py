@@ -590,3 +590,154 @@ def png_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_png(synth_png_table(docs))
+
+
+_HTML_SQL = """
+      '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' [' ||
+      lang || ']</title></head><body>' ||
+      '<nav><a href="/home">home</a> <a href="/about">about</a>' ||
+      CASE WHEN doc_id % 3 = 0
+           THEN ' <a href="/extra">extra</a>' ELSE '' END ||
+      '</nav><p>' || text || '</p><footer>site-' ||
+      CAST(doc_id % 7 AS VARCHAR) || '</footer></body></html>'
+"""
+
+
+@register(
+    "html_text_extract",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, lang, text, {_HTML_SQL} AS html FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+           CAST(len(regexp_split_to_array(html, '<a ')) - 1 AS INTEGER)
+             AS n_links,
+           (regexp_extract(html, '<p>([^<]*)</p>', 1) = text)
+             AS p_text_ok,
+           CAST(regexp_extract(html, 'site-([0-9]+)', 1) AS INTEGER)
+             AS footer_site,
+           CAST(len(trim(regexp_replace(regexp_replace(html,
+                 '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER)
+             AS stripped_len
+    FROM pages
+    """,
+    description="HTML boilerplate extraction — the C4/CommonCrawl "
+    "pipeline step: deterministic HTML pages are assembled around each "
+    "doc (title, nav links, main <p>, footer) and the main text, "
+    "title, link count, and footer id are extracted back with pure "
+    "JVM regexp built-ins (no UDF, stays in codegen); tag-strip + "
+    "whitespace-collapse length gives the boilerplate ratio input.  "
+    "Identical RE2/Java-safe patterns ([^<]*, [^>]*) keep both "
+    "engines byte-identical, so the whole extraction is hash-checked",
+    tags=("text", "html", "extraction", "extension"),
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" ["),
+        F.col("lang"),
+        F.lit("]</title></head><body>"),
+        F.lit('<nav><a href="/home">home</a> <a href="/about">about</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(' <a href="/extra">extra</a>')
+        ).otherwise(F.lit("")),
+        F.lit("</nav><p>"),
+        F.col("text"),
+        F.lit("</p><footer>site-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</footer></body></html>"),
+    )
+    pages = docs.select("doc_id", "text", html.alias("html"))
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("html"), "<[^>]*>", " "), " +", " "
+        )
+    )
+    return pages.select(
+        "doc_id",
+        F.regexp_extract(F.col("html"), "<title>([^<]*)</title>", 1).alias(
+            "title"
+        ),
+        (F.size(F.split(F.col("html"), "<a ")) - 1)
+        .cast("int")
+        .alias("n_links"),
+        (
+            F.regexp_extract(F.col("html"), "<p>([^<]*)</p>", 1)
+            == F.col("text")
+        ).alias("p_text_ok"),
+        F.regexp_extract(F.col("html"), "site-([0-9]+)", 1)
+        .cast("int")
+        .alias("footer_site"),
+        F.length(stripped).cast("int").alias("stripped_len"),
+    )
+
+
+@register(
+    "url_canonical_dedup",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTP://Site' || CAST(doc_id % 20 AS VARCHAR) ||
+             '.Example.COM:80/path/' || CAST(doc_id % 5 AS VARCHAR) ||
+             '/?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR) ||
+             '&utm_campaign=x#frag' AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '#.*$', ''),
+                   ':80/', '/'),
+                 'utm_[a-z]+=[^&]*&?', '', 'g'),
+               '[?&]$', '', 'g') AS curl
+      FROM urls
+    )
+    SELECT curl,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM canon GROUP BY curl
+    """,
+    description="URL canonicalization + dedup — the crawl-frontier "
+    "normalization step: deterministic raw URLs (mixed case, default "
+    "port, utm_* tracking params, fragment) are canonicalized with "
+    "pure regexp built-ins (lowercase, strip :80, strip utm_* and "
+    "fragment, trim dangling separators) and deduped by canonical "
+    "form with the canonical-min-id convention the dedup family uses; "
+    "one shuffle on the canonical key, no UDF",
+    tags=("text", "url", "dedup", "extension"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://Site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Example.COM:80/path/"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "#.*$", ""), ":80/", "/"
+            ),
+            "utm_[a-z]+=[^&]*&?",
+            "",
+        ),
+        "[?&]$",
+        "",
+    )
+    return (
+        docs.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+        )
+    )
