@@ -325,24 +325,48 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct (HLL sketch) — engine-specific sketch values, so
-# rows-only for the driver; the pytest suite bounds the error vs exact.
+# Approximate distinct (HLL sketch) — sandwich-checked like the other
+# sketch rollups: exact value + within-bound boolean are what the
+# oracle hashes; the estimate itself stays engine-specific.
 # ---------------------------------------------------------------------------
 
 
 @register(
     "approx_distinct_users",
-    None,  # HLL sketches differ per engine; accuracy pinned in pytest
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS hllpp_within_10pct
+    FROM events
+    GROUP BY event_type
+    """,
     description="approx_count_distinct (HyperLogLog++) per event type — "
-    "the mergeable-sketch path for 100 TB cardinality estimation; "
-    "error bound vs exact asserted in tests",
+    "the mergeable-sketch path for 100 TB cardinality estimation.  "
+    "SANDWICH-checked (round 4, same pattern as the datasketches "
+    "rollups): output carries the EXACT per-type distinct count and a "
+    "boolean asserting the rsd=0.02 estimate is within 10% (5 sigma) "
+    "— the bound is oracle-hashed; the estimate error is additionally "
+    "bounded at 10% relative in pytest",
     tags=("window", "approx", "sketch"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    both = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return both.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(
+                F.lit(0.10) * F.col("exact_users"), F.lit(1.0)
+            )
+        ).alias("hllpp_within_10pct"),
     )
 
 

