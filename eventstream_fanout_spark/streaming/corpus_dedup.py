@@ -137,3 +137,91 @@ def streaming_dedup_sink(
             survivors.unpersist()
 
     return process
+
+
+# --- bucketed signature store (scale path) ----------------------------
+#
+# At steady state the accepted-signature store dwarfs every incoming
+# micro-batch, and the parquet-path store above re-shuffles THE STORE
+# side of the rejection join on every batch.  The bucketed variant
+# persists the store as a table hash-bucketed on the band key: the
+# store side of the join reads its buckets in place (zero Exchange —
+# the write_bucketed_table fact-fact strategy applied to streaming
+# state), so per-batch join cost scales with the batch, not the store.
+
+STORE_BUCKETS = 16
+
+
+def _with_band_key(bands: DataFrame) -> DataFrame:
+    return bands.withColumn(
+        "band_key",
+        F.concat(F.col("band").cast("string"), F.lit(":"), F.col("bh")),
+    )
+
+
+def streaming_dedup_sink_bucketed(
+    store_table: str,
+    out_path: str,
+    num_buckets: int = STORE_BUCKETS,
+):
+    """``foreachBatch`` callback like :func:`streaming_dedup_sink`, but
+    the signature store is a band-key-bucketed TABLE: first batch
+    creates it (partitioned by batch_id for replay masking, bucketed
+    for the shuffle-free store side), later batches ``insertInto`` it
+    under dynamic partition overwrite — a replayed batch id replaces
+    its own partition only."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        exists = spark.catalog.tableExists(store_table)
+        if exists:
+            store = (
+                spark.table(store_table)
+                .where(F.col("batch_id") != int(batch_id))
+                .select("doc_id", "band", "bh")
+            )
+        else:
+            store = spark.createDataFrame(
+                [], "doc_id long, band int, bh string"
+            )
+        survivors = dedup_batch_against_store(batch_df, store).persist()
+        try:
+            (
+                survivors.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
+            bands = _with_band_key(batch_bands(survivors)).withColumn(
+                "batch_id", F.lit(int(batch_id))
+            )
+            if not exists:
+                (
+                    bands.write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .bucketBy(num_buckets, "band_key")
+                    .sortBy("band_key")
+                    .format("parquet")
+                    .saveAsTable(store_table)
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                bands.write.mode("overwrite").insertInto(store_table)
+        finally:
+            survivors.unpersist()
+
+    return process
+
+
+def store_rejection_join(spark: SparkSession, store_table: str, batch: DataFrame):
+    """The store-vs-batch rejection join against the bucketed table —
+    exposed for plan inspection: the store side must scan its buckets
+    with no Exchange above the scan."""
+    bands = _with_band_key(batch_bands(batch))
+    store = spark.table(store_table).select("band_key").distinct()
+    return bands.join(store, ["band_key"], "left_semi")

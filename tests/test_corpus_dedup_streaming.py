@@ -100,3 +100,71 @@ def test_dedup_against_store_is_band_local(spark, tmp_path):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_store_semantics_match_and_scan_is_shuffle_free(
+    spark, tmp_path
+):
+    """The bucketed-store variant must admit exactly the same docs as
+    the parquet-path variant (two batches + replay), and the store
+    side of the rejection join must read its buckets with no Exchange
+    above the scan (the shuffle-free steady-state path)."""
+    import uuid
+
+    from eventstream_fanout_spark.streaming.corpus_dedup import (
+        store_rejection_join,
+        streaming_dedup_sink_bucketed,
+    )
+
+    table = f"sig_store_{uuid.uuid4().hex[:8]}"
+    out = str(tmp_path / "clean_b")
+    texts = _corpus_texts(spark, 6)
+    b0 = _docs(
+        spark,
+        [
+            (0, texts[0][1]),
+            (1, texts[1][1]),
+            (2, texts[2][1]),
+            (100, texts[0][1]),  # within-batch dup
+        ],
+    )
+    b1 = _docs(
+        spark,
+        [
+            (10, texts[4][1]),
+            (11, texts[1][1]),  # dup of accepted doc 1
+        ],
+    )
+    sink = streaming_dedup_sink_bucketed(table, out)
+    try:
+        sink(b0, 0)
+        sink(b1, 1)
+        admitted = {
+            r["doc_id"]: r["batch_id"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert admitted == {0: 0, 1: 0, 2: 0, 10: 1}
+
+        # replay batch 1 from the same "checkpoint": unchanged
+        sink(b1, 1)
+        assert {
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        } == {0, 1, 2, 10}
+        # store holds bands for exactly the admitted docs
+        stored = {
+            r["doc_id"]
+            for r in spark.table(table).select("doc_id").distinct().collect()
+        }
+        assert stored == {0, 1, 2, 10}
+
+        # plan shape: the bucketed store side scans its buckets in
+        # place — no Exchange between its FileScan and the join
+        plan = (
+            store_rejection_join(spark, table, b1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
