@@ -168,3 +168,76 @@ def test_bucketed_store_semantics_match_and_scan_is_shuffle_free(
         assert "SelectedBucketsCount" in plan, plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_dedup_as_real_stream(spark, tmp_path):
+    """The dedup sink composed through start_fanout as an ACTUAL
+    Structured Streaming query: two doc files drained as separate
+    micro-batches (maxFilesPerTrigger=1), cross-batch rejection against
+    the store, and a checkpointed restart that reprocesses nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from eventstream_fanout_spark.streaming.corpus_dedup import (
+        streaming_dedup_sink,
+    )
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        start_fanout,
+    )
+
+    texts = _corpus_texts(spark, 5)
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    # file 1: three docs + an exact dup; file 2: one new + one dup of
+    # an accepted file-1 doc (files sort lexicographically -> batch
+    # order is deterministic)
+    _docs(
+        spark, [(0, texts[0][1]), (1, texts[1][1]), (100, texts[0][1])]
+    ).toPandas().to_json(
+        f"{src}/a-batch0.jsonl", orient="records", lines=True
+    )
+    _docs(spark, [(10, texts[2][1]), (11, texts[1][1])]).toPandas().to_json(
+        f"{src}/b-batch1.jsonl", orient="records", lines=True
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_fanout(
+            stream,
+            [FanoutSink("dedup", streaming_dedup_sink(store, out))],
+            checkpoint_dir=ckpt,
+            query_name="corpus-dedup-stream",
+        )
+        q.awaitTermination(300)
+
+    run()
+    admitted = {
+        r["doc_id"]: r["batch_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # two micro-batches ran; dups rejected across AND within batches
+    assert set(admitted) == {0, 1, 10}
+    assert len(set(admitted.values())) == 2
+
+    # restart from the same checkpoint: no files left, nothing changes
+    run()
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    } == {0, 1, 10}

@@ -169,3 +169,57 @@ def test_bucket_prefix_global_order_property(ids):
             recomputed[i] = offset + rn
         offset += len(buckets[b])
     assert recomputed == global_pos
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),   # doc_id
+            st.integers(min_value=0, max_value=3),    # band
+            st.integers(min_value=0, max_value=2),    # bucket value
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(min_value=1, max_value=10),  # hot cap
+    st.integers(min_value=2, max_value=5),   # n_salts
+)
+def test_salted_bucket_pairs_lossless_property(spark, rows, cap, n_salts):
+    """For ANY banded relation, hot cap, and salt count, the salted
+    self-join must produce exactly the unsalted pair set, each pair
+    exactly once (the losslessness argument of the skew fix, checked
+    beyond the single hand-built fixture)."""
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.operators.dedup import (
+        _salted_bucket_pairs,
+    )
+
+    banded = spark.createDataFrame(
+        [(d, b, str(v)) for d, b, v in rows],
+        "doc_id long, band int, bh string",
+    )
+    expected = set()
+    by_bucket: dict = {}
+    for d, b, v in rows:
+        by_bucket.setdefault((b, v), []).append(d)
+    for members in by_bucket.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                expected.add((ms[i], ms[j]))
+
+    got = (
+        _salted_bucket_pairs(
+            banded, ["band", "bh"], "doc_id", hot_cap=cap, n_salts=n_salts
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .collect()
+    )
+    pairs = [(r["da"], r["db"]) for r in got]
+    assert set(pairs) == expected
+    assert len(pairs) == len(expected)  # exactly once
