@@ -208,10 +208,18 @@ def streaming_dedup_sink_bucketed(
                     .saveAsTable(store_table)
                 )
             else:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
-                bands.write.mode("overwrite").insertInto(store_table)
+                # session-level conf (saved/restored): the per-write
+                # option is not visible to the analyzer's
+                # self-overwrite check, which must see DYNAMIC mode to
+                # allow replacing only the replayed batch partition of
+                # a table the same plan reads
+                conf_key = "spark.sql.sources.partitionOverwriteMode"
+                prev = spark.conf.get(conf_key, "static")
+                spark.conf.set(conf_key, "dynamic")
+                try:
+                    bands.write.mode("overwrite").insertInto(store_table)
+                finally:
+                    spark.conf.set(conf_key, prev)
         finally:
             survivors.unpersist()
 
