@@ -233,3 +233,63 @@ def store_rejection_join(spark: SparkSession, store_table: str, batch: DataFrame
     bands = _with_band_key(batch_bands(batch))
     store = spark.table(store_table).select("band_key").distinct()
     return bands.join(store, ["band_key"], "left_semi")
+
+
+FROZEN_BATCH_ID = -1
+
+
+def compact_store(
+    spark: SparkSession, store_path: str, upto_batch_id: int
+) -> int:
+    """Fold the signature store's per-batch partitions below
+    ``upto_batch_id`` into the single frozen partition
+    ``batch_id = -1`` and drop the originals — the standard
+    streaming-state compaction: at one partition (and >= one file) per
+    micro-batch, a long-running ingest accumulates thousands of tiny
+    partitions whose listing/footer overhead dominates every store
+    read.
+
+    Replay safety is the invariant that sizes ``upto_batch_id``: the
+    sink masks only the IN-FLIGHT batch's own partition, so a batch
+    that may still be replayed must keep its own partition id.  Pass
+    the checkpoint's committed watermark (highest batch id that can
+    never re-run); batches >= upto_batch_id are left untouched.
+    Returns the number of partitions folded."""
+    df = spark.read.parquet(store_path)
+    old = df.where(
+        (F.col("batch_id") >= 0) & (F.col("batch_id") < int(upto_batch_id))
+    )
+    n_old = old.select("batch_id").distinct().count()
+    if n_old == 0:
+        return 0
+    frozen = df.where(F.col("batch_id") == FROZEN_BATCH_ID).unionByName(old)
+    (
+        frozen.select("doc_id", "band", "bh")
+        .withColumn("batch_id", F.lit(FROZEN_BATCH_ID))
+        .coalesce(max(1, n_old // 8))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{store_path}__compact_tmp")
+    )
+    # two-phase: the frozen partition is rewritten from the tmp copy,
+    # then the folded originals are dropped — a crash between phases
+    # leaves duplicates in the store, which only over-rejects dups
+    # already rejected (idempotent for dedup semantics), never admits
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    fs = jvm.Path(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp_frozen = jvm.Path(
+        f"{store_path}__compact_tmp/batch_id={FROZEN_BATCH_ID}"
+    )
+    dst_frozen = jvm.Path(f"{store_path}/batch_id={FROZEN_BATCH_ID}")
+    fs.delete(dst_frozen, True)
+    fs.rename(tmp_frozen, dst_frozen)
+    fs.delete(jvm.Path(f"{store_path}__compact_tmp"), True)
+    for bid in [
+        r["batch_id"] for r in old.select("batch_id").distinct().collect()
+    ]:
+        fs.delete(jvm.Path(f"{store_path}/batch_id={bid}"), True)
+    return n_old

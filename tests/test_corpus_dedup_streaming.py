@@ -241,3 +241,54 @@ def test_incremental_dedup_as_real_stream(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(out).collect()
     } == {0, 1, 10}
+
+
+def test_store_compaction_preserves_semantics_and_replay(spark, tmp_path):
+    """Folding committed batch partitions into the frozen partition
+    must keep the band content identical, keep rejecting dups of
+    compacted batches, and keep replay of the newest (uncompacted)
+    batch safe."""
+    from eventstream_fanout_spark.streaming.corpus_dedup import (
+        accepted_bands,
+        compact_store,
+        streaming_dedup_sink,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "clean")
+    texts = _corpus_texts(spark, 6)
+    sink = streaming_dedup_sink(store, out)
+    sink(_docs(spark, [(0, texts[0][1]), (1, texts[1][1])]), 0)
+    sink(_docs(spark, [(10, texts[2][1])]), 1)
+    sink(_docs(spark, [(20, texts[3][1])]), 2)
+
+    before = {
+        (r["doc_id"], r["band"], r["bh"])
+        for r in accepted_bands(spark, store).collect()
+    }
+    folded = compact_store(spark, store, upto_batch_id=2)
+    assert folded == 2  # batches 0 and 1
+    after = {
+        (r["doc_id"], r["band"], r["bh"])
+        for r in accepted_bands(spark, store).collect()
+    }
+    assert after == before  # content identical
+    bids = {
+        r["batch_id"]
+        for r in spark.read.parquet(store).select("batch_id").distinct().collect()
+    }
+    assert bids == {-1, 2}  # 0/1 folded into frozen, 2 untouched
+
+    # dups of a COMPACTED batch's doc still reject
+    sink(_docs(spark, [(30, texts[4][1]), (31, texts[0][1])]), 3)
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert admitted == {0, 1, 10, 20, 30}
+
+    # replay of batch 2 (uncompacted) is still masked correctly
+    sink(_docs(spark, [(20, texts[3][1])]), 2)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    } == {0, 1, 10, 20, 30}
+
+    # compacting again with nothing below the watermark is a no-op
+    assert compact_store(spark, store, upto_batch_id=2) == 0
