@@ -95,6 +95,13 @@ HEADLINE = [
     "kll_daily_merge_quantiles",
     "lsh_bucket_stats",
     "vocab_coverage",
+    # round-4 late additions: incremental dedup sim, real media
+    # decode (Arrow seams), crawl normalization
+    "incremental_dedup_sim",
+    "wav_audio_decode",
+    "png_image_decode",
+    "html_text_extract",
+    "url_canonical_dedup",
 ]
 
 
