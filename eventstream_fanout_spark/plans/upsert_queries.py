@@ -147,3 +147,75 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH hist AS (
+      SELECT user_id,
+             event_id AS change_id,
+             value AS attr_value,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS valid_to
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    probes AS (
+      SELECT event_id AS probe_id, user_id,
+             ts + INTERVAL 1 SECOND AS probe_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.probe_id, p.user_id,
+           h.change_id, h.attr_value, h.valid_from
+    FROM probes p JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from <= p.probe_ts
+     AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+    """,
+    description="SCD2 point-in-time lookup — the query the versioned "
+    "dimension exists FOR: each click probes the user's profile "
+    "version effective at its timestamp (+1s to sit strictly inside "
+    "an interval), via business-key equi-join + [valid_from, "
+    "valid_to) range predicate.  Plan shape: SortMergeJoin keyed on "
+    "user_id with the range as a join filter — the per-key version "
+    "count is bounded, so this is NOT an unbounded range join; "
+    "half-open intervals make each probe match at most one version",
+    tags=("upsert", "scd2", "asof", "warehouse"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    changes = e.where(F.col("event_type").isin("signup", "purchase"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    hist = changes.select(
+        "user_id",
+        F.col("event_id").alias("change_id"),
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    probes = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("probe_ts"),
+    )
+    return (
+        probes.join(
+            hist,
+            (probes["user_id"] == hist["user_id"])
+            & (F.col("valid_from") <= F.col("probe_ts"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("probe_ts") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "probe_id",
+            probes["user_id"].alias("user_id"),
+            "change_id",
+            "attr_value",
+            "valid_from",
+        )
+    )
