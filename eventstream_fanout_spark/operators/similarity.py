@@ -104,6 +104,54 @@ def lsh_topk(corpus: DataFrame, query: DataFrame, k: int) -> DataFrame:
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame, query: DataFrame, k: int
+) -> DataFrame:
+    """Multi-probe LSH ANN top-k: probe the query's bucket AND its 8
+    Hamming-1 neighbor buckets (flip each hyperplane bit once) — the
+    standard multi-probe recall dial: near-misses that landed one
+    hyperplane away become candidates at ~9x the probed fraction,
+    still bucket-local (9 constant probe rows broadcast; never a scan
+    of non-probed buckets).  ``probe_hamming`` reports which ring each
+    hit came from (0 = exact bucket, 1 = neighbor)."""
+    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col("embedding")))
+    qb = query.withColumn("qbucket", lsh_bucket(F.col("qe"))).withColumn(
+        "qn2", norm2(F.col("qe"))
+    )
+    probes = qb.select(
+        "qe",
+        "qn2",
+        "qbucket",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+                    for j in range(NUM_HYPERPLANES)
+                ],
+            )
+        ).alias("pbucket"),
+    )
+    cands = bucketed.join(
+        F.broadcast(probes), F.col("bucket") == F.col("pbucket")
+    )
+    return (
+        cands.select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.bit_count(
+                F.col("bucket").bitwiseXOR(F.col("qbucket"))
+            ).cast("int").alias("probe_hamming"),
+            cosine_given_bnorm(
+                F.col("embedding"), F.col("qe"), F.col("qn2")
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 IVF_SEED_LO, IVF_SEED_HI = 10, 17  # 8 deterministic seed centroids
 IVF_NPROBE = 2
 

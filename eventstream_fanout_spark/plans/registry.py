@@ -108,10 +108,10 @@ FRONT: list[str] = [
 # only registered queries without a driver row will be the round-4
 # additions that missed this window — incremental_dedup_sim,
 # wav_audio_decode, png_image_decode, html_text_extract,
-# url_canonical_dedup, fuzzy_entity_match, scd2_point_in_time_join —
-# plus whatever round 5 adds; fill the remaining ~41 slots with
-# rotation-backs of any query whose code path round 5 touches (the
-# local gates keep the rest honest).
+# url_canonical_dedup, fuzzy_entity_match, scd2_point_in_time_join,
+# ann_multiprobe_topk — plus whatever round 5 adds; fill the remaining
+# ~40 slots with rotation-backs of any query whose code path round 5
+# touches (the local gates keep the rest honest).
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

@@ -745,3 +745,56 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return report(lsh, "lsh").unionAll(report(ivf, "ivf"))
+
+
+@register(
+    "ann_multiprobe_topk",
+    f"""
+    WITH {_FLAT},
+    {_BUCKETS},
+    qf AS (SELECT i, x FROM flat WHERE vec_id = 0),
+    qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+    probes AS (
+      SELECT qbucket, qbucket AS pbucket FROM qb
+      UNION ALL
+      SELECT qbucket, xor(qbucket, CAST(1 << g.i AS BIGINT)) AS pbucket
+      FROM qb, generate_series(0, 7) AS g(i)
+    ),
+    cands AS (
+      SELECT b.vec_id, b.bucket, p.qbucket
+      FROM buckets b JOIN probes p ON b.bucket = p.pbucket
+      WHERE b.vec_id <> 0
+    ),
+    sums AS (
+      SELECT cf.vec_id,
+             CAST(SUM(CAST(FLOOR(cf.x * qf.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM flat cf JOIN qf ON cf.i = qf.i
+      WHERE cf.vec_id IN (SELECT vec_id FROM cands)
+      GROUP BY cf.vec_id
+    )
+    SELECT s.vec_id, e.label, c.bucket,
+           CAST(bit_count(xor(c.bucket, c.qbucket)) AS INTEGER)
+             AS probe_hamming,
+           (s.dot / (sqrt(na.n2) * sqrt(nq.n2))) AS cosine
+    FROM sums s
+    JOIN cands c ON c.vec_id = s.vec_id
+    JOIN norms na ON na.vec_id = s.vec_id
+    JOIN norms nq ON nq.vec_id = 0
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    ORDER BY cosine DESC, s.vec_id ASC
+    LIMIT 10
+    """,
+    description="multi-probe LSH ANN top-10: probe the query's bucket "
+    "PLUS its 8 Hamming-1 neighbors (flip each hyperplane bit once) — "
+    "the standard multi-probe recall dial beside IVF's nprobe; "
+    "candidates stay bucket-local (9 constant probe rows broadcast), "
+    "probe_hamming reports the ring each hit came from",
+    tags=("similarity", "ann", "lsh", "multiprobe", "extension"),
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    return lsh_multiprobe_topk(corpus, _query_vec(spark, sf_dir), 10)

@@ -149,6 +149,40 @@ def test_ivf_ann_consistent_with_brute_force(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_multiprobe_superset_of_single_probe(spark):
+    """Multi-probe LSH must (a) score candidates identically to brute
+    force, (b) return a candidate set that contains every single-probe
+    hit, and (c) achieve recall >= the single-probe path (the whole
+    point of probing the Hamming-1 ring)."""
+    from eventstream_fanout_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+    from eventstream_fanout_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    query = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    truth = {r["vec_id"] for r in brute_force_topk(corpus, query, 10).collect()}
+    all_scores = {
+        r["vec_id"]: r["cosine"]
+        for r in brute_force_topk(corpus, query, corpus.count()).collect()
+    }
+    single = {r["vec_id"] for r in lsh_topk(corpus, query, 10).collect()}
+    multi_rows = lsh_multiprobe_topk(corpus, query, 10).collect()
+    multi = {r["vec_id"] for r in multi_rows}
+    for r in multi_rows:
+        assert all_scores[r["vec_id"]] == r["cosine"]
+        assert r["probe_hamming"] in (0, 1)
+    # top-10 from a superset of candidates can only displace single-
+    # probe hits with HIGHER-scored ones — recall never decreases
+    assert len(multi & truth) >= len(single & truth)
+    assert any(r["probe_hamming"] == 1 for r in multi_rows) or single == multi
+
+
 def test_fitted_ivf_centroids_improve_or_match_recall(spark):
     """The sampled-k-means quantizer (ivf_fit_centroids) must keep the
     (cid, ce) contract — 8 lists, same plans — and its recall@10 on the
