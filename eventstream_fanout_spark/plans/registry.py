@@ -85,33 +85,33 @@ FRONT: list[str] = [
     "stream_session_window_watermark",
     "bad_records_quarantine",
     "schema_drift_report",
-    # --- slots 43..50: rotation-backs whose code paths change this
-    # round (LSH/SimHash hot-bucket salting touches every LSH-composed
-    # query) plus the r3 perf-flagged ann_cosine_topk — re-prove them
-    # green against the new plans. ---
-    "minhash_lsh_pairs",
-    "simhash_near_pairs",
-    "ngram_jaccard_dups",
-    "corpus_clean_pipeline",
-    "training_export_pipeline",
-    # embedding_lsh_near_pairs is salted now too — re-prove; its slot
-    # displaces dup_clusters (r3-green; its own pointer-jumping logic
-    # is unchanged this round and its LSH input re-proves via
-    # minhash_lsh_pairs)
-    "embedding_lsh_near_pairs",
-    # new this round: the salting-evidence skew report
+    # --- slots 43..50: the round-4 NEW queries.  These have never had
+    # a driver row, so by the "every operator has a passing
+    # CORRECTNESS entry" bar they outrank re-proof slots for the
+    # salting/fused-cosine plan changes: those names keep their r3
+    # green rows, and the changed plans carry local gate evidence
+    # (spot_check/front_check ALL MATCH) plus the salted-join
+    # losslessness property test.  After a green r4, every registered
+    # query except ann_multiprobe_topk (added last, first in the r5
+    # queue) has a driver CORRECTNESS row. ---
     "lsh_bucket_stats",
-    "ann_cosine_topk",
+    "incremental_dedup_sim",
+    "wav_audio_decode",
+    "png_image_decode",
+    "html_text_extract",
+    "url_canonical_dedup",
+    "fuzzy_entity_match",
+    "scd2_point_in_time_join",
 ]
 
 # ROUND-5 ROTATION PLAN: assuming CORRECTNESS_r04 lands green, the
-# only registered queries without a driver row will be the round-4
-# additions that missed this window — incremental_dedup_sim,
-# wav_audio_decode, png_image_decode, html_text_extract,
-# url_canonical_dedup, fuzzy_entity_match, scd2_point_in_time_join,
+# only registered query without a driver row will be
 # ann_multiprobe_topk — plus whatever round 5 adds; fill the remaining
-# ~40 slots with rotation-backs of any query whose code path round 5
-# touches (the local gates keep the rest honest).
+# ~47 slots with rotation-backs, prioritising the plans round 4
+# changed without re-proof (minhash_lsh_pairs, simhash_near_pairs,
+# ngram_jaccard_dups, embedding_lsh_near_pairs, corpus_clean_pipeline,
+# training_export_pipeline, ann_cosine_topk, ann_ivf_topk — salting +
+# fused-cosine paths) and any query round 5 touches.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:
