@@ -102,6 +102,9 @@ HEADLINE = [
     "png_image_decode",
     "html_text_extract",
     "url_canonical_dedup",
+    "fuzzy_entity_match",
+    "scd2_point_in_time_join",
+    "ann_multiprobe_topk",
 ]
 
 
