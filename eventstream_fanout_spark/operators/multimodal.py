@@ -173,13 +173,18 @@ def decode_wav(media: DataFrame) -> DataFrame:
 
         def decode(payload: bytes):
             magic_ok = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
-            with _wave.open(_io.BytesIO(payload), "rb") as w:
-                channels = w.getnchannels()
-                rate = w.getframerate()
-                n_frames = w.getnframes()
-                raw = w.readframes(n_frames)
-            n = n_frames * channels
-            samples = _struct.unpack(f"<{n}h", raw)
+            try:
+                with _wave.open(_io.BytesIO(payload), "rb") as w:
+                    channels = w.getnchannels()
+                    rate = w.getframerate()
+                    n_frames = w.getnframes()
+                    raw = w.readframes(n_frames)
+                n = n_frames * channels
+                samples = _struct.unpack(f"<{n}h", raw)
+            except Exception:
+                # undecodable payload -> reported row, not a task
+                # failure (a 100 TB corpus WILL contain corrupt media)
+                return (False, 0, 0, 0, 0, 0, 0)
             return (
                 magic_ok,
                 rate,
@@ -292,7 +297,7 @@ def decode_png(media: DataFrame) -> DataFrame:
                 return a
             return b if pb <= pc else c
 
-        def decode(payload: bytes):
+        def _decode(payload: bytes):
             sig_ok = payload[:8] == b"\x89PNG\r\n\x1a\n"
             pos, crc_ok, idat = 8, True, b""
             width = height = bit_depth = color_type = 0
@@ -345,6 +350,14 @@ def decode_png(media: DataFrame) -> DataFrame:
                 pixels[0] if pixels else 0,
                 sum(pixels),
             )
+
+        def decode(payload: bytes):
+            try:
+                return _decode(payload)
+            except Exception:
+                # malformed container (truncated chunk, bad deflate,
+                # lying IHDR) -> reported row, not a task failure
+                return (False, False, 0, 0, 0, 0, 0, 0)
 
         for pdf in it:
             rows = [decode(p) for p in pdf["payload"]]

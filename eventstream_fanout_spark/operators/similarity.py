@@ -196,13 +196,28 @@ def ivf_fit_centroids(
     for _ in range(n_iters):
         assign = ivf_assign(sample, cents)
         members = sample.select("vec_id", "embedding").join(assign, "vec_id")
+        # quantized integer mean, not avg(double): SUM(double) partial
+        # aggregation is not bit-deterministic across partitionings,
+        # and a last-ulp centroid wiggle can flip a near-tie
+        # assignment between runs (the dsum lesson applied here)
         means = (
             members.select(
                 F.col("list_id").alias("cid"),
                 F.posexplode(F.col("embedding")).alias("pos", "x"),
             )
             .groupBy("cid", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("v"))
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("x").cast("double") * F.lit(1e9)
+                            + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    / F.lit(1e9)
+                ).alias("v")
+            )
         )
         fitted = means.groupBy("cid").agg(
             F.transform(
@@ -330,7 +345,12 @@ def ivf_topk(
             ]
         )
     )
-    return topk.unionByName(guard)
+    # re-sort after the union: union output order is unspecified even
+    # with an empty branch, and callers rely on the documented
+    # descending-cosine contract shared with brute_force_topk/lsh_topk
+    return topk.unionByName(guard).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
 
 
 def embedding_near_pairs(

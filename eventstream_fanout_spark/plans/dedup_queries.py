@@ -147,12 +147,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="LSH band-bucket skew report — the salting evidence "
     "query (VERDICT r3 item 3): bucket count, max/total bucket sizes, "
-    "hot-bucket count (> HOT_BUCKET_CAP=1000) and the max per-task "
-    "left-side row count AFTER the 8-way salt split "
-    "(ceil(n/8) inside hot buckets).  max_task_rows is the quantity "
-    "salting bounds: it can never exceed max(cap, ceil(max_bucket/8)) "
-    "regardless of how degenerate a band value gets, so the skew "
-    "fix is itself driver-hash-checked",
+    "hot-bucket count (> HOT_BUCKET_CAP=1000) and the EVEN-SPLIT "
+    "per-task left-side row count after the 8-way salt "
+    "(ceil(n/8) inside hot buckets).  max_task_rows is the idealized "
+    "even split; the actual largest xxhash64%8 cell is multinomial "
+    "around it (typically within a few percent for n >> 8), so read "
+    "it as the expected task size the salt enforces, not a hard "
+    "ceiling — what IS hard is that one task never sees the whole "
+    "bucket again",
     tags=("dedup", "lsh", "skew", "extension"),
 )
 def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

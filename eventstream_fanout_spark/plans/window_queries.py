@@ -490,7 +490,10 @@ def _sql_rank_brackets(
 @register(
     "approx_quantiles_value",
     f"""
-    WITH {_sql_rank_brackets("value", ["event_type"], [0.25, 0.5, 0.75, 0.9, 0.99], 0.02)}
+    WITH {_sql_rank_brackets(
+        "CASE WHEN isnan(value) THEN 0.0 ELSE value END",
+        ["event_type"], [0.25, 0.5, 0.75, 0.9, 0.99], 0.02,
+    )}
     SELECT event_type, quantile, lo_exact, hi_exact,
            TRUE AS within_bound
     FROM brackets
@@ -505,10 +508,15 @@ def _sql_rank_brackets(
     tags=("window", "approx", "sketch"),
 )
 def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NaN coerced to 0.0 on BOTH engines (like the KLL twin): Spark
+    # buckets NaN via floor(NaN)=0 mid-order while DuckDB sorts NaN
+    # last, so raw NaN would break rank parity the day the fixture
+    # grows one
     events = load_table(spark, sf_dir, "events")
     pcts = [0.25, 0.5, 0.75, 0.9, 0.99]
+    clean_value = F.nanvl(F.col("value"), F.lit(0.0))
     sketched = events.groupBy("event_type").agg(
-        F.percentile_approx("value", pcts, 10000).alias("qs")
+        F.percentile_approx(clean_value, pcts, 10000).alias("qs")
     )
     labels = F.array(*[F.lit(p) for p in pcts])
     est = sketched.select(
@@ -522,7 +530,7 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.v").alias("value_approx"),
     )
     brackets = _exact_rank_brackets(
-        events, F.col("value"), ["event_type"], pcts, 0.02
+        events, clean_value, ["event_type"], pcts, 0.02
     )
     return brackets.join(
         F.broadcast(est), ["event_type", "quantile"]

@@ -54,9 +54,14 @@ def accepted_bands(
     bands, and without the mask its docs would reject themselves —
     the incremental-dedup replay bug (partition pruning makes the
     mask a metadata-only filter)."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(store_path)
-    except Exception:  # store not created yet (AnalysisException)
+    except AnalysisException:  # store not created yet (PATH_NOT_FOUND)
+        # ONLY the missing-path case may mean "empty store" — an IO
+        # error or corrupt footer must propagate, or this batch would
+        # silently dedup against nothing and admit duplicates forever
         return spark.createDataFrame(
             [], "doc_id long, band int, bh string"
         )
@@ -235,61 +240,59 @@ def store_rejection_join(spark: SparkSession, store_table: str, batch: DataFrame
     return bands.join(store, ["band_key"], "left_semi")
 
 
-FROZEN_BATCH_ID = -1
-
-
 def compact_store(
     spark: SparkSession, store_path: str, upto_batch_id: int
 ) -> int:
     """Fold the signature store's per-batch partitions below
-    ``upto_batch_id`` into the single frozen partition
-    ``batch_id = -1`` and drop the originals — the standard
-    streaming-state compaction: at one partition (and >= one file) per
-    micro-batch, a long-running ingest accumulates thousands of tiny
-    partitions whose listing/footer overhead dominates every store
-    read.
+    ``upto_batch_id`` — plus any previous frozen generations — into a
+    NEW frozen generation (``batch_id = -(g+1)``) and drop the
+    originals.  The standard streaming-state compaction: at one
+    partition (and >= one file) per micro-batch, a long-running
+    ingest accumulates thousands of tiny partitions whose
+    listing/footer overhead dominates every store read.
+
+    Crash safety by construction: the new generation is written to a
+    partition id that never existed, and the folded sources are
+    deleted strictly AFTER that write completes — at no point is any
+    accepted band absent from the store.  A crash between write and
+    deletes leaves both generations present, i.e. duplicate bands,
+    which can only over-reject already-rejected dups (idempotent for
+    dedup semantics), never admit one; re-running compaction folds
+    the leftovers.
 
     Replay safety is the invariant that sizes ``upto_batch_id``: the
     sink masks only the IN-FLIGHT batch's own partition, so a batch
     that may still be replayed must keep its own partition id.  Pass
     the checkpoint's committed watermark (highest batch id that can
     never re-run); batches >= upto_batch_id are left untouched.
-    Returns the number of partitions folded."""
+    Returns the number of source partitions folded."""
     df = spark.read.parquet(store_path)
-    old = df.where(
-        (F.col("batch_id") >= 0) & (F.col("batch_id") < int(upto_batch_id))
-    )
-    n_old = old.select("batch_id").distinct().count()
-    if n_old == 0:
-        return 0
-    frozen = df.where(F.col("batch_id") == FROZEN_BATCH_ID).unionByName(old)
+    bids = [
+        r["batch_id"]
+        for r in df.select("batch_id").distinct().collect()
+    ]
+    fold_ids = [
+        b for b in bids if b < 0 or (0 <= b < int(upto_batch_id))
+    ]
+    if len(fold_ids) <= 1 and not any(b >= 0 for b in fold_ids):
+        return 0  # nothing but (at most) one frozen generation
+    next_gen = min([b for b in bids if b < 0], default=0) - 1
+    folded = df.where(F.col("batch_id").isin(fold_ids))
     (
-        frozen.select("doc_id", "band", "bh")
-        .withColumn("batch_id", F.lit(FROZEN_BATCH_ID))
-        .coalesce(max(1, n_old // 8))
+        folded.select("doc_id", "band", "bh")
+        .withColumn("batch_id", F.lit(int(next_gen)))
+        .coalesce(max(1, len(fold_ids) // 8))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
-        .parquet(f"{store_path}__compact_tmp")
+        .parquet(store_path)
     )
-    # two-phase: the frozen partition is rewritten from the tmp copy,
-    # then the folded originals are dropped — a crash between phases
-    # leaves duplicates in the store, which only over-rejects dups
-    # already rejected (idempotent for dedup semantics), never admits
+    # sources go away only now — the new generation is durably in place
     from py4j.java_gateway import java_import
 
     jvm = spark._jvm
     java_import(jvm, "org.apache.hadoop.fs.Path")
     fs = jvm.Path(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp_frozen = jvm.Path(
-        f"{store_path}__compact_tmp/batch_id={FROZEN_BATCH_ID}"
-    )
-    dst_frozen = jvm.Path(f"{store_path}/batch_id={FROZEN_BATCH_ID}")
-    fs.delete(dst_frozen, True)
-    fs.rename(tmp_frozen, dst_frozen)
-    fs.delete(jvm.Path(f"{store_path}__compact_tmp"), True)
-    for bid in [
-        r["batch_id"] for r in old.select("batch_id").distinct().collect()
-    ]:
+    for bid in fold_ids:
         fs.delete(jvm.Path(f"{store_path}/batch_id={bid}"), True)
-    return n_old
+    return len(fold_ids)

@@ -142,3 +142,24 @@ def test_png_synth_is_spec_correct(spark):
         assert r["sig_ok"] and r["crc_ok"]
         assert r["width"] == 4 + d % 5 and r["height"] == 3 + d % 4
         assert r["bit_depth"] == 8 and r["color_type"] == 0
+
+
+def test_undecodable_payloads_report_rows_not_task_failures(spark):
+    """Corrupt media must come back as a magic_ok/sig_ok=False row —
+    a 100 TB corpus WILL contain garbage; one bad payload must not
+    abort the whole decode stage."""
+    from pyspark.sql import Row
+
+    garbage = spark.createDataFrame(
+        [
+            Row(doc_id=0, payload=bytearray(b"not media at all")),
+            Row(doc_id=1, payload=bytearray(b"RIFFxxxxWAVEtruncated")),
+            Row(doc_id=2, payload=bytearray(b"\x89PNG\r\n\x1a\ntrunc")),
+        ]
+    )
+    wav = {r["doc_id"]: r for r in decode_wav(garbage).collect()}
+    assert not wav[0]["magic_ok"] and wav[0]["sum_sq"] == 0
+    assert not wav[2]["magic_ok"]
+    png = {r["doc_id"]: r for r in decode_png(garbage).collect()}
+    assert not png[0]["sig_ok"]
+    assert not png[2]["crc_ok"] or png[2]["pixel_sum"] == 0
