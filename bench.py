@@ -1,10 +1,23 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the engine's headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``.
+
+Output contract (the driver captures the LAST 2000 characters of
+stdout and parses the JSON line it finds there — round 4's single
+70-query line outgrew that window and the artifact recorded
+``parsed: null``, VERDICT r4 item 4):
+
+- one small ``{"q": name, "sec": t}`` line per query as it completes
+  (the full per-query record lives in stdout order and in
+  ``bench_full.json``);
+- the COMPLETE result object written to ``bench_full.json`` next to
+  this script;
+- a final compact summary line, guaranteed well under the capture
+  window no matter how many queries register:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": ...}
+     "sf": ..., "nq": N, "queries": {<slowest 20>}, "full": "bench_full.json"}
 
 Execution is forced with the noop sink (full computation, no driver
 materialization) so timings measure the engine, not collect().
@@ -129,17 +142,38 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
+            # prefixed so only the final summary line is JSON-parseable
+            print(f"#q {name}={timings[name]}", flush=True)
         total = round(sum(timings.values()), 3)
+        sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+        metric = (
+            "headline-suite wall seconds (noop sink, "
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])"
+        )
+        full = {
+            "metric": metric,
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
+        with open(os.path.join(REPO_ROOT, "bench_full.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        )
         print(
             json.dumps(
                 {
-                    "metric": "headline-suite wall seconds (noop sink, "
-                    f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])",
+                    "metric": metric,
                     "value": total,
                     "unit": "sec",
-                    "queries": timings,
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                }
+                    "sf": sf_val,
+                    "nq": len(timings),
+                    "queries": slowest,
+                    "full": "bench_full.json",
+                },
+                separators=(",", ":"),
             )
         )
     finally:

@@ -798,3 +798,148 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") != 0)
     return lsh_multiprobe_topk(corpus, _query_vec(spark, sf_dir), 10)
+
+
+# --- fitted-IVF ANN (VERDICT r4 item 5) --------------------------------
+
+_IVF_FIT_ITERS = 2
+
+
+def _ivf_fitted_oracle(n_iters: int = _IVF_FIT_ITERS) -> str:
+    """DuckDB replay of ``ivf_fit_centroids`` + ``ivf_topk``: the Lloyd
+    iterations are integer-exact by design (quantized BIGINT sums, the
+    per-element mean cast through FLOAT exactly as the Spark side's
+    ``.cast("float")``), so the fitted index — not just the final
+    top-k — is reproduced bit-for-bit.  Generated programmatically:
+    one (assign, mean, fold) CTE round per iteration, then the same
+    probe/scan tail as the seed-centroid ``ann_ivf_topk`` oracle."""
+    ctes = [
+        _FLAT.strip(),
+        "corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0)",
+        # generation 0: the deterministic seed centroids, flat form
+        "cf0 AS (SELECT vec_id AS cid, i, x FROM flat "
+        "WHERE vec_id BETWEEN 10 AND 17)",
+    ]
+    prev = "cf0"
+    # each round t: centroid norms -> quantized dots -> argmax assign
+    # -> quantized per-element FLOAT mean -> fold (empty lists keep
+    # their previous centroid, the COALESCE)
+    for t in range(1, n_iters + 2):
+        ctes.append(
+            f"""cn{t} AS (
+      SELECT cid, CAST(SUM(CAST(FLOOR(x * x * {QV!r} + 0.5) AS BIGINT))
+                       AS DOUBLE) / {QV!r} AS n2
+      FROM {prev} GROUP BY cid
+    )"""
+        )
+        ctes.append(
+            f"""ad{t} AS (
+      SELECT corp.vec_id, c.cid,
+             CAST(SUM(CAST(FLOOR(corp.x * c.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM corp JOIN {prev} c ON corp.i = c.i
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""asg{t} AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT a.vec_id, a.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY (a.dot / (sqrt(nv.n2) * sqrt(cn.n2))) DESC,
+                          a.cid ASC) AS rn
+        FROM ad{t} a
+        JOIN norms nv ON nv.vec_id = a.vec_id
+        JOIN cn{t} cn ON cn.cid = a.cid
+      ) WHERE rn = 1
+    )"""
+        )
+        if t > n_iters:
+            break  # round n_iters+1 is the final index assignment only
+        ctes.append(
+            f"""mn{t} AS (
+      SELECT s.list_id AS cid, corp.i,
+             CAST(CAST(
+               (CAST(SUM(CAST(FLOOR(corp.x * {QV!r} + 0.5) AS BIGINT))
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / {QV!r}
+               AS FLOAT) AS DOUBLE) AS x
+      FROM corp JOIN asg{t} s ON s.vec_id = corp.vec_id
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""cf{t} AS (
+      SELECT p.cid, p.i, COALESCE(m.x, p.x) AS x
+      FROM {prev} p LEFT JOIN mn{t} m ON m.cid = p.cid AND m.i = p.i
+    )"""
+        )
+        prev = f"cf{t}"
+    fin = n_iters + 1
+    ctes.append(
+        f"""qd AS (
+      SELECT c.cid,
+             CAST(SUM(CAST(FLOOR(qf.x * c.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM flat qf JOIN {prev} c ON qf.i = c.i
+      WHERE qf.vec_id = 0
+      GROUP BY 1
+    )"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT q.cid FROM qd q
+      JOIN norms nq ON nq.vec_id = 0
+      JOIN cn{fin} cn ON cn.cid = q.cid
+      ORDER BY (q.dot / (sqrt(nq.n2) * sqrt(cn.n2))) DESC, q.cid ASC
+      LIMIT 2
+    )"""
+    )
+    ctes.append(
+        f"""cd AS (
+      SELECT corp.vec_id,
+             CAST(SUM(CAST(FLOOR(corp.x * qf.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM corp
+      JOIN (SELECT i, x FROM flat WHERE vec_id = 0) qf ON corp.i = qf.i
+      WHERE corp.vec_id IN (
+        SELECT a.vec_id FROM asg{fin} a JOIN probes p ON a.list_id = p.cid
+      )
+      GROUP BY 1
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT c.vec_id, e.label, a.list_id,
+           (c.dot / (sqrt(nv.n2) * sqrt(nq.n2))) AS cosine
+    FROM cd c
+    JOIN asg{fin} a ON a.vec_id = c.vec_id
+    JOIN norms nv ON nv.vec_id = c.vec_id
+    JOIN norms nq ON nq.vec_id = 0
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    ORDER BY cosine DESC, c.vec_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "ann_ivf_fitted_topk",
+    _ivf_fitted_oracle(),
+    description="IVF-Flat ANN top-10 over the FITTED coarse quantizer "
+    "(2 deterministic Lloyd iterations from the seed init, quantized "
+    "integer means — operators/similarity.py:ivf_fit_centroids), "
+    "nprobe=2.  The production IVF path: sampled k-means fit -> "
+    "broadcast-k assignment -> probe the nearest lists; the oracle "
+    "replays the entire fit bit-for-bit (integer-exact means were the "
+    "point of the quantized design), so the driver hash pins the "
+    "index, not just the answer",
+    tags=("similarity", "ann", "ivf", "extension"),
+)
+def ann_ivf_fitted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_fit_centroids, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    cents = ivf_fit_centroids(corpus, n_iters=_IVF_FIT_ITERS, sample_mod=1)
+    return ivf_topk(corpus, _query_vec(spark, sf_dir), 10, centroids=cents)

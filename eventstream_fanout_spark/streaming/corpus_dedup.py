@@ -36,7 +36,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import banded_signatures, minhash_signatures
+from ..operators.dedup import (
+    _salted_bucket_pairs,
+    banded_signatures,
+    minhash_signatures,
+)
 
 
 def batch_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -58,10 +62,17 @@ def accepted_bands(
 
     try:
         df = spark.read.parquet(store_path)
-    except AnalysisException:  # store not created yet (PATH_NOT_FOUND)
-        # ONLY the missing-path case may mean "empty store" — an IO
-        # error or corrupt footer must propagate, or this batch would
-        # silently dedup against nothing and admit duplicates forever
+    except AnalysisException as exc:
+        # ONLY the missing-path case may mean "empty store" — any other
+        # analysis failure (schema inference, corrupt metadata) must
+        # propagate, or this batch would silently dedup against nothing
+        # and admit duplicates forever.
+        get_cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        err_class = get_cond() if get_cond is not None else None
+        if err_class != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(exc):
+            raise
         return spark.createDataFrame(
             [], "doc_id long, band int, bh string"
         )
@@ -85,16 +96,16 @@ def dedup_batch_against_store(
     vs_store = bands.join(
         store.select("band", "bh").distinct(), ["band", "bh"], "left_semi"
     ).select("doc_id").distinct()
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Salted bucket-local self-join (same skew bound as the batch
+    # family): _salted_bucket_pairs emits ordered pairs a.id < b.id and
+    # is lossless by construction, so rejecting every b.doc_id is
+    # exactly "drop all but the lowest id of each near-dup band group"
+    # — identical result set to a plain (band, bh, id<id) join, but a
+    # degenerate band value inside one large micro-batch can no longer
+    # concentrate its pair work in a single task.
     vs_batch = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id"))
+        _salted_bucket_pairs(bands, ["band", "bh"], "doc_id")
+        .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
     )
     rejected = vs_store.unionByName(vs_batch).distinct()
@@ -174,7 +185,17 @@ def streaming_dedup_sink_bucketed(
     creates it (partitioned by batch_id for replay masking, bucketed
     for the shuffle-free store side), later batches ``insertInto`` it
     under dynamic partition overwrite — a replayed batch id replaces
-    its own partition only."""
+    its own partition only.
+
+    Concurrency caveat: ``insertInto`` does not honor the per-write
+    ``partitionOverwriteMode`` option, so the sink flips the SESSION
+    conf around the insert (saved/restored in a finally).  Any
+    concurrent overwrite-mode write in the same SparkSession during
+    that window inherits dynamic semantics — run this sink in its own
+    SparkSession (or serialize store writes) if other partitioned
+    overwrites share the session.  Structured Streaming invokes
+    ``foreachBatch`` for one batch at a time per query, so the sink
+    never races itself."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -265,7 +286,20 @@ def compact_store(
     that may still be replayed must keep its own partition id.  Pass
     the checkpoint's committed watermark (highest batch id that can
     never re-run); batches >= upto_batch_id are left untouched.
+
+    Run ONLY with the ingest stream stopped (maintenance window): the
+    final deletes race an in-flight ``accepted_bands`` scan, and with
+    ``spark.sql.files.ignoreMissingFiles=true`` a concurrent reader
+    would silently scan a partial store and admit duplicates — so that
+    conf being set is a hard error here, not a convenience.
     Returns the number of source partitions folded."""
+    if spark.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "true":
+        raise RuntimeError(
+            "compact_store refuses to run with "
+            "spark.sql.files.ignoreMissingFiles=true: a concurrent store "
+            "reader racing the post-fold deletes would silently read a "
+            "partial store and admit duplicates"
+        )
     df = spark.read.parquet(store_path)
     bids = [
         r["batch_id"]
@@ -295,4 +329,63 @@ def compact_store(
     fs = jvm.Path(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
     for bid in fold_ids:
         fs.delete(jvm.Path(f"{store_path}/batch_id={bid}"), True)
+    return len(fold_ids)
+
+
+def compact_store_table(
+    spark: SparkSession, store_table: str, upto_batch_id: int
+) -> int:
+    """:func:`compact_store` for the BUCKETED table store: fold every
+    committed per-batch partition below the replay watermark (plus any
+    previous frozen generations) into a new frozen partition
+    (``batch_id = -(g+1)``) and drop the sources.
+
+    Same two-phase crash contract as the parquet path — the frozen
+    generation is inserted (dynamic partition overwrite, preserving the
+    table's band-key bucketing so the store side of the rejection join
+    stays Exchange-free) strictly BEFORE the source partitions are
+    dropped via ``ALTER TABLE .. DROP PARTITION``; a crash in between
+    leaves duplicate bands, which can only over-reject near-dups, never
+    admit one.  Run with the ingest stream stopped (the drops race an
+    in-flight store scan), and see
+    :func:`streaming_dedup_sink_bucketed` for the session-scoped
+    ``partitionOverwriteMode`` caveat the insert shares.
+    Returns the number of source partitions folded."""
+    if spark.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "true":
+        raise RuntimeError(
+            "compact_store_table refuses to run with "
+            "spark.sql.files.ignoreMissingFiles=true (see compact_store)"
+        )
+    df = spark.table(store_table)
+    bids = [
+        r["batch_id"]
+        for r in df.select("batch_id").distinct().collect()
+    ]
+    fold_ids = [
+        b for b in bids if b < 0 or (0 <= b < int(upto_batch_id))
+    ]
+    if len(fold_ids) <= 1 and not any(b >= 0 for b in fold_ids):
+        return 0  # nothing but (at most) one frozen generation
+    next_gen = min([b for b in bids if b < 0], default=0) - 1
+    # insertInto is positional: select in the table's column order
+    # (data cols first, partition col last, as saveAsTable laid it out)
+    data_cols = [c for c in df.columns if c != "batch_id"]
+    folded = (
+        df.where(F.col("batch_id").isin(fold_ids))
+        .select(*data_cols)
+        .withColumn("batch_id", F.lit(int(next_gen)))
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        folded.write.mode("overwrite").insertInto(store_table)
+    finally:
+        spark.conf.set(conf_key, prev)
+    # sources go away only now — the frozen generation is durably in place
+    for bid in fold_ids:
+        spark.sql(
+            f"ALTER TABLE {store_table} DROP IF EXISTS "
+            f"PARTITION (batch_id={int(bid)})"
+        )
     return len(fold_ids)

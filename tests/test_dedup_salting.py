@@ -99,3 +99,34 @@ def test_fixture_pairs_unchanged_by_default_caps(spark):
     assert lsh.count() == 25  # CORRECTNESS_r03 minhash_lsh_pairs
     sim = simhash_near_pairs(simhash_docs(docs), max_hamming=3)
     assert sim.count() == 3790  # CORRECTNESS_r03 simhash_near_pairs
+
+
+def test_streaming_within_batch_rejection_matches_unsalted(spark):
+    """The streaming within-batch rejection (corpus_dedup vs_batch,
+    salted in round 5 to match its docstring) must reject exactly the
+    set a plain (band, bh, id<id) join would: every non-minimum id of
+    each band group, even when the bucket is hot enough to salt."""
+    banded = _banded_fixture(spark)
+    salted_rejected = {
+        r["doc_id"]
+        for r in _salted_bucket_pairs(
+            banded, ["band", "bh"], "doc_id", hot_cap=10, n_salts=4
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+        .collect()
+    }
+    a, b = banded.alias("a"), banded.alias("b")
+    plain_rejected = {
+        r["doc_id"]
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+        .collect()
+    }
+    assert salted_rejected == plain_rejected == set(range(1, 40))

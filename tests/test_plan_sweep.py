@@ -21,6 +21,7 @@ BNLJ_ALLOWED = {
     "ann_batch_topk",
     "ann_lsh_bucket_topk",
     "ann_ivf_topk",
+    "ann_ivf_fitted_topk",  # same 8-row centroid set, fitted by Lloyd
     "ann_recall_report",  # composes the three ANN top-k plans above
     "hard_negative_mining",
     "embedding_near_pairs",  # sample-capped ground-truth verifier

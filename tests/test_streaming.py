@@ -610,7 +610,12 @@ def test_micro_batch_latency_within_reference_budget(spark, tmp_path):
     assert len(progress) >= 4  # genuinely ran as multiple micro-batches
     durations = [p["durationMs"]["triggerExecution"] for p in progress]
     # reference budget (5 s) for every WARM batch; the first batch
-    # additionally pays stream init + codegen, so it gets 3x headroom
-    # against shared-box noise rather than flaking the suite
+    # additionally pays stream init + codegen, so it gets 3x headroom.
+    # Wall-clock SLA assertions are inherently noise-sensitive on a
+    # loaded shared box, so they are skippable (NOT skipped by default
+    # — the SLA is part of the reference contract) for functional-only
+    # CI runs via SPARK_GRAFT_SKIP_SLA=1.
+    if os.environ.get("SPARK_GRAFT_SKIP_SLA") == "1":
+        pytest.skip("SLA wall-clock assertions disabled by env")
     assert max(durations[1:]) < 5_000, durations
     assert durations[0] < 15_000, durations
