@@ -118,6 +118,14 @@ HEADLINE = [
     "fuzzy_entity_match",
     "scd2_point_in_time_join",
     "ann_multiprobe_topk",
+    # round 5 additions: fitted IVF, VARIANT CDC decode, LM novelty,
+    # BPE merge fit, two-level sweep-line concurrency
+    "ann_ivf_fitted_topk",
+    "cdc_variant_props",
+    "trigram_novelty_score",
+    "bpe_merge_candidates",
+    "session_concurrency_sweep",
+    "weighted_systematic_sample",
 ]
 
 

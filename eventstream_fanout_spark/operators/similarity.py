@@ -337,7 +337,13 @@ def ivf_topk(
                 ),
             ).alias("_a")
         )
-        .where(F.col("_a").isNotNull())  # always false; evaluates _a
+        # Always-false predicate whose evaluation forces _a.  This
+        # relies on Catalyst NOT constant-folding IsNotNull(assert_true)
+        # over an always-null column (true on Spark 4.1.2); if a future
+        # optimizer rule pruned the branch, the guard would silently
+        # stop raising — tests/test_similarity_quality.py's broken-index
+        # test is the tripwire that would catch exactly that (ADVICE r4).
+        .where(F.col("_a").isNotNull())
         .select(
             *[
                 F.lit(None).cast(f.dataType).alias(f.name)

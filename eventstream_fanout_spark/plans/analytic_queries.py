@@ -526,3 +526,121 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="n",
     )
+
+
+# --- two-level parallel sweep-line (round 5) ---------------------------
+
+
+def _session_concurrency_oracle() -> str:
+    from .registry import QUERIES
+
+    sessions = QUERIES["sessionize_events"].oracle
+    return f"""
+    WITH sess AS (SELECT session_start, session_end FROM ({sessions})),
+    points AS (
+      SELECT session_start AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT make_timestamp(epoch_us(session_end) + 1) AS t, -1 AS delta
+      FROM sess
+    ),
+    binned AS (
+      SELECT date_trunc('hour', t) AS hour_start, t, delta FROM points
+    ),
+    cums AS (
+      SELECT hour_start, delta,
+             CAST(SUM(delta) OVER (
+               PARTITION BY hour_start
+               ORDER BY t ASC, delta ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM binned
+    ),
+    bins AS (
+      SELECT hour_start,
+             CAST(MAX(cum) AS BIGINT) AS max_cum,
+             CAST(SUM(delta) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_boundaries
+      FROM cums GROUP BY hour_start
+    ),
+    carried AS (
+      SELECT hour_start, max_cum, n_boundaries,
+             CAST(COALESCE(SUM(tot) OVER (
+               ORDER BY hour_start ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS carry
+      FROM bins
+    )
+    SELECT hour_start,
+           CAST(carry + GREATEST(CAST(0 AS BIGINT), max_cum) AS BIGINT)
+             AS peak_concurrent,
+           n_boundaries
+    FROM carried
+    """
+
+
+@register(
+    "session_concurrency_sweep",
+    _session_concurrency_oracle(),
+    description="peak concurrent sessions per hour via a TWO-LEVEL "
+    "parallel sweep-line: sessions explode to +1/-1 boundary points, "
+    "cumulative sums run partitioned WITHIN each hour bin, and only "
+    "the per-bin totals pass through the tiny global carry window "
+    "(#hours rows, bounded) — the classic parallel-prefix-scan "
+    "decomposition, so the global ordered cumsum a naive sweep needs "
+    "never materializes on one partition.  Ties sweep ends before "
+    "starts (delta asc) at equal instants; peak includes the carry-in "
+    "baseline for bins whose first boundary is an end",
+    tags=("analytic", "session", "sweep", "extension"),
+)
+def session_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize_events(spark, sf_dir)
+    points = (
+        sess.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("session_start").alias("t"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.timestamp_micros(
+                            F.unix_micros("session_end") + 1
+                        ).alias("t"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.t", "p.delta")
+        .withColumn("hour_start", F.date_trunc("hour", F.col("t")))
+    )
+    w_in = (
+        Window.partitionBy("hour_start")
+        .orderBy(F.asc("t"), F.asc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = points.withColumn(
+        "cum", F.sum("delta").over(w_in).cast("bigint")
+    )
+    bins = cums.groupBy("hour_start").agg(
+        F.max("cum").cast("bigint").alias("max_cum"),
+        F.sum("delta").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+    )
+    # second level: the carry window sees one row per HOUR — bounded
+    # and tiny by construction (the two-level scan trick; same budget
+    # argument as vocab_coverage's capped second level)
+    w_carry = Window.orderBy(F.asc("hour_start")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carried = bins.withColumn(
+        "carry",
+        F.coalesce(F.sum("tot").over(w_carry), F.lit(0)).cast("bigint"),
+    )
+    return carried.select(
+        "hour_start",
+        (
+            F.col("carry")
+            + F.greatest(F.lit(0).cast("bigint"), F.col("max_cum"))
+        ).cast("bigint").alias("peak_concurrent"),
+        "n_boundaries",
+    )

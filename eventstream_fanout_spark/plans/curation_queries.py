@@ -868,3 +868,93 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- token-weighted systematic sampling (round 5) ----------------------
+
+_WSS_QUOTA = 100  # sample boundaries across the corpus token mass
+
+
+@register(
+    "weighted_systematic_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY h ASC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+      FROM t
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM t)
+    SELECT doc_id, n_tokens,
+           CAST((cum_end * {_WSS_QUOTA}) // tt
+                - ((cum_end - n_tokens) * {_WSS_QUOTA}) // tt
+                AS BIGINT) AS n_copies
+    FROM c, tot
+    WHERE (cum_end * {_WSS_QUOTA}) // tt
+          - ((cum_end - n_tokens) * {_WSS_QUOTA}) // tt >= 1
+    """,
+    description="deterministic token-weighted systematic sample: docs "
+    "ordered by id-hash, each doc spans [cum_start, cum_end) of the "
+    "corpus token mass, and a doc is drawn once per quota boundary it "
+    "covers (n_copies = boundary count — selection probability AND "
+    "repetition multiplicity proportional to token weight, the "
+    "'epochs per doc under a token budget' shape).  Exact BIGINT "
+    "arithmetic end to end (integer floor-division boundaries, no "
+    "transcendentals), so the sample is reproducible across engines.  "
+    "The global cumulative sum runs as a TWO-LEVEL prefix scan "
+    "(256 hash-prefix buckets partition the big window; only per-"
+    "bucket totals cross the tiny carry window), same decomposition "
+    "as session_concurrency_sweep/vocab_coverage",
+    tags=("curation", "sampling", "extension"),
+)
+def weighted_systematic_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    t = docs.withColumn(
+        "h", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c_in = t.withColumn(
+        "cum_in", F.sum("n_tokens").over(w_in).cast("bigint")
+    )
+    btot = t.groupBy("bucket").agg(
+        F.sum("n_tokens").cast("bigint").alias("tot")
+    )
+    # carry window: one row per hash-prefix bucket (<= 256), bounded
+    w_carry = Window.orderBy(F.asc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carried = btot.withColumn(
+        "carry",
+        F.coalesce(F.sum("tot").over(w_carry), F.lit(0)).cast("bigint"),
+    ).select("bucket", "carry")
+    cum = c_in.join(carried, "bucket").withColumn(
+        "cum_end", (F.col("carry") + F.col("cum_in")).cast("bigint")
+    )
+    total = docs.agg(F.sum("n_tokens").cast("bigint").alias("tt"))
+    copies = F.expr(
+        f"(cum_end * {_WSS_QUOTA}) div tt"
+    ) - F.expr(f"((cum_end - n_tokens) * {_WSS_QUOTA}) div tt")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("n_copies", copies.cast("bigint"))
+        .where(F.col("n_copies") >= 1)
+        .select("doc_id", "n_tokens", "n_copies")
+    )

@@ -40,78 +40,76 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- round-4 rotation: the 42 registered queries that have never
-    # had a driver CORRECTNESS row (r1 ∪ r3 diff; VERDICT r3 item 1).
-    # Slots 1..42, in registration order. ---
-    "q20_promotion_suppliers",
-    "variant_props_extract",
-    "winsorized_values",
-    "unpivot_event_matrix",
-    "scd2_dimension_history",
-    "approx_quantiles_value",
-    "theta_sketch_user_sets",
-    "hll_daily_merge_distinct",
-    "bitmap_distinct_users",
-    "kll_daily_merge_quantiles",
-    "neardup_edit_distance_verify",
-    "minhash_accuracy_report",
-    "hard_negative_mining",
-    "embedding_int8_quantization",
-    "ann_ivf_topk",
-    "label_balanced_sample",
-    "embedding_random_projection",
-    "ann_recall_report",
-    "doc_chunks_udtf",
-    "inverted_index_postings",
-    "tfidf_top_terms",
-    "media_header_parse",
-    "arrow_doc_lengths",
-    "repetition_profile",
-    "boilerplate_block_removal",
-    "pii_redaction",
-    "domain_mix_sample",
-    "sequence_packing",
-    "vocab_coverage",
-    "zorder_layout_key",
-    "table_profile",
-    "benchmark_decontamination",
-    "token_rarity_score",
-    "source_reputation_profile",
-    "text_normalization_roundtrip",
-    "corpus_shuffle_order",
-    "leakage_safe_splits",
-    "neardup_graph_triangles",
-    "cluster_canonical_best_quality",
-    "stream_session_window_watermark",
-    "bad_records_quarantine",
-    "schema_drift_report",
-    # --- slots 43..50: the round-4 NEW queries.  These have never had
-    # a driver row, so by the "every operator has a passing
-    # CORRECTNESS entry" bar they outrank re-proof slots for the
-    # salting/fused-cosine plan changes: those names keep their r3
-    # green rows, and the changed plans carry local gate evidence
-    # (spot_check/front_check ALL MATCH) plus the salted-join
-    # losslessness property test.  After a green r4, every registered
-    # query except ann_multiprobe_topk (added last, first in the r5
-    # queue) has a driver CORRECTNESS row. ---
-    "lsh_bucket_stats",
+    # --- round-5 rotation (VERDICT r4 item 1 + this round's work).
+    # Slots 1-7: never-driver-checked — the two leftovers from r4
+    # (ann_multiprobe_topk, the sandwich approx_distinct_users) and the
+    # five queries round 5 added (fitted IVF, VARIANT CDC, trigram LM
+    # novelty, BPE merge table, sweep-line concurrency). ---
+    "ann_multiprobe_topk",
+    "approx_distinct_users",
+    "ann_ivf_fitted_topk",
+    "cdc_variant_props",
+    "trigram_novelty_score",
+    "bpe_merge_candidates",
+    "session_concurrency_sweep",
+    "weighted_systematic_sample",
+    # --- slots 8-16: plans whose green rows predate a physical-plan
+    # rewrite — incremental_dedup_sim's within-batch join was salted in
+    # round 5; the other eight changed in round 4 (hot-bucket salting /
+    # fused cosine) and still ride round-3 rows. ---
     "incremental_dedup_sim",
-    "wav_audio_decode",
-    "png_image_decode",
-    "html_text_extract",
-    "url_canonical_dedup",
-    "fuzzy_entity_match",
-    "scd2_point_in_time_join",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "ngram_jaccard_dups",
+    "embedding_lsh_near_pairs",
+    "corpus_clean_pipeline",
+    "training_export_pipeline",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    # --- slots 17-50: rotation-backs, oldest evidence first — these
+    # have been green since ROUND 1 and never re-proven; refreshing
+    # them keeps every green row at most a few rounds stale. ---
+    "flagship_enrich",
+    "json_extract_props",
+    "null_reject_filter",
+    "timestamp_parse",
+    "count_star",
+    "sort_limit_latest",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority",
+    "anti_join_customers_no_urgent_orders",
+    "filter_pushdown_scan",
+    "rollup_nation_segment",
+    "set_ops_purchasers_vs_errors",
+    "union_intersect_users",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_predicates",
+    "q18_large_volume_orders",
+    "salted_join_counts",
+    "deterministic_sample",
+    "stratified_sample_20_per_type",
+    "above_nation_avg_balance",
+    "string_functions",
+    "datetime_functions",
+    "math_functions",
+    "frame_functions",
+    "json_nested_roundtrip",
+    "map_functions",
+    "conditional_functions",
+    "rank_family",
+    "lag_lead_deltas",
 ]
 
-# ROUND-5 ROTATION PLAN: assuming CORRECTNESS_r04 lands green, the
-# only registered query without a driver row will be
-# ann_multiprobe_topk — plus whatever round 5 adds; fill the remaining
-# ~47 slots with rotation-backs, prioritising the plans round 4
-# changed without re-proof (minhash_lsh_pairs, simhash_near_pairs,
-# ngram_jaccard_dups, embedding_lsh_near_pairs, corpus_clean_pipeline,
-# training_export_pipeline, ann_cosine_topk, ann_ivf_topk — salting +
-# fused-cosine paths) and any query round 5 touches.
+# ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 lands green, every
+# registered query's CURRENT plan has a driver row and the oldest
+# evidence left is round 3; fill round 6's slots with any new/changed
+# queries first, then continue the oldest-first refresh (the remaining
+# round-1-only greens: pivot/percentile/gap-fill/asof/cdc_apply_merge
+# family, then round-3 rows).
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

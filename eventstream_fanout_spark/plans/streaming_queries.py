@@ -422,3 +422,35 @@ def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         .withColumn("is_expected", F.col("key").isin("k"))
     )
+
+
+@register(
+    "cdc_variant_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           'OBJECT<k: BIGINT>' AS vschema,
+           TRUE AS props_ok
+    FROM events
+    """,
+    description="Spark-4 VARIANT on the CDC envelope path (VERDICT r4 "
+    "item 8): wrap events in Debezium JSON, parse the typed envelope, "
+    "then decode the inner props payload with try_parse_json into a "
+    "VARIANT column and extract typed fields via variant_get — the "
+    "batch twin of the streaming decoder "
+    "(sources/cdc.py:parse_cdc_envelope_variant); pure per-row "
+    "expressions, zero shuffles added to the envelope path (plan "
+    "asserted in pytest)",
+    tags=("streaming", "cdc", "json", "variant"),
+)
+def cdc_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.cdc import parse_cdc_envelope_variant
+
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_cdc_envelope_variant(to_cdc_json(events))
+    return parsed.select(
+        "event_id",
+        F.variant_get(F.col("props_v"), "$.k", "int").alias("k_int"),
+        F.schema_of_variant(F.col("props_v")).alias("vschema"),
+        F.col("props_v").isNotNull().alias("props_ok"),
+    )

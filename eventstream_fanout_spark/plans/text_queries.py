@@ -796,3 +796,137 @@ def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lev"),
         )
     )
+
+
+# --- n-gram LM novelty + tokenizer-fit (round 5) -----------------------
+
+
+@register(
+    "trigram_novelty_score",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id, unnest({sql_shingles('toks')}) AS shingle FROM toked
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    dfreq AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_trigrams,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           (CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) AS novelty,
+           (CAST(SUM(d.df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS mean_df
+    FROM sh s JOIN dfreq d USING (shingle)
+    GROUP BY s.doc_id
+    """,
+    description="n-gram LM novelty score (the KenLM-filter analogue a "
+    "training corpus uses as a quality/memorization signal): per doc, "
+    "the fraction of its distinct word trigrams that occur in NO other "
+    "document (novelty) and the mean corpus document-frequency of its "
+    "trigrams.  Two hash-partitioned aggregations (shingle then doc), "
+    "partial-agg friendly, no UDFs; reuses the dedup family's shingle "
+    "pipeline so the trigram space is shared with MinHash",
+    tags=("text", "ngram", "quality", "extension"),
+)
+def trigram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = doc_shingles(docs)  # distinct (doc_id, shingle)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n_uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
+    n_tri = F.count(F.lit(1)).cast("bigint")
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            n_tri.alias("n_distinct_trigrams"),
+            n_uniq.alias("n_unique"),
+            (
+                n_uniq.cast("double") / n_tri.cast("double")
+            ).alias("novelty"),
+            (
+                F.sum("df").cast("double") / n_tri.cast("double")
+            ).alias("mean_df"),
+        )
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    f"""
+    WITH toked AS (
+      SELECT {sql_tokens('text')} AS toks FROM documents
+    ),
+    words AS (SELECT unnest(toks) AS word FROM toked),
+    wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM words WHERE length(word) >= 2 GROUP BY word
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, length(w.word) - 1),
+               i -> substr(w.word, CAST(i AS INTEGER), 2))) AS pair,
+             w.wc
+      FROM wc w
+    ),
+    agg AS (
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_freq
+      FROM pairs GROUP BY pair
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_freq DESC, pair ASC)
+                AS INTEGER) AS merge_rank,
+           pair, pair_freq
+    FROM agg
+    ORDER BY merge_rank ASC
+    LIMIT 20
+    """,
+    description="tokenizer-fit round: the first BPE merge table — "
+    "corpus-frequency-weighted adjacent character-pair counts over the "
+    "word vocabulary, top-20 merge candidates ranked (freq desc, pair "
+    "asc).  The scale shape of a real BPE trainer's inner loop: fit on "
+    "the AGGREGATED word vocabulary (|vocab| rows), never the raw "
+    "corpus, so each merge round costs a vocab-sized explode + "
+    "partial-agg regardless of corpus size",
+    tags=("text", "tokenizer", "bpe", "extension"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens(F.col("text"))).alias("word")
+    ).where(F.length("word") >= 2)
+    wc = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wc")
+    )
+    pairs = wc.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("wc").cast("bigint").alias("pair_freq")
+    )
+    w = Window.orderBy(F.desc("pair_freq"), F.asc("pair"))
+    return (
+        agg.orderBy(F.desc("pair_freq"), F.asc("pair"))
+        .limit(20)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .select(
+            F.col("rn").alias("merge_rank"), "pair", "pair_freq"
+        )
+    )

@@ -95,3 +95,23 @@ def parse_cdc_envelope(
         flat.withColumn("ts", F.to_timestamp("ts", TS_FMT))
         .where(F.col("event_id").isNotNull())
     )
+
+
+def parse_cdc_envelope_variant(
+    raw: DataFrame,
+    value_col: str = "value",
+    after: T.StructType = EVENT_AFTER_SCHEMA,
+) -> DataFrame:
+    """:func:`parse_cdc_envelope` with the inner semi-structured
+    ``props`` payload decoded to a Spark-4 VARIANT column (``props_v``)
+    instead of left as a JSON string — the modern alternative to
+    downstream ``get_json_object`` chains (reference
+    pipeline/app.py:46-52 parses the same string once per field).
+
+    ``try_parse_json`` (not ``parse_json``) on purpose: on a stream a
+    single malformed ``props`` must yield a NULL variant (quarantined
+    downstream) rather than fail the micro-batch and stall the
+    checkpoint.  Per-row expression only — adds zero shuffles to the
+    envelope path."""
+    base = parse_cdc_envelope(raw, value_col, after)
+    return base.withColumn("props_v", F.try_parse_json(F.col("props")))

@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "benchmark_decontamination",  # broadcast bench-probe set
     # scalar-subquery joins: the build side is a 1-row aggregate
     # (TPC-H threshold / total-doc-count), a constant by construction
+    "weighted_systematic_sample",  # 1-row corpus-token-total side
     "q11_important_balance",
     "q22_global_sales_opportunity",
     "tfidf_top_terms",
