@@ -126,6 +126,9 @@ HEADLINE = [
     "bpe_merge_candidates",
     "session_concurrency_sweep",
     "weighted_systematic_sample",
+    "ann_pq_adc_topk",
+    "ann_pq_recall_report",
+    "incremental_dedup_verified_sim",
 ]
 
 

@@ -233,6 +233,20 @@ def ivf_fit_centroids(
                 "cid",
                 F.coalesce(F.col("ce_new"), F.col("ce")).alias("ce"),
             )
+            # Materialize the k-row centroid set after each Lloyd
+            # iteration (same localCheckpoint pattern as dup_clusters):
+            # index BUILD is legitimately eager — in production the
+            # fitted quantizer persists as a broadcast artifact — and
+            # without this every downstream reference (next iteration's
+            # assignment, ivf_topk's assign + probes + guard) re-runs
+            # the whole corpus-scanning fit subtree: at sf0.1 the wall
+            # time is flat (codegen compile of the fused-cosine folds
+            # dominates, PERF.md), but at real scale each avoided
+            # re-fit is n_iters corpus-sample scans.  The "no eager
+            # actions in query construction" rule (PERF.md, the guard
+            # lesson) is about per-QUERY paths; a one-time fit is the
+            # exception it predicted.
+            .localCheckpoint(eager=True)
         )
     return cents
 

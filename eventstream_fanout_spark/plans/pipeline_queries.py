@@ -615,3 +615,102 @@ def incremental_dedup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         acc1.select("doc_id", F.lit(1).cast("int").alias("batch_id"))
     )
+
+
+_VERIFY_TAU = 0.3
+
+
+def _jac_reject_sql(cand_cte: str) -> str:
+    """SQL fragment: doc_b ids of candidate pairs whose exact shingle
+    Jaccard clears the verification threshold."""
+    return f"""
+      SELECT DISTINCT i.doc_b AS doc_id FROM (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM {cand_cte} c
+        JOIN shingled a ON a.doc_id = c.doc_a
+        JOIN shingled b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+      ) i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE (CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE)) >= {_VERIFY_TAU}
+    """
+
+
+@register(
+    "incremental_dedup_verified_sim",
+    f"""
+    WITH {_SIG_CTES},
+    bands AS ({_BANDS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    b0 AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    b1 AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    cand0 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM b0 a JOIN b0 b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    rej0 AS ({_jac_reject_sql("cand0")}),
+    acc0 AS (
+      SELECT DISTINCT doc_id FROM b0
+      WHERE doc_id NOT IN (SELECT doc_id FROM rej0)
+    ),
+    storeb AS (
+      SELECT doc_id, band, bh FROM bands
+      WHERE doc_id IN (SELECT doc_id FROM acc0)
+    ),
+    cand1 AS (
+      SELECT DISTINCT s.doc_id AS doc_a, a.doc_id AS doc_b
+      FROM b1 a JOIN storeb s ON a.band = s.band AND a.bh = s.bh
+      UNION
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM b1 a JOIN b1 b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    rej1 AS ({_jac_reject_sql("cand1")}),
+    acc1 AS (
+      SELECT DISTINCT doc_id FROM b1
+      WHERE doc_id NOT IN (SELECT doc_id FROM rej1)
+    )
+    SELECT doc_id, CAST(0 AS INTEGER) AS batch_id FROM acc0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER) AS batch_id FROM acc1
+    """,
+    description="incremental corpus dedup, VERIFIED mode, as a batch "
+    "plan: same two-'micro-batch' parity split as incremental_dedup_sim "
+    "but a band candidate only rejects a doc if the exact shingle "
+    "Jaccard of the pair clears 0.3 — the LSH-then-verify composition "
+    "on the streaming-ingest seam (streaming/corpus_dedup.py:"
+    "dedup_batch_verified, same code path), with verification "
+    "shingling semi-joined down to candidate docs so per-batch cost "
+    "stays candidate-bounded at any store size",
+    tags=("pipeline", "dedup", "streaming", "extension"),
+)
+def incremental_dedup_verified_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.corpus_dedup import batch_bands, dedup_batch_verified
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    empty_store = spark.createDataFrame(
+        [], "doc_id long, band int, bh string"
+    )
+    # acc0 feeds acc1 THREE times (its bands become the store, its
+    # text is the verification corpus, and it unions into the output);
+    # materialize it once (dup_clusters/neardup_graph_triangles
+    # localCheckpoint pattern) instead of re-running the full
+    # LSH+verify subtree per reference — the un-checkpointed plan
+    # OOMed the round-5 bench at sf0.1
+    acc0 = dedup_batch_verified(
+        b0, empty_store, None, _VERIFY_TAU
+    ).localCheckpoint(eager=True)
+    store = batch_bands(acc0)
+    acc1 = dedup_batch_verified(b1, store, acc0, _VERIFY_TAU)
+    return acc0.select(
+        "doc_id", F.lit(0).cast("int").alias("batch_id")
+    ).unionByName(
+        acc1.select("doc_id", F.lit(1).cast("int").alias("batch_id"))
+    )

@@ -53,6 +53,9 @@ FRONT: list[str] = [
     "bpe_merge_candidates",
     "session_concurrency_sweep",
     "weighted_systematic_sample",
+    "ann_pq_adc_topk",
+    "ann_pq_recall_report",
+    "incremental_dedup_verified_sim",
     # --- slots 8-16: plans whose green rows predate a physical-plan
     # rewrite — incremental_dedup_sim's within-batch join was salted in
     # round 5; the other eight changed in round 4 (hot-bucket salting /
@@ -99,9 +102,6 @@ FRONT: list[str] = [
     "frame_functions",
     "json_nested_roundtrip",
     "map_functions",
-    "conditional_functions",
-    "rank_family",
-    "lag_lead_deltas",
 ]
 
 # ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 lands green, every

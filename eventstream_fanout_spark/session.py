@@ -57,6 +57,16 @@ def get_spark(
     )
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(ENGINE_CONF)
+    # local[N] runs the whole engine in the driver JVM, whose DEFAULT
+    # heap is 1g — 32 concurrent tasks on a 128 GiB box OOMed the
+    # round-5 bench on exactly one deep-plan query.  Static conf: only
+    # effective when this builder actually creates the JVM (sessions
+    # handed in externally, e.g. the driver's, keep their own sizing —
+    # apply_engine_conf skips static confs by design).
+    conf.setdefault(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    )
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     )

@@ -15,8 +15,10 @@ Design (per micro-batch):
    one code path, two execution modes).
 2. Band equi-join against the ACCEPTED band store (parquet): any band
    match marks the doc as a near-dup candidate; candidates are dropped
-   (optionally verified by exact Jaccard first — same composition as
-   the batch verifier).
+   — or, with ``min_jaccard`` set on the sink, dropped only after the
+   exact shingle-Jaccard verifier clears them (the batch family's
+   LSH→verify composition, shingling ONLY the candidate docs re-read
+   from the accepted output).
 3. Within-batch dedup by the same band join (salted, bucket-local).
 4. Survivors' bands append to the store under ``batch_id=N`` —
    idempotent replay (a replayed batch overwrites its own partition,
@@ -126,20 +128,117 @@ def append_accepted(
     )
 
 
+def _candidate_pairs(
+    bands: DataFrame, store: DataFrame
+) -> DataFrame:
+    """Ordered near-dup candidate pairs (doc_a rejects doc_b): store
+    hits (store doc -> batch doc) plus salted within-batch pairs
+    (lower id -> higher id).  Pure band equi-joins, bucket-local."""
+    vs_store = (
+        bands.alias("n")
+        .join(
+            store.alias("s"),
+            (F.col("n.band") == F.col("s.band"))
+            & (F.col("n.bh") == F.col("s.bh")),
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_a"),
+            F.col("n.doc_id").alias("doc_b"),
+        )
+    )
+    vs_batch = _salted_bucket_pairs(bands, ["band", "bh"], "doc_id").select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    return vs_store.unionByName(vs_batch).distinct()
+
+
+def dedup_batch_verified(
+    batch: DataFrame,
+    store: DataFrame,
+    accepted_docs: DataFrame | None,
+    min_jaccard: float,
+) -> DataFrame:
+    """:func:`dedup_batch_against_store` with the batch family's
+    LSH→verify composition: a band candidate rejects a batch doc only
+    if the EXACT shingle Jaccard of the pair clears ``min_jaccard`` —
+    so a hash-collision band match on genuinely different text no
+    longer drops a document.
+
+    Scale shape: candidates are the same bucket-local band joins;
+    verification shingling is restricted by semi-join to the candidate
+    docs on BOTH sides (batch docs and the store docs re-read from
+    ``accepted_docs``), so per-batch cost is
+    O(|candidates| x shingles/doc) regardless of corpus size.
+    Requires globally unique doc_ids across batches (the ingest
+    contract) so the unioned shingle relation is unambiguous."""
+    from ..operators.dedup import doc_shingles, jaccard_verify_candidates
+
+    bands = batch_bands(batch)
+    cands = _candidate_pairs(bands, store)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sides = batch.select("doc_id", "text")
+    if accepted_docs is not None:
+        sides = sides.unionByName(accepted_docs.select("doc_id", "text"))
+    sh = doc_shingles(sides.join(cand_ids, "doc_id", "left_semi"))
+    verified = jaccard_verify_candidates(sh, cands, min_jaccard)
+    rejected = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    return batch.join(rejected, "doc_id", "left_anti")
+
+
+def _accepted_docs(
+    spark: SparkSession, out_path: str, exclude_batch_id: int | None = None
+) -> DataFrame | None:
+    """The accepted documents written so far (None before the first
+    batch), with the same in-flight replay mask as the band store."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(out_path)
+    except AnalysisException as exc:
+        get_cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        err_class = get_cond() if get_cond is not None else None
+        if err_class != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return None
+    if exclude_batch_id is not None and "batch_id" in df.columns:
+        df = df.where(F.col("batch_id") != int(exclude_batch_id))
+    return df
+
+
 def streaming_dedup_sink(
     store_path: str,
     out_path: str,
+    min_jaccard: float | None = None,
 ):
     """``foreachBatch`` callback: admit only docs that are near-dups of
     nothing accepted so far; append survivors (and their signatures)
-    idempotently.  Compose with ``start_fanout``."""
+    idempotently.  Compose with ``start_fanout``.
+
+    ``min_jaccard=None`` (default) rejects on any band match;
+    a float enables the exact-Jaccard verified mode
+    (:func:`dedup_batch_verified`)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         store = accepted_bands(spark, store_path, exclude_batch_id=batch_id)
-        survivors = dedup_batch_against_store(batch_df, store).persist()
+        if min_jaccard is None:
+            survivors = dedup_batch_against_store(batch_df, store)
+        else:
+            survivors = dedup_batch_verified(
+                batch_df,
+                store,
+                _accepted_docs(spark, out_path, exclude_batch_id=batch_id),
+                min_jaccard,
+            )
+        survivors = survivors.persist()
         try:
             (
                 survivors.withColumn("batch_id", F.lit(int(batch_id)))
@@ -179,6 +278,7 @@ def streaming_dedup_sink_bucketed(
     store_table: str,
     out_path: str,
     num_buckets: int = STORE_BUCKETS,
+    min_jaccard: float | None = None,
 ):
     """``foreachBatch`` callback like :func:`streaming_dedup_sink`, but
     the signature store is a band-key-bucketed TABLE: first batch
@@ -195,7 +295,11 @@ def streaming_dedup_sink_bucketed(
     SparkSession (or serialize store writes) if other partitioned
     overwrites share the session.  Structured Streaming invokes
     ``foreachBatch`` for one batch at a time per query, so the sink
-    never races itself."""
+    never races itself.
+
+    ``min_jaccard`` enables the exact-Jaccard verified mode exactly as
+    on :func:`streaming_dedup_sink` — candidate generation still rides
+    the bucketed band store; only the candidates' text is re-read."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -212,7 +316,16 @@ def streaming_dedup_sink_bucketed(
             store = spark.createDataFrame(
                 [], "doc_id long, band int, bh string"
             )
-        survivors = dedup_batch_against_store(batch_df, store).persist()
+        if min_jaccard is None:
+            survivors = dedup_batch_against_store(batch_df, store)
+        else:
+            survivors = dedup_batch_verified(
+                batch_df,
+                store,
+                _accepted_docs(spark, out_path, exclude_batch_id=batch_id),
+                min_jaccard,
+            )
+        survivors = survivors.persist()
         try:
             (
                 survivors.withColumn("batch_id", F.lit(int(batch_id)))

@@ -425,3 +425,89 @@ def test_crash_between_survivor_and_signature_writes_heals_on_replay(
     assert {
         r["doc_id"] for r in spark.read.parquet(out).collect()
     } == {0, 1, 10, 20}
+
+
+def test_verified_sink_keeps_band_collisions_below_threshold(
+    spark, tmp_path
+):
+    """Verified mode (round 5): a doc that shares an LSH band with an
+    accepted doc but whose exact Jaccard is below the threshold must be
+    ADMITTED (band-only mode would drop it); a true near-dup must still
+    be rejected.  The fixture asserts its own premises (band collision
+    exists, Jaccard is between the two thresholds) so drift in the
+    hash functions fails loudly rather than vacuously passing."""
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_verify_candidates,
+    )
+    from eventstream_fanout_spark.streaming.corpus_dedup import (
+        batch_bands,
+        streaming_dedup_sink,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    # find a one-token edit that still band-collides with base (a
+    # single changed token flips ~3 of 38 shingles -> jaccard ~0.85,
+    # so most edit positions collide on >= 1 of the 4 bands; searching
+    # a few positions makes the fixture robust to hash-function drift)
+    bands0 = batch_bands(_docs(spark, [(0, base)]))
+    near = None
+    for pos in (5, 10, 15, 20, 25, 30, 35):
+        cand_text = " ".join(
+            f"tok{i}" if i != pos else "altered" for i in range(40)
+        )
+        shared = (
+            batch_bands(_docs(spark, [(10, cand_text)]))
+            .alias("a")
+            .join(
+                bands0.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh")),
+            )
+            .count()
+        )
+        if shared >= 1:
+            near = cand_text
+            break
+    assert near is not None, "fixture premise: no edit position collides"
+    docs0 = _docs(spark, [(0, base), (1, "wholly unrelated text " * 10)])
+    docs1 = _docs(spark, [(10, near), (11, base)])  # 11 = exact dup of 0
+    # premise 2: exact jaccard(0, 10) sits below the strict threshold
+    sh = doc_shingles(
+        _docs(spark, [(0, base), (10, near)])
+    )
+    pair = spark.createDataFrame([(0, 10)], "doc_a long, doc_b long")
+    jacs = jaccard_verify_candidates(sh, pair, 0.0).collect()
+    assert jacs and 0.05 < jacs[0]["jaccard"] < 0.95, jacs
+
+    strict = jacs[0]["jaccard"] + 0.05  # just above the true jaccard
+
+    # band-only mode rejects BOTH near (10) and exact (11)
+    store_a = str(tmp_path / "store_a")
+    out_a = str(tmp_path / "out_a")
+    sink_a = streaming_dedup_sink(store_a, out_a)
+    sink_a(docs0, 0)
+    sink_a(docs1, 1)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out_a).collect()
+    } == {0, 1}
+
+    # verified mode with the strict threshold admits the near doc but
+    # still rejects the exact dup
+    store_b = str(tmp_path / "store_b")
+    out_b = str(tmp_path / "out_b")
+    sink_b = streaming_dedup_sink(store_b, out_b, min_jaccard=strict)
+    sink_b(docs0, 0)
+    sink_b(docs1, 1)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out_b).collect()
+    } == {0, 1, 10}
+
+    # replay of batch 1 is still masked on BOTH artifacts (store bands
+    # and accepted-docs re-read)
+    sink_b(docs1, 1)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out_b).collect()
+    } == {0, 1, 10}
