@@ -129,6 +129,8 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "ann_pq_recall_report",
     "incremental_dedup_verified_sim",
+    "bigram_lift_top",
+    "semantic_cluster_diversity_sample",
 ]
 
 

@@ -41,10 +41,12 @@ QUERIES: dict[str, QuerySpec] = {}
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
     # --- round-5 rotation (VERDICT r4 item 1 + this round's work).
-    # Slots 1-7: never-driver-checked — the two leftovers from r4
+    # Slots 1-13: never-driver-checked — the two leftovers from r4
     # (ann_multiprobe_topk, the sandwich approx_distinct_users) and the
-    # five queries round 5 added (fitted IVF, VARIANT CDC, trigram LM
-    # novelty, BPE merge table, sweep-line concurrency). ---
+    # eleven queries round 5 added (fitted IVF, VARIANT CDC, trigram LM
+    # novelty, BPE merge table, sweep-line concurrency, weighted
+    # systematic sample, PQ/ADC + its recall report, verified
+    # incremental dedup, bigram lift, semantic diversity sample). ---
     "ann_multiprobe_topk",
     "approx_distinct_users",
     "ann_ivf_fitted_topk",
@@ -56,7 +58,9 @@ FRONT: list[str] = [
     "ann_pq_adc_topk",
     "ann_pq_recall_report",
     "incremental_dedup_verified_sim",
-    # --- slots 8-16: plans whose green rows predate a physical-plan
+    "bigram_lift_top",
+    "semantic_cluster_diversity_sample",
+    # --- slots 14-22: plans whose green rows predate a physical-plan
     # rewrite — incremental_dedup_sim's within-batch join was salted in
     # round 5; the other eight changed in round 4 (hot-bucket salting /
     # fused cosine) and still ride round-3 rows. ---
@@ -69,7 +73,7 @@ FRONT: list[str] = [
     "training_export_pipeline",
     "ann_cosine_topk",
     "ann_ivf_topk",
-    # --- slots 17-50: rotation-backs, oldest evidence first — these
+    # --- slots 23-50: rotation-backs, oldest evidence first — these
     # have been green since ROUND 1 and never re-proven; refreshing
     # them keeps every green row at most a few rounds stale. ---
     "flagship_enrich",
@@ -100,8 +104,6 @@ FRONT: list[str] = [
     "datetime_functions",
     "math_functions",
     "frame_functions",
-    "json_nested_roundtrip",
-    "map_functions",
 ]
 
 # ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 lands green, every

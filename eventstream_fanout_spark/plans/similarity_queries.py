@@ -1183,3 +1183,68 @@ def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "semantic_cluster_diversity_sample",
+    f"""
+    WITH {_FLAT},
+    cent AS (SELECT vec_id AS cid, i, x FROM flat
+             WHERE vec_id BETWEEN 10 AND 17),
+    corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0),
+    adots AS (
+      SELECT corp.vec_id, cent.cid,
+             CAST(SUM(CAST(FLOOR(corp.x * cent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM corp JOIN cent ON corp.i = cent.i
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT a.vec_id, a.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY (a.dot / (sqrt(nv.n2) * sqrt(nc.n2))) DESC,
+                          a.cid ASC) AS rn
+        FROM adots a
+        JOIN norms nv ON nv.vec_id = a.vec_id
+        JOIN norms nc ON nc.vec_id = a.cid
+      ) WHERE rn = 1
+    )
+    SELECT list_id, vec_id, label FROM (
+      SELECT a.list_id, a.vec_id, e.label,
+             ROW_NUMBER() OVER (PARTITION BY a.list_id
+                                ORDER BY md5(CAST(a.vec_id AS VARCHAR)) ASC,
+                                         a.vec_id ASC) AS rn
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+    ) WHERE rn <= 25
+    """,
+    description="semantic-cluster diversity sample (the SemDeDup-family "
+    "selection shape): assign every embedding to its nearest coarse "
+    "centroid (broadcast-k map + argmax agg, the IVF quantizer reused "
+    "as a clusterer) and draw exactly 25 vectors per SEMANTIC cluster "
+    "by hash order — caps any over-represented semantic region "
+    "regardless of its raw frequency, where label_balanced_sample can "
+    "only balance on explicit labels.  One shuffle on the cluster "
+    "key; cluster count is the broadcast-side constant",
+    tags=("similarity", "sampling", "clustering", "extension"),
+)
+def semantic_cluster_diversity_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import ivf_assign, ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    assign = ivf_assign(corpus, ivf_centroids(emb))
+    w = Window.partitionBy("list_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    return (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select("list_id", "vec_id", "label")
+    )

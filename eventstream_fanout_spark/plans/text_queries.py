@@ -930,3 +930,79 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").alias("merge_rank"), "pair", "pair_freq"
         )
     )
+
+
+@register(
+    "bigram_lift_top",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    words AS (SELECT unnest(toks) AS w FROM toked),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM words),
+    bi AS (
+      SELECT unnest({sql_shingles('toks', 2)}) AS bg FROM toked
+    ),
+    bic AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bi GROUP BY bg),
+    scored AS (
+      SELECT b.bg AS bigram, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+             CAST(b.n_ab AS DOUBLE) * CAST(t.nn AS DOUBLE)
+               / CAST(ua.n AS DOUBLE) / CAST(ub.n AS DOUBLE) AS lift
+      FROM bic b
+      JOIN uni ua ON ua.w = string_split(b.bg, ' ')[1]
+      JOIN uni ub ON ub.w = string_split(b.bg, ' ')[2]
+      CROSS JOIN tot t
+      WHERE b.n_ab >= 5
+    )
+    SELECT bigram, n_ab, n_a, n_b, lift FROM scored
+    ORDER BY lift DESC, bigram ASC
+    LIMIT 20
+    """,
+    description="collocation mining: top-20 adjacent-word bigrams by "
+    "lift (observed/expected co-occurrence, support >= 5) — the "
+    "phrase-detection pass (word2vec-style phrase joining / stopword-"
+    "collocation diagnostics) a corpus pipeline runs before "
+    "tokenizer fit.  Adjacency bounds the pair space to O(tokens), "
+    "never tokens^2; two partial-agg shuffles (bigram, unigram) + a "
+    "broadcast 1-row total; lift is a fixed chain of IEEE ops "
+    "identical in both engines",
+    tags=("text", "ngram", "collocation", "extension"),
+)
+def bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("toks"))
+    words = toked.select(F.explode(F.col("toks")).alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = words.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    bi = toked.select(
+        F.explode(shingles(F.col("toks"), 2)).alias("bg")
+    )
+    bic = (
+        bi.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    parts = F.split(F.col("bg"), " ")
+    scored = (
+        bic.withColumn("wa", parts.getItem(0))
+        .withColumn("wb", parts.getItem(1))
+        .join(uni.select(F.col("w").alias("wa"), F.col("n").alias("n_a")), "wa")
+        .join(uni.select(F.col("w").alias("wb"), F.col("n").alias("n_b")), "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bg").alias("bigram"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double")
+                * F.col("nn").cast("double")
+                / F.col("n_a").cast("double")
+                / F.col("n_b").cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(20)

@@ -31,6 +31,8 @@ BNLJ_ALLOWED = {
     # scalar-subquery joins: the build side is a 1-row aggregate
     # (TPC-H threshold / total-doc-count), a constant by construction
     "weighted_systematic_sample",  # 1-row corpus-token-total side
+    "bigram_lift_top",  # 1-row corpus-token-total side
+    "semantic_cluster_diversity_sample",  # 8-row broadcast centroid set
     "q11_important_balance",
     "q22_global_sales_opportunity",
     "tfidf_top_terms",
