@@ -127,6 +127,7 @@ HEADLINE = [
     "session_concurrency_sweep",
     "weighted_systematic_sample",
     "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
     "ann_pq_recall_report",
     "incremental_dedup_verified_sim",
     "bigram_lift_top",

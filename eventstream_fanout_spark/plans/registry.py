@@ -56,6 +56,7 @@ FRONT: list[str] = [
     "session_concurrency_sweep",
     "weighted_systematic_sample",
     "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
     "ann_pq_recall_report",
     "incremental_dedup_verified_sim",
     "bigram_lift_top",
@@ -103,7 +104,6 @@ FRONT: list[str] = [
     "string_functions",
     "datetime_functions",
     "math_functions",
-    "frame_functions",
 ]
 
 # ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 lands green, every

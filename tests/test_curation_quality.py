@@ -58,3 +58,34 @@ def test_variant_props_fixture_invariant(spark, duck):
         "the variant_props_extract oracle depends on — update the "
         "hardcoded vschema/parse_ok in scalar_queries.py"
     )
+
+
+def test_weighted_systematic_sample_quota_and_weighting(spark):
+    """The token-weighted systematic sample must draw ~quota total
+    copies (exactly the quota when no doc outweighs a stride), give
+    heavier docs >= copies of lighter ones in expectation, and never
+    select a zero-token doc."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    rows = (
+        QUERIES["weighted_systematic_sample"].fn(spark, SF_ORACLE).collect()
+    )
+    total_copies = sum(r["n_copies"] for r in rows)
+    assert total_copies == 100  # boundaries partition the token mass
+    assert all(r["n_copies"] >= 1 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_bigram_lift_supports_and_tiebreaks(spark):
+    """Collocation mining: every returned bigram meets the support
+    floor, lift is finite and positive, and ordering is (lift desc,
+    bigram asc)."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERIES["bigram_lift_top"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    assert all(r["n_ab"] >= 5 and r["lift"] > 0 for r in rows)
+    key = [(-r["lift"], r["bigram"]) for r in rows]
+    assert key == sorted(key)

@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_fitted_topk",  # same 8-row centroid set, fitted by Lloyd
     "ann_recall_report",  # composes the three ANN top-k plans above
     "ann_pq_recall_report",  # exact-L2 twin: broadcast 1-row query
+    "ann_pq_rerank_topk",  # broadcast 1-row query on the rerank side
     "hard_negative_mining",
     "embedding_near_pairs",  # sample-capped ground-truth verifier
     "corpus_clean_pipeline",  # chains the ANN scoring above
