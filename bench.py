@@ -130,6 +130,7 @@ HEADLINE = [
     "ann_pq_rerank_topk",
     "ann_pq_recall_report",
     "incremental_dedup_verified_sim",
+    "dq_expectations_report",
     "bigram_lift_top",
     "semantic_cluster_diversity_sample",
 ]

@@ -59,6 +59,7 @@ FRONT: list[str] = [
     "ann_pq_rerank_topk",
     "ann_pq_recall_report",
     "incremental_dedup_verified_sim",
+    "dq_expectations_report",
     "bigram_lift_top",
     "semantic_cluster_diversity_sample",
     # --- slots 14-22: plans whose green rows predate a physical-plan
@@ -103,7 +104,6 @@ FRONT: list[str] = [
     "above_nation_avg_balance",
     "string_functions",
     "datetime_functions",
-    "math_functions",
 ]
 
 # ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 lands green, every
@@ -174,6 +174,7 @@ def _load_all() -> None:
         "curation_queries",
         "pipeline_queries",
         "streaming_queries",
+        "dq_queries",
     ):
         fq = f"{pkg}.{modname}"
         if importlib.util.find_spec(fq) is not None:

@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "weighted_systematic_sample",  # 1-row corpus-token-total side
     "bigram_lift_top",  # 1-row corpus-token-total side
     "semantic_cluster_diversity_sample",  # 8-row broadcast centroid set
+    "dq_expectations_report",  # 1-row orphan-count side
     "q11_important_balance",
     "q22_global_sales_opportunity",
     "tfidf_top_terms",

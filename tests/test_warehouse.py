@@ -157,3 +157,74 @@ def test_bucketed_join_zero_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_dq_expectations_detect_injected_violations(spark, tmp_path):
+    """The expectations report must actually FLAG bad data: inject one
+    violation per rule into miniature tables and assert each counter
+    catches exactly its own injection (a checker that only ever passes
+    on clean data proves nothing)."""
+    from pyspark.sql import Row
+
+    from eventstream_fanout_spark.plans.registry import QUERIES
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            Row(l_orderkey=1, l_quantity=10.0, l_discount=0.05),
+            Row(l_orderkey=None, l_quantity=5.0, l_discount=0.0),  # nn
+            Row(l_orderkey=2, l_quantity=99.0, l_discount=0.0),  # qty
+            Row(l_orderkey=3, l_quantity=1.0, l_discount=0.5),  # disc
+            Row(l_orderkey=999, l_quantity=2.0, l_discount=0.0),  # orphan
+        ]
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [
+            Row(o_orderkey=1, o_orderstatus="F"),
+            Row(o_orderkey=2, o_orderstatus="O"),
+            Row(o_orderkey=3, o_orderstatus="X"),  # accepted_values
+        ]
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [
+            Row(event_id=1),
+            Row(event_id=1),  # unique
+            Row(event_id=None),  # not_null
+        ]
+    ).write.parquet(f"{sf}/events.parquet")
+
+    rows = {
+        r["rule"]: r
+        for r in QUERIES["dq_expectations_report"].fn(spark, sf).collect()
+    }
+    assert rows["not_null:l_orderkey"]["n_violations"] == 1
+    assert rows["range:l_quantity:1-50"]["n_violations"] == 1
+    assert rows["range:l_discount:0-0.1"]["n_violations"] == 1
+    assert rows["accepted_values:o_orderstatus"]["n_violations"] == 1
+    assert rows["not_null:event_id"]["n_violations"] == 1
+    # null event_id counts into COUNT(*) but not COUNT(DISTINCT):
+    # 3 rows - 1 distinct non-null value = 2 "non-unique" rows
+    assert rows["unique:event_id"]["n_violations"] == 2
+    # the NULL l_orderkey row also fails the FK (no orders match)
+    assert rows["referential:lineitem.l_orderkey->orders"]["n_violations"] == 2
+    assert not any(r["passed"] for r in rows.values())
+
+
+def test_dq_expectations_clean_at_fixture(spark):
+    """On the driver testdata every rule passes (the fixtures are
+    constructed clean) — and n_checked matches the table sizes."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from eventstream_fanout_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    rows = (
+        QUERIES["dq_expectations_report"].fn(spark, SF_ORACLE).collect()
+    )
+    assert len(rows) == 7
+    assert all(r["passed"] and r["n_violations"] == 0 for r in rows)
+    n_li = load_table(spark, SF_ORACLE, "lineitem").count()
+    assert all(
+        r["n_checked"] == n_li
+        for r in rows
+        if r["table_name"] == "lineitem"
+    )
