@@ -131,6 +131,8 @@ HEADLINE = [
     "ann_pq_recall_report",
     "incremental_dedup_verified_sim",
     "dq_expectations_report",
+    "incremental_mv_maintenance",
+    "mad_outlier_report",
     "bigram_lift_top",
     "semantic_cluster_diversity_sample",
 ]

@@ -644,3 +644,109 @@ def session_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("peak_concurrent"),
         "n_boundaries",
     )
+
+
+@register(
+    "mad_outlier_report",
+    """
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN value END) AS med
+      FROM ranked GROUP BY event_type
+    ),
+    dev_ranked AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS absdev, e.event_id,
+             ROW_NUMBER() OVER (PARTITION BY e.event_type
+                                ORDER BY ABS(e.value - m.med) ASC,
+                                         e.event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY e.event_type) AS n
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN absdev END) AS mad
+      FROM dev_ranked GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           MIN(m.med) AS med,
+           MIN(d.mad) AS mad,
+           CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3.0 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m ON m.event_type = e.event_type
+    JOIN mad d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+    description="robust per-group outlier report via median absolute "
+    "deviation: exact discrete median (row_number pick, deterministic "
+    "tie-break) -> per-row absolute deviation -> exact discrete MAD -> "
+    "|x - med| > 3*MAD outlier counts.  The robust complement to the "
+    "winsorized/z-score family (immune to the outliers it hunts); two "
+    "group-partitioned window passes + broadcast joins of the k-row "
+    "med/mad tables, no transcendentals so both engines agree exactly",
+    tags=("analytic", "robust", "outlier", "extension"),
+)
+def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    wall = Window.partitionBy("event_type")
+
+    def disc_median(df: DataFrame, col: str, order2: str) -> DataFrame:
+        wv = Window.partitionBy("event_type").orderBy(
+            F.asc(col), F.asc(order2)
+        )
+        ranked = df.select(
+            "event_type",
+            col,
+            F.row_number().over(wv).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        return ranked.groupBy("event_type").agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                    F.col(col),
+                )
+            ).alias(f"{col}_med")
+        )
+
+    med = disc_median(
+        e.select("event_type", "value", "event_id"), "value", "event_id"
+    ).select("event_type", F.col("value_med").alias("med"))
+    devs = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "event_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("absdev"),
+    )
+    mad = disc_median(
+        devs.select("event_type", "absdev", "event_id"), "absdev", "event_id"
+    ).select("event_type", F.col("absdev_med").alias("mad"))
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("absdev") > F.lit(3.0) * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -60,6 +60,8 @@ FRONT: list[str] = [
     "ann_pq_recall_report",
     "incremental_dedup_verified_sim",
     "dq_expectations_report",
+    "incremental_mv_maintenance",
+    "mad_outlier_report",
     "bigram_lift_top",
     "semantic_cluster_diversity_sample",
     # --- slots 14-22: plans whose green rows predate a physical-plan
@@ -102,8 +104,6 @@ FRONT: list[str] = [
     "deterministic_sample",
     "stratified_sample_20_per_type",
     "above_nation_avg_balance",
-    "string_functions",
-    "datetime_functions",
 ]
 
 # ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 lands green, every

@@ -219,3 +219,98 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from",
         )
     )
+
+
+@register(
+    "incremental_mv_maintenance",
+    """
+    WITH base AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_q
+      FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+    ),
+    delta AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_q
+      FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+    ),
+    merged AS (
+      SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+             CAST(COALESCE(b.n_events, 0) + COALESCE(d.n_events, 0)
+                  AS BIGINT) AS n_events,
+             CAST(COALESCE(b.sum_q, 0) + COALESCE(d.sum_q, 0)
+                  AS BIGINT) AS sum_q
+      FROM base b FULL OUTER JOIN delta d ON d.user_id = b.user_id
+    ),
+    full_recompute AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_q
+      FROM events GROUP BY user_id
+    )
+    SELECT m.user_id, m.n_events, m.sum_q,
+           (m.n_events = f.n_events AND m.sum_q = f.sum_q) AS matches_full
+    FROM merged m JOIN full_recompute f ON f.user_id = m.user_id
+    """,
+    description="incremental materialized-view maintenance: a per-user "
+    "(count, exact quantized sum) aggregate is maintained by MERGING a "
+    "delta batch's partial aggregate into the base MV (full outer join "
+    "+ counter addition — the algebraic-aggregate delta-apply every "
+    "warehouse MV engine performs on CDC ingest), and the sandwich "
+    "column proves row-by-row that the maintained MV equals a full "
+    "recompute.  Delta cost scales with the DELTA, not the table; "
+    "sums ride nano-quantized BIGINTs so the merge is exactly "
+    "associative (the dsum lesson applied to MV state)",
+    tags=("upsert", "incremental", "mv", "extension"),
+)
+def incremental_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    qsum = F.sum(
+        F.floor(F.col("value") * F.lit(1e9) + F.lit(0.5)).cast("long")
+    ).cast("bigint")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            qsum.alias("sum_q"),
+        )
+
+    base = agg(events.where(F.col("event_id") % 2 == 0))
+    delta = agg(events.where(F.col("event_id") % 2 == 1))
+    b = base.alias("b")
+    d = delta.alias("d")
+    merged = (
+        b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias(
+                "user_id"
+            ),
+            (
+                F.coalesce(F.col("b.n_events"), F.lit(0))
+                + F.coalesce(F.col("d.n_events"), F.lit(0))
+            ).cast("bigint").alias("n_events"),
+            (
+                F.coalesce(F.col("b.sum_q"), F.lit(0))
+                + F.coalesce(F.col("d.sum_q"), F.lit(0))
+            ).cast("bigint").alias("sum_q"),
+        )
+    )
+    full = agg(events).select(
+        F.col("user_id"),
+        F.col("n_events").alias("f_n"),
+        F.col("sum_q").alias("f_s"),
+    )
+    return merged.join(full, "user_id").select(
+        "user_id",
+        "n_events",
+        "sum_q",
+        (
+            (F.col("n_events") == F.col("f_n"))
+            & (F.col("sum_q") == F.col("f_s"))
+        ).alias("matches_full"),
+    )
