@@ -106,12 +106,14 @@ FRONT: list[str] = [
     "above_nation_avg_balance",
 ]
 
-# ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 lands green, every
-# registered query's CURRENT plan has a driver row and the oldest
-# evidence left is round 3; fill round 6's slots with any new/changed
-# queries first, then continue the oldest-first refresh (the remaining
-# round-1-only greens: pivot/percentile/gap-fill/asof/cdc_apply_merge
-# family, then round-3 rows).
+# ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 lands green, the 17
+# round-5 additions + the 9 changed-plan re-proofs + the 2 r4
+# leftovers all gain driver rows and the oldest evidence left is the
+# ~24 round-1-only greens not refreshed this round (map/datetime/
+# string/frame functions, json_nested_roundtrip, conditional_functions,
+# rank/lag/sessionize, pivot/percentile/gap-fill/asof/cdc_apply_merge
+# family) — fill round 6's slots with any new/changed queries first,
+# then those, then round-3 rows.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

@@ -1067,7 +1067,15 @@ def _l2q(a: F.Column, b: F.Column) -> F.Column:
 def _pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, adc_dist) for the whole corpus: PQ encode + ADC sum.
     Encode broadcasts the 64-row codebook and argmins per (vector,
-    subspace); the query side is a broadcast 64-entry distance table."""
+    subspace); the query side is a broadcast 64-entry distance table.
+
+    Codebook contract: like ivf_centroids, the seed rows 10..17 play
+    the per-subspace codebook (so the oracle reproduces the index
+    bit-for-bit); a corpus lacking them yields empty codes and an
+    empty top-k — acceptable for the registered fixture-bound query,
+    but a production wrapper should reuse ivf_topk's lazy
+    assert_true-count guard pattern (operators/similarity.py) before
+    trusting an empty result."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _pq_subspaces(
         emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17))
