@@ -8,9 +8,10 @@ stdout and parses the JSON line it finds there — round 4's single
 70-query line outgrew that window and the artifact recorded
 ``parsed: null``, VERDICT r4 item 4):
 
-- one small ``{"q": name, "sec": t}`` line per query as it completes
-  (the full per-query record lives in stdout order and in
-  ``bench_full.json``);
+- one small ``#q <name>=<sec>`` progress line per query as it
+  completes — deliberately NOT JSON-parseable, so a tail capture that
+  tries each line can only ever parse the final summary (the full
+  per-query record lives in stdout order and in ``bench_full.json``);
 - the COMPLETE result object written to ``bench_full.json`` next to
   this script;
 - a final compact summary line, guaranteed well under the capture

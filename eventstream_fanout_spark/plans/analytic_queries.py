@@ -698,9 +698,6 @@ def session_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.asc("value"), F.asc("event_id")
-    )
     wall = Window.partitionBy("event_type")
 
     def disc_median(df: DataFrame, col: str, order2: str) -> DataFrame:

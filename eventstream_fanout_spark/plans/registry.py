@@ -41,12 +41,13 @@ QUERIES: dict[str, QuerySpec] = {}
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
     # --- round-5 rotation (VERDICT r4 item 1 + this round's work).
-    # Slots 1-13: never-driver-checked — the two leftovers from r4
+    # Slots 1-17: never-driver-checked — the two leftovers from r4
     # (ann_multiprobe_topk, the sandwich approx_distinct_users) and the
-    # eleven queries round 5 added (fitted IVF, VARIANT CDC, trigram LM
-    # novelty, BPE merge table, sweep-line concurrency, weighted
-    # systematic sample, PQ/ADC + its recall report, verified
-    # incremental dedup, bigram lift, semantic diversity sample). ---
+    # fifteen queries round 5 added (fitted IVF, VARIANT CDC, trigram
+    # LM novelty, BPE merge table, sweep-line concurrency, weighted
+    # systematic sample, PQ/ADC + rerank + recall report, verified
+    # incremental dedup, DQ expectations, incremental MV maintenance,
+    # MAD outliers, bigram lift, semantic diversity sample). ---
     "ann_multiprobe_topk",
     "approx_distinct_users",
     "ann_ivf_fitted_topk",
@@ -64,7 +65,7 @@ FRONT: list[str] = [
     "mad_outlier_report",
     "bigram_lift_top",
     "semantic_cluster_diversity_sample",
-    # --- slots 14-22: plans whose green rows predate a physical-plan
+    # --- slots 18-26: plans whose green rows predate a physical-plan
     # rewrite — incremental_dedup_sim's within-batch join was salted in
     # round 5; the other eight changed in round 4 (hot-bucket salting /
     # fused cosine) and still ride round-3 rows. ---
@@ -77,7 +78,7 @@ FRONT: list[str] = [
     "training_export_pipeline",
     "ann_cosine_topk",
     "ann_ivf_topk",
-    # --- slots 23-50: rotation-backs, oldest evidence first — these
+    # --- slots 27-50: rotation-backs, oldest evidence first — these
     # have been green since ROUND 1 and never re-proven; refreshing
     # them keeps every green row at most a few rounds stale. ---
     "flagship_enrich",

@@ -50,6 +50,34 @@ def batch_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return banded_signatures(minhash_signatures(docs, text_col))
 
 
+def _read_store_or_none(
+    spark: SparkSession, path: str, exclude_batch_id: int | None
+) -> DataFrame | None:
+    """Read a per-batch-partitioned store artifact, masking the
+    in-flight batch's OWN partition (crash-replay safety), returning
+    None ONLY on the missing-path case.
+
+    Any other analysis failure (schema inference, corrupt metadata)
+    must propagate, or the caller would silently dedup against nothing
+    and admit duplicates forever — one shared classification so the
+    band store and the accepted-docs artifact cannot drift apart."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as exc:
+        get_cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        err_class = get_cond() if get_cond is not None else None
+        if err_class != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return None
+    if exclude_batch_id is not None and "batch_id" in df.columns:
+        df = df.where(F.col("batch_id") != int(exclude_batch_id))
+    return df
+
+
 def accepted_bands(
     spark: SparkSession, store_path: str, exclude_batch_id: int | None = None
 ) -> DataFrame:
@@ -60,26 +88,11 @@ def accepted_bands(
     bands, and without the mask its docs would reject themselves —
     the incremental-dedup replay bug (partition pruning makes the
     mask a metadata-only filter)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.parquet(store_path)
-    except AnalysisException as exc:
-        # ONLY the missing-path case may mean "empty store" — any other
-        # analysis failure (schema inference, corrupt metadata) must
-        # propagate, or this batch would silently dedup against nothing
-        # and admit duplicates forever.
-        get_cond = getattr(exc, "getCondition", None) or getattr(
-            exc, "getErrorClass", None
-        )
-        err_class = get_cond() if get_cond is not None else None
-        if err_class != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(exc):
-            raise
+    df = _read_store_or_none(spark, store_path, exclude_batch_id)
+    if df is None:  # store not created yet (PATH_NOT_FOUND)
         return spark.createDataFrame(
             [], "doc_id long, band int, bh string"
         )
-    if exclude_batch_id is not None and "batch_id" in df.columns:
-        df = df.where(F.col("batch_id") != int(exclude_batch_id))
     return df.select("doc_id", "band", "bh")
 
 
@@ -193,22 +206,31 @@ def _accepted_docs(
     spark: SparkSession, out_path: str, exclude_batch_id: int | None = None
 ) -> DataFrame | None:
     """The accepted documents written so far (None before the first
-    batch), with the same in-flight replay mask as the band store."""
-    from pyspark.errors import AnalysisException
+    batch), with the same in-flight replay mask and missing-path
+    classification as the band store (shared ``_read_store_or_none``)."""
+    return _read_store_or_none(spark, out_path, exclude_batch_id)
 
-    try:
-        df = spark.read.parquet(out_path)
-    except AnalysisException as exc:
-        get_cond = getattr(exc, "getCondition", None) or getattr(
-            exc, "getErrorClass", None
+
+def _verified_inputs_or_raise(
+    store: DataFrame, accepted: DataFrame | None
+) -> DataFrame | None:
+    """Fail-CLOSED guard for verified mode: a non-empty band store with
+    a missing accepted-docs artifact means every store-side candidate
+    would silently lose its verification shingles (the pair drops out
+    of the jaccard inner join) and every duplicate of an accepted doc
+    would be ADMITTED.  That violates the module invariant — refuse
+    instead.  Only evaluated on the None path (first batch), where the
+    store-emptiness probe is a metadata-cheap job on an empty/absent
+    store."""
+    if accepted is None and not store.isEmpty():
+        raise RuntimeError(
+            "verified dedup: the signature store holds accepted bands "
+            "but the accepted-docs output is missing — verification "
+            "would fail open and admit duplicates of every accepted "
+            "doc; restore the output artifact (or rebuild the store) "
+            "before resuming"
         )
-        err_class = get_cond() if get_cond is not None else None
-        if err_class != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(exc):
-            raise
-        return None
-    if exclude_batch_id is not None and "batch_id" in df.columns:
-        df = df.where(F.col("batch_id") != int(exclude_batch_id))
-    return df
+    return accepted
 
 
 def streaming_dedup_sink(
@@ -232,11 +254,12 @@ def streaming_dedup_sink(
         if min_jaccard is None:
             survivors = dedup_batch_against_store(batch_df, store)
         else:
-            survivors = dedup_batch_verified(
-                batch_df,
+            accepted = _verified_inputs_or_raise(
                 store,
                 _accepted_docs(spark, out_path, exclude_batch_id=batch_id),
-                min_jaccard,
+            )
+            survivors = dedup_batch_verified(
+                batch_df, store, accepted, min_jaccard
             )
         survivors = survivors.persist()
         try:
@@ -319,11 +342,12 @@ def streaming_dedup_sink_bucketed(
         if min_jaccard is None:
             survivors = dedup_batch_against_store(batch_df, store)
         else:
-            survivors = dedup_batch_verified(
-                batch_df,
+            accepted = _verified_inputs_or_raise(
                 store,
                 _accepted_docs(spark, out_path, exclude_batch_id=batch_id),
-                min_jaccard,
+            )
+            survivors = dedup_batch_verified(
+                batch_df, store, accepted, min_jaccard
             )
         survivors = survivors.persist()
         try:

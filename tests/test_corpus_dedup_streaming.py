@@ -511,3 +511,42 @@ def test_verified_sink_keeps_band_collisions_below_threshold(
     assert {
         r["doc_id"] for r in spark.read.parquet(out_b).collect()
     } == {0, 1, 10}
+
+
+def test_verified_sink_fails_closed_when_accepted_docs_missing(
+    spark, tmp_path
+):
+    """Fail-closed guard (round-5 self-review finding): a non-empty
+    band store with a MISSING accepted-docs output must raise — without
+    the guard every store-side candidate silently loses its
+    verification shingles and duplicates of accepted docs are
+    ADMITTED."""
+    import shutil
+
+    from eventstream_fanout_spark.streaming.corpus_dedup import (
+        streaming_dedup_sink,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    texts = _corpus_texts(spark, 3)
+    sink = streaming_dedup_sink(store, out, min_jaccard=0.3)
+    sink(_docs(spark, [(0, texts[0][1]), (1, texts[1][1])]), 0)
+
+    # simulate retention-trimming the accepted output while the band
+    # store survives
+    shutil.rmtree(out)
+    try:
+        sink(_docs(spark, [(10, texts[0][1])]), 1)  # dup of accepted 0
+        raise AssertionError("verified sink must refuse to fail open")
+    except RuntimeError as exc:
+        assert "fail open" in str(exc) or "accepted-docs" in str(exc)
+
+    # first batch (no store, no output) still starts cleanly
+    store2 = str(tmp_path / "store2")
+    out2 = str(tmp_path / "out2")
+    sink2 = streaming_dedup_sink(store2, out2, min_jaccard=0.3)
+    sink2(_docs(spark, [(0, texts[2][1])]), 0)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out2).collect()
+    } == {0}
