@@ -550,3 +550,47 @@ def test_verified_sink_fails_closed_when_accepted_docs_missing(
     assert {
         r["doc_id"] for r in spark.read.parquet(out2).collect()
     } == {0}
+
+
+def test_store_reader_reraises_non_missing_path_failures(spark, tmp_path):
+    """Only PATH_NOT_FOUND may mean 'empty store'.  A store path that
+    EXISTS but cannot be read as parquet (here: schema inference fails
+    over a non-parquet file) must raise — silently returning an empty
+    store would dedup against nothing and admit duplicates forever."""
+    import os
+
+    import pytest
+
+    bad = str(tmp_path / "store")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "garbage.txt"), "w") as fh:
+        fh.write("not parquet")
+    with pytest.raises(Exception):
+        accepted_bands(spark, bad).collect()
+
+    # the missing-path case still means a clean empty store
+    missing = str(tmp_path / "never_written")
+    assert accepted_bands(spark, missing).count() == 0
+
+
+def test_compaction_refuses_ignore_missing_files(spark, tmp_path):
+    """Both compactors must refuse to run under
+    spark.sql.files.ignoreMissingFiles=true: a concurrent reader racing
+    the post-fold deletes would silently scan a partial store."""
+    import pytest
+
+    from eventstream_fanout_spark.streaming.corpus_dedup import (
+        compact_store,
+        compact_store_table,
+    )
+
+    key = "spark.sql.files.ignoreMissingFiles"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        with pytest.raises(RuntimeError, match="ignoreMissingFiles"):
+            compact_store(spark, str(tmp_path / "s"), upto_batch_id=1)
+        with pytest.raises(RuntimeError, match="ignoreMissingFiles"):
+            compact_store_table(spark, "any_table", upto_batch_id=1)
+    finally:
+        spark.conf.set(key, prev)
