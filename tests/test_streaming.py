@@ -684,3 +684,72 @@ def test_variant_cdc_decoder_no_shuffle_and_stream_equivalence(
         ).collect()
     }
     assert got == want and len(got) == events.count()
+
+
+def test_metrics_listener_records_per_batch_progress(spark, tmp_path):
+    """The observability listener must record one row per micro-batch
+    with the input-row count and trigger duration — queryable with the
+    same engine (the monitoring twin of the per-batch SLA asserts)."""
+    import time
+    import uuid as _uuid
+
+    from eventstream_fanout_spark.sources.tables import load_table
+    from eventstream_fanout_spark.streaming.observability import (
+        attach_metrics_sink,
+    )
+    from eventstream_fanout_spark.streaming.sources import json_file_stream
+    from tests.conftest import SF_ORACLE
+
+    events = load_table(spark, SF_ORACLE, "events").where(
+        F.col("event_id") < 500
+    )
+    src = str(tmp_path / "metrics_src")
+    to_cdc_json(events).repartition(2).write.text(src)
+
+    metrics_path = str(tmp_path / "metrics")
+    listener = attach_metrics_sink(spark, metrics_path)
+    try:
+        name = f"obs_{_uuid.uuid4().hex[:8]}"
+        q = (
+            parse_cdc_envelope(
+                json_file_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        n_rows = spark.table(name).count()
+        # listener callbacks are async — wait for the writes to land
+        deadline = time.time() + 60
+        recorded = 0
+        while time.time() < deadline:
+            try:
+                recorded = (
+                    spark.read.parquet(metrics_path)
+                    .where(F.col("num_input_rows") > 0)
+                    .count()
+                )
+            except Exception:
+                recorded = 0
+            if recorded >= 2:
+                m = spark.read.parquet(metrics_path).where(
+                    F.col("num_input_rows") > 0
+                )
+                total = m.agg(F.sum("num_input_rows")).collect()[0][0]
+                if total == n_rows:
+                    break
+            time.sleep(1)
+        m = spark.read.parquet(metrics_path).where(
+            F.col("num_input_rows") > 0
+        )
+        rows = m.collect()
+        assert len(rows) >= 2  # one per micro-batch (2+ files)
+        assert sum(r["num_input_rows"] for r in rows) == n_rows
+        assert all(r["trigger_ms"] > 0 for r in rows)
+        assert all(r["batch_id"] >= 0 for r in rows)
+    finally:
+        spark.streams.removeListener(listener)
