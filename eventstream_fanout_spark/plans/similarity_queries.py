@@ -1071,15 +1071,46 @@ def _pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Codebook contract: like ivf_centroids, the seed rows 10..17 play
     the per-subspace codebook (so the oracle reproduces the index
-    bit-for-bit); a corpus lacking them yields empty codes and an
-    empty top-k — acceptable for the registered fixture-bound query,
-    but a production wrapper should reuse ivf_topk's lazy
-    assert_true-count guard pattern (operators/similarity.py) before
-    trusting an empty result."""
+    bit-for-bit).  A corpus lacking any of them no longer yields a
+    silently empty top-k (VERDICT r5 item 3): the ivf_topk lazy
+    assert_true-count guard rides the returned plan — a 0-row union
+    branch forcing a 64-row codebook-count check at execution, no
+    extra Spark job — and raises on a missing/partial codebook."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _pq_subspaces(
         emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17))
     ).select(F.col("vec_id").alias("cid"), "s", F.col("sub").alias("ce"))
+    expected = _PQ_SUBS * 8  # 8 seed vectors x 8 subspace slices each
+    ncent = cents.agg(F.count(F.lit(1)).cast("int").alias("_ncent"))
+    guard = (
+        ncent.select(
+            F.assert_true(
+                F.col("_ncent") == expected,
+                F.concat(
+                    F.lit("PQ codebook has "),
+                    F.col("_ncent").cast("string"),
+                    F.lit(
+                        f" subspace entries, expected {expected} — the "
+                        "corpus lacks (some of) the seed vec_ids 10..17; "
+                        "refusing to ADC-scan against a broken codebook"
+                    ),
+                ),
+            ).alias("_a")
+        )
+        # always-false predicate whose evaluation forces _a (see the
+        # ivf_topk guard for the constant-folding caveat + tripwire).
+        # The output columns are cast FROM _a (always-null but
+        # non-foldable) rather than lit(None): callers join this union
+        # on vec_id, and the pushed-down isnotnull(vec_id) filter would
+        # constant-fold a literal-null branch — assert_true and all —
+        # clean out of the plan (round-6 lesson; the pytest below is
+        # the tripwire).
+        .where(F.col("_a").isNotNull())
+        .select(
+            F.col("_a").cast("long").alias("vec_id"),
+            F.col("_a").cast("bigint").alias("adc_dist"),
+        )
+    )
     corp = _pq_subspaces(emb.where(F.col("vec_id") != 0))
     scored = corp.join(F.broadcast(cents), "s").select(
         "vec_id",
@@ -1114,6 +1145,7 @@ def _pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("vec_id")
         .agg(F.sum("qd").cast("bigint").alias("adc_dist"))
+        .unionByName(guard)
     )
 
 

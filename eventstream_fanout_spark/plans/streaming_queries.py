@@ -454,3 +454,110 @@ def cdc_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(F.col("props_v")).alias("vschema"),
         F.col("props_v").isNotNull().alias("props_ok"),
     )
+
+
+@register(
+    "stream_metrics_profile",
+    """
+    WITH g AS (
+      SELECT event_id % 4 AS grp, COUNT(*) AS n
+      FROM events WHERE event_id < 2000 GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MIN(n) AS BIGINT) AS min_batch_rows,
+           CAST(MAX(n) AS BIGINT) AS max_batch_rows,
+           TRUE AS trigger_max_under_60s
+    FROM g
+    """,
+    description="the streaming METRICS TABLE itself, oracle-checked "
+    "(VERDICT r5 item 6): run a 4-micro-batch availableNow stream "
+    "(events keyed into 4 deterministic files, maxFilesPerTrigger=1) "
+    "with the observability listener attached, then profile the "
+    "parquet metrics table it wrote — batch count, total/min/max "
+    "rows-per-batch (all predicted exactly by the batch oracle, since "
+    "each micro-batch is one deterministic event_id%4 file) plus a "
+    "sandwich-style latency bound (max triggerExecution < 60 s) in "
+    "the sketch-query style.  This makes the ops surface "
+    "(streaming/observability.py) hash-proven end to end, not just "
+    "pytest-pinned",
+    tags=("streaming", "observability", "metrics"),
+)
+def stream_metrics_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import time
+    import uuid as _uuid
+
+    from ..streaming.observability import attach_metrics_sink
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type")
+    )
+    expected = events.count()
+    tmp = tempfile.mkdtemp(prefix="metrics_profile_")
+    src = f"{tmp}/src"
+    metrics = f"{tmp}/metrics"
+    # one file per event_id%4 group (coalesce -> single writer task),
+    # so each maxFilesPerTrigger=1 micro-batch is a deterministic slice
+    (
+        events.withColumn("grp", F.col("event_id") % 4)
+        .coalesce(1)
+        .write.partitionBy("grp")
+        .mode("overwrite")
+        .json(src)
+    )
+    listener = attach_metrics_sink(spark, metrics)
+    try:
+        name = f"mp_{_uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_id = str(q.runId)
+        q.awaitTermination(300)
+        # listener callbacks are async: flush + poll until this RUN's
+        # rows cover the full input (other queries on the session are
+        # filtered out by run_id)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            listener.flush()
+            try:
+                got = (
+                    spark.read.parquet(metrics)
+                    .where(
+                        (F.col("run_id") == run_id)
+                        & (F.col("num_input_rows") > 0)
+                    )
+                    .agg(F.sum("num_input_rows"))
+                    .collect()[0][0]
+                )
+            except Exception:
+                got = None
+            if got == expected:
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    m = spark.read.parquet(metrics).where(
+        (F.col("run_id") == run_id) & (F.col("num_input_rows") > 0)
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.sum("num_input_rows").cast("bigint").alias("total_rows"),
+        F.min("num_input_rows").cast("bigint").alias("min_batch_rows"),
+        F.max("num_input_rows").cast("bigint").alias("max_batch_rows"),
+        (F.max("trigger_ms") < F.lit(60000)).alias("trigger_max_under_60s"),
+    )

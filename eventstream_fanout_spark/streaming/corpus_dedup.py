@@ -106,11 +106,27 @@ def dedup_batch_against_store(
     Both rejections are band equi-joins (left_anti): bucket-local,
     never all-pairs.  Within-batch survivors keep the LOWEST doc_id of
     each near-dup group (deterministic canonical), matching the batch
-    family's canonical-min convention."""
+    family's canonical-min convention.
+
+    If ``store`` carries a ``band_key`` column (the bucketed-table
+    store), the rejection join keys on it so the store side scans its
+    buckets with no Exchange — the distinct() and the join both reuse
+    the table's hash bucketing (``band_key = band:bh`` is bijective, so
+    semantics are identical to the (band, bh) join)."""
     bands = batch_bands(batch)
-    vs_store = bands.join(
-        store.select("band", "bh").distinct(), ["band", "bh"], "left_semi"
-    ).select("doc_id").distinct()
+    if "band_key" in store.columns:
+        vs_store = (
+            _with_band_key(bands)
+            .join(
+                store.select("band_key").distinct(), ["band_key"], "left_semi"
+            )
+            .select("doc_id")
+            .distinct()
+        )
+    else:
+        vs_store = bands.join(
+            store.select("band", "bh").distinct(), ["band", "bh"], "left_semi"
+        ).select("doc_id").distinct()
     # Salted bucket-local self-join (same skew bound as the batch
     # family): _salted_bucket_pairs emits ordered pairs a.id < b.id and
     # is lossless by construction, so rejecting every b.doc_id is
@@ -146,19 +162,38 @@ def _candidate_pairs(
 ) -> DataFrame:
     """Ordered near-dup candidate pairs (doc_a rejects doc_b): store
     hits (store doc -> batch doc) plus salted within-batch pairs
-    (lower id -> higher id).  Pure band equi-joins, bucket-local."""
-    vs_store = (
-        bands.alias("n")
-        .join(
-            store.alias("s"),
-            (F.col("n.band") == F.col("s.band"))
-            & (F.col("n.bh") == F.col("s.bh")),
+    (lower id -> higher id).  Pure band equi-joins, bucket-local.
+
+    A ``band_key`` column on ``store`` (the bucketed-table store)
+    switches the store join to that key, so the verified path rides the
+    table's bucketing exactly like :func:`store_rejection_join` — no
+    Exchange above the store scan (ADVICE r5)."""
+    if "band_key" in store.columns:
+        vs_store = (
+            _with_band_key(bands)
+            .alias("n")
+            .join(
+                store.alias("s"),
+                F.col("n.band_key") == F.col("s.band_key"),
+            )
+            .select(
+                F.col("s.doc_id").alias("doc_a"),
+                F.col("n.doc_id").alias("doc_b"),
+            )
         )
-        .select(
-            F.col("s.doc_id").alias("doc_a"),
-            F.col("n.doc_id").alias("doc_b"),
+    else:
+        vs_store = (
+            bands.alias("n")
+            .join(
+                store.alias("s"),
+                (F.col("n.band") == F.col("s.band"))
+                & (F.col("n.bh") == F.col("s.bh")),
+            )
+            .select(
+                F.col("s.doc_id").alias("doc_a"),
+                F.col("n.doc_id").alias("doc_b"),
+            )
         )
-    )
     vs_batch = _salted_bucket_pairs(bands, ["band", "bh"], "doc_id").select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
@@ -182,8 +217,26 @@ def dedup_batch_verified(
     docs on BOTH sides (batch docs and the store docs re-read from
     ``accepted_docs``), so per-batch cost is
     O(|candidates| x shingles/doc) regardless of corpus size.
-    Requires globally unique doc_ids across batches (the ingest
-    contract) so the unioned shingle relation is unambiguous."""
+
+    Two lazy contract guards ride the returned plan (the ivf_topk
+    0-row-union assert_true pattern — candidate-bounded, no extra
+    Spark job), both of which would otherwise corrupt verification
+    SILENTLY:
+
+    1. doc-level coverage (VERDICT r5 item 1): every candidate doc_id
+       must have text in the unioned relation.  A *partially* trimmed
+       accepted-docs output (retention deleting some batch partitions
+       while the band store keeps their signatures) would drop those
+       pairs out of the jaccard inner join and ADMIT their duplicates
+       — the artifact-level :func:`_verified_inputs_or_raise` cannot
+       see it.  Raise instead.
+    2. doc_id uniqueness (the ingest contract, VERDICT r5 item 7): a
+       doc_id appearing more than once across batch + accepted docs
+       makes the shingle relation ambiguous (two texts merge into one
+       shingle set and jaccard is computed against their union).
+       The check is candidate-scoped — the only place the ambiguity
+       can corrupt a verification verdict — so its cost stays bounded
+       by |candidates|, not the corpus."""
     from ..operators.dedup import doc_shingles, jaccard_verify_candidates
 
     bands = batch_bands(batch)
@@ -196,10 +249,67 @@ def dedup_batch_verified(
     sides = batch.select("doc_id", "text")
     if accepted_docs is not None:
         sides = sides.unionByName(accepted_docs.select("doc_id", "text"))
+    # per-candidate text coverage: n rows of text per candidate doc_id
+    # (0 -> trimmed accepted doc, the fail-open; >1 -> colliding id)
+    cover = (
+        cand_ids.join(
+            sides.select("doc_id", F.lit(1).alias("_present")),
+            "doc_id",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("_present").alias("_n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_n") == 0, 1).otherwise(0)), F.lit(0)
+            ).alias("_n_missing"),
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)), F.lit(0)
+            ).alias("_n_dupid"),
+        )
+    )
+    guard = (
+        cover.select(
+            F.assert_true(
+                (F.col("_n_missing") == 0) & (F.col("_n_dupid") == 0),
+                F.concat(
+                    F.lit("verified dedup contract violation: "),
+                    F.col("_n_missing").cast("string"),
+                    F.lit(
+                        " candidate doc(s) have no text in the "
+                        "batch+accepted relation (partially trimmed "
+                        "accepted-docs output — verification would fail "
+                        "open and admit their duplicates) and "
+                    ),
+                    F.col("_n_dupid").cast("string"),
+                    F.lit(
+                        " candidate doc_id(s) appear more than once "
+                        "(globally-unique doc_id ingest contract broken "
+                        "— the shingle relation is ambiguous); restore "
+                        "the accepted output / fix the id assignment "
+                        "before resuming"
+                    ),
+                ),
+            ).alias("_a")
+        )
+        # always-false predicate whose evaluation forces _a (see the
+        # ivf_topk guard for the constant-folding caveat + tripwire).
+        # Output columns are cast FROM _a (always-null, non-foldable)
+        # instead of lit(None): a downstream join's pushed-down
+        # isnotnull filter would constant-fold a literal-null branch —
+        # assert_true and all — out of the plan (round-6 lesson).
+        .where(F.col("_a").isNotNull())
+        .select(
+            *[
+                F.col("_a").cast(f.dataType).alias(f.name)
+                for f in batch.schema.fields
+            ]
+        )
+    )
     sh = doc_shingles(sides.join(cand_ids, "doc_id", "left_semi"))
     verified = jaccard_verify_candidates(sh, cands, min_jaccard)
     rejected = verified.select(F.col("doc_b").alias("doc_id")).distinct()
-    return batch.join(rejected, "doc_id", "left_anti")
+    return batch.join(rejected, "doc_id", "left_anti").unionByName(guard)
 
 
 def _accepted_docs(
@@ -321,8 +431,12 @@ def streaming_dedup_sink_bucketed(
     never races itself.
 
     ``min_jaccard`` enables the exact-Jaccard verified mode exactly as
-    on :func:`streaming_dedup_sink` — candidate generation still rides
-    the bucketed band store; only the candidates' text is re-read."""
+    on :func:`streaming_dedup_sink` — and candidate generation really
+    does ride the bucketed band store: the store relation keeps its
+    ``band_key`` column, which switches both the rejection join and
+    :func:`_candidate_pairs` onto the table's bucket key, so the store
+    side scans its buckets with no Exchange in either mode (ADVICE
+    r5)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -333,7 +447,7 @@ def streaming_dedup_sink_bucketed(
             store = (
                 spark.table(store_table)
                 .where(F.col("batch_id") != int(batch_id))
-                .select("doc_id", "band", "bh")
+                .select("doc_id", "band", "bh", "band_key")
             )
         else:
             store = spark.createDataFrame(
@@ -396,6 +510,19 @@ def store_rejection_join(spark: SparkSession, store_table: str, batch: DataFrame
     bands = _with_band_key(batch_bands(batch))
     store = spark.table(store_table).select("band_key").distinct()
     return bands.join(store, ["band_key"], "left_semi")
+
+
+def store_candidate_join(
+    spark: SparkSession, store_table: str, batch: DataFrame
+) -> DataFrame:
+    """The VERIFIED-mode candidate join against the bucketed table —
+    exposed for plan inspection: with the store's ``band_key`` carried
+    through, the store side must likewise scan its buckets with no
+    Exchange above the scan (:func:`_candidate_pairs` band_key path)."""
+    store = spark.table(store_table).select(
+        "doc_id", "band", "bh", "band_key"
+    )
+    return _candidate_pairs(batch_bands(batch), store)
 
 
 def compact_store(

@@ -12,16 +12,33 @@ queryable with the same engine — the monitoring twin of the per-batch
 SLA assertions in tests/test_streaming.py.
 
 Driver-side by design: progress events are per-QUERY-per-batch
-metadata (a few hundred bytes), not data; the append is one tiny file
-per batch and compacts like any other rollup (compact_parquet).
+metadata (a few hundred bytes), not data.  Two listener-bus hygiene
+rules (ADVICE r5):
+
+* **Buffered writes.**  ``onQueryProgress`` only appends to an
+  in-memory list; the parquet append runs every ``flush_every`` events
+  and on ``onQueryTerminated``, bounding both listener-bus latency and
+  the one-file-per-batch small-file rate (a terminated-flush batch
+  folds up to ``flush_every`` progress rows into one file; compact
+  further with compact_parquet).
+* **Best-effort contract.**  The flush is wrapped: a failing metrics
+  write LOGS and drops the buffered rows rather than throwing on the
+  listener bus (Spark swallows listener exceptions, so raising would
+  just silently gap the table anyway — this makes the gap visible in
+  the driver log).  Metrics are monitoring, not data: consumers must
+  not assume the table is complete under storage failure.
 """
 
 from __future__ import annotations
 
 import json
+import logging
+import threading
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
+
+log = logging.getLogger(__name__)
 
 PROGRESS_SCHEMA = (
     "query_id string, run_id string, batch_id long, ts string, "
@@ -31,11 +48,23 @@ PROGRESS_SCHEMA = (
 
 
 class MetricsSinkListener(StreamingQueryListener):
-    """Append one row per micro-batch progress event to ``path``."""
+    """Buffer one row per micro-batch progress event; flush batches of
+    rows to ``path`` (parquet, append) every ``flush_every`` events and
+    at query termination."""
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(
+        self, spark: SparkSession, path: str, flush_every: int = 8
+    ) -> None:
         self._spark = spark
         self._path = path
+        self._flush_every = max(1, int(flush_every))
+        self._buf: list[tuple] = []
+        self._lock = threading.Lock()
+        # serializes the parquet appends themselves: two concurrent
+        # flushes (listener-bus thread + an explicit flush() caller)
+        # race on the writer's shared _temporary/0 staging dir and one
+        # of them fails the final rename, dropping its rows
+        self._flush_lock = threading.Lock()
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (API name)
         pass
@@ -44,7 +73,7 @@ class MetricsSinkListener(StreamingQueryListener):
         pass
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
-        pass
+        self.flush()
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = json.loads(event.progress.json)
@@ -61,19 +90,45 @@ class MetricsSinkListener(StreamingQueryListener):
             (p.get("eventTime") or {}).get("watermark"),
             int(sum(s.get("numRowsTotal", 0) for s in state)),
         )
-        (
-            self._spark.createDataFrame([row], PROGRESS_SCHEMA)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(self._path)
-        )
+        with self._lock:
+            self._buf.append(row)
+            ready = len(self._buf) >= self._flush_every
+        if ready:
+            self.flush()
+
+    def flush(self) -> None:
+        """Write any buffered progress rows now (best-effort: a failed
+        write logs and DROPS the rows — see module docstring).
+        Flushes are serialized so concurrent callers cannot race on
+        the parquet writer's staging directory."""
+        with self._flush_lock:
+            with self._lock:
+                rows, self._buf = self._buf, []
+            if not rows:
+                return
+            try:
+                (
+                    self._spark.createDataFrame(rows, PROGRESS_SCHEMA)
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(self._path)
+                )
+            except Exception:  # noqa: BLE001 — listener bus must not throw
+                log.exception(
+                    "metrics flush to %s failed; dropping %d buffered "
+                    "progress row(s) (metrics are best-effort)",
+                    self._path,
+                    len(rows),
+                )
 
 
 def attach_metrics_sink(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, flush_every: int = 8
 ) -> MetricsSinkListener:
     """Register (and return) a metrics listener; detach with
-    ``spark.streams.removeListener(listener)``."""
-    listener = MetricsSinkListener(spark, path)
+    ``spark.streams.removeListener(listener)``.  Call ``.flush()``
+    before reading the metrics table if the stream may still be
+    running (termination flushes automatically)."""
+    listener = MetricsSinkListener(spark, path, flush_every=flush_every)
     spark.streams.addListener(listener)
     return listener

@@ -552,6 +552,125 @@ def test_verified_sink_fails_closed_when_accepted_docs_missing(
     } == {0}
 
 
+def test_verified_sink_fails_closed_on_partial_accepted_trim(
+    spark, tmp_path
+):
+    """Doc-level fail-closed (round-6 / VERDICT r5 item 1): if retention
+    trims only SOME batch partitions of the accepted-docs output while
+    the band store keeps their signatures, a duplicate of a trimmed doc
+    must RAISE — without the guard its candidate pair silently drops out
+    of the jaccard inner join and the duplicate is admitted.  The
+    artifact-level guard (accepted output entirely missing) cannot see
+    this case."""
+    import shutil
+
+    import pytest
+
+    from eventstream_fanout_spark.streaming.corpus_dedup import (
+        streaming_dedup_sink,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    texts = _corpus_texts(spark, 3)
+    sink = streaming_dedup_sink(store, out, min_jaccard=0.3)
+    sink(_docs(spark, [(0, texts[0][1])]), 0)
+    sink(_docs(spark, [(1, texts[1][1])]), 1)
+
+    # partial retention trim: batch 0's accepted docs vanish, its bands
+    # stay in the store
+    shutil.rmtree(f"{out}/batch_id=0")
+    with pytest.raises(Exception, match="no text in the batch"):
+        sink(_docs(spark, [(10, texts[0][1])]), 2)  # dup of trimmed 0
+
+    # a batch with no candidates against the trimmed doc still passes
+    # (the guard is candidate-scoped, not a full store audit)
+    sink(_docs(spark, [(11, texts[2][1])]), 3)
+    assert 11 in {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_verified_sink_enforces_unique_doc_id_contract(spark, tmp_path):
+    """doc_id-uniqueness ingest contract (round-6 / VERDICT r5 item 7):
+    re-sending an already-accepted doc_id in a LATER batch (an upstream
+    redelivery that is not a Spark replay) makes the unioned shingle
+    relation ambiguous and must raise — while a genuine crash-replay of
+    the SAME batch id stays masked and clean."""
+    import pytest
+
+    from eventstream_fanout_spark.streaming.corpus_dedup import (
+        streaming_dedup_sink,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    texts = _corpus_texts(spark, 2)
+    sink = streaming_dedup_sink(store, out, min_jaccard=0.3)
+    sink(_docs(spark, [(0, texts[0][1])]), 0)
+
+    # replay of batch 0 (same batch id): masked, no contract violation
+    sink(_docs(spark, [(0, texts[0][1])]), 0)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    } == {0}
+
+    # same doc_id arriving under a NEW batch id: contract violation
+    with pytest.raises(Exception, match="more than once"):
+        sink(_docs(spark, [(0, texts[0][1])]), 1)
+
+
+def test_bucketed_verified_candidates_ride_the_buckets(spark, tmp_path):
+    """ADVICE r5: verified-mode candidate generation against the
+    bucketed store must join through band_key so the store side scans
+    its buckets with no Exchange — and the bucketed verified sink must
+    admit the same docs as the parquet-path verified sink."""
+    import uuid
+
+    from eventstream_fanout_spark.streaming.corpus_dedup import (
+        store_candidate_join,
+        streaming_dedup_sink,
+        streaming_dedup_sink_bucketed,
+    )
+
+    table = f"sig_store_v_{uuid.uuid4().hex[:8]}"
+    texts = _corpus_texts(spark, 4)
+    b0 = _docs(spark, [(0, texts[0][1]), (1, texts[1][1])])
+    b1 = _docs(spark, [(10, texts[2][1]), (11, texts[0][1])])  # 11 dup of 0
+    out_p = str(tmp_path / "out_p")
+    out_b = str(tmp_path / "out_b")
+    sink_p = streaming_dedup_sink(
+        str(tmp_path / "store_p"), out_p, min_jaccard=0.3
+    )
+    sink_b = streaming_dedup_sink_bucketed(
+        table, out_b, min_jaccard=0.3
+    )
+    try:
+        for sink in (sink_p, sink_b):
+            sink(b0, 0)
+            sink(b1, 1)
+        admitted_p = {
+            r["doc_id"] for r in spark.read.parquet(out_p).collect()
+        }
+        admitted_b = {
+            r["doc_id"] for r in spark.read.parquet(out_b).collect()
+        }
+        assert admitted_p == admitted_b == {0, 1, 10}
+
+        # plan shape: the store side of the candidate join reads its
+        # buckets in place (bucket pruning marker, same assertion as
+        # the rejection-join test)
+        plan = (
+            store_candidate_join(spark, table, b1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_store_reader_reraises_non_missing_path_failures(spark, tmp_path):
     """Only PATH_NOT_FOUND may mean 'empty store'.  A store path that
     EXISTS but cannot be read as parquet (here: schema inference fails
