@@ -1,0 +1,269 @@
+"""Persisted PQ/IVF ANN index — build once, probe many (VERDICT r5
+item 2).
+
+Every registered ANN query until round 5 re-encoded / re-fit its index
+inside the query plan — right for oracle-checking, wrong as the
+production shape: at 100 TB the index is an ARTIFACT.  This module
+persists it as warehouse tables and probes the stored form:
+
+* ``codes``     — one row per corpus vector: ``(vec_id, list_id,
+  codes array<int>)``, partitioned by ``(batch_id, list_id)``.  The 8
+  subspace codes are the vector's entire index footprint (8 bytes at a
+  tinyint encoding — the PQ memory bound); ``list_id`` is its IVF
+  coarse cell, so an nprobe probe is PARTITION PRUNING on the codes
+  scan.  ``batch_id`` keys incremental appends exactly like the dedup
+  signature store (streaming/ann_ingest.py): the static build writes
+  the frozen generation ``batch_id = -1``, streamed batches append
+  under their own id, replay overwrites only itself.
+* ``codebook``  — the 64 per-subspace PQ centroids ``(cid, s, ce)``.
+* ``centroids`` — the 8 IVF coarse centroids ``(cid, ce)``.
+
+Probe cost model: the query builds a 64-entry broadcast distance table
+from ``codebook``, selects nprobe lists via the broadcast ``centroids``
+(partition-pruning the codes scan), and ADC-scans ONLY stored codes —
+no embedding is re-encoded in-plan (the encode subtree exists solely
+at build/ingest time).  All distances are the exact-BIGINT
+nano-quantized sums shared with plans/similarity_queries.py, so the
+persisted index is bit-identical to the in-plan encode and the DuckDB
+oracle replays it.
+
+Reference parity note: the reference has no ANN surface at all (its
+whole engine is reference pipeline/app.py:1-115); this is north-star
+extension surface (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import ivf_assign, ivf_centroids
+
+PQ_SUBS = 8     # subspaces
+PQ_SUBDIM = 8   # dims per subspace (8 x 8 = 64 = EMBED_DIM)
+FROZEN_BATCH_ID = -1  # the static build's generation
+
+CODES_SCHEMA = "vec_id long, list_id long, codes array<int>"
+
+
+def pq_subspaces(df: DataFrame) -> DataFrame:
+    """Explode ``embedding`` into (vec_id, s, sub) subspace slices."""
+    return df.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUBS)
+                ]
+            )
+        ).alias("s", "sub"),
+    )
+
+
+def l2q(a: F.Column, b: F.Column) -> F.Column:
+    """Exact BIGINT sum of nano-quantized squared differences."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def pq_codebook(emb: DataFrame) -> DataFrame:
+    """The 64-row per-subspace PQ codebook: seed rows 10..17 sliced per
+    subspace (deterministic, oracle-replayable — the PQ analogue of
+    ivf_centroids' seed stand-in; production fits it by k-means per
+    subspace and ships the same 64-row artifact)."""
+    return pq_subspaces(
+        emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17))
+    ).select(F.col("vec_id").alias("cid"), "s", F.col("sub").alias("ce"))
+
+
+def encode_pq_codes(
+    vectors: DataFrame, codebook: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Encode ``(vec_id, embedding)`` rows into index rows
+    ``(vec_id, list_id, codes)``.
+
+    Scale shape: broadcast the 64-row codebook, argmin per (vector,
+    subspace) via a map-side-combining groupBy, pack the 8 codes into
+    one s-ordered array (the array_sort(collect_list(struct)) pattern
+    — deterministic), then one more broadcast map for the IVF list
+    assignment.  Per-vector output is ~8 bytes of codes + two longs;
+    no vector-vs-vector join anywhere."""
+    sub = pq_subspaces(vectors)
+    scored = sub.join(F.broadcast(codebook), "s").select(
+        "vec_id", "s", "cid", l2q(F.col("sub"), F.col("ce")).alias("d")
+    )
+    codes = (
+        scored.groupBy("vec_id", "s")
+        .agg(
+            F.max(
+                F.struct(
+                    (-F.col("d")).alias("nd"), (-F.col("cid")).alias("ncid")
+                )
+            ).alias("m")
+        )
+        .select("vec_id", "s", (-F.col("m.ncid")).cast("int").alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("s"), F.col("code")))
+                ),
+                lambda st: st.getField("code"),
+            ).alias("codes")
+        )
+    )
+    assign = ivf_assign(vectors, centroids)
+    return codes.join(assign, "vec_id").select("vec_id", "list_id", "codes")
+
+
+def build_pq_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_path: str,
+    corpus: DataFrame | None = None,
+) -> None:
+    """Write the full index (codes + codebook + centroids).  The
+    quantizer artifacts always come from ``emb`` (the fit corpus);
+    ``corpus`` optionally narrows which vectors get ENCODED into the
+    initial frozen generation (the incremental-ingest sims index a
+    subset at build time and stream the rest in later) — default: all
+    of ``emb`` except the query row 0, matching the registered ANN
+    queries."""
+    codebook = pq_codebook(emb)
+    centroids = ivf_centroids(emb)
+    codebook.write.mode("overwrite").parquet(f"{index_path}/codebook")
+    centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    if corpus is None:
+        corpus = emb.where(F.col("vec_id") != 0)
+    corpus = corpus.select("vec_id", "embedding")
+    (
+        encode_pq_codes(corpus, codebook, centroids)
+        .withColumn("batch_id", F.lit(FROZEN_BATCH_ID))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "list_id")
+        .parquet(f"{index_path}/codes")
+    )
+
+
+def read_index(
+    spark: SparkSession, index_path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(codes, codebook, centroids) relations of a stored index."""
+    return (
+        spark.read.parquet(f"{index_path}/codes"),
+        spark.read.parquet(f"{index_path}/codebook"),
+        spark.read.parquet(f"{index_path}/centroids"),
+    )
+
+
+def _codebook_guard(codebook: DataFrame) -> DataFrame:
+    """Lazy 0-row assert_true branch (ivf_topk pattern): the stored
+    codebook must hold exactly PQ_SUBS x 8 entries or the probe raises
+    at execution instead of returning a silently empty/garbage top-k.
+    Output columns are cast FROM the assert column (non-foldable) so a
+    downstream join's pushed-down isnotnull filter cannot
+    constant-fold the branch away."""
+    expected = PQ_SUBS * 8
+    ncent = codebook.agg(F.count(F.lit(1)).cast("int").alias("_ncent"))
+    return (
+        ncent.select(
+            F.assert_true(
+                F.col("_ncent") == expected,
+                F.concat(
+                    F.lit("persisted PQ codebook has "),
+                    F.col("_ncent").cast("string"),
+                    F.lit(
+                        f" entries, expected {expected} — the index "
+                        "artifact is broken or was built from a corpus "
+                        "lacking the seed vec_ids; rebuild before probing"
+                    ),
+                ),
+            ).alias("_a")
+        )
+        .where(F.col("_a").isNotNull())
+        .select(
+            F.col("_a").cast("long").alias("vec_id"),
+            F.col("_a").cast("long").alias("list_id"),
+            F.col("_a").cast("bigint").alias("adc_dist"),
+        )
+    )
+
+
+def adc_scores_from_index(
+    codes: DataFrame, codebook: DataFrame, query: DataFrame
+) -> DataFrame:
+    """(vec_id, list_id, adc_dist) for every stored code row: unpack
+    the 8-byte code array and sum the broadcast 64-entry query distance
+    table — per stored vector the cost is 8 lookups + a sum; embeddings
+    are never touched (asymmetric distance computation on the stored
+    form).  Includes the lazy codebook guard."""
+    qtable = (
+        pq_subspaces(query.select(F.lit(0).alias("vec_id"), "embedding"))
+        .join(F.broadcast(codebook), "s")
+        .select(
+            F.col("s").alias("qs"),
+            F.col("cid").alias("qcid"),
+            l2q(F.col("sub"), F.col("ce")).alias("qd"),
+        )
+    )
+    unpacked = codes.select(
+        "vec_id", "list_id", F.posexplode(F.col("codes")).alias("s", "code")
+    )
+    return (
+        unpacked.join(
+            F.broadcast(qtable),
+            (F.col("s") == F.col("qs"))
+            & (F.col("code").cast("long") == F.col("qcid")),
+        )
+        .groupBy("vec_id", "list_id")
+        .agg(F.sum("qd").cast("bigint").alias("adc_dist"))
+        .unionByName(_codebook_guard(codebook))
+    )
+
+
+def pq_probe_topk(
+    spark: SparkSession,
+    index_path: str,
+    query: DataFrame,
+    k: int,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """ADC top-k against the STORED index.  ``nprobe=None`` scans all
+    codes (pure PQ); an integer probes only the nprobe coarse lists
+    nearest the query — a broadcast 8-row centroid ranking whose
+    result prunes the codes scan on its ``list_id`` partition column.
+
+    The returned plan contains the codes/codebook/centroids table
+    scans and NO encode subtree (no embedding slicing) — the property
+    pinned by tests/test_ann_index.py."""
+    from ..functions.vectors import cosine
+
+    codes, codebook, centroids = read_index(spark, index_path)
+    if nprobe is not None:
+        probes = (
+            query.select(F.col("embedding").alias("qe"))
+            .crossJoin(F.broadcast(centroids))
+            .select("cid", cosine(F.col("qe"), F.col("ce")).alias("qcos"))
+            .orderBy(F.desc("qcos"), F.asc("cid"))
+            .limit(nprobe)
+            .select(F.col("cid").alias("probe_cid"))
+        )
+        codes = codes.join(
+            F.broadcast(probes), F.col("list_id") == F.col("probe_cid")
+        ).select("vec_id", "list_id", "codes")
+    return (
+        adc_scores_from_index(codes, codebook, query)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -245,7 +245,15 @@ def ivf_fit_centroids(
             # re-fit is n_iters corpus-sample scans.  The "no eager
             # actions in query construction" rule (PERF.md, the guard
             # lesson) is about per-QUERY paths; a one-time fit is the
-            # exception it predicted.
+            # exception it predicted.  Two caveats this implies
+            # (ADVICE r5): (a) merely CONSTRUCTING a plan on top of
+            # this fit runs n_iters Spark jobs — plan-only tooling
+            # should prefer the seed ivf_centroids; (b) localCheckpoint
+            # is session-scoped and lost on executor failure (the
+            # documented Spark trade-off vs reliable checkpoint) — on a
+            # cluster, persist the fitted (cid, ce) rows to a table
+            # (operators/ann_index.py stores exactly this artifact) and
+            # reload, rather than holding them in checkpointed memory.
             .localCheckpoint(eager=True)
         )
     return cents

@@ -40,81 +40,78 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- round-5 rotation (VERDICT r4 item 1 + this round's work).
-    # Slots 1-17: never-driver-checked — the two leftovers from r4
-    # (ann_multiprobe_topk, the sandwich approx_distinct_users) and the
-    # fifteen queries round 5 added (fitted IVF, VARIANT CDC, trigram
-    # LM novelty, BPE merge table, sweep-line concurrency, weighted
-    # systematic sample, PQ/ADC + rerank + recall report, verified
-    # incremental dedup, DQ expectations, incremental MV maintenance,
-    # MAD outliers, bigram lift, semantic diversity sample). ---
-    "ann_multiprobe_topk",
-    "approx_distinct_users",
-    "ann_ivf_fitted_topk",
-    "cdc_variant_props",
-    "trigram_novelty_score",
-    "bpe_merge_candidates",
-    "session_concurrency_sweep",
-    "weighted_systematic_sample",
+    # --- round-6 rotation (registry ROUND-6 plan + VERDICT r5 item 4).
+    # Slots 1-8: new/changed plans — the four round-6 additions
+    # (persisted PQ index probe, IVF-PQ partition-pruned probe, the
+    # incremental index-ingest sim, the metrics-table profile) and the
+    # four whose physical plan gained a lazy contract guard this round
+    # (the three PQ queries' codebook guard; verified dedup's doc-level
+    # coverage + unique-id guard). ---
+    "ann_pq_persisted_topk",
+    "ann_ivfpq_persisted_topk",
+    "ann_index_ingest_sim",
+    "stream_metrics_profile",
     "ann_pq_adc_topk",
     "ann_pq_rerank_topk",
     "ann_pq_recall_report",
     "incremental_dedup_verified_sim",
-    "dq_expectations_report",
-    "incremental_mv_maintenance",
-    "mad_outlier_report",
-    "bigram_lift_top",
-    "semantic_cluster_diversity_sample",
-    # --- slots 18-26: plans whose green rows predate a physical-plan
-    # rewrite — incremental_dedup_sim's within-batch join was salted in
-    # round 5; the other eight changed in round 4 (hot-bucket salting /
-    # fused cosine) and still ride round-3 rows. ---
-    "incremental_dedup_sim",
-    "minhash_lsh_pairs",
-    "simhash_near_pairs",
-    "ngram_jaccard_dups",
-    "embedding_lsh_near_pairs",
-    "corpus_clean_pipeline",
-    "training_export_pipeline",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    # --- slots 27-50: rotation-backs, oldest evidence first — these
-    # have been green since ROUND 1 and never re-proven; refreshing
-    # them keeps every green row at most a few rounds stale. ---
-    "flagship_enrich",
-    "json_extract_props",
-    "null_reject_filter",
-    "timestamp_parse",
-    "count_star",
-    "sort_limit_latest",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q4_order_priority",
-    "anti_join_customers_no_urgent_orders",
-    "filter_pushdown_scan",
-    "rollup_nation_segment",
-    "set_ops_purchasers_vs_errors",
-    "union_intersect_users",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_predicates",
-    "q18_large_volume_orders",
-    "salted_join_counts",
-    "deterministic_sample",
-    "stratified_sample_20_per_type",
-    "above_nation_avg_balance",
+    # --- slots 9-32: the 24 queries whose only green row is ROUND 1
+    # (the oldest evidence in the ledger — map/datetime/string/frame
+    # functions, json_nested_roundtrip, rank/lag/sessionize, pivot/
+    # percentile/gap-fill/asof/cdc_apply_merge, the window family). ---
+    "asof_click_before_purchase",
+    "cdc_apply_merge",
+    "conditional_functions",
+    "conversion_funnel",
+    "cube_type_band",
+    "datetime_functions",
+    "explode_outer_rare_tokens",
+    "frame_functions",
+    "grouping_sets_explicit",
+    "json_nested_roundtrip",
+    "lag_lead_deltas",
+    "map_functions",
+    "math_functions",
+    "percentile_disc_manual",
+    "pivot_event_types",
+    "range_join_click_purchase_1h",
+    "rank_family",
+    "rolling_10m_user_count",
+    "session_window_native",
+    "sessionize_events",
+    "string_functions",
+    "topk_leaderboard_daily",
+    "window_sliding_10m_5m",
+    "window_tumbling_10m",
+    # --- slots 33-50: the oldest 18 of the 40 round-3-only rows
+    # (alphabetical — the rest rotate in next round). ---
+    "ann_batch_topk",
+    "ann_lsh_bucket_topk",
+    "array_functions",
+    "cdc_parse_roundtrip",
+    "dedup_exact",
+    "doc_fingerprint_winnow",
+    "dq_expectation_profile",
+    "dup_clusters",
+    "embedding_label_stats",
+    "embedding_near_pairs",
+    "gap_filled_hourly_counts",
+    "global_leaderboard_top10",
+    "higher_order_array_functions",
+    "hourly_distinct_users",
+    "lang_id_heuristic",
+    "minhash_signatures",
+    "multimodal_meta",
+    "pandas_udf_token_count",
 ]
 
-# ROUND-6 ROTATION PLAN: assuming CORRECTNESS_r05 lands green, the 17
-# round-5 additions + the 9 changed-plan re-proofs + the 2 r4
-# leftovers all gain driver rows and the oldest evidence left is the
-# ~24 round-1-only greens not refreshed this round (map/datetime/
-# string/frame functions, json_nested_roundtrip, conditional_functions,
-# rank/lag/sessionize, pivot/percentile/gap-fill/asof/cdc_apply_merge
-# family) — fill round 6's slots with any new/changed queries first,
-# then those, then round-3 rows.
+# ROUND-7 ROTATION PLAN: assuming CORRECTNESS_r06 lands green, the
+# remaining stale evidence is (a) the other 22 round-3-only rows
+# (q2/q7-q9/q11-q13/q15-q17/q21/q22, simhash_docs, the stream_*
+# quartet, string_agg/text_quality/token_count/value_histogram,
+# embedding near-pairs verifier) and (b) the 48 round-4 rows —
+# fill round 7's slots with any new/changed queries first, then the
+# round-3 leftovers, then the oldest round-4 rows.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

@@ -1,0 +1,250 @@
+"""Persisted PQ/IVF ANN index (operators/ann_index.py) and its
+incremental ingest sink (streaming/ann_ingest.py): the stored index
+must probe identically to the in-plan encode, the probe plan must
+contain NO encode subtree, ingest must be replay-safe, and compaction
+must preserve probe results."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from eventstream_fanout_spark.operators.ann_index import (
+    build_pq_index,
+    pq_probe_topk,
+)
+from eventstream_fanout_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+def _emb(spark):
+    return load_table(spark, SF_ORACLE, "embeddings")
+
+
+def _query(spark):
+    return _emb(spark).where(F.col("vec_id") == 0).select("embedding")
+
+
+def _topk_ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_persisted_probe_matches_inplan_adc_and_has_no_encode(
+    spark, tmp_path
+):
+    """The stored codes must reproduce the in-plan PQ encode exactly
+    (same ADC top-10 as ann_pq_adc_topk), and the probe's physical
+    plan must not slice/encode any embedding — the whole point of
+    persisting the index is that probes read codes, not vectors."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, _emb(spark), path)
+    probe = pq_probe_topk(spark, path, _query(spark), 10)
+    inplan = QUERIES["ann_pq_adc_topk"].fn(spark, SF_ORACLE)
+    assert _topk_ids(probe) == _topk_ids(inplan)
+
+    # AQE's toString repeats the tree under "== Initial Plan ==" —
+    # count nodes in the final section only
+    plan = (
+        probe._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # exactly ONE subspace-slicing node: the 1-row query vector feeding
+    # the broadcast distance table.  The in-plan encode has three
+    # (codebook, corpus, query); corpus/codebook must come from the
+    # stored tables here.
+    assert plan.count("posexplode(array(slice(embedding") == 1, plan
+
+
+def test_ivfpq_probe_scans_only_probed_lists(spark, tmp_path):
+    """nprobe=2: every hit comes from one of the query's 2 nearest
+    coarse lists, the result is the full-ADC ranking restricted to
+    those lists, and the codes scan is pruned on the list_id partition
+    column (static or dynamic partition pruning in the plan)."""
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, _emb(spark), path)
+    pruned = pq_probe_topk(spark, path, _query(spark), 10, nprobe=2)
+    rows = pruned.collect()
+    assert len(rows) == 10
+    probed_lists = {r["list_id"] for r in rows}
+    assert len(probed_lists) <= 2
+
+    # semantics: equals the unpruned ADC ranking restricted to the
+    # probed lists
+    full = pq_probe_topk(spark, path, _query(spark), 10_000).collect()
+    expected = [
+        r["vec_id"] for r in full if r["list_id"] in probed_lists
+    ][:10]
+    assert _topk_ids(pruned) == expected
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_ingest_real_stream_with_checkpointed_replay(spark, tmp_path):
+    """The ingest sink as an ACTUAL streaming query (two vector files,
+    maxFilesPerTrigger=1, checkpointed): the incrementally built index
+    must probe identically to an all-at-once build, and a restart from
+    the checkpoint reprocesses nothing."""
+    from pyspark.sql import types as T
+
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        streaming_ann_index_sink,
+    )
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        start_fanout,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    # static build indexes vec_id % 3 == 0; the stream adds the rest
+    build_pq_index(
+        spark,
+        emb,
+        path,
+        corpus=emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") != 0)),
+    )
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src)
+    for tag, m in (("a", 1), ("b", 2)):
+        (
+            emb.where(F.col("vec_id") % 3 == m)
+            .select("vec_id", "embedding")
+            .toPandas()
+            .to_json(f"{src}/{tag}-batch.jsonl", orient="records", lines=True)
+        )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_fanout(
+            stream,
+            [FanoutSink("ann_index", streaming_ann_index_sink(path))],
+            checkpoint_dir=ckpt,
+            query_name="ann-index-ingest",
+        )
+        q.awaitTermination(300)
+
+    run()
+    # two streamed generations + the frozen build
+    codes = spark.read.parquet(f"{path}/codes")
+    bids = {r["batch_id"] for r in codes.select("batch_id").distinct().collect()}
+    assert bids == {-1, 0, 1}
+    n_codes = codes.count()
+    assert n_codes == emb.where(F.col("vec_id") != 0).count()
+
+    # probe equals an all-at-once build
+    full_path = str(tmp_path / "idx_full")
+    build_pq_index(spark, emb, full_path)
+    got = _topk_ids(pq_probe_topk(spark, path, _query(spark), 10))
+    want = _topk_ids(pq_probe_topk(spark, full_path, _query(spark), 10))
+    assert got == want
+
+    # checkpointed restart: no files left, nothing re-ingested
+    run()
+    assert spark.read.parquet(f"{path}/codes").count() == n_codes
+
+    # manual replay of batch 1 (same id): overwrites itself, no dups
+    sink = streaming_ann_index_sink(path)
+    sink(emb.where(F.col("vec_id") % 3 == 2).select("vec_id", "embedding"), 1)
+    assert spark.read.parquet(f"{path}/codes").count() == n_codes
+
+
+def test_ingest_refuses_missing_quantizer(spark, tmp_path):
+    """Streaming vectors into a path with no built index must raise
+    (fail closed), not silently drop every batch's codes."""
+    import pytest
+
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        streaming_ann_index_sink,
+    )
+
+    sink = streaming_ann_index_sink(str(tmp_path / "nowhere"))
+    batch = _emb(spark).where(F.col("vec_id") % 3 == 1).select(
+        "vec_id", "embedding"
+    )
+    with pytest.raises(RuntimeError, match="build the index"):
+        sink(batch, 0)
+
+
+def test_compact_index_preserves_probe_and_is_idempotent(spark, tmp_path):
+    """Folding the per-batch generations into a frozen one must leave
+    probe results identical; re-running on an already-compacted index
+    folds nothing; ignoreMissingFiles=true is refused."""
+    import pytest
+
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        compact_index,
+        streaming_ann_index_sink,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(
+        spark,
+        emb,
+        path,
+        corpus=emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)),
+    )
+    sink = streaming_ann_index_sink(path)
+    odd = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    sink(odd.where(F.col("vec_id") % 4 == 1), 0)
+    sink(odd.where(F.col("vec_id") % 4 == 3), 1)
+
+    before = _topk_ids(pq_probe_topk(spark, path, _query(spark), 10))
+    n_before = spark.read.parquet(f"{path}/codes").count()
+    assert compact_index(spark, path, upto_batch_id=2) == 3  # -1, 0, 1
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == n_before
+    bids = {r["batch_id"] for r in codes.select("batch_id").distinct().collect()}
+    assert bids == {-2}
+    assert _topk_ids(pq_probe_topk(spark, path, _query(spark), 10)) == before
+
+    assert compact_index(spark, path, upto_batch_id=2) == 0
+
+    key = "spark.sql.files.ignoreMissingFiles"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        with pytest.raises(RuntimeError, match="ignoreMissingFiles"):
+            compact_index(spark, path, upto_batch_id=99)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_probe_refuses_broken_stored_codebook(spark, tmp_path):
+    """An index built from a corpus lacking SOME seed vectors stores a
+    short codebook; probing it must raise at execution (lazy guard),
+    never return a silently empty/garbage top-k.  A corpus lacking ALL
+    seeds cannot even build a readable index (the empty partitioned
+    codes write leaves nothing to infer a schema from) — also loud."""
+    import pytest
+
+    path = str(tmp_path / "idx")
+    # seeds 13..17 present, 10..12 missing -> 40-row codebook
+    build_pq_index(
+        spark, _emb(spark).where(F.col("vec_id") > 12), path
+    )
+    broken = pq_probe_topk(spark, path, _query(spark), 10)  # lazy: fine
+    with pytest.raises(Exception, match="codebook"):
+        broken.collect()
+
+    empty = str(tmp_path / "idx_empty")
+    build_pq_index(spark, _emb(spark).where(F.col("vec_id") > 100), empty)
+    with pytest.raises(Exception):
+        pq_probe_topk(spark, empty, _query(spark), 10).collect()
