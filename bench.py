@@ -142,8 +142,10 @@ HEADLINE = [
     # index-ingest sim, and the oracle-checked metrics-table profile
     "ann_pq_persisted_topk",
     "ann_ivfpq_persisted_topk",
+    "ann_pq_persisted_batch_topk",
     "ann_index_ingest_sim",
     "stream_metrics_profile",
+    "bm25_keyword_search",
 ]
 
 

@@ -167,12 +167,20 @@ def read_index(
     )
 
 
-def _codebook_guard(codebook: DataFrame) -> DataFrame:
+def _codebook_guard(
+    codebook: DataFrame,
+    fields: tuple[tuple[str, str], ...] = (
+        ("vec_id", "long"),
+        ("list_id", "long"),
+        ("adc_dist", "bigint"),
+    ),
+) -> DataFrame:
     """Lazy 0-row assert_true branch (ivf_topk pattern): the stored
     codebook must hold exactly PQ_SUBS x 8 entries or the probe raises
     at execution instead of returning a silently empty/garbage top-k.
-    Output columns are cast FROM the assert column (non-foldable) so a
-    downstream join's pushed-down isnotnull filter cannot
+    Output columns (``fields`` = (name, type) pairs matching the
+    caller's schema) are cast FROM the assert column (non-foldable) so
+    a downstream join's pushed-down isnotnull filter cannot
     constant-fold the branch away."""
     expected = PQ_SUBS * 8
     ncent = codebook.agg(F.count(F.lit(1)).cast("int").alias("_ncent"))
@@ -193,9 +201,7 @@ def _codebook_guard(codebook: DataFrame) -> DataFrame:
         )
         .where(F.col("_a").isNotNull())
         .select(
-            F.col("_a").cast("long").alias("vec_id"),
-            F.col("_a").cast("long").alias("list_id"),
-            F.col("_a").cast("bigint").alias("adc_dist"),
+            *[F.col("_a").cast(t).alias(n) for n, t in fields]
         )
     )
 
@@ -229,6 +235,68 @@ def adc_scores_from_index(
         .groupBy("vec_id", "list_id")
         .agg(F.sum("qd").cast("bigint").alias("adc_dist"))
         .unionByName(_codebook_guard(codebook))
+    )
+
+
+def pq_batch_probe_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+) -> DataFrame:
+    """ADC top-k for a BATCH of queries ``(qid, embedding)`` in one
+    pass over the stored codes — the production serving shape: the
+    per-query 64-entry distance tables concatenate into one broadcast
+    relation (64 x |batch| rows), the codes scan runs ONCE, and a
+    per-qid window takes each query's top-k.  Cost is one index scan
+    regardless of batch size, vs |batch| scans for repeated single
+    probes."""
+    from pyspark.sql import Window
+
+    codes, codebook, _ = read_index(spark, index_path)
+    qsub = pq_subspaces(
+        queries.select(F.col("qid").alias("vec_id"), "embedding")
+    )
+    qtable = (
+        qsub.join(F.broadcast(codebook), "s")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("s").alias("qs"),
+            F.col("cid").alias("qcid"),
+            l2q(F.col("sub"), F.col("ce")).alias("qd"),
+        )
+    )
+    unpacked = codes.select(
+        "vec_id", F.posexplode(F.col("codes")).alias("s", "code")
+    )
+    adc = (
+        unpacked.join(
+            F.broadcast(qtable),
+            (F.col("s") == F.col("qs"))
+            & (F.col("code").cast("long") == F.col("qcid")),
+        )
+        # a query that is itself indexed must not retrieve itself
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").cast("bigint").alias("adc_dist"))
+        .unionByName(
+            _codebook_guard(
+                codebook,
+                fields=(
+                    ("qid", "long"),
+                    ("vec_id", "long"),
+                    ("adc_dist", "bigint"),
+                ),
+            )
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", "adc_dist", "rank")
     )
 
 

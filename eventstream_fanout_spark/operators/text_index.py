@@ -1,0 +1,144 @@
+"""Persisted inverted text index + BM25 keyword search — the retrieval
+side of the training-data pipeline as a stored artifact, mirroring the
+round-6 ANN index design (operators/ann_index.py).
+
+``inverted_index_postings`` (plans/text_queries.py) builds posting
+lists in-plan; this module PERSISTS the index as warehouse tables and
+probes the stored form:
+
+* ``postings`` — ``(tok, doc_id, tf)``: one row per (term, doc).
+* ``doclens`` — ``(doc_id, dl)``: document length in tokens.
+* ``vocab``   — ``(tok, df)``: document frequency per term.
+* ``stats``   — 1 row ``(n_docs, total_len)``.
+
+Probe cost model: a keyword query filters ``postings``/``vocab`` on
+``tok IN (terms)`` — a pushed-down parquet predicate, so the scan
+touches only the matching terms' posting rows (+ a broadcast 1-row
+stats side and a doc-length join).  The raw documents table is never
+read at query time.
+
+Scoring is the log-free BM25 variant: textbook BM25 idf is
+``ln((N - df + 0.5)/(df + 0.5))``, but transcendentals diverge across
+engines (the tf-idf lesson, plans/text_queries.py), so the idf RATIO
+is used directly — per-term this is the exponential of the standard
+idf (a monotone per-term transform; multi-term rankings can differ
+from textbook BM25, which is acceptable for a deterministic
+hash-checkable scorer and stated here explicitly).  The tf-saturation
+factor is the standard ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``.
+All inputs are exact BIGINTs cast to double; every float op is a
+single exactly-rounded IEEE step written with the identical expression
+tree in the SQL oracle; the per-doc term sum goes through the
+order-independent quantized ``dsum``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import dsum
+from ..functions.hashing import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def build_text_index(
+    spark: SparkSession, docs: DataFrame, index_path: str
+) -> None:
+    """Write the four index tables from a ``(doc_id, text)`` corpus.
+    One explode feeds every aggregate (tf, dl, df, stats are all
+    partial-agg-friendly counts/sums)."""
+    occ = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = occ.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    tf.select("tok", "doc_id", "tf").write.mode("overwrite").parquet(
+        f"{index_path}/postings"
+    )
+    dl = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    dl.write.mode("overwrite").parquet(f"{index_path}/doclens")
+    tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    ).write.mode("overwrite").parquet(f"{index_path}/vocab")
+    (
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(
+            dl.agg(F.sum("dl").cast("bigint").alias("total_len"))
+        )
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/stats")
+    )
+
+
+def bm25_score_expr() -> F.Column:
+    """The per-(doc, term) log-free BM25 score.  Expression tree is
+    mirrored character-for-character by sql_bm25_score_expr — change
+    BOTH or hashes drift in the last ulp."""
+    n_docs = F.col("n_docs").cast("double")
+    df = F.col("df").cast("double")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    total_len = F.col("total_len").cast("double")
+    idf = ((n_docs - df) + F.lit(0.5)) / (df + F.lit(0.5))
+    avgdl = total_len / n_docs
+    sat = (tf * F.lit(BM25_K1 + 1.0)) / (
+        tf
+        + (F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + (F.lit(BM25_B) * (dl / avgdl))))
+    )
+    return idf * sat
+
+
+def sql_bm25_score_expr() -> str:
+    """DuckDB twin of :func:`bm25_score_expr` (same tree, same literal
+    constants, explicit DOUBLE casts so DuckDB's decimal literals
+    cannot sneak in)."""
+    n_docs = "CAST(s.n_docs AS DOUBLE)"
+    df = "CAST(d.df AS DOUBLE)"
+    tf = "CAST(t.tf AS DOUBLE)"
+    dl = "CAST(l.dl AS DOUBLE)"
+    total_len = "CAST(s.total_len AS DOUBLE)"
+    idf = f"((({n_docs} - {df}) + CAST(0.5 AS DOUBLE)) / ({df} + CAST(0.5 AS DOUBLE)))"
+    avgdl = f"({total_len} / {n_docs})"
+    sat = (
+        f"(({tf} * CAST({BM25_K1 + 1.0!r} AS DOUBLE)) / "
+        f"({tf} + (CAST({BM25_K1!r} AS DOUBLE) * "
+        f"(CAST({1.0 - BM25_B!r} AS DOUBLE) + "
+        f"(CAST({BM25_B!r} AS DOUBLE) * ({dl} / {avgdl}))))))"
+    )
+    return f"({idf} * {sat})"
+
+
+def bm25_topk(
+    spark: SparkSession, index_path: str, terms: list[str], k: int
+) -> DataFrame:
+    """BM25 top-k over the STORED index for a bag of query terms.
+    The postings/vocab scans are filtered ``tok IN terms`` (pushed to
+    parquet); documents are never read."""
+    postings = spark.read.parquet(f"{index_path}/postings").where(
+        F.col("tok").isin(terms)
+    )
+    vocab = spark.read.parquet(f"{index_path}/vocab").where(
+        F.col("tok").isin(terms)
+    )
+    doclens = spark.read.parquet(f"{index_path}/doclens")
+    stats = spark.read.parquet(f"{index_path}/stats")
+    scored = (
+        postings.join(F.broadcast(vocab), "tok")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", bm25_score_expr().alias("sc"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            dsum(F.col("sc"), "bm25_score"),
+        )
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(k)
+    )

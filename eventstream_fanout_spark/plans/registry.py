@@ -41,12 +41,15 @@ QUERIES: dict[str, QuerySpec] = {}
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
     # --- round-6 rotation (registry ROUND-6 plan + VERDICT r5 item 4).
-    # Slots 1-8: new/changed plans — the four round-6 additions
-    # (persisted PQ index probe, IVF-PQ partition-pruned probe, the
-    # incremental index-ingest sim, the metrics-table profile) and the
-    # four whose physical plan gained a lazy contract guard this round
-    # (the three PQ queries' codebook guard; verified dedup's doc-level
-    # coverage + unique-id guard). ---
+    # Slots 1-10: new/changed plans — the six round-6 additions
+    # (persisted PQ index probe, IVF-PQ partition-pruned probe, batch
+    # probe, the incremental index-ingest sim, BM25 over the persisted
+    # text index, the metrics-table profile) and the four whose
+    # physical plan gained a lazy contract guard this round (the three
+    # PQ queries' codebook guard; verified dedup's doc-level coverage +
+    # unique-id guard). ---
+    "bm25_keyword_search",
+    "ann_pq_persisted_batch_topk",
     "ann_pq_persisted_topk",
     "ann_ivfpq_persisted_topk",
     "ann_index_ingest_sim",
@@ -83,7 +86,7 @@ FRONT: list[str] = [
     "topk_leaderboard_daily",
     "window_sliding_10m_5m",
     "window_tumbling_10m",
-    # --- slots 33-50: the oldest 18 of the 40 round-3-only rows
+    # --- remaining slots: the oldest 16 of the 40 round-3-only rows
     # (alphabetical — the rest rotate in next round). ---
     "ann_batch_topk",
     "ann_lsh_bucket_topk",
@@ -101,17 +104,16 @@ FRONT: list[str] = [
     "hourly_distinct_users",
     "lang_id_heuristic",
     "minhash_signatures",
-    "multimodal_meta",
-    "pandas_udf_token_count",
 ]
 
 # ROUND-7 ROTATION PLAN: assuming CORRECTNESS_r06 lands green, the
-# remaining stale evidence is (a) the other 22 round-3-only rows
+# remaining stale evidence is (a) the other 24 round-3-only rows
 # (q2/q7-q9/q11-q13/q15-q17/q21/q22, simhash_docs, the stream_*
 # quartet, string_agg/text_quality/token_count/value_histogram,
-# embedding near-pairs verifier) and (b) the 48 round-4 rows —
-# fill round 7's slots with any new/changed queries first, then the
-# round-3 leftovers, then the oldest round-4 rows.
+# multimodal_meta, pandas_udf_token_count, embedding near-pairs
+# verifier) and (b) the 48 round-4 rows — fill round 7's slots with
+# any new/changed queries first, then the round-3 leftovers, then the
+# oldest round-4 rows.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

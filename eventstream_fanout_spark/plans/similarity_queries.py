@@ -1598,3 +1598,80 @@ def ann_index_ingest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = streaming_ann_index_sink(path)
     sink(emb.where(F.col("vec_id") % 2 == 1), 1)
     return _probe_with_labels(spark, sf_dir, path, nprobe=None)
+
+
+@register(
+    "ann_pq_persisted_batch_topk",
+    f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    psub AS (
+      SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
+      FROM flat
+    ),
+    pcent AS (
+      SELECT vec_id AS cid, s, i, x FROM psub
+      WHERE vec_id BETWEEN 10 AND 17
+    ),
+    pcorp AS (SELECT vec_id, s, i, x FROM psub WHERE vec_id <> 0),
+    pdists AS (
+      SELECT pcorp.vec_id, pcorp.s, pcent.cid,
+             SUM(CAST(FLOOR((pcorp.x - pcent.x) * (pcorp.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorp JOIN pcent ON pcorp.i = pcent.i AND pcorp.s = pcent.s
+      GROUP BY 1, 2, 3
+    ),
+    pcodes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM pdists
+      ) WHERE rn = 1
+    ),
+    qtables AS (
+      SELECT qf.vec_id AS qid, pcent.s, pcent.cid,
+             SUM(CAST(FLOOR((qf.x - pcent.x) * (qf.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS qd
+      FROM (SELECT vec_id, s, i, x FROM psub WHERE vec_id < 5) qf
+      JOIN pcent ON pcent.i = qf.i AND pcent.s = qf.s
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT t.qid, c.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+      FROM pcodes c JOIN qtables t ON t.s = c.s AND t.cid = c.code
+      WHERE c.vec_id <> t.qid
+      GROUP BY 1, 2
+    )
+    SELECT qid, vec_id, adc_dist, rank FROM (
+      SELECT qid, vec_id, adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY adc_dist ASC, vec_id ASC)
+                  AS INTEGER) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+    description="batch ANN over the PERSISTED PQ index: top-5 ADC "
+    "neighbors for 5 query vectors in ONE pass over the stored codes — "
+    "the per-query 64-entry distance tables concatenate into a single "
+    "broadcast relation and a per-qid window takes each top-k, so "
+    "serving cost is one index scan regardless of batch size (the "
+    "production batch-serving shape; self-matches excluded).  The "
+    "ann_batch_topk pattern applied to the 8-byte stored codes "
+    "instead of full vectors",
+    tags=("similarity", "ann", "pq", "index", "batch", "extension"),
+)
+def ann_pq_persisted_batch_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.ann_index import pq_batch_probe_topk
+
+    path = _ensure_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return pq_batch_probe_topk(spark, path, queries, 5)

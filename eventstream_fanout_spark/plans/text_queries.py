@@ -8,7 +8,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.core import sql_round_half_up
+from ..functions.core import sql_dsum, sql_round_half_up
 from ..functions.hashing import sql_shingles, sql_tokens
 from ..operators.multimodal import decode_documents, to_media_table
 from ..operators.text_analysis import (
@@ -1006,3 +1006,91 @@ def bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(20)
+
+
+# --- persisted inverted index + BM25 keyword search (round 6) ---------
+
+_BM25_TERMS = ("spark", "window", "join")
+_TEXT_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted inverted index once per (process, sf_dir);
+    probes read only the stored tables (same amortized-build shape as
+    the round-6 ANN index)."""
+    path = _TEXT_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from ..operators.text_index import build_text_index
+
+        path = tempfile.mkdtemp(prefix="text_index_")
+        build_text_index(
+            spark,
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            path,
+        )
+        _TEXT_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def _bm25_oracle() -> str:
+    from ..operators.text_index import sql_bm25_score_expr
+
+    terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM occ GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM occ GROUP BY 1
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM occ GROUP BY 1
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_len
+    ),
+    scored AS (
+      SELECT t.doc_id, t.tok, {sql_bm25_score_expr()} AS sc
+      FROM tf t
+      JOIN vocab d ON d.tok = t.tok
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.tok IN {terms_sql}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
+           {sql_dsum('sc')} AS bm25_score
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "bm25_keyword_search",
+    _bm25_oracle(),
+    description="BM25 top-10 keyword search probing the PERSISTED "
+    "inverted index (operators/text_index.py — postings/doclens/vocab/"
+    "stats stored once, the retrieval twin of the round-6 ANN index): "
+    "the probe filters postings and vocab on tok IN (query terms) — a "
+    "pushed-down parquet predicate, so the scan touches only the "
+    "matching terms' rows and the documents table is never read at "
+    "query time (plan pinned by pytest).  Scoring is the log-free "
+    "BM25 variant (idf RATIO instead of ln — transcendentals diverge "
+    "across engines; per-term monotone, stated trade-off) with the "
+    "standard k1=1.2/b=0.75 tf-saturation, exact-BIGINT inputs and a "
+    "quantized order-independent per-doc sum",
+    tags=("text", "search", "bm25", "index", "extension"),
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_index import bm25_topk
+
+    path = _ensure_text_index(spark, sf_dir)
+    return bm25_topk(spark, path, list(_BM25_TERMS), 10)

@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "bigram_lift_top",  # 1-row corpus-token-total side
     "semantic_cluster_diversity_sample",  # 8-row broadcast centroid set
     "dq_expectations_report",  # 1-row orphan-count side
+    "bm25_keyword_search",  # 1-row corpus-stats side (n_docs, total_len)
     "q11_important_balance",
     "q22_global_sales_opportunity",
     "tfidf_top_terms",

