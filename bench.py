@@ -146,6 +146,7 @@ HEADLINE = [
     "ann_index_ingest_sim",
     "stream_metrics_profile",
     "bm25_keyword_search",
+    "text_index_ingest_sim",
 ]
 
 

@@ -43,25 +43,48 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def build_text_index(
-    spark: SparkSession, docs: DataFrame, index_path: str
-) -> None:
-    """Write the four index tables from a ``(doc_id, text)`` corpus.
-    One explode feeds every aggregate (tf, dl, df, stats are all
-    partial-agg-friendly counts/sums)."""
+FROZEN_BATCH_ID = -1  # the static build's generation
+
+
+def doc_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) for a ``(doc_id, text)`` relation — the
+    per-document index rows, shared by the static build and the
+    streaming ingest sink (one code path, two execution modes)."""
     occ = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
     tf = occ.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    tf.select("tok", "doc_id", "tf").write.mode("overwrite").parquet(
-        f"{index_path}/postings"
-    )
     dl = occ.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("dl")
     )
-    dl.write.mode("overwrite").parquet(f"{index_path}/doclens")
+    return tf.select("tok", "doc_id", "tf"), dl
+
+
+def build_text_index(
+    spark: SparkSession, docs: DataFrame, index_path: str
+) -> None:
+    """Write the four index tables from a ``(doc_id, text)`` corpus.
+    One explode feeds every aggregate (tf, dl, df, stats are all
+    partial-agg-friendly counts/sums).
+
+    ``postings``/``doclens`` are written under the frozen generation
+    ``batch_id = -1`` so the streaming ingest sink
+    (streaming/text_ingest.py) can append later batches replay-safely;
+    ``vocab``/``stats`` are SNAPSHOTS of the build-time corpus — valid
+    for the static probe (:func:`bm25_topk`), superseded by the
+    merge-on-read probe (:func:`bm25_topk_merged`) once batches have
+    been ingested."""
+    tf, dl = doc_postings(docs)
+    for rel, name in ((tf, "postings"), (dl, "doclens")):
+        (
+            rel.withColumn("batch_id", F.lit(FROZEN_BATCH_ID))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{index_path}/{name}")
+        )
     tf.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     ).write.mode("overwrite").parquet(f"{index_path}/vocab")
@@ -130,6 +153,46 @@ def bm25_topk(
     scored = (
         postings.join(F.broadcast(vocab), "tok")
         .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", bm25_score_expr().alias("sc"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            dsum(F.col("sc"), "bm25_score"),
+        )
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_merged(
+    spark: SparkSession, index_path: str, terms: list[str], k: int
+) -> DataFrame:
+    """:func:`bm25_topk` with vocab/stats derived MERGE-ON-READ from
+    the generational postings/doclens — the probe for an index that
+    has ingested batches since its build (the snapshot vocab/stats
+    tables are stale then).
+
+    Probe cost: df comes from the SAME term-filtered postings scan the
+    scoring uses (pushed ``tok IN`` predicate — only matching rows);
+    stats aggregates the doclens table (1 row/doc, the sketch-style
+    merge-on-read rollup — compact_text_index keeps it folded)."""
+    postings = spark.read.parquet(f"{index_path}/postings").where(
+        F.col("tok").isin(terms)
+    )
+    doclens = spark.read.parquet(f"{index_path}/doclens")
+    vocab = postings.groupBy("tok").agg(
+        F.count_distinct(F.col("doc_id")).cast("bigint").alias("df")
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    scored = (
+        postings.join(F.broadcast(vocab), "tok")
+        .join(doclens.select("doc_id", "dl"), "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "tok", bm25_score_expr().alias("sc"))
     )

@@ -41,14 +41,15 @@ QUERIES: dict[str, QuerySpec] = {}
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
     # --- round-6 rotation (registry ROUND-6 plan + VERDICT r5 item 4).
-    # Slots 1-10: new/changed plans — the six round-6 additions
+    # Slots 1-11: new/changed plans — the seven round-6 additions
     # (persisted PQ index probe, IVF-PQ partition-pruned probe, batch
-    # probe, the incremental index-ingest sim, BM25 over the persisted
-    # text index, the metrics-table profile) and the four whose
-    # physical plan gained a lazy contract guard this round (the three
-    # PQ queries' codebook guard; verified dedup's doc-level coverage +
-    # unique-id guard). ---
+    # probe, the two incremental index-ingest sims (ANN + text), BM25
+    # over the persisted text index, the metrics-table profile) and
+    # the four whose physical plan gained a lazy contract guard this
+    # round (the three PQ queries' codebook guard; verified dedup's
+    # doc-level coverage + unique-id guard). ---
     "bm25_keyword_search",
+    "text_index_ingest_sim",
     "ann_pq_persisted_batch_topk",
     "ann_pq_persisted_topk",
     "ann_ivfpq_persisted_topk",
@@ -86,7 +87,7 @@ FRONT: list[str] = [
     "topk_leaderboard_daily",
     "window_sliding_10m_5m",
     "window_tumbling_10m",
-    # --- remaining slots: the oldest 16 of the 40 round-3-only rows
+    # --- remaining slots: the oldest 15 of the 40 round-3-only rows
     # (alphabetical — the rest rotate in next round). ---
     "ann_batch_topk",
     "ann_lsh_bucket_topk",
@@ -103,7 +104,6 @@ FRONT: list[str] = [
     "higher_order_array_functions",
     "hourly_distinct_users",
     "lang_id_heuristic",
-    "minhash_signatures",
 ]
 
 # ROUND-7 ROTATION PLAN: assuming CORRECTNESS_r06 lands green, the

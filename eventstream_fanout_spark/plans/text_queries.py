@@ -1094,3 +1094,32 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _ensure_text_index(spark, sf_dir)
     return bm25_topk(spark, path, list(_BM25_TERMS), 10)
+
+
+@register(
+    "text_index_ingest_sim",
+    _bm25_oracle(),
+    description="incremental inverted-index ingestion simulated as a "
+    "batch plan (the ann_index_ingest_sim pattern on the text side): "
+    "the static build indexes EVEN doc_ids (frozen generation), the "
+    "streaming sink (streaming/text_ingest.py) tokenizes the ODD "
+    "doc_ids as micro-batch 1 — batch_id-keyed, replay-safe — and the "
+    "MERGE-ON-READ BM25 probe (df/n_docs/avgdl derived from the "
+    "generational postings/doclens, since the snapshot vocab/stats "
+    "are stale after ingest) must equal the all-at-once oracle "
+    "exactly.  Hash-grade evidence that per-batch index writes stay "
+    "O(batch) while global statistics merge correctly at probe time",
+    tags=("text", "search", "bm25", "index", "streaming", "extension"),
+)
+def text_index_ingest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import bm25_topk_merged, build_text_index
+    from ..streaming.text_ingest import streaming_text_index_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="text_index_ingest_")
+    build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    return bm25_topk_merged(spark, path, list(_BM25_TERMS), 10)

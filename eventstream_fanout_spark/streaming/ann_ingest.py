@@ -85,44 +85,19 @@ def compact_index(
 ) -> int:
     """Fold the codes table's per-batch partitions below
     ``upto_batch_id`` — plus previous frozen generations — into a new
-    frozen generation and drop the sources (two-phase: the fold is
-    durably written BEFORE any delete; see corpus_dedup.compact_store
-    for the crash/replay analysis this mirrors, including the
-    ignoreMissingFiles refusal).  Run only with the ingest stream
+    frozen generation and drop the sources (the shared two-phase
+    contract, :mod:`..streaming.compaction`).  ``dedup_cols=vec_id``
+    because code duplicates are NOT harmless here (they double summed
+    ADC distances) — after a crash between fold and deletes, RE-RUN
+    compaction before probes resume.  Run only with the ingest stream
     stopped.  Returns the number of source partitions folded."""
-    if spark.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "true":
-        raise RuntimeError(
-            "compact_index refuses to run with "
-            "spark.sql.files.ignoreMissingFiles=true: a concurrent probe "
-            "racing the post-fold deletes would silently scan a partial "
-            "index (see corpus_dedup.compact_store)"
-        )
-    codes_path = f"{index_path}/codes"
-    df = spark.read.parquet(codes_path)
-    bids = [r["batch_id"] for r in df.select("batch_id").distinct().collect()]
-    fold_ids = [b for b in bids if b < 0 or (0 <= b < int(upto_batch_id))]
-    if len(fold_ids) <= 1 and not any(b >= 0 for b in fold_ids):
-        return 0  # nothing but (at most) one frozen generation
-    next_gen = min([b for b in bids if b < 0], default=0) - 1
-    folded = df.where(F.col("batch_id").isin(fold_ids))
-    (
-        # dropDuplicates: a crash between a previous fold's write and
-        # its deletes leaves the same vec_id in two generations, which
-        # would double its ADC distance — the rerun folds it away
-        folded.select("vec_id", "list_id", "codes")
-        .dropDuplicates(["vec_id"])
-        .withColumn("batch_id", F.lit(int(next_gen)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "list_id")
-        .parquet(codes_path)
-    )
-    # sources go away only now — the new generation is durably in place
-    from py4j.java_gateway import java_import
+    from .compaction import compact_generations
 
-    jvm = spark._jvm
-    java_import(jvm, "org.apache.hadoop.fs.Path")
-    fs = jvm.Path(codes_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    for bid in fold_ids:
-        fs.delete(jvm.Path(f"{codes_path}/batch_id={bid}"), True)
-    return len(fold_ids)
+    return compact_generations(
+        spark,
+        f"{index_path}/codes",
+        upto_batch_id,
+        data_cols=["vec_id", "list_id", "codes"],
+        dedup_cols=["vec_id"],
+        extra_partition_cols=["list_id"],
+    )

@@ -1,0 +1,76 @@
+"""Generic two-phase compaction for batch_id-partitioned parquet
+stores — the shared mechanics behind corpus_dedup.compact_store,
+ann_ingest.compact_index and text_ingest.compact_text_index.
+
+Contract (identical across stores):
+
+* Streaming sinks append under ``batch_id=N`` partitions; a replayed
+  batch overwrites only its own partition, so normal operation never
+  duplicates a row across generations.
+* :func:`compact_generations` folds every partition below the replay
+  watermark — plus previous frozen generations (negative ids) — into a
+  NEW frozen generation ``batch_id = -(g+1)``, written durably BEFORE
+  the source partitions are deleted.  A crash in between leaves both
+  generations present; whether that is harmless (dedup bands: can only
+  over-reject) or must be folded away before reads resume (ANN codes:
+  duplicates double ADC sums) is the CALLER's semantic — pass
+  ``dedup_cols`` to make the fold collapse duplicates so a re-run
+  always heals.
+* Refuses to run under ``spark.sql.files.ignoreMissingFiles=true``: a
+  concurrent reader racing the post-fold deletes would silently scan a
+  partial store.
+* Run only with the owning stream stopped (maintenance window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_generations(
+    spark: SparkSession,
+    path: str,
+    upto_batch_id: int,
+    data_cols: list[str],
+    dedup_cols: list[str] | None = None,
+    extra_partition_cols: list[str] | None = None,
+) -> int:
+    """Fold committed per-batch partitions of the parquet store at
+    ``path`` into one frozen generation; see module docstring.
+    ``extra_partition_cols`` preserves nested partitioning below
+    batch_id (e.g. the ANN codes' list_id).  Returns the number of
+    source partitions folded."""
+    if spark.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "true":
+        raise RuntimeError(
+            "compact_generations refuses to run with "
+            "spark.sql.files.ignoreMissingFiles=true: a concurrent "
+            "reader racing the post-fold deletes would silently scan a "
+            "partial store"
+        )
+    df = spark.read.parquet(path)
+    bids = [r["batch_id"] for r in df.select("batch_id").distinct().collect()]
+    fold_ids = [b for b in bids if b < 0 or (0 <= b < int(upto_batch_id))]
+    if len(fold_ids) <= 1 and not any(b >= 0 for b in fold_ids):
+        return 0  # nothing but (at most) one frozen generation
+    next_gen = min([b for b in bids if b < 0], default=0) - 1
+    folded = df.where(F.col("batch_id").isin(fold_ids)).select(*data_cols)
+    if dedup_cols:
+        folded = folded.dropDuplicates(dedup_cols)
+    part_cols = ["batch_id", *(extra_partition_cols or [])]
+    (
+        folded.withColumn("batch_id", F.lit(int(next_gen)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*part_cols)
+        .parquet(path)
+    )
+    # sources go away only now — the new generation is durably in place
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    fs = jvm.Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for bid in fold_ids:
+        fs.delete(jvm.Path(f"{path}/batch_id={bid}"), True)
+    return len(fold_ids)

@@ -55,6 +55,65 @@ def test_bm25_scores_rank_term_rich_docs_first(spark, tmp_path):
         assert len(matched) == r["n_terms_matched"]
 
 
+def test_text_ingest_merged_probe_equals_full_build(spark, tmp_path):
+    """Ingest path: static build on one half, streaming sink on the
+    other — the merge-on-read probe must equal an all-at-once build's
+    probe; replay of the same batch id changes nothing; compaction
+    folds both stores and preserves the ranking."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        compact_text_index,
+        streaming_text_index_sink,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    terms = ["spark", "window", "join"]
+
+    path = str(tmp_path / "tidx_inc")
+    build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    sink = streaming_text_index_sink(path)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    sink(odd, 1)
+
+    full_path = str(tmp_path / "tidx_full")
+    build_text_index(spark, docs, full_path)
+    want = [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, full_path, terms, 10).collect()
+    ]
+    got = [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, path, terms, 10).collect()
+    ]
+    assert got == want
+
+    # replay batch 1: overwrites itself, ranking unchanged
+    sink(odd, 1)
+    n_postings = spark.read.parquet(f"{path}/postings").count()
+    assert [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, path, terms, 10).collect()
+    ] == want
+
+    # compaction folds both stores (frozen + batch 1 each), keeps rows
+    assert compact_text_index(spark, path, upto_batch_id=2) == 4
+    assert spark.read.parquet(f"{path}/postings").count() == n_postings
+    bids = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/postings")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert bids == {-2}
+    assert [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, path, terms, 10).collect()
+    ] == want
+
+
 def test_bm25_unknown_terms_return_empty(spark, tmp_path):
     """Query terms absent from the corpus match nothing (and do not
     error) — the IN filter simply selects zero postings."""
