@@ -147,6 +147,8 @@ HEADLINE = [
     "stream_metrics_profile",
     "bm25_keyword_search",
     "text_index_ingest_sim",
+    "curated_ingest_pipeline",
+    "hybrid_search_rrf",
 ]
 
 

@@ -714,3 +714,282 @@ def incremental_dedup_verified_sim(
     ).unionByName(
         acc1.select("doc_id", F.lit(1).cast("int").alias("batch_id"))
     )
+
+
+def _curated_ingest_oracle() -> str:
+    """DuckDB replay of the staged ingest: the incremental-dedup
+    parity-split admits acc0/acc1 (identical CTE chain to
+    incremental_dedup_sim), then the merge-on-read BM25 probe runs
+    over ONLY the accepted docs — the composed pipeline's visible
+    output."""
+    from ..functions.core import sql_dsum
+    from ..functions.hashing import sql_tokens
+    from ..operators.text_index import sql_bm25_score_expr
+    from .text_queries import _BM25_TERMS
+
+    terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+    return f"""
+    WITH {_SIG_CTES},
+    bands AS ({_BANDS_SQL}),
+    b0 AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    b1 AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    rej0 AS (
+      SELECT DISTINCT a.doc_id FROM b0 a JOIN b0 b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id > b.doc_id
+    ),
+    acc0 AS (
+      SELECT DISTINCT doc_id FROM b0
+      WHERE doc_id NOT IN (SELECT doc_id FROM rej0)
+    ),
+    store AS (
+      SELECT DISTINCT band, bh FROM bands
+      WHERE doc_id IN (SELECT doc_id FROM acc0)
+    ),
+    rej1 AS (
+      SELECT DISTINCT a.doc_id FROM b1 a JOIN store s
+        ON a.band = s.band AND a.bh = s.bh
+      UNION
+      SELECT DISTINCT a.doc_id FROM b1 a JOIN b1 b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id > b.doc_id
+    ),
+    acc1 AS (
+      SELECT DISTINCT doc_id FROM b1
+      WHERE doc_id NOT IN (SELECT doc_id FROM rej1)
+    ),
+    accepted AS (
+      SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1
+    ),
+    occ AS (
+      SELECT dd.doc_id, unnest({sql_tokens('dd.text')}) AS tok
+      FROM documents dd JOIN accepted ac ON ac.doc_id = dd.doc_id
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM occ GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM occ GROUP BY 1
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM occ GROUP BY 1
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM accepted) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_len
+    ),
+    scored AS (
+      SELECT t.doc_id, t.tok, {sql_bm25_score_expr()} AS sc
+      FROM tf t
+      JOIN vocab d ON d.tok = t.tok
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.tok IN {terms_sql}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
+           {sql_dsum('sc')} AS bm25_score
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "curated_ingest_pipeline",
+    _curated_ingest_oracle(),
+    description="the composed training-data ingest stage end to end: "
+    "two parity-split micro-batches flow through the STAGED fan-out "
+    "(streaming/curated_ingest.py — incremental dedup admits, then "
+    "the text-index sink indexes exactly the admitted partition, all "
+    "batch-id-keyed and replay-convergent), and the merge-on-read "
+    "BM25 probe over the resulting index is the hash-checked output.  "
+    "One oracle replays the whole composition: dedup parity split -> "
+    "accepted set -> BM25 over accepted docs only.  This is the "
+    "reference's coordinated-fan-out seam (pipeline/app.py:55-109) "
+    "upgraded to STAGED sinks with curation semantics",
+    tags=("pipeline", "dedup", "search", "streaming", "extension"),
+)
+def curated_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import bm25_topk_merged
+    from ..streaming.curated_ingest import curated_ingest_sink
+    from .text_queries import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="curated_ingest_")
+    sink = curated_ingest_sink(
+        f"{tmp}/store", f"{tmp}/out", f"{tmp}/index"
+    )
+    sink(docs.where(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    return bm25_topk_merged(
+        spark, f"{tmp}/index", list(_BM25_TERMS), 10
+    )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 20  # candidates taken from each ranker
+
+
+def _hybrid_rrf_oracle() -> str:
+    """DuckDB replay: BM25 top-20 rank + exact-cosine top-20 rank
+    (vec i is doc i's embedding) fused by 1/(k+rank) sums."""
+    from ..functions.core import sql_dsum
+    from ..functions.hashing import sql_tokens as _sqlt
+    from ..functions.vectors import QV
+    from ..operators.text_index import sql_bm25_score_expr
+    from .text_queries import _BM25_TERMS
+
+    terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_sqlt('text')}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM occ GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM occ GROUP BY 1
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM occ GROUP BY 1
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_len
+    ),
+    bscored AS (
+      SELECT t.doc_id, t.tok, {sql_bm25_score_expr()} AS sc
+      FROM tf t
+      JOIN vocab d ON d.tok = t.tok
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.tok IN {terms_sql}
+    ),
+    bdocs AS (
+      SELECT doc_id, {sql_dsum('sc')} AS bm25
+      FROM bscored GROUP BY doc_id
+    ),
+    brank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                  AS INTEGER) AS rank_text
+      FROM bdocs
+      ORDER BY bm25 DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+    ),
+    flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(FLOOR(x * x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS n2
+      FROM flat GROUP BY vec_id
+    ),
+    sums AS (
+      SELECT cf.vec_id,
+             CAST(SUM(CAST(FLOOR(cf.x * qf.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM flat cf
+      JOIN (SELECT i, x FROM flat WHERE vec_id = 0) qf ON cf.i = qf.i
+      WHERE cf.vec_id <> 0
+      GROUP BY cf.vec_id
+    ),
+    vrank AS (
+      SELECT s.vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY (s.dot / (sqrt(na.n2) * sqrt(nq.n2))) DESC,
+                        s.vec_id ASC) AS INTEGER) AS rank_vec
+      FROM sums s
+      JOIN norms na ON na.vec_id = s.vec_id
+      JOIN norms nq ON nq.vec_id = 0
+      ORDER BY (s.dot / (sqrt(na.n2) * sqrt(nq.n2))) DESC, s.vec_id ASC
+      LIMIT {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             b.rank_text, v.rank_vec,
+             (COALESCE(CAST(1.0 AS DOUBLE)
+                       / CAST({_RRF_K} + b.rank_text AS DOUBLE),
+                       CAST(0.0 AS DOUBLE))
+              + COALESCE(CAST(1.0 AS DOUBLE)
+                         / CAST({_RRF_K} + v.rank_vec AS DOUBLE),
+                         CAST(0.0 AS DOUBLE))) AS rrf_score
+      FROM brank b FULL OUTER JOIN vrank v ON v.doc_id = b.doc_id
+    )
+    SELECT doc_id, rank_text, rank_vec, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    _hybrid_rrf_oracle(),
+    description="hybrid retrieval with reciprocal-rank fusion: the "
+    f"BM25 top-{_RRF_DEPTH} (persisted inverted-index probe) and the "
+    f"exact-cosine top-{_RRF_DEPTH} (vec i as doc i's embedding) fuse "
+    f"by sum(1/({_RRF_K}+rank)) — the standard lexical+vector serving "
+    "stack (RRF is rank-only, so the two scorers' incomparable scales "
+    "never mix; k=60 damping).  Pure rational arithmetic on ranks — "
+    "no transcendentals, hash-exact.  Completes the retrieval story: "
+    "inverted index, ANN index, fusion layer",
+    tags=("pipeline", "search", "similarity", "extension"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import brute_force_topk
+    from ..operators.text_index import bm25_topk
+    from .text_queries import _BM25_TERMS, _ensure_text_index
+
+    tpath = _ensure_text_index(spark, sf_dir)
+    brank = (
+        bm25_topk(spark, tpath, list(_BM25_TERMS), _RRF_DEPTH)
+        .withColumn(
+            "rank_text",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25_score"), F.asc("doc_id")))
+            .cast("int"),
+        )
+        .select("doc_id", "rank_text")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    query = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    vrank = (
+        brute_force_topk(corpus, query, _RRF_DEPTH)
+        .withColumn(
+            "rank_vec",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+            .cast("int"),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank_vec")
+    )
+    zero = F.lit(0.0).cast("double")
+    one = F.lit(1.0).cast("double")
+    fused = brank.join(vrank, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_text",
+        "rank_vec",
+        (
+            F.coalesce(
+                one / (F.lit(_RRF_K) + F.col("rank_text")).cast("double"),
+                zero,
+            )
+            + F.coalesce(
+                one / (F.lit(_RRF_K) + F.col("rank_vec")).cast("double"),
+                zero,
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)

@@ -114,6 +114,90 @@ def test_text_ingest_merged_probe_equals_full_build(spark, tmp_path):
     ] == want
 
 
+def test_curated_ingest_indexes_only_admitted_docs(spark, tmp_path):
+    """The staged fan-out (dedup -> index) as a real checkpointed
+    stream: rejected near-dups must never reach the index, replay
+    reprocesses nothing, and the index covers exactly the admitted
+    set."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from eventstream_fanout_spark.streaming.curated_ingest import (
+        curated_ingest_sink,
+    )
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        start_fanout,
+    )
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .orderBy("doc_id")
+        .limit(4)
+        .collect()
+    ]
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+
+    def _write(tag, rows):
+        spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in rows]
+        ).toPandas().to_json(
+            f"{src}/{tag}.jsonl", orient="records", lines=True
+        )
+
+    # batch a: two docs + an exact dup; batch b: one new + one dup of
+    # an accepted batch-a doc
+    _write("a-b0", [(0, texts[0]), (1, texts[1]), (100, texts[0])])
+    _write("b-b1", [(10, texts[2]), (11, texts[1])])
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_fanout(
+            stream,
+            [FanoutSink("curate", curated_ingest_sink(store, out, idx))],
+            checkpoint_dir=ckpt,
+            query_name="curated-ingest",
+        )
+        q.awaitTermination(300)
+
+    run()
+    admitted = {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    assert admitted == {0, 1, 10}
+    indexed = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/doclens")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert indexed == admitted  # rejected dups never reach the index
+
+    n_postings = spark.read.parquet(f"{idx}/postings").count()
+    run()  # checkpointed restart: nothing reprocessed
+    assert spark.read.parquet(f"{idx}/postings").count() == n_postings
+
+
 def test_bm25_unknown_terms_return_empty(spark, tmp_path):
     """Query terms absent from the corpus match nothing (and do not
     error) — the IN filter simply selects zero postings."""
