@@ -149,6 +149,8 @@ HEADLINE = [
     "text_index_ingest_sim",
     "curated_ingest_pipeline",
     "hybrid_search_rrf",
+    "png_resize_nearest",
+    "video_frame_sample",
 ]
 
 

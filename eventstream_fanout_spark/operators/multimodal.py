@@ -278,82 +278,86 @@ def synth_png_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_decode_py(payload: bytes):
+    """REAL minimal PNG decode (stdlib only) to
+    ``(sig_ok, crc_ok, width, height, bit_depth, color_type, pixels)``
+    — chunk walk + CRC32 verification, IHDR parse, IDAT inflate, and
+    spec-complete scanline unfiltering (filters 0-4) for 8-bit
+    grayscale.  Shared by :func:`decode_png` and
+    :func:`resize_png_nearest` (module-level so executor workers
+    resolve it by import)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    sig_ok = payload[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, crc_ok, idat = 8, True, b""
+    width = height = bit_depth = color_type = 0
+    while pos + 8 <= len(payload):
+        (length,) = _struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = _struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            crc_ok = False
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = _struct.unpack(
+                ">IIBB", data[:10]
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = _zlib.decompress(idat)
+    stride = width  # 8-bit grayscale: 1 byte/pixel
+    pixels = []
+    prev = bytes(stride)
+    for y in range(height):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, line = row[0], bytearray(row[1:])
+        for x in range(stride):
+            a = line[x - 1] if x > 0 else 0
+            b = prev[x]
+            c = prev[x - 1] if x > 0 else 0
+            if ftype == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif ftype == 2:
+                line[x] = (line[x] + b) & 0xFF
+            elif ftype == 3:
+                line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                line[x] = (line[x] + _paeth(a, b, c)) & 0xFF
+        prev = bytes(line)
+        pixels.extend(prev)
+    return sig_ok, crc_ok, width, height, bit_depth, color_type, pixels
+
+
 def decode_png(media: DataFrame) -> DataFrame:
-    """REAL minimal PNG decode (stdlib only): chunk walk + CRC32
-    verification, IHDR parse, IDAT inflate, and spec-complete scanline
-    unfiltering (filters 0-4) for 8-bit grayscale.  Integer outputs
-    only, so the oracle matches bit-for-bit."""
+    """Decode the PNG payload column (:func:`_png_decode_py`) into
+    header fields + integer pixel features.  Integer outputs only, so
+    the oracle matches bit-for-bit."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
-        import zlib as _zlib
-
         import pandas as _pd
-
-        def paeth(a: int, b: int, c: int) -> int:
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            if pa <= pb and pa <= pc:
-                return a
-            return b if pb <= pc else c
-
-        def _decode(payload: bytes):
-            sig_ok = payload[:8] == b"\x89PNG\r\n\x1a\n"
-            pos, crc_ok, idat = 8, True, b""
-            width = height = bit_depth = color_type = 0
-            while pos + 8 <= len(payload):
-                (length,) = _struct.unpack(">I", payload[pos : pos + 4])
-                ctype = payload[pos + 4 : pos + 8]
-                data = payload[pos + 8 : pos + 8 + length]
-                (crc,) = _struct.unpack(
-                    ">I", payload[pos + 8 + length : pos + 12 + length]
-                )
-                if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                    crc_ok = False
-                if ctype == b"IHDR":
-                    width, height, bit_depth, color_type = _struct.unpack(
-                        ">IIBB", data[:10]
-                    )
-                elif ctype == b"IDAT":
-                    idat += data
-                elif ctype == b"IEND":
-                    break
-                pos += 12 + length
-            raw = _zlib.decompress(idat)
-            stride = width  # 8-bit grayscale: 1 byte/pixel
-            pixels = []
-            prev = bytes(stride)
-            for y in range(height):
-                row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-                ftype, line = row[0], bytearray(row[1:])
-                for x in range(stride):
-                    a = line[x - 1] if x > 0 else 0
-                    b = prev[x]
-                    c = prev[x - 1] if x > 0 else 0
-                    if ftype == 1:
-                        line[x] = (line[x] + a) & 0xFF
-                    elif ftype == 2:
-                        line[x] = (line[x] + b) & 0xFF
-                    elif ftype == 3:
-                        line[x] = (line[x] + (a + b) // 2) & 0xFF
-                    elif ftype == 4:
-                        line[x] = (line[x] + paeth(a, b, c)) & 0xFF
-                prev = bytes(line)
-                pixels.extend(prev)
-            return (
-                sig_ok,
-                crc_ok,
-                width,
-                height,
-                bit_depth,
-                color_type,
-                pixels[0] if pixels else 0,
-                sum(pixels),
-            )
 
         def decode(payload: bytes):
             try:
-                return _decode(payload)
+                sig, crc, w, h, depth, ctype, px = _png_decode_py(payload)
+                return (
+                    sig, crc, w, h, depth, ctype,
+                    px[0] if px else 0,
+                    sum(px),
+                )
             except Exception:
                 # malformed container (truncated chunk, bad deflate,
                 # lying IHDR) -> reported row, not a task failure
@@ -376,3 +380,137 @@ def decode_png(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=PNG_DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "resized_first int, resized_sum bigint"
+)
+
+
+def resize_png_nearest(
+    media: DataFrame, dst_w: int = 4, dst_h: int = 3
+) -> DataFrame:
+    """Image RESIZE on the decoded pixels (the spec's resize stage):
+    REAL PNG decode (:func:`_png_decode_py`) followed by
+    nearest-neighbor resampling to ``dst_w x dst_h`` with the standard
+    floor mapping ``src = (dst * src_dim) // dst_dim`` — all-integer,
+    so the oracle replays the resample bit-for-bit.  Arrow-batched
+    mapInPandas, zero shuffle; real codec formats (JPEG) stay behind
+    the declared import-gated stub."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def resample(payload: bytes):
+            try:
+                _sig, _crc, w, h, _d, _c, px = _png_decode_py(payload)
+                out = [
+                    px[((dy * h) // dst_h) * w + ((dx * w) // dst_w)]
+                    for dy in range(dst_h)
+                    for dx in range(dst_w)
+                ]
+                return (w, h, dst_w, dst_h, out[0], sum(out))
+            except Exception:
+                return (0, 0, dst_w, dst_h, 0, 0)
+
+        for pdf in it:
+            rows = [resample(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": [r[0] for r in rows],
+                    "src_h": [r[1] for r in rows],
+                    "dst_w": [r[2] for r in rows],
+                    "dst_h": [r[3] for r in rows],
+                    "resized_first": [r[4] for r in rows],
+                    "resized_sum": [r[5] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+# --- raw video: frame synthesis + frame sampling ----------------------
+#
+# No codec library ships in this container (declared stub for
+# JPEG/H.264 etc.), but FRAME SAMPLING itself needs no codec: a raw
+# uncompressed video is frames of known byte size, and sampling every
+# k-th frame is deterministic byte slicing.  The plumbing — binary
+# payload column, Arrow batching, per-frame feature shape — is exactly
+# what a real decoder would sit behind.
+
+VIDEO_W, VIDEO_H = 4, 4  # tiny raw frames: 16 bytes each
+
+VIDEO_SAMPLED_SCHEMA = (
+    "doc_id long, n_frames int, n_sampled int, frame0_mean int, "
+    "sampled_sum bigint"
+)
+
+
+def synth_video_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) — a raw grayscale 'video' per doc:
+    ``n_frames = 5 + doc_id%6`` concatenated 4x4 frames,
+    ``pixel(f, i) = (doc_id*3 + f*17 + i*11) % 256``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def make(doc_id: int) -> bytes:
+            n = 5 + doc_id % 6
+            return bytes(
+                (doc_id * 3 + f * 17 + i * 11) % 256
+                for f in range(n)
+                for i in range(VIDEO_W * VIDEO_H)
+            )
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [make(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling (the spec's frame-sample stage): slice every
+    ``every``-th frame out of the raw payload and emit integer
+    per-sample features — frame count, sampled count, integer mean of
+    frame 0, and the exact sum over all sampled frames' pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        fsz = VIDEO_W * VIDEO_H
+
+        def sample(payload: bytes):
+            n = len(payload) // fsz
+            frames = [
+                payload[f * fsz : (f + 1) * fsz] for f in range(0, n, every)
+            ]
+            f0 = payload[:fsz]
+            return (
+                n,
+                len(frames),
+                sum(f0) // fsz if f0 else 0,
+                sum(sum(fr) for fr in frames),
+            )
+
+        for pdf in it:
+            rows = [sample(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": [r[0] for r in rows],
+                    "n_sampled": [r[1] for r in rows],
+                    "frame0_mean": [r[2] for r in rows],
+                    "sampled_sum": [r[3] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=VIDEO_SAMPLED_SCHEMA)

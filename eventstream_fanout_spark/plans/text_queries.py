@@ -1123,3 +1123,103 @@ def text_index_ingest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = streaming_text_index_sink(path)
     sink(docs.where(F.col("doc_id") % 2 == 1), 1)
     return bm25_topk_merged(spark, path, list(_BM25_TERMS), 10)
+
+
+@register(
+    "png_resize_nearest",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INTEGER) AS src_w,
+             CAST(3 + doc_id % 4 AS INTEGER) AS src_h
+      FROM documents
+    ),
+    dst AS (
+      SELECT doc_id, src_w, src_h,
+             unnest(generate_series(0, 4 * 3 - 1)) AS i
+      FROM params
+    ),
+    vals AS (
+      SELECT doc_id, i,
+             (doc_id * 7
+              + (((i // 4) * src_h) // 3) * 13
+              + (((i % 4) * src_w) // 4) * 31) % 256 AS v
+      FROM dst
+    )
+    SELECT p.doc_id, p.src_w, p.src_h,
+           CAST(4 AS INTEGER) AS dst_w, CAST(3 AS INTEGER) AS dst_h,
+           CAST(MIN(CASE WHEN v.i = 0 THEN v.v END) AS INTEGER)
+             AS resized_first,
+           CAST(SUM(v.v) AS BIGINT) AS resized_sum
+    FROM vals v JOIN params p ON p.doc_id = v.doc_id
+    GROUP BY 1, 2, 3
+    """,
+    description="image RESIZE on really-decoded pixels (the spec's "
+    "resize stage): per-doc spec-correct PNGs are synthesized, decoded "
+    "by the real chunk-walk/inflate/unfilter decoder, and "
+    "nearest-neighbor resampled to 4x3 with the standard floor "
+    "mapping src=(dst*src_dim)//dst_dim — all-integer features, so "
+    "the oracle replays the resample bit-for-bit.  Arrow mapInPandas, "
+    "zero shuffle; codec-library formats stay behind the declared "
+    "import-gated stub",
+    tags=("multimodal", "image", "resize", "udf", "extension"),
+)
+def png_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_png_nearest, synth_png_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_png_nearest(synth_png_table(docs))
+
+
+@register(
+    "video_frame_sample",
+    """
+    WITH params AS (
+      SELECT doc_id, CAST(5 + doc_id % 6 AS INTEGER) AS n_frames
+      FROM documents
+    ),
+    sampled AS (
+      SELECT doc_id, n_frames,
+             unnest(generate_series(0, n_frames - 1, 2)) AS f
+      FROM params
+    ),
+    px AS (
+      SELECT doc_id, f, unnest(generate_series(0, 15)) AS i
+      FROM sampled
+    ),
+    sums AS (
+      SELECT doc_id,
+             CAST(SUM((doc_id * 3 + f * 17 + i * 11) % 256) AS BIGINT)
+               AS sampled_sum
+      FROM px GROUP BY doc_id
+    ),
+    f0 AS (
+      SELECT doc_id,
+             CAST(SUM((doc_id * 3 + i * 11) % 256) // 16 AS INTEGER)
+               AS frame0_mean
+      FROM (SELECT doc_id, unnest(generate_series(0, 15)) AS i
+            FROM params)
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_frames,
+           CAST((p.n_frames + 1) // 2 AS INTEGER) AS n_sampled,
+           f0.frame0_mean, s.sampled_sum
+    FROM params p
+    JOIN sums s ON s.doc_id = p.doc_id
+    JOIN f0 ON f0.doc_id = p.doc_id
+    """,
+    description="video FRAME SAMPLING (the spec's frame-sample stage) "
+    "with no codec needed: a raw uncompressed grayscale video per doc "
+    "(concatenated fixed-size frames, deterministic pixels) is "
+    "frame-sampled every 2nd frame by pure byte slicing in Arrow "
+    "mapInPandas — exact integer features (frame counts, frame-0 "
+    "integer mean, sampled pixel sum).  The plumbing a real decoder "
+    "would sit behind; codec formats (H.264 etc.) remain the declared "
+    "import-gated stub",
+    tags=("multimodal", "video", "sampling", "udf", "extension"),
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_video_frames, synth_video_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_video_frames(synth_video_table(docs))

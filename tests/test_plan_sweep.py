@@ -60,6 +60,8 @@ ARROW_ALLOWED = {
     "media_header_parse",
     "wav_audio_decode",  # real stdlib WAV synth+decode, mapInPandas x2
     "png_image_decode",  # real stdlib PNG synth+decode, mapInPandas x2
+    "png_resize_nearest",  # real decode + nearest resample, mapInPandas x2
+    "video_frame_sample",  # raw-frame slicing, mapInPandas x2
     "doc_chunks_udtf",
     "arrow_doc_lengths",
 }
