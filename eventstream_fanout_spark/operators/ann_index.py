@@ -206,6 +206,41 @@ def _codebook_guard(
     )
 
 
+def _adc_sum_with_row_guard() -> F.Column:
+    """``adc_dist`` from the ``(_sum, _n)`` aggregate, with the
+    generation-uniqueness contract enforced in-row: every vector must
+    contribute exactly PQ_SUBS code rows to its ADC sum.  A vec_id
+    present in TWO index generations (a re-ingested vector violating
+    the unique-vector contract, or a probe racing a crashed
+    compaction) would silently DOUBLE its summed distance and sink in
+    the ranking — raise instead.  The assert rides the sum expression
+    itself (``_sum + coalesce(cast(assert_true(...)), 0)`` — always
+    +0 when healthy, non-foldable so the optimizer cannot prune it,
+    and no extra aggregate or job: the count shares the existing
+    groupBy."""
+    return (
+        F.col("_sum")
+        + F.coalesce(
+            F.assert_true(
+                F.col("_n") == F.lit(PQ_SUBS),
+                F.concat(
+                    F.lit("ANN index probe: vec_id "),
+                    F.col("vec_id").cast("string"),
+                    F.lit(" has "),
+                    F.col("_n").cast("string"),
+                    F.lit(
+                        f" code rows, expected {PQ_SUBS} — the vector "
+                        "exists in multiple index generations "
+                        "(re-ingested id or crashed compaction); "
+                        "re-run compact_index before probing"
+                    ),
+                ),
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+    ).cast("bigint")
+
+
 def adc_scores_from_index(
     codes: DataFrame, codebook: DataFrame, query: DataFrame
 ) -> DataFrame:
@@ -226,16 +261,23 @@ def adc_scores_from_index(
     unpacked = codes.select(
         "vec_id", "list_id", F.posexplode(F.col("codes")).alias("s", "code")
     )
-    return (
+    agg = (
         unpacked.join(
             F.broadcast(qtable),
             (F.col("s") == F.col("qs"))
             & (F.col("code").cast("long") == F.col("qcid")),
         )
         .groupBy("vec_id", "list_id")
-        .agg(F.sum("qd").cast("bigint").alias("adc_dist"))
-        .unionByName(_codebook_guard(codebook))
+        .agg(
+            F.sum("qd").alias("_sum"),
+            F.count(F.lit(1)).alias("_n"),
+        )
     )
+    return agg.select(
+        "vec_id",
+        "list_id",
+        _adc_sum_with_row_guard().alias("adc_dist"),
+    ).unionByName(_codebook_guard(codebook))
 
 
 def pq_batch_probe_topk(
@@ -278,7 +320,11 @@ def pq_batch_probe_topk(
         # a query that is itself indexed must not retrieve itself
         .where(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
-        .agg(F.sum("qd").cast("bigint").alias("adc_dist"))
+        .agg(
+            F.sum("qd").alias("_sum"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select("qid", "vec_id", _adc_sum_with_row_guard().alias("adc_dist"))
         .unionByName(
             _codebook_guard(
                 codebook,

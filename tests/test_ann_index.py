@@ -267,6 +267,33 @@ def test_batch_probe_one_scan_matches_single_probes(spark, tmp_path):
     assert plan.count("codes:array<int>") == 1, "codes scanned more than once"
 
 
+def test_probe_refuses_duplicated_generation_vector(spark, tmp_path):
+    """A vec_id present in two index generations (re-ingested id or a
+    probe racing a crashed compaction) would silently double its ADC
+    sum — the in-row code-count guard must raise instead, and
+    compact_index (which dedupes) must heal the store."""
+    import pytest
+
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        compact_index,
+        streaming_ann_index_sink,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path)
+    # operator error: vector 42 re-sent under a new batch id
+    sink = streaming_ann_index_sink(path)
+    sink(emb.where(F.col("vec_id") == 42).select("vec_id", "embedding"), 7)
+
+    with pytest.raises(Exception, match="multiple index generations"):
+        pq_probe_topk(spark, path, _query(spark), 10).collect()
+
+    # compaction dedupes the store; probing works again
+    assert compact_index(spark, path, upto_batch_id=8) == 2
+    assert len(pq_probe_topk(spark, path, _query(spark), 10).collect()) == 10
+
+
 def test_probe_refuses_broken_stored_codebook(spark, tmp_path):
     """An index built from a corpus lacking SOME seed vectors stores a
     short codebook; probing it must raise at execution (lazy guard),
