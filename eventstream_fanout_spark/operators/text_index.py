@@ -186,9 +186,41 @@ def bm25_topk_merged(
     vocab = postings.groupBy("tok").agg(
         F.count_distinct(F.col("doc_id")).cast("bigint").alias("df")
     )
+    # generation-uniqueness contract, enforced on the stats aggregate
+    # the probe already pays for: a doc_id present in TWO generations
+    # (re-ingested id or a probe racing a crashed compaction) would
+    # silently double-count its length in n_docs/total_len AND
+    # duplicate its scoring rows through the doclens join — raise
+    # instead (the ANN _adc_sum_with_row_guard pattern: the assert
+    # rides the total_len expression, +0 when healthy, non-foldable,
+    # no extra job; remediation = compact_text_index, which dedupes).
     stats = doclens.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("total_len"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_rows"),
+        F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("_len_sum"),
+    ).select(
+        "n_docs",
+        (
+            F.col("_len_sum")
+            + F.coalesce(
+                F.assert_true(
+                    F.col("_n_rows") == F.col("n_docs"),
+                    F.concat(
+                        F.lit("text index probe: "),
+                        (F.col("_n_rows") - F.col("n_docs")).cast("string"),
+                        F.lit(
+                            " doc(s) appear in multiple index "
+                            "generations (re-ingested doc_id or crashed "
+                            "compaction); re-run compact_text_index "
+                            "before probing"
+                        ),
+                    ),
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            )
+        )
+        .cast("bigint")
+        .alias("total_len"),
     )
     scored = (
         postings.join(F.broadcast(vocab), "tok")

@@ -198,6 +198,36 @@ def test_curated_ingest_indexes_only_admitted_docs(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/postings").count() == n_postings
 
 
+def test_merged_probe_refuses_duplicated_generation_doc(spark, tmp_path):
+    """A doc_id present in two index generations (re-ingested id or a
+    probe racing a crashed compaction) would silently double-count its
+    length and duplicate its scoring rows — the stats-aggregate guard
+    must raise, and compact_text_index (which dedupes) must heal."""
+    import pytest
+
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        compact_text_index,
+        streaming_text_index_sink,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+    # operator error: doc 3 re-sent under a new batch id
+    sink = streaming_text_index_sink(path)
+    sink(docs.where(F.col("doc_id") == 3), 9)
+
+    with pytest.raises(Exception, match="multiple index generations"):
+        bm25_topk_merged(spark, path, ["spark", "window"], 10).collect()
+
+    assert compact_text_index(spark, path, upto_batch_id=10) == 4
+    rows = bm25_topk_merged(spark, path, ["spark", "window"], 10).collect()
+    assert len(rows) == 10
+
+
 def test_bm25_unknown_terms_return_empty(spark, tmp_path):
     """Query terms absent from the corpus match nothing (and do not
     error) — the IN filter simply selects zero postings."""
