@@ -165,3 +165,51 @@ def content_dimension(spark: SparkSession, url: str, **jdbc_opts) -> DataFrame:
         "content_type",
         "length_seconds",
     )
+
+
+class RefreshingDimension:
+    """Cached dimension snapshot refreshed every N micro-batches — the
+    scale replacement for the reference's per-batch JDBC re-read
+    (SURVEY §7.3 hard part 5; reference pipeline/app.py:60-66 opens a
+    fresh read of the whole dimension inside EVERY 5-second batch).
+
+    Freshness contract: the loader re-runs when the batch id crosses a
+    refresh boundary (``batch_id // refresh_every`` changes), so
+    staleness is bounded by ``refresh_every`` micro-batches of wall
+    clock.  Between refreshes the SAME materialized snapshot serves
+    every batch — the loaded DataFrame is persisted and pinned with an
+    eager count, so the JDBC read happens once per refresh, not once
+    per downstream action, and the previous snapshot is unpersisted on
+    rotation (no executor-memory leak on long streams).
+
+    Replay note: a replayed batch enriches against whatever the
+    CURRENT snapshot holds.  Dimension freshness is wall-clock state,
+    not checkpointed state — identical in kind to the reference's
+    per-batch re-read, which also sees "now" on replay.  If replays
+    must see the original dimension version, snapshot the dim to a
+    versioned table per refresh (operators/warehouse.py) instead.
+
+    ``n_loads`` counts actual loader executions (observable for tests
+    and ops dashboards)."""
+
+    def __init__(self, loader, refresh_every: int = 10) -> None:
+        if int(refresh_every) < 1:
+            raise ValueError("refresh_every must be >= 1")
+        self._loader = loader
+        self._every = int(refresh_every)
+        self._gen: int | None = None
+        self._df: DataFrame | None = None
+        self.n_loads = 0
+
+    def get(self, batch_id: int) -> DataFrame:
+        """The dimension snapshot for this micro-batch (refreshing it
+        first if the batch crossed a refresh boundary)."""
+        gen = int(batch_id) // self._every
+        if self._df is None or gen != self._gen:
+            fresh = self._loader().persist()
+            fresh.count()  # pin the snapshot: exactly one source read
+            if self._df is not None:
+                self._df.unpersist()
+            self._df, self._gen = fresh, gen
+            self.n_loads += 1
+        return self._df

@@ -139,6 +139,48 @@ def test_jdbc_as_fanout_dim_provider(spark, derby_url, seeded_dim, tmp_path):
     assert got == {(10, "video"), (11, "audio")}
 
 
+def test_refreshing_dimension_caches_between_boundaries(
+    spark, derby_url, seeded_dim
+):
+    """The cached-dim refresh (SURVEY §7.3 hard part 5): the loader
+    runs once per refresh window, not once per batch; an update to the
+    source table is invisible until the next boundary and visible
+    after it."""
+    from eventstream_fanout_spark.sources.jdbc import RefreshingDimension
+
+    def loader():
+        return content_dimension(spark, derby_url, driver=DERBY_DRIVER)
+
+    dim = RefreshingDimension(loader, refresh_every=2)
+    # five batches, boundary every 2 -> loads at gens 0, 1, 2 only
+    for bid in range(4):
+        got = dim.get(bid)
+        assert got.count() == 4
+    assert dim.n_loads == 2  # gens 0 (bids 0-1) and 1 (bids 2-3)
+
+    # mutate the source mid-window: batch 4 is still gen 2's FIRST
+    # batch, so it refreshes and sees the change...
+    spark.createDataFrame(
+        [(9, "video", 60)], "id int, content_type string, length_seconds int"
+    ).write.format("jdbc").option("url", derby_url).option(
+        "dbtable", "content"
+    ).option("driver", DERBY_DRIVER).mode("append").save()
+    assert dim.get(4).count() == 5
+    assert dim.n_loads == 3
+    # ...and batch 5 (same gen) serves the cached snapshot: the loader
+    # does not run again even though it WOULD see the same data
+    assert dim.get(5).count() == 5
+    assert dim.n_loads == 3
+
+    # restore the fixture table for other tests in this module
+    conn_df = spark.read.format("jdbc").option("url", derby_url).option(
+        "dbtable", '(SELECT * FROM content WHERE "id" <> 9) AS t'
+    ).option("driver", DERBY_DRIVER).load()
+    conn_df.write.format("jdbc").option("url", derby_url).option(
+        "dbtable", "content"
+    ).option("driver", DERBY_DRIVER).mode("overwrite").save()
+
+
 def test_jdbc_sink_idempotent_replay(spark, derby_url, tmp_path):
     """K2-over-JDBC: the fan-out's JDBC warehouse sink is batch-id
     keyed — replaying the same micro-batch DELETEs its own rows first,
