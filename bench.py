@@ -151,6 +151,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "png_resize_nearest",
     "video_frame_sample",
+    "cdc_custom_source_roundtrip",
 ]
 
 

@@ -561,3 +561,42 @@ def stream_metrics_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("num_input_rows").cast("bigint").alias("max_batch_rows"),
         (F.max("trigger_ms") < F.lit(60000)).alias("trigger_max_under_60s"),
     )
+
+
+@register(
+    "cdc_custom_source_roundtrip",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props, 'c' AS op
+    FROM events
+    """,
+    description="the Spark-4 Python DataSource API as a custom "
+    "connector (sources/pydatasource.py): events wrapped in CDC JSON "
+    "are written as .jsonl files, read back through the registered "
+    "format('cdc_jsonl') source (one InputPartition per file — "
+    "executor-parallel like a native file source), and parsed with "
+    "the typed envelope schema — must be the identity, proving the "
+    "custom source delivers the exact Kafka value-column contract "
+    "(reference pipeline/app.py:39-44) without a broker",
+    tags=("streaming", "cdc", "source", "datasource", "extension"),
+)
+def cdc_custom_source_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.pydatasource import CdcJsonlDataSource
+
+    spark.dataSource.register(CdcJsonlDataSource)
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="cdc_jsonl_src_")
+    to_cdc_json(events).select("value").coalesce(4).write.mode(
+        "overwrite"
+    ).text(tmp)
+    for name in os.listdir(tmp):
+        if name.startswith("part-") and name.endswith(".txt"):
+            os.rename(f"{tmp}/{name}", f"{tmp}/{name}.jsonl")
+    raw = spark.read.format("cdc_jsonl").option("path", tmp).load()
+    return parse_cdc_envelope(raw).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "op"
+    )
