@@ -222,11 +222,41 @@ def bm25_topk_merged(
         .cast("bigint")
         .alias("total_len"),
     )
+    # LEFT join + null-branch assert: a posting row whose doc has no
+    # doclens row (the crash window between the sink's postings write
+    # and its doclens write) must RAISE, not silently drop the doc from
+    # scoring while still counting toward df — replaying the crashed
+    # batch heals both stores.  The assert must OWN the null branch of
+    # a CASE (not ride a "+" term: binary-arithmetic codegen
+    # short-circuits the right operand when the left is null, so an
+    # added assert never evaluates exactly when it matters — round-6
+    # lesson #2 on lazy guards).
     scored = (
         postings.join(F.broadcast(vocab), "tok")
-        .join(doclens.select("doc_id", "dl"), "doc_id")
+        .join(doclens.select("doc_id", "dl"), "doc_id", "left")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", "tok", bm25_score_expr().alias("sc"))
+        .select(
+            "doc_id",
+            "tok",
+            F.when(
+                F.col("dl").isNull(),
+                F.assert_true(
+                    F.col("dl").isNotNull(),
+                    F.concat(
+                        F.lit("text index probe: doc_id "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(
+                            " has postings but no doclens row — the "
+                            "ingest sink crashed between its two "
+                            "writes; replay the batch (the sink is "
+                            "idempotent) before probing"
+                        ),
+                    ),
+                ).cast("double"),
+            )
+            .otherwise(bm25_score_expr())
+            .alias("sc"),
+        )
     )
     return (
         scored.groupBy("doc_id")

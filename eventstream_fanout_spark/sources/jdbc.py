@@ -193,23 +193,30 @@ class RefreshingDimension:
     and ops dashboards)."""
 
     def __init__(self, loader, refresh_every: int = 10) -> None:
+        import threading
+
         if int(refresh_every) < 1:
             raise ValueError("refresh_every must be >= 1")
         self._loader = loader
         self._every = int(refresh_every)
         self._gen: int | None = None
         self._df: DataFrame | None = None
+        self._lock = threading.Lock()  # two queries may share one dim
         self.n_loads = 0
 
     def get(self, batch_id: int) -> DataFrame:
         """The dimension snapshot for this micro-batch (refreshing it
-        first if the batch crossed a refresh boundary)."""
+        first if the batch crossed a refresh boundary).  Thread-safe:
+        foreachBatch is single-threaded per query, but two STREAMS
+        sharing one instance would otherwise race the rotate-and-
+        unpersist."""
         gen = int(batch_id) // self._every
-        if self._df is None or gen != self._gen:
-            fresh = self._loader().persist()
-            fresh.count()  # pin the snapshot: exactly one source read
-            if self._df is not None:
-                self._df.unpersist()
-            self._df, self._gen = fresh, gen
-            self.n_loads += 1
-        return self._df
+        with self._lock:
+            if self._df is None or gen != self._gen:
+                fresh = self._loader().persist()
+                fresh.count()  # pin the snapshot: one source read
+                if self._df is not None:
+                    self._df.unpersist()
+                self._df, self._gen = fresh, gen
+                self.n_loads += 1
+            return self._df

@@ -228,6 +228,39 @@ def test_merged_probe_refuses_duplicated_generation_doc(spark, tmp_path):
     assert len(rows) == 10
 
 
+def test_merged_probe_refuses_postings_without_doclens(spark, tmp_path):
+    """Crash window between the sink's postings write and its doclens
+    write: a doc with postings but no length row must make the probe
+    RAISE (it would otherwise silently vanish from scoring while still
+    inflating df); replaying the crashed batch heals both stores."""
+    import shutil
+
+    import pytest
+
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        streaming_text_index_sink,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    sink = streaming_text_index_sink(path)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    sink(odd, 1)
+    # simulate the crash: batch 1's doclens partition vanishes
+    shutil.rmtree(f"{path}/doclens/batch_id=1")
+    with pytest.raises(Exception, match="no doclens row"):
+        bm25_topk_merged(spark, path, ["spark", "window"], 10).collect()
+
+    # replay of the same batch id heals both stores
+    sink(odd, 1)
+    rows = bm25_topk_merged(spark, path, ["spark", "window"], 10).collect()
+    assert len(rows) == 10
+
+
 def test_bm25_unknown_terms_return_empty(spark, tmp_path):
     """Query terms absent from the corpus match nothing (and do not
     error) — the IN filter simply selects zero postings."""
