@@ -152,6 +152,7 @@ HEADLINE = [
     "png_resize_nearest",
     "video_frame_sample",
     "cdc_custom_source_roundtrip",
+    "bpe_apply_tokenize",
 ]
 
 

@@ -1223,3 +1223,133 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_video_frames(synth_video_table(docs))
+
+
+def _bpe_apply_oracle() -> str:
+    """DuckDB replay of fit + APPLY: the merge table CTEs from
+    bpe_merge_candidates, then a RECURSIVE CTE applying merge k at
+    step k to the spaced-character form of every vocabulary word
+    (replace-all, left to right — both engines' literal replace), then
+    per-doc totals through the (doc, word) counts."""
+    return f"""
+    WITH RECURSIVE toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    occ AS (SELECT doc_id, unnest(toks) AS word FROM toked),
+    dwc AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM occ GROUP BY 1, 2
+    ),
+    fwc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM occ WHERE length(word) >= 2 GROUP BY word
+    ),
+    fpairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, length(w.word) - 1),
+               i -> substr(w.word, CAST(i AS INTEGER), 2))) AS pair,
+             w.wc
+      FROM fwc w
+    ),
+    fagg AS (
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_freq
+      FROM fpairs GROUP BY pair
+    ),
+    merges AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_freq DESC, pair ASC)
+                  AS INTEGER) AS merge_rank, pair
+      FROM fagg
+      ORDER BY pair_freq DESC, pair ASC
+      LIMIT 20
+    ),
+    vwords AS (SELECT DISTINCT word FROM dwc),
+    app AS (
+      SELECT word,
+             ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
+             0 AS k
+      FROM vwords
+      UNION ALL
+      SELECT a.word,
+             replace(a.s,
+                     ' ' || substr(m.pair, 1, 1) || ' '
+                         || substr(m.pair, 2, 1) || ' ',
+                     ' ' || m.pair || ' '),
+             a.k + 1
+      FROM app a JOIN merges m ON m.merge_rank = a.k + 1
+      WHERE a.k < 20
+    ),
+    wtok AS (
+      SELECT word,
+             CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+               AS n_word_tokens
+      FROM app WHERE k = 20
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt * length(d.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(d.cnt * w.n_word_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(d.cnt * (length(d.word) - w.n_word_tokens)) AS BIGINT)
+             AS n_merges_applied
+    FROM dwc d JOIN wtok w ON w.word = d.word
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "bpe_apply_tokenize",
+    _bpe_apply_oracle(),
+    description="tokenizer APPLY (completing bpe_merge_candidates' fit "
+    "round): the fitted top-20 merge table is collected as the "
+    "driver-side tokenizer artifact (merges ARE the model in "
+    "production — the fit-once-amortize pattern) and applied in rank "
+    "order to the spaced-character form of the DISTINCT word "
+    "vocabulary — |vocab| rows do 20 literal replaces each, never the "
+    "raw corpus — then per-doc BPE token counts come from the (doc, "
+    "word) count join.  The oracle re-derives the merges and replays "
+    "the application through a RECURSIVE CTE, so fit AND apply are "
+    "hash-proven together",
+    tags=("text", "tokenizer", "bpe", "extension"),
+)
+def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import tokens
+
+    merges = [
+        r["pair"]
+        for r in bpe_merge_candidates(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    dwc = occ.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    vwords = dwc.select("word").distinct()
+    s = F.concat(F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 "))
+    for p in merges:
+        s = F.replace(
+            s, F.lit(f" {p[0]} {p[1]} "), F.lit(f" {p} ")
+        )
+    wtok = vwords.select(
+        "word",
+        F.size(F.split(F.trim(s), " ")).cast("bigint").alias(
+            "n_word_tokens"
+        ),
+    )
+    return (
+        dwc.join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.length("word"))
+            .cast("bigint")
+            .alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_word_tokens"))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+            F.sum(
+                F.col("cnt")
+                * (F.length("word") - F.col("n_word_tokens"))
+            )
+            .cast("bigint")
+            .alias("n_merges_applied"),
+        )
+    )
