@@ -131,16 +131,24 @@ def build_pq_index(
     emb: DataFrame,
     index_path: str,
     corpus: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> None:
-    """Write the full index (codes + codebook + centroids).  The
-    quantizer artifacts always come from ``emb`` (the fit corpus);
+    """Write the full index (codes + codebook + centroids).
+
     ``corpus`` optionally narrows which vectors get ENCODED into the
     initial frozen generation (the incremental-ingest sims index a
     subset at build time and stream the rest in later) — default: all
     of ``emb`` except the query row 0, matching the registered ANN
-    queries."""
-    codebook = pq_codebook(emb)
-    centroids = ivf_centroids(emb)
+    queries.  ``centroids``/``codebook`` override the quantizer
+    artifacts — pass ``ivf_fit_centroids(...)`` output (or any k-means
+    product with the (cid, ce) / (cid, s, ce) shapes) to persist a
+    FITTED index; the default is the deterministic seed quantizer the
+    oracles replay."""
+    if codebook is None:
+        codebook = pq_codebook(emb)
+    if centroids is None:
+        centroids = ivf_centroids(emb)
     codebook.write.mode("overwrite").parquet(f"{index_path}/codebook")
     centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
     if corpus is None:

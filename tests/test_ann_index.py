@@ -270,6 +270,27 @@ def test_batch_probe_one_scan_matches_single_probes(spark, tmp_path):
     assert plan.count("codes:array<int>") == 1, "codes scanned more than once"
 
 
+def test_fitted_quantizer_persists_and_probes(spark, tmp_path):
+    """The production wiring: a FITTED coarse quantizer
+    (ivf_fit_centroids) persisted into the index instead of the seed
+    stand-in — the stored artifact is exactly what the localCheckpoint
+    caveat in similarity.py tells cluster users to do.  Probe must
+    return a full pruned top-k with no broken-index raise."""
+    from eventstream_fanout_spark.operators.similarity import (
+        ivf_fit_centroids,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.where(F.col("vec_id") != 0)
+    path = str(tmp_path / "idx_fitted")
+    build_pq_index(
+        spark, emb, path, centroids=ivf_fit_centroids(corpus, n_iters=1)
+    )
+    rows = pq_probe_topk(spark, path, _query(spark), 10, nprobe=2).collect()
+    assert len(rows) == 10
+    assert len({r["list_id"] for r in rows}) <= 2
+
+
 def test_probe_refuses_duplicated_generation_vector(spark, tmp_path):
     """A vec_id present in two index generations (re-ingested id or a
     probe racing a crashed compaction) would silently double its ADC
