@@ -1,0 +1,47 @@
+"""Streaming ANN serving — query vectors arrive as a STREAM and probe
+the persisted index per micro-batch.
+
+ann_ingest.py keeps the index current as the corpus streams IN; this
+is the other half of the production loop: a stream of query vectors
+(user requests, dedup lookups, retrieval calls) answered from the
+STORED index inside ``foreachBatch`` — one codes scan per micro-batch
+serves the whole query batch (operators/ann_index.pq_batch_probe_topk),
+results land batch-id-keyed so a replayed batch overwrites only its
+own answers (the standard idempotent-sink contract; answers for a
+replayed batch are recomputed against the CURRENT index, the same
+wall-clock freshness semantics as the JDBC dimension re-read).
+
+Scale shape per batch: broadcast |batch| x 64 distance tables against
+one stored-codes scan; no state beyond the index artifact itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.ann_index import pq_batch_probe_topk
+
+
+def streaming_ann_probe_sink(index_path: str, out_path: str, k: int = 5):
+    """``foreachBatch`` callback: answer each micro-batch of
+    ``(qid, embedding)`` query vectors with its ADC top-k from the
+    stored index, appended idempotently under the batch's own
+    partition."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        topk = pq_batch_probe_topk(
+            spark, index_path, batch_df.select("qid", "embedding"), k
+        )
+        (
+            topk.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    return process

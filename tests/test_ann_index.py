@@ -270,6 +270,84 @@ def test_batch_probe_one_scan_matches_single_probes(spark, tmp_path):
     assert plan.count("codes:array<int>") == 1, "codes scanned more than once"
 
 
+def test_streaming_ann_probe_serves_from_stored_index(spark, tmp_path):
+    """Streaming serving (the other half of the ingest loop): query
+    vectors drained as a real checkpointed stream are answered from
+    the stored index per micro-batch; answers match the batch probe,
+    restart reprocesses nothing, and a replayed batch overwrites only
+    itself."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from eventstream_fanout_spark.operators.ann_index import (
+        pq_batch_probe_topk,
+    )
+    from eventstream_fanout_spark.streaming.ann_serve import (
+        streaming_ann_probe_sink,
+    )
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        start_fanout,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path)
+
+    src = str(tmp_path / "q_src")
+    os.makedirs(src)
+    for tag, lo, hi in (("a", 1, 3), ("b", 3, 5)):
+        (
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .select(F.col("vec_id").alias("qid"), "embedding")
+            .toPandas()
+            .to_json(f"{src}/{tag}.jsonl", orient="records", lines=True)
+        )
+    out = str(tmp_path / "answers")
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_fanout(
+            stream,
+            [FanoutSink("ann_probe", streaming_ann_probe_sink(path, out))],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            query_name="ann-probe-stream",
+        )
+        q.awaitTermination(300)
+
+    run()
+    answers = spark.read.parquet(out)
+    got = {}
+    for r in answers.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    assert set(got) == {1, 2, 3, 4}
+
+    queries = emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") < 5)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    want = {}
+    for r in pq_batch_probe_topk(spark, path, queries, 5).collect():
+        want.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    assert {q: sorted(v) for q, v in got.items()} == {
+        q: sorted(v) for q, v in want.items()
+    }
+
+    n = answers.count()
+    run()  # checkpointed restart: no new files, nothing reprocessed
+    assert spark.read.parquet(out).count() == n
+
+
 def test_fitted_quantizer_persists_and_probes(spark, tmp_path):
     """The production wiring: a FITTED coarse quantizer
     (ivf_fit_centroids) persisted into the index instead of the seed
