@@ -153,6 +153,7 @@ HEADLINE = [
     "video_frame_sample",
     "cdc_custom_source_roundtrip",
     "bpe_apply_tokenize",
+    "incremental_vector_dedup_sim",
 ]
 
 

@@ -1675,3 +1675,138 @@ def ann_pq_persisted_batch_topk(
         F.col("vec_id").alias("qid"), "embedding"
     )
     return pq_batch_probe_topk(spark, path, queries, 5)
+
+
+VEC_DEDUP_THRESH = 1_000_000_000  # nano-quantized squared-L2 ~ 1.0
+
+
+@register(
+    "incremental_vector_dedup_sim",
+    f"""
+    WITH {_FLAT},
+    psub AS (
+      SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
+      FROM flat
+    ),
+    pcent AS (
+      SELECT vec_id AS cid, s, i, x FROM psub
+      WHERE vec_id BETWEEN 10 AND 17
+    ),
+    pcorp AS (SELECT vec_id, s, i, x FROM psub WHERE vec_id <> 0),
+    pdists AS (
+      SELECT pcorp.vec_id, pcorp.s, pcent.cid,
+             SUM(CAST(FLOOR((pcorp.x - pcent.x) * (pcorp.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorp JOIN pcent ON pcorp.i = pcent.i AND pcorp.s = pcent.s
+      GROUP BY 1, 2, 3
+    ),
+    pcodes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM pdists
+      ) WHERE rn = 1
+    ),
+    icent AS (SELECT vec_id AS cid, i, x FROM flat
+              WHERE vec_id BETWEEN 10 AND 17),
+    corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0),
+    adots AS (
+      SELECT corp.vec_id, icent.cid,
+             CAST(SUM(CAST(FLOOR(corp.x * icent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM corp JOIN icent ON corp.i = icent.i
+      GROUP BY 1, 2
+    ),
+    acos AS (
+      SELECT a.vec_id, a.cid,
+             (a.dot / (sqrt(nv.n2) * sqrt(nc.n2))) AS ccos
+      FROM adots a
+      JOIN norms nv ON nv.vec_id = a.vec_id
+      JOIN norms nc ON nc.vec_id = a.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM acos
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT qf.vec_id AS qid, pcent.s, pcent.cid,
+             SUM(CAST(FLOOR((qf.x - pcent.x) * (qf.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS qd
+      FROM (SELECT vec_id, s, i, x FROM psub WHERE vec_id % 2 = 1) qf
+      JOIN pcent ON pcent.i = qf.i AND pcent.s = qf.s
+      GROUP BY 1, 2, 3
+    ),
+    dist AS (
+      SELECT t.qid, c.vec_id AS vid, CAST(SUM(t.qd) AS BIGINT) AS dist
+      FROM pcodes c JOIN qtab t ON t.s = c.s AND t.cid = c.code
+      GROUP BY 1, 2
+    ),
+    celled AS (
+      SELECT d.qid, d.vid, d.dist FROM dist d
+      JOIN assign aq ON aq.vec_id = d.qid
+      JOIN assign av ON av.vec_id = d.vid
+      WHERE aq.list_id = av.list_id
+    ),
+    rej AS (
+      SELECT DISTINCT qid FROM celled
+      WHERE dist <= {VEC_DEDUP_THRESH}
+        AND ((vid % 2 = 0 AND vid <> 0) OR (vid % 2 = 1 AND vid < qid))
+    )
+    SELECT vec_id, CAST(0 AS INTEGER) AS batch_id FROM embeddings
+    WHERE vec_id % 2 = 0 AND vec_id <> 0
+    UNION ALL
+    SELECT vec_id, CAST(1 AS INTEGER) AS batch_id FROM embeddings
+    WHERE vec_id % 2 = 1
+      AND vec_id NOT IN (SELECT qid FROM rej)
+    """,
+    description="incremental VECTOR dedup simulated as a batch plan "
+    "(the SemDeDup-family gate on the streaming-ingest seam, "
+    "streaming/vector_dedup.py): evens are the indexed corpus, odds "
+    "arrive as micro-batch 1 and are rejected when their ADC distance "
+    "to any SAME-IVF-CELL stored vector — or lower-id same-cell batch "
+    "peer — is at or under the threshold; survivors' codes join the "
+    "index.  Candidate pairs are cell-local (the vector analogue of "
+    "corpus_dedup's band-bucket joins; cross-cell near-dups are the "
+    "stated IVF recall trade), distances are 8-byte-code ADC via "
+    "broadcast per-query tables, all exact BIGINT.  The real sink is "
+    "exercised end to end (build -> sink -> read back), hash-checked "
+    "against a full SQL replay of encode + assignment + cell-local "
+    "pair distances",
+    tags=("similarity", "dedup", "ann", "index", "streaming",
+          "extension"),
+)
+def incremental_vector_dedup_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import build_pq_index
+    from ..streaming.vector_dedup import streaming_vector_dedup_sink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="vec_dedup_")
+    build_pq_index(
+        spark,
+        emb,
+        f"{tmp}/index",
+        corpus=emb.where(
+            (F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)
+        ),
+    )
+    sink = streaming_vector_dedup_sink(
+        f"{tmp}/index", f"{tmp}/accepted", VEC_DEDUP_THRESH
+    )
+    sink(emb.where(F.col("vec_id") % 2 == 1), 1)
+    evens = emb.where(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)
+    ).select("vec_id", F.lit(0).cast("int").alias("batch_id"))
+    odds = (
+        spark.read.parquet(f"{tmp}/accepted")
+        .select("vec_id", F.lit(1).cast("int").alias("batch_id"))
+    )
+    return evens.unionByName(odds)

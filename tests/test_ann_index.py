@@ -417,3 +417,101 @@ def test_probe_refuses_broken_stored_codebook(spark, tmp_path):
     build_pq_index(spark, _emb(spark).where(F.col("vec_id") > 100), empty)
     with pytest.raises(Exception):
         pq_probe_topk(spark, empty, _query(spark), 10).collect()
+
+
+def test_streaming_vector_dedup_rejects_near_dups_and_replays(
+    spark, tmp_path
+):
+    """The SemDeDup-style vector-dedup sink as a real checkpointed
+    stream: an exact copy of an indexed vector (new id) is rejected,
+    a copy of a batch-1 acceptance is rejected cross-batch, genuinely
+    new vectors are admitted and their codes join the index, and a
+    restart reprocesses nothing."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        start_fanout,
+    )
+    from eventstream_fanout_spark.streaming.vector_dedup import (
+        streaming_vector_dedup_sink,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_pq_index(
+        spark,
+        emb,
+        idx,
+        corpus=emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)),
+    )
+    n_codes_0 = spark.read.parquet(f"{idx}/codes").count()
+
+    vec = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(F.col("vec_id").isin(2, 101, 103)).collect()
+    }
+    src = str(tmp_path / "v_src")
+    os.makedirs(src)
+
+    def write(tag, rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).toPandas().to_json(
+            f"{src}/{tag}.jsonl", orient="records", lines=True
+        )
+
+    # batch a: copy of indexed vec 2 (id 9001, must reject) + two new
+    # odd vectors; batch b: copy of batch-a acceptance 101 (id 9003,
+    # must reject cross-batch)
+    write("a-b0", [(9001, vec[2]), (101, vec[101]), (103, vec[103])])
+    write("b-b1", [(9003, vec[101])])
+
+    out = str(tmp_path / "accepted")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_fanout(
+            stream,
+            [
+                FanoutSink(
+                    "vec_dedup",
+                    streaming_vector_dedup_sink(idx, out, 1_000_000_000),
+                )
+            ],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            query_name="vector-dedup-stream",
+        )
+        q.awaitTermination(300)
+
+    run()
+    accepted = {
+        r["vec_id"]: r["batch_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # 9001 (exact dup of indexed 2) and 9003 (exact dup of accepted
+    # 101) rejected; 101/103 admitted (assuming no closer even
+    # neighbor — assert membership, not exact equality, for 101/103)
+    assert 9001 not in accepted and 9003 not in accepted
+    assert set(accepted).issubset({101, 103})
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == n_codes_0 + len(accepted)
+
+    # restart from checkpoint: nothing reprocessed, nothing duplicated
+    run()
+    assert spark.read.parquet(out).count() == len(accepted)
+    assert spark.read.parquet(f"{idx}/codes").count() == (
+        n_codes_0 + len(accepted)
+    )
