@@ -154,6 +154,7 @@ HEADLINE = [
     "cdc_custom_source_roundtrip",
     "bpe_apply_tokenize",
     "incremental_vector_dedup_sim",
+    "bloom_decontamination_prefilter",
 ]
 
 

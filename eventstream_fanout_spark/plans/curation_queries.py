@@ -958,3 +958,209 @@ def weighted_systematic_sample(
         .where(F.col("n_copies") >= 1)
         .select("doc_id", "n_tokens", "n_copies")
     )
+
+
+# --- explicit Bloom-filter decontamination prefilter (round 6) --------
+#
+# Spark's native runtime Bloom (bloom_filter_agg) is not SQL-exposed
+# and its bits are not cross-engine replayable; this is the EXPLICIT
+# construction: an m-bit bitmap as an array of 32-bit words, positions
+# from md5 hex chars (the simhash ascii idiom), OR-merged with bit_or
+# — bitwise OR is commutative, so the aggregate is order-independent
+# and the ENTIRE filter, including its measured false-positive count,
+# hash-matches the oracle.  The "no silent caps" philosophy applied
+# to a prefilter: the FP rate is a checked output, not a hope.
+
+_BLOOM_M = 32768         # bits
+_BLOOM_WORD = 32         # bits per word -> 128 words
+_BLOOM_K = 3             # hash positions per key
+
+
+def _bloom_pos_spark(h: F.Column, j: int) -> F.Column:
+    # 4 hex chars per position (16^4 = 65536 combinations >= m) — 3
+    # chars max out at 4096 distinct values and cap the filter's
+    # resolution no matter how many bits it has
+    a = F.ascii(F.substring(h, j * 4 + 1, 1))
+    b = F.ascii(F.substring(h, j * 4 + 2, 1))
+    c = F.ascii(F.substring(h, j * 4 + 3, 1))
+    d = F.ascii(F.substring(h, j * 4 + 4, 1))
+    return (
+        a * F.lit(4099) + b * F.lit(257) + c * F.lit(31) + d * F.lit(7)
+    ) % F.lit(_BLOOM_M)
+
+
+def _bloom_pos_sql(h: str, j: int) -> str:
+    return (
+        f"((ascii(substr({h}, {j * 4 + 1}, 1)) * 4099"
+        f" + ascii(substr({h}, {j * 4 + 2}, 1)) * 257"
+        f" + ascii(substr({h}, {j * 4 + 3}, 1)) * 31"
+        f" + ascii(substr({h}, {j * 4 + 4}, 1)) * 7) % {_BLOOM_M})"
+    )
+
+
+def _bloom_test_sql(j: int) -> str:
+    p = _bloom_pos_sql("c.h", j)
+    return (
+        f"((bloom[({p} // {_BLOOM_WORD}) + 1]"
+        f" & (CAST(1 AS BIGINT) << ({p} % {_BLOOM_WORD}))) <> 0)"
+    )
+
+
+@register(
+    "bloom_decontamination_prefilter",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({sql_shingles('toks')}) AS shingle
+      FROM toked
+    ),
+    bench AS (
+      SELECT DISTINCT shingle, md5(shingle) AS h
+      FROM shingled WHERE doc_id < 10
+    ),
+    bpos AS (
+      {" UNION ALL ".join(
+          f"SELECT {_bloom_pos_sql('h', j)} AS pos FROM bench"
+          for j in range(_BLOOM_K)
+      )}
+    ),
+    bwords AS (
+      SELECT pos // {_BLOOM_WORD} AS w,
+             bit_or(CAST(1 AS BIGINT) << (pos % {_BLOOM_WORD})) AS bits
+      FROM bpos GROUP BY 1
+    ),
+    bitmap AS (
+      SELECT list(COALESCE(bw.bits, 0) ORDER BY seq.w) AS bloom
+      FROM (SELECT unnest(generate_series(0,
+                   {_BLOOM_M // _BLOOM_WORD - 1})) AS w) seq
+      LEFT JOIN bwords bw ON bw.w = seq.w
+    ),
+    corpus AS (
+      SELECT doc_id, shingle, md5(shingle) AS h
+      FROM shingled WHERE doc_id >= 10
+    ),
+    tested AS (
+      SELECT c.doc_id, c.shingle,
+             ({" AND ".join(_bloom_test_sql(j) for j in range(_BLOOM_K))})
+               AS bloom_pass,
+             (b.shingle IS NOT NULL) AS exact_hit
+      FROM corpus c
+      CROSS JOIN bitmap
+      LEFT JOIN bench b ON b.shingle = c.shingle
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT exact_hit
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN exact_hit AND NOT bloom_pass
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM tested
+    GROUP BY doc_id
+    """,
+    description="explicit deterministic Bloom prefilter for benchmark "
+    "decontamination: the held-out set's 3-gram md5s set 3 positions "
+    "each in a 4096-bit bitmap (array of 32-bit words, bit_or-merged "
+    "— commutative, so order-independent), corpus shingles test all "
+    "3 bits against the broadcast bitmap, and exact verification runs "
+    "beside it — so the per-doc FALSE-POSITIVE count (and the "
+    "guaranteed-zero false-negative count) are hash-checked outputs, "
+    "not hopes.  At 100 TB the bitmap (4 KB here, MBs in prod) "
+    "broadcasts where the exact bench-shingle set may not, and the "
+    "exact join runs only on prefilter survivors",
+    tags=("text", "decontamination", "sketch", "bloom", "extension"),
+)
+def bloom_decontamination_prefilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    shingled = toked.select(
+        "doc_id", F.explode(shingles(F.col("toks"))).alias("shingle")
+    ).distinct()
+    bench = (
+        shingled.where(F.col("doc_id") < 10)
+        .select("shingle")
+        .distinct()
+        .withColumn("h", F.md5(F.col("shingle")))
+    )
+    bpos = None
+    for j in range(_BLOOM_K):
+        part = bench.select(_bloom_pos_spark(F.col("h"), j).alias("pos"))
+        bpos = part if bpos is None else bpos.unionAll(part)
+    bwords = (
+        bpos.select(
+            (F.col("pos") / _BLOOM_WORD).cast("int").alias("w"),
+            # F.shiftleft needs a literal count; expr takes a column
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {_BLOOM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    seq = spark.range(_BLOOM_M // _BLOOM_WORD).select(
+        F.col("id").cast("int").alias("w")
+    )
+    bitmap = (
+        seq.join(bwords, "w", "left")
+        .select("w", F.coalesce(F.col("bits"), F.lit(0).cast("bigint")).alias("bits"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("w"), F.col("bits")))
+                ),
+                lambda s: s.getField("bits"),
+            ).alias("bloom")
+        )
+    )
+    corpus = shingled.where(F.col("doc_id") >= 10).withColumn(
+        "h", F.md5(F.col("shingle"))
+    )
+    corpus = corpus.select(
+        "doc_id",
+        "shingle",
+        *[
+            _bloom_pos_spark(F.col("h"), j).alias(f"p{j}")
+            for j in range(_BLOOM_K)
+        ],
+    )
+    bloom_pass = None
+    for j in range(_BLOOM_K):
+        t = F.expr(
+            f"(element_at(bloom, CAST(p{j} / {_BLOOM_WORD} AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(p{j} % {_BLOOM_WORD} AS INT))) <> 0"
+        )
+        bloom_pass = t if bloom_pass is None else (bloom_pass & t)
+    tested = (
+        corpus.crossJoin(F.broadcast(bitmap))
+        .join(
+            F.broadcast(bench.select("shingle", F.lit(1).alias("_hit"))),
+            "shingle",
+            "left",
+        )
+        .select(
+            "doc_id",
+            bloom_pass.alias("bloom_pass"),
+            F.col("_hit").isNotNull().alias("exact_hit"),
+        )
+    )
+    zero_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return tested.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        zero_if(F.col("bloom_pass")).alias("n_bloom_pass"),
+        zero_if(F.col("exact_hit")).alias("n_hit"),
+        zero_if(F.col("bloom_pass") & ~F.col("exact_hit")).alias(
+            "n_false_pos"
+        ),
+        zero_if(F.col("exact_hit") & ~F.col("bloom_pass")).alias(
+            "n_false_neg"
+        ),
+    )

@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "dq_expectations_report",  # 1-row orphan-count side
     "bm25_keyword_search",  # 1-row corpus-stats side (n_docs, total_len)
     "hybrid_search_rrf",  # 1-row query vector + 1-row stats sides
+    "bloom_decontamination_prefilter",  # 1-row broadcast bitmap side
     "q11_important_balance",
     "q22_global_sales_opportunity",
     "tfidf_top_terms",
