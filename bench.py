@@ -155,6 +155,8 @@ HEADLINE = [
     "bpe_apply_tokenize",
     "incremental_vector_dedup_sim",
     "bloom_decontamination_prefilter",
+    "cms_token_counts",
+    "phrase_search_positional",
 ]
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.core import sql_davg
 from ..functions.hashing import (
     shingles,
+    sql_salted_md5,
     sql_shingles,
     sql_tokens,
     tokens,
@@ -1164,3 +1165,129 @@ def bloom_decontamination_prefilter(
             "n_false_neg"
         ),
     )
+
+
+# --- explicit count-min sketch over token counts (round 6) ------------
+
+_CMS_D = 4      # hash rows
+_CMS_W = 1024   # counters per row
+
+
+def _cms_pos_spark(h: F.Column) -> F.Column:
+    a = F.ascii(F.substring(h, 1, 1))
+    b = F.ascii(F.substring(h, 2, 1))
+    c = F.ascii(F.substring(h, 3, 1))
+    return (
+        a * F.lit(4099) + b * F.lit(257) + c * F.lit(31)
+    ) % F.lit(_CMS_W)
+
+
+def _cms_pos_sql(h: str) -> str:
+    return (
+        f"((ascii(substr({h}, 1, 1)) * 4099"
+        f" + ascii(substr({h}, 2, 1)) * 257"
+        f" + ascii(substr({h}, 3, 1)) * 31) % {_CMS_W})"
+    )
+
+
+@register(
+    "cms_token_counts",
+    f"""
+    WITH occ AS (
+      SELECT unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    truth AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM occ GROUP BY tok
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {d} AS d, "
+          f"{_cms_pos_sql(sql_salted_md5(str(d), 'tok'))} AS pos, "
+          f"CAST(COUNT(*) AS BIGINT) AS cnt "
+          f"FROM occ GROUP BY 1, 2"
+          for d in range(_CMS_D)
+      )}
+    ),
+    top AS (
+      SELECT tok, true_count FROM truth
+      ORDER BY true_count DESC, tok ASC LIMIT 30
+    ),
+    est AS (
+      SELECT t.tok, t.true_count,
+             CAST(MIN(c.cnt) AS BIGINT) AS cms_count
+      FROM top t
+      JOIN cells c
+        ON c.d IN ({", ".join(str(d) for d in range(_CMS_D))})
+       AND c.pos = CASE c.d {" ".join(
+           f"WHEN {d} THEN "
+           + _cms_pos_sql(sql_salted_md5(str(d), 't.tok'))
+           for d in range(_CMS_D)
+       )} END
+      GROUP BY 1, 2
+    )
+    SELECT tok, true_count, cms_count,
+           CAST(cms_count - true_count AS BIGINT) AS overestimate,
+           (cms_count >= true_count) AS never_undercounts
+    FROM est
+    ORDER BY true_count DESC, tok ASC
+    """,
+    description="explicit count-min sketch over corpus token counts "
+    f"(the Bloom-prefilter pattern applied to COUNTING): {_CMS_D} "
+    f"salted-md5 hash rows x {_CMS_W} counters, built by pure "
+    "partial-agg sums (commutative — order-independent, so the whole "
+    "sketch is cross-engine replayable); the top-30 exact tokens' "
+    "estimates come from min-over-rows lookups, and the per-token "
+    "OVERESTIMATE — the quantity a production CMS only bounds in "
+    "expectation — is a hash-checked output next to the guaranteed "
+    "never-undercounts invariant.  The sketch is ~32 KB regardless of "
+    "vocabulary size: the store-small/merge-on-read shape for "
+    "frequency tracking at 100 TB, with its error measured, not "
+    "assumed",
+    tags=("text", "sketch", "cms", "extension"),
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import salted_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    truth = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    cells = None
+    for d in range(_CMS_D):
+        part = (
+            occ.select(
+                _cms_pos_spark(salted_md5(str(d), F.col("tok"))).alias("pos")
+            )
+            .groupBy("pos")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .select(F.lit(d).alias("d"), "pos", "cnt")
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    top = truth.orderBy(F.desc("true_count"), F.asc("tok")).limit(30)
+    keyed = None
+    for d in range(_CMS_D):
+        part = top.select(
+            "tok",
+            "true_count",
+            F.lit(d).alias("d"),
+            _cms_pos_spark(salted_md5(str(d), F.col("tok"))).alias("pos"),
+        )
+        keyed = part if keyed is None else keyed.unionByName(part)
+    est = (
+        keyed.join(F.broadcast(cells), ["d", "pos"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cnt").cast("bigint").alias("cms_count"))
+    )
+    return est.select(
+        "tok",
+        "true_count",
+        "cms_count",
+        (F.col("cms_count") - F.col("true_count"))
+        .cast("bigint")
+        .alias("overestimate"),
+        (F.col("cms_count") >= F.col("true_count")).alias(
+            "never_undercounts"
+        ),
+    ).orderBy(F.desc("true_count"), F.asc("tok"))

@@ -1353,3 +1353,57 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_merges_applied"),
         )
     )
+
+
+@register(
+    "phrase_search_positional",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS p,
+             unnest(toks) AS tok
+      FROM toked
+    ),
+    a AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+    b AS (SELECT doc_id, p FROM pos WHERE tok = 'window'),
+    hits AS (
+      SELECT a.doc_id, a.p
+      FROM a JOIN b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_phrase_hits,
+           CAST(MIN(p) AS INTEGER) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+    description='exact PHRASE search ("spark window", adjacent in '
+    "order) via positional token occurrences: per-term position lists "
+    "intersect on (doc_id, pos+1) — a pure equi-join keyed by "
+    "document, the positional-postings intersection every search "
+    "engine runs under quoted queries; BM25 ranks bags, this ranks "
+    "adjacency.  At scale the positional index persists beside the "
+    "postings table (one (tok, doc, pos) relation, pushed term "
+    "filters) and the intersection cost is the RARER term's posting "
+    "length, never the corpus",
+    tags=("text", "search", "phrase", "extension"),
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(F.col("text"))).alias("p0", "tok"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "tok"
+    )  # 1-based, matching SQL generate_subscripts
+    a = pos.where(F.col("tok") == "spark").select("doc_id", "p")
+    b = pos.where(F.col("tok") == "window").select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    hits = a.join(b, ["doc_id", "p"])
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_phrase_hits"),
+        F.min("p").cast("int").alias("first_pos"),
+    )
