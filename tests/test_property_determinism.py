@@ -188,9 +188,13 @@ def test_bucket_prefix_global_order_property(ids):
 )
 def test_salted_bucket_pairs_lossless_property(spark, rows, cap, n_salts):
     """For ANY banded relation, hot cap, and salt count, the salted
-    self-join must produce exactly the unsalted pair set, each pair
-    exactly once (the losslessness argument of the skew fix, checked
-    beyond the single hand-built fixture)."""
+    self-join must produce exactly the unsalted join's multiset: one
+    row per (bucket, pair) — a pair sharing k buckets appears k times,
+    exactly as the plain equi-join emits it (hypothesis found the
+    multi-bucket case in round 6; the old expectation deduped pairs
+    globally and wrongly demanded once-TOTAL).  Losslessness of the
+    skew fix = salted output == unsalted output, nothing less, nothing
+    more."""
     from pyspark.sql import functions as F
 
     from eventstream_fanout_spark.operators.dedup import (
@@ -201,7 +205,9 @@ def test_salted_bucket_pairs_lossless_property(spark, rows, cap, n_salts):
         [(d, b, str(v)) for d, b, v in rows],
         "doc_id long, band int, bh string",
     )
-    expected = set()
+    from collections import Counter
+
+    expected: Counter = Counter()
     by_bucket: dict = {}
     for d, b, v in rows:
         by_bucket.setdefault((b, v), []).append(d)
@@ -209,7 +215,7 @@ def test_salted_bucket_pairs_lossless_property(spark, rows, cap, n_salts):
         ms = sorted(members)
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
-                expected.add((ms[i], ms[j]))
+                expected[(ms[i], ms[j])] += 1
 
     got = (
         _salted_bucket_pairs(
@@ -221,5 +227,4 @@ def test_salted_bucket_pairs_lossless_property(spark, rows, cap, n_salts):
         .collect()
     )
     pairs = [(r["da"], r["db"]) for r in got]
-    assert set(pairs) == expected
-    assert len(pairs) == len(expected)  # exactly once
+    assert Counter(pairs) == expected  # one row per (bucket, pair)
