@@ -1090,10 +1090,18 @@ def bloom_decontamination_prefilter(
         .distinct()
         .withColumn("h", F.md5(F.col("shingle")))
     )
-    bpos = None
-    for j in range(_BLOOM_K):
-        part = bench.select(_bloom_pos_spark(F.col("h"), j).alias("pos"))
-        bpos = part if bpos is None else bpos.unionAll(part)
+    # one bench scan: the K positions explode from a single array
+    # (the SQL twin keeps UNION ALL — DuckDB reuses the tiny CTE)
+    bpos = bench.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos_spark(F.col("h"), j)
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    )
     bwords = (
         bpos.select(
             (F.col("pos") / _BLOOM_WORD).cast("int").alias("w"),
@@ -1254,17 +1262,29 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = occ.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("true_count")
     )
-    cells = None
-    for d in range(_CMS_D):
-        part = (
-            occ.select(
-                _cms_pos_spark(salted_md5(str(d), F.col("tok"))).alias("pos")
-            )
-            .groupBy("pos")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-            .select(F.lit(d).alias("d"), "pos", "cnt")
+    # one corpus scan for all hash rows: each token explodes into its
+    # D (row, position) cells, then a single partial-agg groupBy —
+    # the sketch build cost is exactly one pass regardless of D
+    cells = (
+        occ.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cms_pos_spark(
+                                salted_md5(str(d), F.col("tok"))
+                            ).alias("pos"),
+                        )
+                        for d in range(_CMS_D)
+                    ]
+                )
+            ).alias("c")
         )
-        cells = part if cells is None else cells.unionByName(part)
+        .select("c.d", "c.pos")
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
     top = truth.orderBy(F.desc("true_count"), F.asc("tok")).limit(30)
     keyed = None
     for d in range(_CMS_D):

@@ -112,13 +112,18 @@ FRONT: list[str] = [
     "dedup_exact",
 ]
 
-# ROUND-7 ROTATION PLAN: assuming CORRECTNESS_r06 lands green, the
-# remaining stale evidence is (a) the other 24 round-3-only rows
-# (q2/q7-q9/q11-q13/q15-q17/q21/q22, simhash_docs, the stream_*
+# ROUND-7 ROTATION PLAN: round 6 filled the window with its 21
+# new/changed plans + the 24 round-1-only greens + 5 of the oldest
+# round-3 rows.  Assuming CORRECTNESS_r06 lands green, the remaining
+# stale evidence, oldest first, is (a) the other ~35 round-3-only
+# rows (q2/q7-q9/q11-q13/q15-q17/q21/q22, simhash_docs, the stream_*
 # quartet, string_agg/text_quality/token_count/value_histogram,
-# multimodal_meta, pandas_udf_token_count, embedding near-pairs
-# verifier) and (b) the 48 round-4 rows — fill round 7's slots with
-# any new/changed queries first, then the round-3 leftovers, then the
+# multimodal_meta, pandas_udf_token_count, array/higher-order
+# functions, dedup_exact/doc_fingerprint/dup_clusters/
+# embedding_label_stats/embedding_near_pairs/gap_filled/
+# global_leaderboard, cdc_parse_roundtrip, the ann_batch/lsh pair)
+# and (b) the 48 round-4 rows — fill round 7's slots with any
+# new/changed queries first, then the round-3 leftovers, then the
 # oldest round-4 rows.
 
 
