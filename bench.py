@@ -157,6 +157,7 @@ HEADLINE = [
     "bloom_decontamination_prefilter",
     "cms_token_counts",
     "phrase_search_positional",
+    "proximity_search_within_k",
 ]
 
 

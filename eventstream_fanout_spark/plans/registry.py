@@ -41,14 +41,14 @@ QUERIES: dict[str, QuerySpec] = {}
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
     # --- round-6 rotation (registry ROUND-6 plan + VERDICT r5 item 4).
-    # Slots 1-21: new/changed plans — the seventeen round-6 additions
+    # Slots 1-22: new/changed plans — the eighteen round-6 additions
     # (persisted PQ index probe, IVF-PQ partition-pruned probe, batch
     # probe, the two incremental index-ingest sims (ANN + text), the
     # staged curated-ingest pipeline, hybrid RRF search, PNG resize,
     # raw-video frame sampling, the Python-DataSource CDC connector,
     # the BPE tokenizer-apply round, incremental vector dedup, the
     # measured-FP Bloom decontamination prefilter, the explicit
-    # count-min sketch, positional phrase search,
+    # count-min sketch, positional phrase + proximity search,
     # BM25
     # over the persisted text index, the metrics-table profile) and
     # the four whose physical plan gained a lazy contract guard this
@@ -71,11 +71,12 @@ FRONT: list[str] = [
     "bloom_decontamination_prefilter",
     "cms_token_counts",
     "phrase_search_positional",
+    "proximity_search_within_k",
     "ann_pq_adc_topk",
     "ann_pq_rerank_topk",
     "ann_pq_recall_report",
     "incremental_dedup_verified_sim",
-    # --- slots 22-45: the 24 queries whose only green row is ROUND 1
+    # --- slots 23-46: the 24 queries whose only green row is ROUND 1
     # (the oldest evidence in the ledger — map/datetime/string/frame
     # functions, json_nested_roundtrip, rank/lag/sessionize, pivot/
     # percentile/gap-fill/asof/cdc_apply_merge, the window family). ---
@@ -103,13 +104,12 @@ FRONT: list[str] = [
     "topk_leaderboard_daily",
     "window_sliding_10m_5m",
     "window_tumbling_10m",
-    # --- remaining slots: the oldest 5 of the 40 round-3-only rows
+    # --- remaining slots: the oldest 4 of the 40 round-3-only rows
     # (alphabetical — the rest rotate in next round). ---
     "ann_batch_topk",
     "ann_lsh_bucket_topk",
     "array_functions",
     "cdc_parse_roundtrip",
-    "dedup_exact",
 ]
 
 # ROUND-7 ROTATION PLAN: round 6 filled the window with its 21

@@ -1407,3 +1407,86 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_phrase_hits"),
         F.min("p").cast("int").alias("first_pos"),
     )
+
+
+_PROX_W = 3  # proximity window (token positions)
+
+
+@register(
+    "proximity_search_within_k",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS p,
+             unnest(toks) AS tok
+      FROM toked
+    ),
+    a AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+    b AS (SELECT doc_id, p FROM pos WHERE tok = 'join'),
+    hits AS (
+      SELECT a.doc_id, abs(b.p - a.p) AS gap
+      FROM a JOIN b ON b.doc_id = a.doc_id
+                   AND b.p BETWEEN a.p - {_PROX_W} AND a.p + {_PROX_W}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_prox_pairs,
+           CAST(MIN(gap) AS INTEGER) AS min_gap
+    FROM hits GROUP BY doc_id
+    """,
+    description="proximity search ('spark' NEAR/3 'join', any order): "
+    "position lists of the two terms joined within a +-3 token "
+    "window.  The Spark plan avoids the doc-keyed inequality join "
+    "(per-doc position lists can be long) with the range-join "
+    "bucketing pattern proven on range_join_click_purchase_1h: one "
+    "side buckets positions by p//(W+1), the other explodes to its "
+    "bucket and both neighbors, the join is a pure equi-join on "
+    "(doc_id, bucket) and the window filter runs on candidates only "
+    "— never |a| x |b| per document",
+    tags=("text", "search", "phrase", "extension"),
+)
+def proximity_search_within_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.hashing import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(F.col("text"))).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    bw = _PROX_W + 1
+    a = pos.where(F.col("tok") == "spark").select(
+        "doc_id",
+        F.col("p").alias("pa"),
+        (F.col("p") / bw).cast("long").alias("bkt"),
+    )
+    b = (
+        pos.where(F.col("tok") == "join")
+        .select(
+            "doc_id",
+            F.col("p").alias("pb"),
+            F.explode(
+                F.array(
+                    (F.col("p") / bw).cast("long") - 1,
+                    (F.col("p") / bw).cast("long"),
+                    (F.col("p") / bw).cast("long") + 1,
+                )
+            ).alias("bkt"),
+        )
+    )
+    hits = (
+        a.join(b, ["doc_id", "bkt"])
+        .where(
+            (F.col("pb") >= F.col("pa") - _PROX_W)
+            & (F.col("pb") <= F.col("pa") + _PROX_W)
+        )
+        .select(
+            "doc_id", F.abs(F.col("pb") - F.col("pa")).alias("gap")
+        )
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prox_pairs"),
+        F.min("gap").cast("int").alias("min_gap"),
+    )
