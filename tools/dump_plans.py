@@ -80,6 +80,15 @@ PICKS = {
     "bm25_keyword_search": "round 6: BM25 over the persisted inverted "
     "index — query terms reach the postings scan as a pushed IN "
     "filter; the documents table is absent from the plan",
+    "proximity_search_within_k": "round 6: NEAR/3 via the bucketed "
+    "range-join pattern — equi-join on (doc_id, position bucket) with "
+    "the window filter on candidates only, no per-doc quadratic join",
+    "cms_token_counts": "round 6: explicit count-min sketch — ONE "
+    "corpus scan explodes all hash-row cells into a single partial-agg "
+    "groupBy; estimates are broadcast lookups",
+    "bloom_decontamination_prefilter": "round 6: explicit Bloom — "
+    "1-row broadcast bitmap tested per shingle; exact verify joins "
+    "beside it so the FP count is an output",
 }
 
 
