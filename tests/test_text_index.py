@@ -1,9 +1,11 @@
 """Persisted inverted text index + BM25 probe (operators/text_index.py):
-the probe must read only the stored index (pushed term filter, no
-documents scan) and score sanely."""
+the probe must read only term-filtered stored rows (pushed term
+filter, no documents scan, no per-document doclens scan) and score
+sanely; the generational-store guards must fail closed."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from eventstream_fanout_spark.operators.text_index import (
@@ -13,31 +15,56 @@ from eventstream_fanout_spark.operators.text_index import (
 from eventstream_fanout_spark.sources.tables import load_table
 from tests.conftest import SF_ORACLE
 
+TERMS = ["spark", "window", "join"]
 
-def test_bm25_probe_reads_only_the_index(spark, tmp_path):
-    """Plan shape: the postings scan carries a pushed tok IN filter
-    and the documents table is nowhere in the probe plan."""
-    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+
+def _docs(spark):
+    return load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+
+
+def _doc_with_term(spark, term: str):
+    """A doc_id whose whitespace-split text contains ``term`` — used to
+    build candidate-scoped-guard fixtures that are guaranteed to
+    surface in a probe for that term."""
+    return (
+        _docs(spark)
+        .where(F.array_contains(F.split(F.lower(F.col("text")), r"\s+"), term))
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]["doc_id"]
+    )
+
+
+def test_bm25_probe_reads_only_term_filtered_index_rows(spark, tmp_path):
+    """Plan shape: the postings scan carries a pushed tok IN filter,
+    the documents table is nowhere in the probe plan, and neither
+    probe reads the per-document doclens relation (round-7
+    denormalization: dl rides the posting rows, stats is the
+    per-generation rollup)."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+
+    docs = _docs(spark)
     path = str(tmp_path / "tidx")
     build_text_index(spark, docs, path)
-    probe = bm25_topk(spark, path, ["spark", "window", "join"], 10)
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "documents.parquet" not in plan, "probe re-reads the corpus"
-    assert "PushedFilters: [In(tok" in plan, plan
+    for probe in (
+        bm25_topk(spark, path, TERMS, 10),
+        bm25_topk_merged(spark, path, TERMS, 10),
+    ):
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "documents.parquet" not in plan, "probe re-reads the corpus"
+        assert "PushedFilters: [In(tok" in plan, plan
+        assert "doclens" not in plan, "probe scans per-doc lengths"
 
 
 def test_bm25_scores_rank_term_rich_docs_first(spark, tmp_path):
     """Semantics: every hit contains >=1 query term; n_terms_matched is
-    within [1, 3]; scores strictly ordered (desc, doc_id tiebreak); and
-    a doc containing all three terms outranks one with a single rare
-    term occurrence of equal length — checked via the returned
-    n_terms_matched ordering being consistent with scoring more
-    matched terms at similar tf (weak invariant: top hit matches >= 2
-    terms on this corpus)."""
-    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    within [1, 3]; scores strictly ordered (desc, doc_id tiebreak)."""
+    docs = _docs(spark)
     path = str(tmp_path / "tidx")
     build_text_index(spark, docs, path)
-    rows = bm25_topk(spark, path, ["spark", "window", "join"], 10).collect()
+    rows = bm25_topk(spark, path, TERMS, 10).collect()
     assert len(rows) == 10
     scores = [r["bm25_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
@@ -51,7 +78,7 @@ def test_bm25_scores_rank_term_rich_docs_first(spark, tmp_path):
     }
     for r in rows:
         toks = set(texts[r["doc_id"]].lower().split())
-        matched = {"spark", "window", "join"} & toks
+        matched = set(TERMS) & toks
         assert len(matched) == r["n_terms_matched"]
 
 
@@ -59,7 +86,7 @@ def test_text_ingest_merged_probe_equals_full_build(spark, tmp_path):
     """Ingest path: static build on one half, streaming sink on the
     other — the merge-on-read probe must equal an all-at-once build's
     probe; replay of the same batch id changes nothing; compaction
-    folds both stores and preserves the ranking."""
+    folds the stores and preserves the ranking."""
     from eventstream_fanout_spark.operators.text_index import (
         bm25_topk_merged,
     )
@@ -68,8 +95,7 @@ def test_text_ingest_merged_probe_equals_full_build(spark, tmp_path):
         streaming_text_index_sink,
     )
 
-    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
-    terms = ["spark", "window", "join"]
+    docs = _docs(spark)
 
     path = str(tmp_path / "tidx_inc")
     build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
@@ -81,11 +107,11 @@ def test_text_ingest_merged_probe_equals_full_build(spark, tmp_path):
     build_text_index(spark, docs, full_path)
     want = [
         (r["doc_id"], r["bm25_score"])
-        for r in bm25_topk_merged(spark, full_path, terms, 10).collect()
+        for r in bm25_topk_merged(spark, full_path, TERMS, 10).collect()
     ]
     got = [
         (r["doc_id"], r["bm25_score"])
-        for r in bm25_topk_merged(spark, path, terms, 10).collect()
+        for r in bm25_topk_merged(spark, path, TERMS, 10).collect()
     ]
     assert got == want
 
@@ -94,10 +120,11 @@ def test_text_ingest_merged_probe_equals_full_build(spark, tmp_path):
     n_postings = spark.read.parquet(f"{path}/postings").count()
     assert [
         (r["doc_id"], r["bm25_score"])
-        for r in bm25_topk_merged(spark, path, terms, 10).collect()
+        for r in bm25_topk_merged(spark, path, TERMS, 10).collect()
     ] == want
 
-    # compaction folds both stores (frozen + batch 1 each), keeps rows
+    # compaction folds both stores (frozen + batch 1 each), keeps rows,
+    # rebuilds the stats rollup from the folded doclens
     assert compact_text_index(spark, path, upto_batch_id=2) == 4
     assert spark.read.parquet(f"{path}/postings").count() == n_postings
     bids = {
@@ -108,9 +135,11 @@ def test_text_ingest_merged_probe_equals_full_build(spark, tmp_path):
         .collect()
     }
     assert bids == {-2}
+    stats = spark.read.parquet(f"{path}/stats").collect()
+    assert [r["batch_id"] for r in stats] == [-2]
     assert [
         (r["doc_id"], r["bm25_score"])
-        for r in bm25_topk_merged(spark, path, terms, 10).collect()
+        for r in bm25_topk_merged(spark, path, TERMS, 10).collect()
     ] == want
 
 
@@ -134,10 +163,7 @@ def test_curated_ingest_indexes_only_admitted_docs(spark, tmp_path):
 
     texts = [
         r["text"]
-        for r in load_table(spark, SF_ORACLE, "documents")
-        .orderBy("doc_id")
-        .limit(4)
-        .collect()
+        for r in _docs(spark).orderBy("doc_id").limit(4).collect()
     ]
     src = str(tmp_path / "docs_src")
     os.makedirs(src)
@@ -198,13 +224,39 @@ def test_curated_ingest_indexes_only_admitted_docs(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/postings").count() == n_postings
 
 
-def test_merged_probe_refuses_duplicated_generation_doc(spark, tmp_path):
-    """A doc_id present in two index generations (re-ingested id or a
-    probe racing a crashed compaction) would silently double-count its
-    length and duplicate its scoring rows — the stats-aggregate guard
-    must raise, and compact_text_index (which dedupes) must heal."""
-    import pytest
+def test_ingest_sink_refuses_reused_doc_id(spark, tmp_path):
+    """doc_id uniqueness across generations is enforced at WRITE time
+    (one anti-join per ingest batch): re-sending an already-indexed id
+    under a new batch raises before anything is written; replaying the
+    SAME batch id is fine (own partition masked)."""
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        streaming_text_index_sink,
+    )
 
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    sink = streaming_text_index_sink(path)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    sink(odd, 1)
+    n_postings = spark.read.parquet(f"{path}/postings").count()
+
+    with pytest.raises(RuntimeError, match="re-sends doc_id"):
+        sink(docs.where(F.col("doc_id") == 3), 9)
+    # nothing was written by the refused batch
+    assert spark.read.parquet(f"{path}/postings").count() == n_postings
+
+    sink(odd, 1)  # replay of batch 1 does not clash with itself
+
+
+def test_merged_probe_refuses_duplicated_generation_doc(spark, tmp_path):
+    """A doc_id present in two index generations (a crashed compaction
+    mid-fold, or an ingest that bypassed the uniqueness gate) silently
+    doubles that doc's score rows — the per-(tok, doc_id) uniqueness
+    guard on the term-filtered scan must raise, and compact_text_index
+    (which dedupes on the natural keys) must heal.  The guard is
+    candidate-scoped, so the fixture duplicates a doc that contains a
+    query term."""
     from eventstream_fanout_spark.operators.text_index import (
         bm25_topk_merged,
     )
@@ -213,29 +265,28 @@ def test_merged_probe_refuses_duplicated_generation_doc(spark, tmp_path):
         streaming_text_index_sink,
     )
 
-    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    docs = _docs(spark)
     path = str(tmp_path / "tidx")
     build_text_index(spark, docs, path)
-    # operator error: doc 3 re-sent under a new batch id
-    sink = streaming_text_index_sink(path)
-    sink(docs.where(F.col("doc_id") == 3), 9)
+    dup_id = _doc_with_term(spark, "spark")
+    # bypass the write-time gate: the crashed-compaction simulation
+    sink = streaming_text_index_sink(path, enforce_unique_doc_ids=False)
+    sink(docs.where(F.col("doc_id") == dup_id), 9)
 
-    with pytest.raises(Exception, match="multiple index generations"):
-        bm25_topk_merged(spark, path, ["spark", "window"], 10).collect()
+    with pytest.raises(Exception, match="duplicated \\(tok, doc_id\\)"):
+        bm25_topk_merged(spark, path, ["spark"], 10).collect()
 
     assert compact_text_index(spark, path, upto_batch_id=10) == 4
-    rows = bm25_topk_merged(spark, path, ["spark", "window"], 10).collect()
+    rows = bm25_topk_merged(spark, path, ["spark"], 10).collect()
     assert len(rows) == 10
 
 
-def test_merged_probe_refuses_postings_without_doclens(spark, tmp_path):
-    """Crash window between the sink's postings write and its doclens
-    write: a doc with postings but no length row must make the probe
-    RAISE (it would otherwise silently vanish from scoring while still
-    inflating df); replaying the crashed batch heals both stores."""
+def test_merged_probe_refuses_postings_without_stats(spark, tmp_path):
+    """Crash window between the sink's postings write and its (LAST)
+    stats write: the batch's docs would otherwise score against a
+    rollup that does not count them — the generation-coverage guard
+    must RAISE; replaying the crashed batch heals all three stores."""
     import shutil
-
-    import pytest
 
     from eventstream_fanout_spark.operators.text_index import (
         bm25_topk_merged,
@@ -244,27 +295,56 @@ def test_merged_probe_refuses_postings_without_doclens(spark, tmp_path):
         streaming_text_index_sink,
     )
 
-    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    docs = _docs(spark)
     path = str(tmp_path / "tidx")
     build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
     sink = streaming_text_index_sink(path)
     odd = docs.where(F.col("doc_id") % 2 == 1)
     sink(odd, 1)
-    # simulate the crash: batch 1's doclens partition vanishes
+    # simulate the crash: batch 1's stats (and doclens) never landed
+    shutil.rmtree(f"{path}/stats/batch_id=1")
     shutil.rmtree(f"{path}/doclens/batch_id=1")
-    with pytest.raises(Exception, match="no doclens row"):
+    with pytest.raises(Exception, match="no stats row"):
         bm25_topk_merged(spark, path, ["spark", "window"], 10).collect()
 
-    # replay of the same batch id heals both stores
+    # replay of the same batch id heals the stores
     sink(odd, 1)
     rows = bm25_topk_merged(spark, path, ["spark", "window"], 10).collect()
     assert len(rows) == 10
 
 
+def test_static_probe_refuses_ingested_index(spark, tmp_path):
+    """ADVICE r6 item 1: the static probe's snapshot vocab/stats are
+    stale after ANY ingest — it must fail closed, via the stats
+    generation guard (completed ingest) or the candidate-scoped
+    postings generation guard (crashed ingest whose stats row never
+    landed)."""
+    import shutil
+
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        streaming_text_index_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+
+    with pytest.raises(Exception, match="stale"):
+        bm25_topk(spark, path, TERMS, 10).collect()
+
+    # crashed-ingest variant: stats row gone, postings remain — the
+    # per-group postings guard catches what the stats guard now cannot
+    shutil.rmtree(f"{path}/stats/batch_id=1")
+    with pytest.raises(Exception, match="stale"):
+        bm25_topk(spark, path, TERMS, 10).collect()
+
+
 def test_bm25_unknown_terms_return_empty(spark, tmp_path):
     """Query terms absent from the corpus match nothing (and do not
     error) — the IN filter simply selects zero postings."""
-    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    docs = _docs(spark)
     path = str(tmp_path / "tidx")
     build_text_index(spark, docs, path)
     assert bm25_topk(spark, path, ["zzzznope"], 10).count() == 0
