@@ -288,11 +288,38 @@ def adc_scores_from_index(
     ).unionByName(_codebook_guard(codebook))
 
 
+def batch_probe_lists(
+    queries: DataFrame, centroids: DataFrame, nprobe: int
+) -> DataFrame:
+    """``(qid, probe_cid)``: each query's ``nprobe`` nearest coarse
+    lists — the per-query coarse ranking over the broadcast centroid
+    table, |batch| x nprobe rows total.  This small relation is what
+    prunes the batch probe's codes scan (VERDICT r6 item 1): the
+    single-probe nprobe selection (``pq_probe_topk``) generalized to a
+    batch via a per-qid window instead of a global limit."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+
+    ranked = (
+        queries.select("qid", F.col("embedding").alias("qe"))
+        .crossJoin(F.broadcast(centroids))
+        .select("qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("qcos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qcos"), F.asc("cid"))
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select("qid", F.col("cid").alias("probe_cid"))
+    )
+
+
 def pq_batch_probe_topk(
     spark: SparkSession,
     index_path: str,
     queries: DataFrame,
     k: int,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """ADC top-k for a BATCH of queries ``(qid, embedding)`` in one
     pass over the stored codes — the production serving shape: the
@@ -300,34 +327,61 @@ def pq_batch_probe_topk(
     relation (64 x |batch| rows), the codes scan runs ONCE, and a
     per-qid window takes each query's top-k.  Cost is one index scan
     regardless of batch size, vs |batch| scans for repeated single
-    probes."""
+    probes.
+
+    ``nprobe=None`` scans all codes (pure PQ).  An integer restricts
+    each query to its nprobe nearest coarse lists: the per-query
+    (qid, list) probe pairs form a broadcast relation joined against
+    the codes scan on its ``list_id`` PARTITION column, so the scan
+    prunes to the union of touched lists (dynamic partition pruning —
+    plan pinned by tests/test_ann_index.py) and per-batch cost is
+    |touched lists' codes|, not |corpus| — at 100 TB this was the
+    serving path's only remaining linear-in-corpus scan (VERDICT r6
+    item 1)."""
     from pyspark.sql import Window
 
-    codes, codebook, _ = read_index(spark, index_path)
-    qsub = pq_subspaces(
-        queries.select(F.col("qid").alias("vec_id"), "embedding")
-    )
+    codes, codebook, centroids = read_index(spark, index_path)
     qtable = (
-        qsub.join(F.broadcast(codebook), "s")
+        pq_subspaces(queries.select(F.col("qid").alias("vec_id"), "embedding"))
+        .join(F.broadcast(codebook), "s")
         .select(
-            F.col("vec_id").alias("qid"),
+            F.col("vec_id").alias("tqid"),
             F.col("s").alias("qs"),
             F.col("cid").alias("qcid"),
             l2q(F.col("sub"), F.col("ce")).alias("qd"),
         )
     )
-    unpacked = codes.select(
-        "vec_id", F.posexplode(F.col("codes")).alias("s", "code")
-    )
-    adc = (
-        unpacked.join(
-            F.broadcast(qtable),
-            (F.col("s") == F.col("qs"))
-            & (F.col("code").cast("long") == F.col("qcid")),
+    if nprobe is None:
+        # every (query, stored vector) pair scores
+        unpacked = codes.select(
+            "vec_id", F.posexplode(F.col("codes")).alias("s", "code")
         )
+        pair_cond = (F.col("s") == F.col("qs")) & (
+            F.col("code").cast("long") == F.col("qcid")
+        )
+    else:
+        probes = batch_probe_lists(queries, centroids, nprobe)
+        unpacked = (
+            codes.join(
+                F.broadcast(probes),
+                F.col("list_id") == F.col("probe_cid"),
+            )
+            .select(
+                "qid",
+                "vec_id",
+                F.posexplode(F.col("codes")).alias("s", "code"),
+            )
+        )
+        pair_cond = (
+            (F.col("s") == F.col("qs"))
+            & (F.col("code").cast("long") == F.col("qcid"))
+            & (F.col("qid") == F.col("tqid"))
+        )
+    adc = (
+        unpacked.join(F.broadcast(qtable), pair_cond)
         # a query that is itself indexed must not retrieve itself
-        .where(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
+        .where(F.col("vec_id") != F.col("tqid"))
+        .groupBy(F.col("tqid").alias("qid"), F.col("vec_id"))
         .agg(
             F.sum("qd").alias("_sum"),
             F.count(F.lit(1)).alias("_n"),

@@ -12,7 +12,13 @@ replayed batch are recomputed against the CURRENT index, the same
 wall-clock freshness semantics as the JDBC dimension re-read).
 
 Scale shape per batch: broadcast |batch| x 64 distance tables against
-one stored-codes scan; no state beyond the index artifact itself.
+ONE stored-codes scan, IVF-pruned by default (VERDICT r6 item 1): the
+per-query (qid, list) probe pairs broadcast against the codes scan's
+``list_id`` partition column, so each trigger touches only the union
+of the batch's probed lists — never the whole corpus.  No state
+beyond the index artifact itself.  ``nprobe=None`` opts back into the
+exact-PQ full scan (recall dial at its maximum, linear-in-corpus per
+trigger — a fixture/debug shape, not the 100 TB default).
 """
 
 from __future__ import annotations
@@ -22,8 +28,15 @@ from pyspark.sql import functions as F
 
 from ..operators.ann_index import pq_batch_probe_topk
 
+SERVE_NPROBE = 2  # default coarse lists probed per query
 
-def streaming_ann_probe_sink(index_path: str, out_path: str, k: int = 5):
+
+def streaming_ann_probe_sink(
+    index_path: str,
+    out_path: str,
+    k: int = 5,
+    nprobe: int | None = SERVE_NPROBE,
+):
     """``foreachBatch`` callback: answer each micro-batch of
     ``(qid, embedding)`` query vectors with its ADC top-k from the
     stored index, appended idempotently under the batch's own
@@ -34,7 +47,11 @@ def streaming_ann_probe_sink(index_path: str, out_path: str, k: int = 5):
             return
         spark = batch_df.sparkSession
         topk = pq_batch_probe_topk(
-            spark, index_path, batch_df.select("qid", "embedding"), k
+            spark,
+            index_path,
+            batch_df.select("qid", "embedding"),
+            k,
+            nprobe=nprobe,
         )
         (
             topk.withColumn("batch_id", F.lit(int(batch_id)))

@@ -270,6 +270,48 @@ def test_batch_probe_one_scan_matches_single_probes(spark, tmp_path):
     assert plan.count("codes:array<int>") == 1, "codes scanned more than once"
 
 
+def test_batch_probe_pruned_matches_single_pruned_probes(spark, tmp_path):
+    """VERDICT r6 item 1: the batch probe with nprobe must equal each
+    query's single pruned probe (self-matches excluded), still scan the
+    codes table once, and the scan must carry a dynamic-partition-
+    pruning expression on list_id — the single-probe pruning
+    generalized to a batch."""
+    from eventstream_fanout_spark.operators.ann_index import (
+        pq_batch_probe_topk,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    batch = pq_batch_probe_topk(spark, path, queries, 5, nprobe=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append(r["vec_id"])
+
+    for qid in (0, 1, 2):
+        single = pq_probe_topk(
+            spark,
+            path,
+            emb.where(F.col("vec_id") == qid).select("embedding"),
+            6,
+            nprobe=2,
+        ).collect()
+        want = [r["vec_id"] for r in single if r["vec_id"] != qid][:5]
+        assert got[qid] == want, qid
+
+    plan = (
+        batch._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("codes:array<int>") == 1, "codes scanned more than once"
+    assert "dynamicpruningexpression" in plan.lower(), plan
+
+
 def test_streaming_ann_probe_serves_from_stored_index(spark, tmp_path):
     """Streaming serving (the other half of the ingest loop): query
     vectors drained as a real checkpointed stream are answered from
@@ -333,11 +375,12 @@ def test_streaming_ann_probe_serves_from_stored_index(spark, tmp_path):
         got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
     assert set(got) == {1, 2, 3, 4}
 
+    # the sink serves the PRUNED path by default (nprobe=2)
     queries = emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") < 5)).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
     want = {}
-    for r in pq_batch_probe_topk(spark, path, queries, 5).collect():
+    for r in pq_batch_probe_topk(spark, path, queries, 5, nprobe=2).collect():
         want.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
     assert {q: sorted(v) for q, v in got.items()} == {
         q: sorted(v) for q, v in want.items()
