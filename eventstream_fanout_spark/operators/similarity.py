@@ -233,28 +233,29 @@ def ivf_fit_centroids(
                 "cid",
                 F.coalesce(F.col("ce_new"), F.col("ce")).alias("ce"),
             )
-            # Materialize the k-row centroid set after each Lloyd
-            # iteration (same localCheckpoint pattern as dup_clusters):
-            # index BUILD is legitimately eager — in production the
-            # fitted quantizer persists as a broadcast artifact — and
-            # without this every downstream reference (next iteration's
-            # assignment, ivf_topk's assign + probes + guard) re-runs
-            # the whole corpus-scanning fit subtree: at sf0.1 the wall
-            # time is flat (codegen compile of the fused-cosine folds
-            # dominates, PERF.md), but at real scale each avoided
-            # re-fit is n_iters corpus-sample scans.  The "no eager
-            # actions in query construction" rule (PERF.md, the guard
-            # lesson) is about per-QUERY paths; a one-time fit is the
-            # exception it predicted.  Two caveats this implies
-            # (ADVICE r5): (a) merely CONSTRUCTING a plan on top of
-            # this fit runs n_iters Spark jobs — plan-only tooling
-            # should prefer the seed ivf_centroids; (b) localCheckpoint
-            # is session-scoped and lost on executor failure (the
-            # documented Spark trade-off vs reliable checkpoint) — on a
-            # cluster, persist the fitted (cid, ce) rows to a table
-            # (operators/ann_index.py stores exactly this artifact) and
-            # reload, rather than holding them in checkpointed memory.
-            .localCheckpoint(eager=True)
+            # Cache the k-row centroid set after each Lloyd iteration —
+            # LAZILY (ADVICE r5 / VERDICT r6 item 8: this was an eager
+            # localCheckpoint, which made merely CONSTRUCTING a plan on
+            # top of the fit run n_iters corpus-scanning Spark jobs, so
+            # plan-only tooling like dump_plans executed the full fit).
+            # persist() marks the k-row relation for caching without
+            # computing anything: fit-on-first-ACTION.  The first job
+            # that touches the fitted centroids materializes each
+            # iteration's InMemoryRelation once; every other reference
+            # (next iteration's assignment, ivf_topk's assign + probes
+            # + guard) reads the cache instead of re-running the
+            # corpus-sample scans — at real scale each avoided re-fit
+            # is n_iters corpus-sample scans.  Pinned by
+            # tests/test_similarity_quality.py: plan construction runs
+            # ZERO jobs; results are hash-identical (the fit is
+            # deterministic integer math, so WHEN it runs cannot change
+            # WHAT it returns).  Cluster caveat (unchanged from the
+            # localCheckpoint era): cached fits are session-scoped — on
+            # a real deployment persist the fitted (cid, ce) rows to a
+            # table (operators/ann_index.py's build_pq_index(centroids=
+            # ...) stores exactly this artifact) and reload, rather
+            # than holding them in executor memory.
+            .persist()
         )
     return cents
 

@@ -805,14 +805,15 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_FIT_ITERS = 2
 
 
-def _ivf_fitted_oracle(n_iters: int = _IVF_FIT_ITERS) -> str:
-    """DuckDB replay of ``ivf_fit_centroids`` + ``ivf_topk``: the Lloyd
-    iterations are integer-exact by design (quantized BIGINT sums, the
-    per-element mean cast through FLOAT exactly as the Spark side's
-    ``.cast("float")``), so the fitted index — not just the final
-    top-k — is reproduced bit-for-bit.  Generated programmatically:
-    one (assign, mean, fold) CTE round per iteration, then the same
-    probe/scan tail as the seed-centroid ``ann_ivf_topk`` oracle."""
+def _fitted_centroid_ctes(n_iters: int) -> tuple[list[str], int, str]:
+    """The shared CTE chain replaying ``ivf_fit_centroids``: returns
+    ``(ctes, fin, prev)`` where ``ctes`` covers flat/norms/corp and
+    the per-iteration (assign, mean, fold) rounds, ``asg{fin}`` is the
+    final corpus assignment under the fitted centroids, ``cn{fin}``
+    their norms, and ``prev`` names the final fitted-centroid flat
+    relation.  Used by the fitted IVF-Flat oracle AND the fitted
+    persisted-PQ-index oracle (round 7) — one replay of the Lloyd
+    machinery, two probe tails."""
     ctes = [
         _FLAT.strip(),
         "corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0)",
@@ -856,7 +857,7 @@ def _ivf_fitted_oracle(n_iters: int = _IVF_FIT_ITERS) -> str:
     )"""
         )
         if t > n_iters:
-            break  # round n_iters+1 is the final index assignment only
+            return ctes, t, prev
         ctes.append(
             f"""mn{t} AS (
       SELECT s.list_id AS cid, corp.i,
@@ -875,7 +876,19 @@ def _ivf_fitted_oracle(n_iters: int = _IVF_FIT_ITERS) -> str:
     )"""
         )
         prev = f"cf{t}"
-    fin = n_iters + 1
+    raise AssertionError("unreachable: loop always returns at fin")
+
+
+def _ivf_fitted_oracle(n_iters: int = _IVF_FIT_ITERS) -> str:
+    """DuckDB replay of ``ivf_fit_centroids`` + ``ivf_topk``: the Lloyd
+    iterations are integer-exact by design (quantized BIGINT sums, the
+    per-element mean cast through FLOAT exactly as the Spark side's
+    ``.cast("float")``), so the fitted index — not just the final
+    top-k — is reproduced bit-for-bit.  Generated programmatically:
+    one (assign, mean, fold) CTE round per iteration
+    (:func:`_fitted_centroid_ctes`), then the same probe/scan tail as
+    the seed-centroid ``ann_ivf_topk`` oracle."""
+    ctes, fin, prev = _fitted_centroid_ctes(n_iters)
     ctes.append(
         f"""qd AS (
       SELECT c.cid,
@@ -1484,6 +1497,100 @@ def _pq_persisted_oracle(probed: bool) -> str:
     """
 
 
+def _pq_persisted_fitted_oracle(n_iters: int = _IVF_FIT_ITERS) -> str:
+    """DuckDB replay of the FITTED persisted index (VERDICT r6 item 3):
+    the Lloyd chain (:func:`_fitted_centroid_ctes`) reproduces the
+    k-means coarse quantizer bit-for-bit, the PQ CTEs reproduce the
+    stored codes (seed codebook — the PQ sub-quantizer stays the
+    deterministic artifact), and the probe tail restricts the ADC scan
+    to the query's 2 nearest FITTED lists — exactly what
+    ``build_pq_index(centroids=ivf_fit_centroids(...))`` persisted and
+    ``pq_probe_topk(nprobe=2)`` scans."""
+    ctes, fin, prev = _fitted_centroid_ctes(n_iters)
+    ctes.append(
+        f"""psub AS (
+      SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
+      FROM flat
+    )"""
+    )
+    ctes.append(
+        """pcent AS (
+      SELECT vec_id AS cid, s, i, x FROM psub
+      WHERE vec_id BETWEEN 10 AND 17
+    )"""
+    )
+    ctes.append(
+        "pcorp AS (SELECT vec_id, s, i, x FROM psub WHERE vec_id <> 0)"
+    )
+    ctes.append(
+        f"""pdists AS (
+      SELECT pcorp.vec_id, pcorp.s, pcent.cid,
+             SUM(CAST(FLOOR((pcorp.x - pcent.x) * (pcorp.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorp JOIN pcent ON pcorp.i = pcent.i AND pcorp.s = pcent.s
+      GROUP BY 1, 2, 3
+    )"""
+    )
+    ctes.append(
+        """pcodes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM pdists
+      ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""qtable AS (
+      SELECT pcent.s, pcent.cid,
+             SUM(CAST(FLOOR((qf.x - pcent.x) * (qf.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS qd
+      FROM (SELECT s, i, x FROM psub WHERE vec_id = 0) qf
+      JOIN pcent ON pcent.i = qf.i AND pcent.s = qf.s
+      GROUP BY 1, 2
+    )"""
+    )
+    ctes.append(
+        """adc AS (
+      SELECT c.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+      FROM pcodes c JOIN qtable t ON t.s = c.s AND t.cid = c.code
+      GROUP BY c.vec_id
+    )"""
+    )
+    ctes.append(
+        f"""qd AS (
+      SELECT c.cid,
+             CAST(SUM(CAST(FLOOR(qf.x * c.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM flat qf JOIN {prev} c ON qf.i = c.i
+      WHERE qf.vec_id = 0
+      GROUP BY 1
+    )"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT q.cid FROM qd q
+      JOIN norms nq ON nq.vec_id = 0
+      JOIN cn{fin} cn ON cn.cid = q.cid
+      ORDER BY (q.dot / (sqrt(nq.n2) * sqrt(cn.n2))) DESC, q.cid ASC
+      LIMIT 2
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT a.vec_id, e.label, CAST(g.list_id AS BIGINT) AS list_id,
+           a.adc_dist
+    FROM adc a
+    JOIN asg{fin} g ON g.vec_id = a.vec_id
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    WHERE g.list_id IN (SELECT cid FROM probes)
+    ORDER BY a.adc_dist ASC, a.vec_id ASC
+    LIMIT 10
+    """
+
+
 _PQ_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1561,6 +1668,58 @@ def ann_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_pq_index(spark, sf_dir)
+    return _probe_with_labels(spark, sf_dir, path, nprobe=2)
+
+
+_PQ_FITTED_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ensure_fitted_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the FITTED persisted index once per (process, sf_dir):
+    Lloyd-fit the coarse quantizer over the corpus, persist codes +
+    codebook + fitted centroids, probe only the stored artifact — the
+    production shape end to end (fit -> persist -> probe)."""
+    path = _PQ_FITTED_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from ..operators.ann_index import build_pq_index
+        from ..operators.similarity import ivf_fit_centroids
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") != 0)
+        path = tempfile.mkdtemp(prefix="pq_index_fitted_")
+        build_pq_index(
+            spark,
+            emb,
+            path,
+            centroids=ivf_fit_centroids(corpus, n_iters=_IVF_FIT_ITERS),
+        )
+        _PQ_FITTED_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "ann_pq_persisted_fitted_topk",
+    _pq_persisted_fitted_oracle(),
+    description="the PRODUCTION index wiring end to end (VERDICT r6 "
+    "item 3, the last gap between the registered index and the real "
+    "one): a k-means-FITTED coarse quantizer (2 deterministic Lloyd "
+    "iterations, integer-exact means) is persisted INTO the index via "
+    "build_pq_index(centroids=...), the corpus is encoded and "
+    "IVF-assigned against the fitted artifact, and the probe "
+    "partition-prunes the stored codes to the query's 2 nearest "
+    "fitted lists — fit -> persist -> probe, all from stored tables, "
+    "no fit or encode subtree in the probe plan.  The oracle replays "
+    "the entire Lloyd fit + PQ encode + fitted assignment + coarse "
+    "ranking bit-for-bit, so the driver hash pins the fitted "
+    "artifact itself",
+    tags=("similarity", "ann", "pq", "ivf", "index", "extension"),
+)
+def ann_pq_persisted_fitted_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _ensure_fitted_pq_index(spark, sf_dir)
     return _probe_with_labels(spark, sf_dir, path, nprobe=2)
 
 

@@ -327,3 +327,34 @@ def test_semantic_diversity_sample_caps_every_cluster(spark):
         per.setdefault(r["list_id"], set()).add(r["vec_id"])
     assert set(per) == set(range(10, 18))
     assert all(len(v) <= 25 for v in per.values())
+
+
+def test_lloyd_fit_is_lazy_at_plan_construction(spark):
+    """VERDICT r6 item 8: constructing a plan over ivf_fit_centroids
+    must run NO fit jobs (the fit persist()s lazily; the old eager
+    localCheckpoint executed n_iters corpus scans during construction,
+    so plan-only tooling like dump_plans paid the full fit).  Only
+    parquet metadata reads are allowed in the construction window."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    sc = spark.sparkContext
+    group = "lazy-fit-construction"
+    sc.setJobGroup(group, "plan construction only")
+    try:
+        df = QUERIES["ann_ivf_fitted_topk"].fn(spark, SF_ORACLE)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    store = spark._jsc.sc().statusStore()
+    listed = store.jobsList(None)
+    names = {
+        listed.apply(i).jobId(): listed.apply(i).name()
+        for i in range(listed.size())
+    }
+    for j in jobs:
+        assert "parquet" in names.get(j, "parquet"), (
+            f"construction ran a non-metadata job: {names.get(j)}"
+        )
+    # and execution still returns the fitted top-10
+    assert len(df.collect()) == 10
