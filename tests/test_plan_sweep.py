@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "ann_pq_rerank_topk",  # broadcast 1-row query on the rerank side
     "hard_negative_mining",
     "embedding_near_pairs",  # sample-capped ground-truth verifier
+    "vector_dedup_recall_report",  # sample-capped exact-L2 truth side
     "corpus_clean_pipeline",  # chains the ANN scoring above
     "benchmark_decontamination",  # broadcast bench-probe set
     # scalar-subquery joins: the build side is a 1-row aggregate

@@ -358,3 +358,46 @@ def test_lloyd_fit_is_lazy_at_plan_construction(spark):
         )
     # and execution still returns the fitted top-10
     assert len(df.collect()) == 10
+
+
+def test_vector_dedup_multiprobe_widens_rejections(spark):
+    """The nprobe recall dial must be monotone: every cell-local
+    rejection survives at nprobe=2, and every nprobe=2 rejection at
+    nprobe=8 (all cells — the pure-ADC gate, no cell miss possible)."""
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.operators.ann_index import (
+        encode_pq_codes,
+        pq_codebook,
+    )
+    from eventstream_fanout_spark.operators.similarity import ivf_centroids
+    from eventstream_fanout_spark.plans.similarity_queries import (
+        VEC_DEDUP_THRESH,
+    )
+    from eventstream_fanout_spark.sources.tables import load_table
+    from eventstream_fanout_spark.streaming.vector_dedup import (
+        dedup_vector_batch,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    evens = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0))
+    odds = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    codebook = pq_codebook(emb)
+    centroids = ivf_centroids(emb)
+    store = encode_pq_codes(
+        evens.select("vec_id", "embedding"), codebook, centroids
+    )
+
+    def rejected(nprobe):
+        survivors, _ = dedup_vector_batch(
+            odds, store, codebook, centroids, VEC_DEDUP_THRESH, nprobe=nprobe
+        )
+        alive = {r["vec_id"] for r in survivors.select("vec_id").collect()}
+        return {
+            r["vec_id"] for r in odds.select("vec_id").collect()
+        } - alive
+
+    r1, r2, r8 = rejected(1), rejected(2), rejected(8)
+    assert r1 <= r2 <= r8
+    assert r1, "fixture produced no rejections at all"
