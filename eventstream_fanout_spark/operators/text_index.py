@@ -335,12 +335,40 @@ def bm25_topk_merged(
     postings = spark.read.parquet(f"{index_path}/postings").where(
         F.col("tok").isin(terms)
     )
-    # df from the term-filtered scan, with the per-(tok, doc) row
-    # uniqueness contract asserted on the same aggregate: count(*) must
-    # equal count_distinct(doc_id) per term or a doc's score rows are
-    # silently duplicated.  df is a grouped count (provably non-null),
-    # so the "+"-rider form is safe here (round-6 lesson #2).
-    vocab = (
+    vocab = _merged_vocab(postings)
+    stats_rows = spark.read.parquet(f"{index_path}/stats")
+    stats = _merged_stats(stats_rows.drop("batch_id"))
+    scored = (
+        postings.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", bm25_score_expr().alias("sc"), "batch_id")
+    )
+    guard = _generation_coverage_guard(
+        postings,
+        stats_rows,
+        fields=(
+            ("doc_id", "bigint"),
+            ("tok", "string"),
+            ("sc", "double"),
+            ("batch_id", "int"),
+        ),
+    )
+    return (
+        _topk_from_scored(scored.unionByName(guard))
+        .select("doc_id", "n_terms_matched", "bm25_score")
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _merged_vocab(postings: DataFrame) -> DataFrame:
+    """df per term from the term-filtered postings scan, with the
+    per-(tok, doc) row uniqueness contract asserted on the same
+    aggregate: count(*) must equal count_distinct(doc_id) per term or
+    a doc's score rows are silently duplicated.  df is a grouped count
+    (provably non-null), so the "+"-rider form is safe here (round-6
+    lesson #2)."""
+    return (
         postings.groupBy("tok")
         .agg(
             F.count_distinct(F.col("doc_id")).cast("bigint").alias("_df"),
@@ -372,25 +400,27 @@ def bm25_topk_merged(
             ).cast("bigint").alias("df"),
         )
     )
-    stats_rows = spark.read.parquet(f"{index_path}/stats")
-    stats = _merged_stats(stats_rows.drop("batch_id"))
-    scored = (
-        postings.join(F.broadcast(vocab), "tok")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "tok", bm25_score_expr().alias("sc"), "batch_id")
-    )
-    # generation-coverage guard: every batch_id in the scanned postings
-    # must have a stats row (0-row lazy union branch, the ivf_topk
-    # pattern; outputs cast FROM the assert column so the branch cannot
-    # constant-fold away — round-6 lesson #1).  Distinct-batch_id over
-    # the term-filtered scan is a partition-column-only aggregate.
+
+
+def _generation_coverage_guard(
+    postings: DataFrame,
+    stats_rows: DataFrame,
+    fields: tuple[tuple[str, str], ...],
+) -> DataFrame:
+    """0-row lazy union branch (the ivf_topk pattern; outputs cast
+    FROM the assert column so the branch cannot constant-fold away —
+    round-6 lesson #1): every batch_id in the scanned postings must
+    have a stats row, or the sink's crash window between its postings
+    and stats writes would silently score the crashed batch's docs
+    against a rollup that does not count them.  Distinct-batch_id over
+    the term-filtered scan is a partition-column-only aggregate."""
     missing = (
         postings.select("batch_id")
         .distinct()
         .join(stats_rows.select("batch_id"), "batch_id", "left_anti")
         .agg(F.count(F.lit(1)).cast("int").alias("_nm"))
     )
-    guard = (
+    return (
         missing.select(
             F.assert_true(
                 F.col("_nm") == 0,
@@ -407,15 +437,90 @@ def bm25_topk_merged(
         )
         .where(F.col("_a").isNotNull())
         .select(
-            F.col("_a").cast("bigint").alias("doc_id"),
-            F.col("_a").cast("string").alias("tok"),
-            F.col("_a").cast("double").alias("sc"),
-            F.col("_a").cast("int").alias("batch_id"),
+            *[F.col("_a").cast(t).alias(n) for n, t in fields]
         )
     )
+
+
+def bm25_batch_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    terms_literal: list[str] | None = None,
+) -> DataFrame:
+    """BM25 top-k for a BATCH of keyword queries ``(qid, terms
+    array<string>)`` in ONE pass over the term-filtered postings — the
+    text twin of the ANN batch probe (pq_batch_probe_topk): the union
+    of the batch's terms filters the postings scan once, the (qid,
+    tok) pairs form a small broadcast relation mapping matched rows
+    back to their queries, and a per-qid window takes each query's
+    top-k.  Serving cost is one term-filtered scan regardless of
+    batch size.
+
+    ``terms_literal`` is the union of all queries' terms as a Python
+    list, pushed into the parquet scan as an ``IN`` predicate.  When
+    None it is collected from ``queries`` first — a driver round-trip
+    the STREAMING sink (streaming/text_serve.py) pays once per
+    micro-batch, bounded by the batch's query-term vocabulary
+    (metadata-sized, the BPE-merge-artifact precedent), because a
+    dynamic relation cannot become a parquet pushed filter; batch
+    callers with static terms pass the literal and keep the plan
+    collect-free.  Same merge-on-read stats + fail-closed guards as
+    :func:`bm25_topk_merged`."""
+    from pyspark.sql import Window
+
+    if terms_literal is None:
+        terms_literal = sorted(
+            {
+                t
+                for r in queries.select(
+                    F.explode("terms").alias("tok")
+                ).distinct().collect()
+                for t in [r["tok"]]
+            }
+        )
+    qterms = queries.select(
+        "qid", F.explode("terms").alias("tok")
+    ).distinct()
+    postings = spark.read.parquet(f"{index_path}/postings").where(
+        F.col("tok").isin(terms_literal)
+    )
+    vocab = _merged_vocab(postings)
+    stats_rows = spark.read.parquet(f"{index_path}/stats")
+    stats = _merged_stats(stats_rows.drop("batch_id"))
+    scored = (
+        postings.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid", "doc_id", "tok", bm25_score_expr().alias("sc"), "batch_id"
+        )
+    )
+    guard = _generation_coverage_guard(
+        postings,
+        stats_rows,
+        fields=(
+            ("qid", "bigint"),
+            ("doc_id", "bigint"),
+            ("tok", "string"),
+            ("sc", "double"),
+            ("batch_id", "int"),
+        ),
+    )
+    agg = (
+        scored.unionByName(guard)
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            dsum(F.col("sc"), "bm25_score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("bm25_score"), F.asc("doc_id")
+    )
     return (
-        _topk_from_scored(scored.unionByName(guard))
-        .select("doc_id", "n_terms_matched", "bm25_score")
-        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
-        .limit(k)
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", "n_terms_matched", "bm25_score", "rank")
     )
