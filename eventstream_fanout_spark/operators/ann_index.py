@@ -126,6 +126,27 @@ def encode_pq_codes(
     return codes.join(assign, "vec_id").select("vec_id", "list_id", "codes")
 
 
+def build_pq_quantizer(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_path: str,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> None:
+    """Persist ONLY the quantizer artifacts (codebook + centroids) — a
+    fresh index with no corpus yet.  This is the starting state of a
+    dedup-gated ingest (streaming/vector_dedup.py treats a missing
+    codes table as an empty store): the first admitted batch founds
+    the codes store, and every vector that ever enters it has passed
+    the gate."""
+    if codebook is None:
+        codebook = pq_codebook(emb)
+    if centroids is None:
+        centroids = ivf_centroids(emb)
+    codebook.write.mode("overwrite").parquet(f"{index_path}/codebook")
+    centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
 def build_pq_index(
     spark: SparkSession,
     emb: DataFrame,
@@ -149,8 +170,9 @@ def build_pq_index(
         codebook = pq_codebook(emb)
     if centroids is None:
         centroids = ivf_centroids(emb)
-    codebook.write.mode("overwrite").parquet(f"{index_path}/codebook")
-    centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    build_pq_quantizer(
+        spark, emb, index_path, centroids=centroids, codebook=codebook
+    )
     if corpus is None:
         corpus = emb.where(F.col("vec_id") != 0)
     corpus = corpus.select("vec_id", "embedding")

@@ -24,8 +24,11 @@ dedup output lost, because it is BUILT from the dedup output).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from .corpus_dedup import _read_store_or_none, streaming_dedup_sink
 from .text_ingest import streaming_text_index_sink
+from .vector_dedup import streaming_vector_dedup_sink
 
 
 def curated_ingest_sink(
@@ -51,5 +54,65 @@ def curated_ingest_sink(
         if admitted is None:  # empty batch or everything rejected
             return
         index(admitted.select("doc_id", "text"), batch_id)
+
+    return process
+
+
+def curated_multimodal_ingest_sink(
+    store_path: str,
+    out_path: str,
+    text_index_path: str,
+    ann_index_path: str,
+    vec_out_path: str,
+    max_adc_dist: int,
+    min_jaccard: float | None = None,
+    nprobe: int = 1,
+):
+    """The FULL multimodal curated ingest (VERDICT r6 item 6): one
+    ``foreachBatch`` stages, for documents that carry embeddings
+    ``(doc_id, text, embedding)``,
+
+    1. TEXT dedup against the persistent signature store — admitted
+       rows (all three columns) land under ``out_path/batch_id=N``;
+    2. TEXT indexing of exactly the admitted partition (read back, no
+       recompute — postings/doclens/stats append batch-id-keyed);
+    3. VECTOR dedup of the admitted docs' embeddings against the
+       persisted ANN index (``vec_id = doc_id``) — embedding-level
+       survivors land in ``vec_out_path`` and
+    4. their codes APPEND to the ANN index in the same step (the
+       vector-dedup sink's own contract: the index IS the dedup
+       state).
+
+    The ANN index starts quantizer-only (``build_pq_quantizer``); its
+    codes store is FOUNDED by the first admitted batch, so every
+    vector in it has passed both gates.  Every write is keyed by the
+    batch's own partition and overwrites only itself, so a crash
+    between ANY of the six writes converges on replay (the
+    curated_ingest_sink analysis extends stage by stage: each stage is
+    built FROM its upstream stage's persisted output, never from
+    recomputation, so a later stage can never contain a doc an earlier
+    stage lost)."""
+    dedup = streaming_dedup_sink(store_path, out_path, min_jaccard)
+    index = streaming_text_index_sink(text_index_path)
+    vdedup = streaming_vector_dedup_sink(
+        ann_index_path, vec_out_path, max_adc_dist, nprobe
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        dedup(batch_df, batch_id)
+        admitted = _read_store_or_none(
+            batch_df.sparkSession,
+            f"{out_path}/batch_id={int(batch_id)}",
+            exclude_batch_id=None,
+        )
+        if admitted is None:  # empty batch or everything rejected
+            return
+        index(admitted.select("doc_id", "text"), batch_id)
+        vdedup(
+            admitted.select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            ),
+            batch_id,
+        )
 
     return process

@@ -41,8 +41,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.ann_index import encode_pq_codes, l2q, pq_subspaces
+from ..operators.ann_index import (
+    CODES_SCHEMA,
+    encode_pq_codes,
+    l2q,
+    pq_subspaces,
+)
 from .ann_ingest import _read_artifact_or_raise
+from .corpus_dedup import _read_store_or_none
 
 
 def _query_tables(batch: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -166,10 +172,20 @@ def streaming_vector_dedup_sink(
         centroids = _read_artifact_or_raise(
             spark, f"{index_path}/centroids", "IVF centroids"
         )
+        # the quantizer artifacts are REQUIRED (fail-closed above), but
+        # the CODES store may not exist yet: a quantizer-only index
+        # (build_pq_quantizer) is the legitimate starting state of a
+        # dedup-gated ingest — the first admitted batch founds it.
+        # _read_store_or_none distinguishes PATH_NOT_FOUND (empty
+        # store) from any other analysis failure (corrupt store —
+        # propagate, or the gate would silently admit duplicates).
+        raw = _read_store_or_none(
+            spark, f"{index_path}/codes", exclude_batch_id=int(batch_id)
+        )
         store = (
-            spark.read.parquet(f"{index_path}/codes")
-            .where(F.col("batch_id") != int(batch_id))
-            .select("vec_id", "list_id", "codes")
+            spark.createDataFrame([], CODES_SCHEMA)
+            if raw is None
+            else raw.select("vec_id", "list_id", "codes")
         )
         survivors, scodes = dedup_vector_batch(
             batch_df, store, codebook, centroids, max_adc_dist,

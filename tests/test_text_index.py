@@ -428,3 +428,91 @@ def test_streaming_bm25_probe_serves_from_stored_index(spark, tmp_path):
     n = answers.count()
     run()  # checkpointed restart: no new files, nothing reprocessed
     assert spark.read.parquet(out).count() == n
+
+
+def test_multimodal_curated_ingest_crash_replay_converges(spark, tmp_path):
+    """The four-stage multimodal ingest (text dedup -> text index ->
+    vector dedup -> ANN ingest) must converge when a crash strikes
+    between ANY of its per-batch writes and the batch is replayed:
+    every artifact is keyed by the batch's own partition, and each
+    stage rebuilds from its upstream stage's persisted output."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.operators.ann_index import (
+        build_pq_quantizer,
+    )
+    from eventstream_fanout_spark.plans.similarity_queries import (
+        VEC_DEDUP_THRESH,
+    )
+    from eventstream_fanout_spark.sources.tables import load_table
+    from eventstream_fanout_spark.streaming.curated_ingest import (
+        curated_multimodal_ingest_sink,
+    )
+
+    docs = _docs(spark)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    batch = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    tmp = str(tmp_path)
+    build_pq_quantizer(spark, emb, f"{tmp}/ann")
+    sink = curated_multimodal_ingest_sink(
+        f"{tmp}/store",
+        f"{tmp}/out",
+        f"{tmp}/tidx",
+        f"{tmp}/ann",
+        f"{tmp}/vec_out",
+        VEC_DEDUP_THRESH,
+    )
+    b0 = batch.where(F.col("doc_id") % 2 == 0)
+    b1 = batch.where(F.col("doc_id") % 2 == 1)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def state():
+        return {
+            "out": sorted(
+                (r["doc_id"], r["batch_id"])
+                for r in spark.read.parquet(f"{tmp}/out")
+                .select("doc_id", "batch_id")
+                .collect()
+            ),
+            "vec": sorted(
+                r["vec_id"]
+                for r in spark.read.parquet(f"{tmp}/vec_out").collect()
+            ),
+            "codes": sorted(
+                (r["vec_id"], r["list_id"])
+                for r in spark.read.parquet(f"{tmp}/ann/codes")
+                .select("vec_id", "list_id")
+                .collect()
+            ),
+            "postings": spark.read.parquet(f"{tmp}/tidx/postings").count(),
+            "stats": sorted(
+                (r["batch_id"], r["n_docs"], r["total_len"])
+                for r in spark.read.parquet(f"{tmp}/tidx/stats").collect()
+            ),
+        }
+
+    want = state()
+    assert any(b == 1 for _, b in want["out"]), "batch 1 admitted nothing"
+
+    # crash point A: batch 1 died after the text-index postings write —
+    # doclens/stats/vector artifacts for batch 1 never landed
+    for part in (
+        f"{tmp}/tidx/doclens/batch_id=1",
+        f"{tmp}/tidx/stats/batch_id=1",
+        f"{tmp}/vec_out/batch_id=1",
+        f"{tmp}/ann/codes/batch_id=1",
+    ):
+        shutil.rmtree(part)
+    sink(b1, 1)
+    assert state() == want
+
+    # crash point B: batch 1 died between the vector-survivor write and
+    # the codes append
+    shutil.rmtree(f"{tmp}/ann/codes/batch_id=1")
+    sink(b1, 1)
+    assert state() == want
