@@ -973,7 +973,7 @@ def weighted_systematic_sample(
 # to a prefilter: the FP rate is a checked output, not a hope.
 
 _BLOOM_M = 32768         # bits
-_BLOOM_WORD = 32         # bits per word -> 128 words
+_BLOOM_WORD = 32         # bits per word -> 1024 words
 _BLOOM_K = 3             # hash positions per key
 
 
@@ -1066,7 +1066,7 @@ def _bloom_test_sql(j: int) -> str:
     """,
     description="explicit deterministic Bloom prefilter for benchmark "
     "decontamination: the held-out set's 3-gram md5s set 3 positions "
-    "each in a 4096-bit bitmap (array of 32-bit words, bit_or-merged "
+    "each in a 32768-bit (4 KB) bitmap (array of 32-bit words, bit_or-merged "
     "— commutative, so order-independent), corpus shingles test all "
     "3 bits against the broadcast bitmap, and exact verification runs "
     "beside it — so the per-doc FALSE-POSITIVE count (and the "

@@ -40,91 +40,87 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- round-6 rotation (registry ROUND-6 plan + VERDICT r5 item 4).
-    # Slots 1-22: new/changed plans — the eighteen round-6 additions
-    # (persisted PQ index probe, IVF-PQ partition-pruned probe, batch
-    # probe, the two incremental index-ingest sims (ANN + text), the
-    # staged curated-ingest pipeline, hybrid RRF search, PNG resize,
-    # raw-video frame sampling, the Python-DataSource CDC connector,
-    # the BPE tokenizer-apply round, incremental vector dedup, the
-    # measured-FP Bloom decontamination prefilter, the explicit
-    # count-min sketch, positional phrase + proximity search,
-    # BM25
-    # over the persisted text index, the metrics-table profile) and
-    # the four whose physical plan gained a lazy contract guard this
-    # round (the three PQ queries' codebook guard; verified dedup's
-    # doc-level coverage + unique-id guard). ---
+    # --- round-7 rotation (registry ROUND-7 plan + VERDICT r6 item 5).
+    # Slots 1-11: new/changed plans — the four round-7 additions
+    # (fitted persisted-index probe, vector-dedup recall report, batch
+    # BM25 serving, the full multimodal curated ingest) and the seven
+    # whose physical plan changed this round (the BM25 probe family's
+    # document-ordered-postings redesign: bm25_keyword_search /
+    # text_index_ingest_sim / curated_ingest_pipeline /
+    # hybrid_search_rrf; the IVF-pruned batch ANN probe; the
+    # lazily-persisted Lloyd fit under ann_ivf_fitted_topk; the
+    # empty-store-tolerant vector-dedup sink under
+    # incremental_vector_dedup_sim). ---
+    "ann_pq_persisted_fitted_topk",
+    "vector_dedup_recall_report",
+    "bm25_batch_search",
+    "curated_multimodal_ingest",
     "bm25_keyword_search",
     "text_index_ingest_sim",
     "curated_ingest_pipeline",
     "hybrid_search_rrf",
-    "png_resize_nearest",
-    "video_frame_sample",
     "ann_pq_persisted_batch_topk",
-    "ann_pq_persisted_topk",
-    "ann_ivfpq_persisted_topk",
-    "ann_index_ingest_sim",
-    "stream_metrics_profile",
-    "cdc_custom_source_roundtrip",
-    "bpe_apply_tokenize",
+    "ann_ivf_fitted_topk",
     "incremental_vector_dedup_sim",
-    "bloom_decontamination_prefilter",
-    "cms_token_counts",
-    "phrase_search_positional",
-    "proximity_search_within_k",
-    "ann_pq_adc_topk",
-    "ann_pq_rerank_topk",
-    "ann_pq_recall_report",
-    "incremental_dedup_verified_sim",
-    # --- slots 23-46: the 24 queries whose only green row is ROUND 1
-    # (the oldest evidence in the ledger — map/datetime/string/frame
-    # functions, json_nested_roundtrip, rank/lag/sessionize, pivot/
-    # percentile/gap-fill/asof/cdc_apply_merge, the window family). ---
-    "asof_click_before_purchase",
-    "cdc_apply_merge",
-    "conditional_functions",
-    "conversion_funnel",
-    "cube_type_band",
-    "datetime_functions",
-    "explode_outer_rare_tokens",
-    "frame_functions",
-    "grouping_sets_explicit",
-    "json_nested_roundtrip",
-    "lag_lead_deltas",
-    "map_functions",
-    "math_functions",
-    "percentile_disc_manual",
-    "pivot_event_types",
-    "range_join_click_purchase_1h",
-    "rank_family",
-    "rolling_10m_user_count",
-    "session_window_native",
-    "sessionize_events",
-    "string_functions",
-    "topk_leaderboard_daily",
-    "window_sliding_10m_5m",
-    "window_tumbling_10m",
-    # --- remaining slots: the oldest 4 of the 40 round-3-only rows
-    # (alphabetical — the rest rotate in next round). ---
-    "ann_batch_topk",
-    "ann_lsh_bucket_topk",
-    "array_functions",
-    "cdc_parse_roundtrip",
+    # --- slots 12-47: the 36 queries whose only green row is ROUND 3
+    # (the oldest oracle-backed evidence in the ledger). ---
+    "dedup_exact",
+    "doc_fingerprint_winnow",
+    "dq_expectation_profile",
+    "dup_clusters",
+    "embedding_label_stats",
+    "embedding_near_pairs",
+    "gap_filled_hourly_counts",
+    "global_leaderboard_top10",
+    "higher_order_array_functions",
+    "hourly_distinct_users",
+    "lang_id_heuristic",
+    "minhash_signatures",
+    "multimodal_meta",
+    "pandas_udf_token_count",
+    "q11_important_balance",
+    "q12_shipping_delay_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "simhash_docs",
+    "stream_dedup_distinct",
+    "stream_enrich_availablenow",
+    "stream_interval_join",
+    "stream_leaderboard_complete",
+    "stream_window_counts_watermark",
+    "string_agg_top_users",
+    "text_quality_profile",
+    "token_count_regex",
+    "value_histogram",
+    # --- slots 48-49: the two rows-only-by-nature queries, whose last
+    # driver run (rows-only, no_oracle) is round 3 — refreshed on the
+    # same staleness rule as the oracle-backed rows. ---
+    "multimodal_decode_stub",
+    "stream_stateful_user_totals",
+    # --- slot 50: the alphabetically-first of the 48 round-4 rows
+    # (the rest rotate in next round). ---
+    "ann_recall_report",
 ]
 
-# ROUND-7 ROTATION PLAN: round 6 filled the window with its 21
-# new/changed plans + the 24 round-1-only greens + 5 of the oldest
-# round-3 rows.  Assuming CORRECTNESS_r06 lands green, the remaining
-# stale evidence, oldest first, is (a) the other ~35 round-3-only
-# rows (q2/q7-q9/q11-q13/q15-q17/q21/q22, simhash_docs, the stream_*
-# quartet, string_agg/text_quality/token_count/value_histogram,
-# multimodal_meta, pandas_udf_token_count, array/higher-order
-# functions, dedup_exact/doc_fingerprint/dup_clusters/
-# embedding_label_stats/embedding_near_pairs/gap_filled/
-# global_leaderboard, cdc_parse_roundtrip, the ann_batch/lsh pair)
-# and (b) the 48 round-4 rows — fill round 7's slots with any
-# new/changed queries first, then the round-3 leftovers, then the
-# oldest round-4 rows.
+# ROUND-8 ROTATION PLAN: round 7 filled the window with its 11
+# new/changed plans + all 36 remaining round-3-only greens + the two
+# rows-only round-3 checks + 1 round-4 row (ann_recall_report).
+# Assuming CORRECTNESS_r07 lands green, NO round-3 evidence remains;
+# the remaining stale evidence, oldest first, is the other 47 round-4
+# rows (approx_quantiles_value, arrow_doc_lengths,
+# bad_records_quarantine, benchmark_decontamination,
+# bitmap_distinct_users, boilerplate_block_removal, ... —
+# alphabetical), then the 45 round-5 rows.  Fill round 8's slots with
+# any new/changed queries first, then the round-4 leftovers
+# (alphabetical), then the oldest round-5 rows.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

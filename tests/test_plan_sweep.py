@@ -23,6 +23,9 @@ BNLJ_ALLOWED = {
     "ann_ivf_topk",
     "ann_ivf_fitted_topk",  # same 8-row centroid set, fitted by Lloyd
     "ann_ivfpq_persisted_topk",  # 1-row query x stored 8-row centroids
+    "ann_pq_persisted_fitted_topk",  # 1-row query x fitted 8-row centroids
+    "ann_pq_persisted_batch_topk",  # query batch x 8-row centroid ranking
+    "bm25_batch_search",  # 1-row corpus-stats side (n_docs, total_len)
     "ann_recall_report",  # composes the three ANN top-k plans above
     "ann_pq_recall_report",  # exact-L2 twin: broadcast 1-row query
     "ann_pq_rerank_topk",  # broadcast 1-row query on the rerank side
