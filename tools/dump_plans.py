@@ -77,9 +77,11 @@ PICKS = {
     "ann_ivfpq_persisted_topk": "round 6: IVF-PQ — the broadcast "
     "coarse-probe result dynamic-partition-prunes the codes scan on "
     "list_id (dynamicpruningexpression on the FileScan)",
-    "bm25_keyword_search": "round 6: BM25 over the persisted inverted "
-    "index — query terms reach the postings scan as a pushed IN "
-    "filter; the documents table is absent from the plan",
+    "bm25_keyword_search": "round 6/7: BM25 over the persisted "
+    "inverted index — query terms reach the postings scan as a pushed "
+    "IN filter; the documents table is absent from the plan, and "
+    "since round 7 so is every per-document relation (dl rides the "
+    "posting rows; stats is a per-generation rollup)",
     "proximity_search_within_k": "round 6: NEAR/3 via the bucketed "
     "range-join pattern — equi-join on (doc_id, position bucket) with "
     "the window filter on candidates only, no per-doc quadratic join",
@@ -89,6 +91,19 @@ PICKS = {
     "bloom_decontamination_prefilter": "round 6: explicit Bloom — "
     "1-row broadcast bitmap tested per shingle; exact verify joins "
     "beside it so the FP count is an output",
+    "ann_pq_persisted_batch_topk": "round 7: the IVF-PRUNED batch "
+    "probe — each query's coarse ranking yields broadcast (qid, list) "
+    "probe pairs that dynamic-partition-prune the ONE codes scan on "
+    "list_id (dynamicpruningexpression on the FileScan); serving cost "
+    "per batch is the touched lists' codes, not the corpus",
+    "ann_pq_persisted_fitted_topk": "round 7: fit -> persist -> probe "
+    "— the probe plan reads only the stored codes/codebook/centroids "
+    "tables (the centroids happen to be k-means-fitted artifacts); no "
+    "fit and no encode subtree at query time",
+    "bm25_batch_search": "round 7: batch BM25 serving — the union of "
+    "the batch's terms is ONE pushed IN filter on the single postings "
+    "scan; (qid, tok) mapping, merge-on-read df and folded stats all "
+    "ride as broadcasts; per-qid window top-k",
 }
 
 
