@@ -1,0 +1,102 @@
+"""Hybrid lexical+vector retrieval over the PERSISTED indexes — the
+batch/streaming completion of ``hybrid_search_rrf``
+(plans/pipeline_queries.py, single query, in-plan vector ranking).
+
+A hybrid query carries BOTH a term bag and an embedding:
+``(qid, terms array<string>, embedding array<float>)``.  Each
+micro-batch fuses
+
+* the BM25 top-``depth`` from the persisted inverted index — ONE
+  term-filtered postings scan for the whole batch
+  (operators/text_index.bm25_batch_topk), and
+* the ADC top-``depth`` from the persisted PQ/IVF index — ONE
+  partition-pruned codes scan for the whole batch
+  (operators/ann_index.pq_batch_probe_topk, nprobe coarse lists per
+  query),
+
+by reciprocal-rank fusion: ``sum(1/(rrf_k + rank))`` per (query, doc)
+— rank-only, so the two scorers' incomparable scales never mix, and
+pure rational arithmetic, so the fused ranking is hash-exact.
+
+Scale shape per batch: two index scans total (term-filtered + IVF-
+pruned), everything else broadcast-sized; cost independent of batch
+size beyond the broadcast relations.  The reference has no retrieval
+surface at all (its engine is reference pipeline/app.py:1-115); this
+is north-star extension surface (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RRF_K = 60        # the standard RRF damping constant
+HYBRID_DEPTH = 20  # candidates taken from each ranker
+
+
+def hybrid_batch_rrf(
+    spark: SparkSession,
+    text_index_path: str,
+    ann_index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    depth: int = HYBRID_DEPTH,
+    nprobe: int | None = 2,
+    terms_literal: list[str] | None = None,
+) -> DataFrame:
+    """Fused top-``k`` per query: ``(qid, doc_id, rank_text, rank_vec,
+    rrf_score, rank)``.  ``doc_id`` doubles as ``vec_id`` (the
+    multimodal corpus contract: doc i's embedding is vector i);
+    ``terms_literal``/``nprobe`` pass through to the two batch
+    probes."""
+    from pyspark.sql import Window
+
+    from .ann_index import pq_batch_probe_topk
+    from .text_index import bm25_batch_topk
+
+    brank = bm25_batch_topk(
+        spark,
+        text_index_path,
+        queries.select("qid", "terms"),
+        depth,
+        terms_literal=terms_literal,
+    ).select("qid", "doc_id", F.col("rank").alias("rank_text"))
+    vrank = pq_batch_probe_topk(
+        spark,
+        ann_index_path,
+        queries.select("qid", "embedding"),
+        depth,
+        nprobe=nprobe,
+    ).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("rank_vec"),
+    )
+    zero = F.lit(0.0).cast("double")
+    one = F.lit(1.0).cast("double")
+    fused = brank.join(vrank, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        "rank_text",
+        "rank_vec",
+        (
+            F.coalesce(
+                one / (F.lit(RRF_K) + F.col("rank_text")).cast("double"),
+                zero,
+            )
+            + F.coalesce(
+                one / (F.lit(RRF_K) + F.col("rank_vec")).cast("double"),
+                zero,
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid", "doc_id", "rank_text", "rank_vec", "rrf_score", "rank"
+        )
+    )

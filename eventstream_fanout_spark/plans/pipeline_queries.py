@@ -1200,3 +1200,244 @@ def curated_multimodal_ingest(
         "batch_id",
         F.coalesce(F.col("_v"), F.lit(0)).cast("int").alias("vec_ok"),
     )
+
+
+_HYBRID_BATCH = ((1, ("spark", "window")), (2, ("window", "join")),
+                 (3, ("spark", "join")))
+
+
+def _hybrid_batch_oracle() -> str:
+    """DuckDB replay of the fused batch: per-qid BM25 ranking (the
+    bm25_batch_search oracle), per-qid IVF-pruned ADC ranking (the
+    ann_pq_persisted_batch_topk oracle), RRF fusion — three proven
+    replay chains composed."""
+    from ..functions.core import sql_dsum
+    from ..functions.hashing import sql_tokens as _sqlt
+    from ..functions.vectors import QV
+    from ..operators.hybrid import HYBRID_DEPTH, RRF_K
+    from ..operators.text_index import sql_bm25_score_expr
+    from .similarity_queries import _PQ_SUBDIM
+
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _HYBRID_BATCH for t in terms
+    )
+    all_terms = sorted({t for _, terms in _HYBRID_BATCH for t in terms})
+    terms_sql = "(" + ", ".join(f"'{t}'" for t in all_terms) + ")"
+    qids_sql = "(" + ", ".join(str(q) for q, _ in _HYBRID_BATCH) + ")"
+    return f"""
+    WITH qterms AS (
+      SELECT CAST(qid AS BIGINT) AS qid, tok
+      FROM (VALUES {values}) v(qid, tok)
+    ),
+    occ AS (
+      SELECT doc_id, unnest({_sqlt('text')}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM occ GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM occ GROUP BY 1
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM occ GROUP BY 1
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_len
+    ),
+    bscored AS (
+      SELECT q.qid, t.doc_id, t.tok, {sql_bm25_score_expr()} AS sc
+      FROM tf t
+      JOIN qterms q ON q.tok = t.tok
+      JOIN vocab d ON d.tok = t.tok
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.tok IN {terms_sql}
+    ),
+    bdocs AS (
+      SELECT qid, doc_id, {sql_dsum('sc')} AS bm25
+      FROM bscored GROUP BY qid, doc_id
+    ),
+    brank AS (
+      SELECT qid, doc_id, rank_text FROM (
+        SELECT qid, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY qid
+                 ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank_text
+        FROM bdocs
+      ) WHERE rank_text <= {HYBRID_DEPTH}
+    ),
+    flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(FLOOR(x * x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS n2
+      FROM flat GROUP BY vec_id
+    ),
+    psub AS (
+      SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
+      FROM flat
+    ),
+    pcent AS (
+      SELECT vec_id AS cid, s, i, x FROM psub
+      WHERE vec_id BETWEEN 10 AND 17
+    ),
+    pcorp AS (SELECT vec_id, s, i, x FROM psub WHERE vec_id <> 0),
+    pdists AS (
+      SELECT pcorp.vec_id, pcorp.s, pcent.cid,
+             SUM(CAST(FLOOR((pcorp.x - pcent.x) * (pcorp.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorp JOIN pcent ON pcorp.i = pcent.i AND pcorp.s = pcent.s
+      GROUP BY 1, 2, 3
+    ),
+    pcodes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM pdists
+      ) WHERE rn = 1
+    ),
+    icent AS (SELECT vec_id AS cid, i, x FROM flat
+              WHERE vec_id BETWEEN 10 AND 17),
+    corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0),
+    adots AS (
+      SELECT corp.vec_id, icent.cid,
+             CAST(SUM(CAST(FLOOR(corp.x * icent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM corp JOIN icent ON corp.i = icent.i
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT a.vec_id, a.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY (a.dot / (sqrt(nv.n2) * sqrt(nc.n2))) DESC,
+                          a.cid ASC) AS rn
+        FROM adots a
+        JOIN norms nv ON nv.vec_id = a.vec_id
+        JOIN norms nc ON nc.vec_id = a.cid
+      ) WHERE rn = 1
+    ),
+    qdots AS (
+      SELECT qf.vec_id AS qid, icent.cid,
+             CAST(SUM(CAST(FLOOR(qf.x * icent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM flat qf JOIN icent ON qf.i = icent.i
+      WHERE qf.vec_id IN {qids_sql}
+      GROUP BY 1, 2
+    ),
+    qprobes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, q.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY (q.dot / (sqrt(nq.n2) * sqrt(nc.n2))) DESC,
+                          q.cid ASC) AS rn
+        FROM qdots q
+        JOIN norms nq ON nq.vec_id = q.qid
+        JOIN norms nc ON nc.vec_id = q.cid
+      ) WHERE rn <= 2
+    ),
+    qtables AS (
+      SELECT qf.vec_id AS qid, pcent.s, pcent.cid,
+             SUM(CAST(FLOOR((qf.x - pcent.x) * (qf.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS qd
+      FROM (SELECT vec_id, s, i, x FROM psub
+            WHERE vec_id IN {qids_sql}) qf
+      JOIN pcent ON pcent.i = qf.i AND pcent.s = qf.s
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT t.qid, c.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+      FROM pcodes c
+      JOIN assign g ON g.vec_id = c.vec_id
+      JOIN qtables t ON t.s = c.s AND t.cid = c.code
+      JOIN qprobes p ON p.qid = t.qid AND p.cid = g.list_id
+      WHERE c.vec_id <> t.qid
+      GROUP BY 1, 2
+    ),
+    vrank AS (
+      SELECT qid, doc_id, rank_vec FROM (
+        SELECT qid, vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY qid
+                 ORDER BY adc_dist ASC, vec_id ASC) AS INTEGER)
+                 AS rank_vec
+        FROM adc
+      ) WHERE rank_vec <= {HYBRID_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(b.qid, v.qid) AS qid,
+             COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             b.rank_text, v.rank_vec,
+             (COALESCE(CAST(1.0 AS DOUBLE)
+                       / CAST({RRF_K} + b.rank_text AS DOUBLE),
+                       CAST(0.0 AS DOUBLE))
+              + COALESCE(CAST(1.0 AS DOUBLE)
+                         / CAST({RRF_K} + v.rank_vec AS DOUBLE),
+                         CAST(0.0 AS DOUBLE))) AS rrf_score
+      FROM brank b
+      FULL OUTER JOIN vrank v
+        ON v.qid = b.qid AND v.doc_id = b.doc_id
+    )
+    SELECT qid, doc_id, rank_text, rank_vec, rrf_score, rank FROM (
+      SELECT qid, doc_id, rank_text, rank_vec, rrf_score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "hybrid_batch_search_rrf",
+    _hybrid_batch_oracle(),
+    description="BATCH hybrid retrieval over BOTH persisted indexes "
+    "(the serving-stack completion of hybrid_search_rrf): 3 queries, "
+    "each carrying a term bag AND an embedding, answered by ONE "
+    "term-filtered postings scan (BM25 top-20 per qid, pushed IN "
+    "predicate) + ONE IVF-pruned codes scan (ADC top-20 per qid, "
+    "nprobe=2 dynamic partition pruning), fused per (qid, doc) by "
+    "reciprocal-rank sums 1/(60+rank) — rank-only, pure rational "
+    "arithmetic, hash-exact.  The same operator "
+    "(operators/hybrid.hybrid_batch_rrf) is the engine of the "
+    "streaming hybrid serving sink (streaming/hybrid_serve.py, "
+    "pytest-pinned).  The oracle composes the three proven replay "
+    "chains: per-qid BM25, per-qid coarse ranking + pruned ADC, RRF",
+    tags=("pipeline", "search", "similarity", "ann", "bm25", "index",
+          "batch", "extension"),
+)
+def hybrid_batch_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hybrid import hybrid_batch_rrf
+    from .similarity_queries import _ensure_pq_index
+    from .text_queries import _ensure_text_index
+
+    tpath = _ensure_text_index(spark, sf_dir)
+    apath = _ensure_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdefs = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _HYBRID_BATCH],
+        "qid long, terms array<string>",
+    )
+    queries = qdefs.join(
+        emb.select(F.col("vec_id").alias("qid"), "embedding"), "qid"
+    )
+    all_terms = sorted({t for _, terms in _HYBRID_BATCH for t in terms})
+    return hybrid_batch_rrf(
+        spark,
+        tpath,
+        apath,
+        queries,
+        k=10,
+        nprobe=2,
+        terms_literal=all_terms,
+    )

@@ -558,3 +558,104 @@ def test_streaming_vector_dedup_rejects_near_dups_and_replays(
     assert spark.read.parquet(f"{idx}/codes").count() == (
         n_codes_0 + len(accepted)
     )
+
+
+def test_streaming_hybrid_probe_fuses_both_indexes(spark, tmp_path):
+    """Streaming hybrid serving: (terms + embedding) queries drained
+    as a real checkpointed stream are answered by RRF fusion over the
+    persisted text AND ANN indexes per micro-batch; answers match the
+    batch operator, and restart reprocesses nothing."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from eventstream_fanout_spark.operators.hybrid import hybrid_batch_rrf
+    from eventstream_fanout_spark.operators.text_index import (
+        build_text_index,
+    )
+    from eventstream_fanout_spark.sources.tables import load_table
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        start_fanout,
+    )
+    from eventstream_fanout_spark.streaming.hybrid_serve import (
+        streaming_hybrid_probe_sink,
+    )
+
+    emb = _emb(spark)
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text"
+    )
+    apath = str(tmp_path / "ann_idx")
+    tpath = str(tmp_path / "text_idx")
+    build_pq_index(spark, emb, apath)
+    build_text_index(spark, docs, tpath)
+
+    evec = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(F.col("vec_id").isin(1, 2, 3)).collect()
+    }
+    batches = [
+        [
+            Row(qid=1, terms=["spark", "window"], embedding=evec[1]),
+            Row(qid=2, terms=["join"], embedding=evec[2]),
+        ],
+        [Row(qid=3, terms=["window", "join"], embedding=evec[3])],
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("terms", T.ArrayType(T.StringType())),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    src = str(tmp_path / "q_src")
+    os.makedirs(src)
+    for tag, rows in zip("ab", batches):
+        spark.createDataFrame(rows, schema).toPandas().to_json(
+            f"{src}/{tag}.jsonl", orient="records", lines=True
+        )
+    out = str(tmp_path / "answers")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_fanout(
+            stream,
+            [
+                FanoutSink(
+                    "hybrid",
+                    streaming_hybrid_probe_sink(tpath, apath, out),
+                )
+            ],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            query_name="hybrid-probe-stream",
+        )
+        q.awaitTermination(300)
+
+    run()
+    answers = spark.read.parquet(out)
+    got = {}
+    for r in answers.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    assert set(got) == {1, 2, 3}
+
+    queries = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = {}
+    for r in hybrid_batch_rrf(
+        spark, tpath, apath, queries, k=5, nprobe=2
+    ).collect():
+        want.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    assert {q: sorted(v) for q, v in got.items()} == {
+        q: sorted(v) for q, v in want.items()
+    }
+
+    n = answers.count()
+    run()
+    assert spark.read.parquet(out).count() == n

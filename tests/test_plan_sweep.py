@@ -26,6 +26,7 @@ BNLJ_ALLOWED = {
     "ann_pq_persisted_fitted_topk",  # 1-row query x fitted 8-row centroids
     "ann_pq_persisted_batch_topk",  # query batch x 8-row centroid ranking
     "bm25_batch_search",  # 1-row corpus-stats side (n_docs, total_len)
+    "hybrid_batch_search_rrf",  # 1-row stats + 8-row centroid sides
     "ann_recall_report",  # composes the three ANN top-k plans above
     "ann_pq_recall_report",  # exact-L2 twin: broadcast 1-row query
     "ann_pq_rerank_topk",  # broadcast 1-row query on the rerank side
