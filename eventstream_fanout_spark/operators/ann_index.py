@@ -86,6 +86,76 @@ def pq_codebook(emb: DataFrame) -> DataFrame:
     ).select(F.col("vec_id").alias("cid"), "s", F.col("sub").alias("ce"))
 
 
+def pq_fit_codebook(corpus: DataFrame, n_iters: int = 1) -> DataFrame:
+    """Fitted PQ sub-quantizer: per-subspace Lloyd k-means over the
+    corpus slices, initialized from the seed codebook — the PQ twin of
+    ``similarity.ivf_fit_centroids`` (same quantized-integer means,
+    same lazy persist-per-iteration, same (cid, s, ce) output shape,
+    so ``build_pq_index(codebook=...)`` persists it unchanged).  With
+    this plus the fitted coarse centroids, BOTH quantizer artifacts of
+    the production index are k-means products.
+
+    Scale shape per iteration: broadcast the 64-row codebook, one
+    corpus-slice scan to assign (pure map + argmin agg), element-wise
+    means via posexplode → (s, cid, pos) partial-agg — 8*8*8 aggregate
+    rows total.  Deterministic: fixed init, fixed iteration count,
+    integer-exact means (the dsum lesson), no RNG — the DuckDB oracle
+    replays the fit bit-for-bit."""
+    cb = pq_codebook(corpus)
+    sub = pq_subspaces(corpus)
+    for _ in range(n_iters):
+        scored = sub.join(F.broadcast(cb), "s").select(
+            "vec_id", "s", "cid", l2q(F.col("sub"), F.col("ce")).alias("d")
+        )
+        assign = (
+            scored.groupBy("vec_id", "s")
+            .agg(
+                F.max(
+                    F.struct(
+                        (-F.col("d")).alias("nd"),
+                        (-F.col("cid")).alias("ncid"),
+                    )
+                ).alias("m")
+            )
+            .select("vec_id", "s", (-F.col("m.ncid")).alias("cid"))
+        )
+        members = sub.join(assign, ["vec_id", "s"]).select(
+            "s", "cid", F.posexplode(F.col("sub")).alias("pos", "x")
+        )
+        means = members.groupBy("s", "cid", "pos").agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("x").cast("double") * F.lit(1e9) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e9)
+            ).alias("v")
+        )
+        fitted = means.groupBy("s", "cid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("v")))
+                ),
+                lambda st: st.getField("v").cast("float"),
+            ).alias("ce_new")
+        )
+        cb = (
+            cb.join(fitted, ["s", "cid"], "left")
+            .select(
+                "cid",
+                "s",
+                F.coalesce(F.col("ce_new"), F.col("ce")).alias("ce"),
+            )
+            # lazy cache per iteration — fit-on-first-action, the
+            # ivf_fit_centroids round-7 contract (plan construction
+            # runs zero jobs; each iteration materializes once)
+            .persist()
+        )
+    return cb
+
+
 def encode_pq_codes(
     vectors: DataFrame, codebook: DataFrame, centroids: DataFrame
 ) -> DataFrame:

@@ -52,6 +52,7 @@ FRONT: list[str] = [
     # empty-store-tolerant vector-dedup sink under
     # incremental_vector_dedup_sim). ---
     "ann_pq_persisted_fitted_topk",
+    "ann_pq_fitted_codebook_topk",
     "vector_dedup_recall_report",
     "bm25_batch_search",
     "hybrid_batch_search_rrf",
@@ -101,23 +102,24 @@ FRONT: list[str] = [
     "text_quality_profile",
     "token_count_regex",
     "value_histogram",
-    # --- slots 49-50: the two rows-only-by-nature queries, whose last
-    # driver run (rows-only, no_oracle) is round 3 — refreshed on the
-    # same staleness rule as the oracle-backed rows. ---
+    # --- slot 50: the older of the two rows-only-by-nature queries
+    # (last driver run round 3, rows-only/no_oracle) — refreshed on
+    # the same staleness rule as the oracle-backed rows. ---
     "multimodal_decode_stub",
-    "stream_stateful_user_totals",
 ]
 
-# ROUND-8 ROTATION PLAN: round 7 filled the window with its 12
-# new/changed plans + all 36 remaining round-3-only greens + the two
-# rows-only round-3 checks.  Assuming CORRECTNESS_r07 lands green, NO
-# round-3 evidence remains; the remaining stale evidence, oldest
-# first, is the 48 round-4 rows (ann_recall_report,
+# ROUND-8 ROTATION PLAN: round 7 filled the window with its 13
+# new/changed plans + all 36 remaining round-3-only oracle-backed
+# greens + 1 of the two rows-only round-3 checks.  Assuming
+# CORRECTNESS_r07 lands green, the remaining stale evidence, oldest
+# first, is stream_stateful_user_totals (rows-only, round 3 — first
+# slot next round), then the 48 round-4 rows (ann_recall_report,
 # approx_quantiles_value, arrow_doc_lengths, bad_records_quarantine,
 # benchmark_decontamination, bitmap_distinct_users,
 # boilerplate_block_removal, ... — alphabetical), then the 45 round-5
 # rows.  Fill round 8's slots with any new/changed queries first,
-# then the round-4 rows (alphabetical), then the oldest round-5 rows.
+# then that rows-only row, then the round-4 rows (alphabetical), then
+# the oldest round-5 rows.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

@@ -2265,3 +2265,153 @@ def vector_dedup_recall_report(
         .unionByName(counts("all_cells_adc", 8))
         .orderBy("method")
     )
+
+
+def _pq_fitted_codebook_oracle() -> str:
+    """DuckDB replay of the FITTED-PQ-codebook persisted index: one
+    per-subspace Lloyd round (seed init, quantized FLOAT means — the
+    ivf_fit_centroids arithmetic on (s, cid) keys), then encode + ADC
+    against the fitted codebook and the seed IVF assignment — exactly
+    what ``build_pq_index(codebook=pq_fit_codebook(...))`` stores and
+    ``pq_probe_topk`` scans."""
+    return f"""
+    WITH {_FLAT},
+    psub AS (
+      SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
+      FROM flat
+    ),
+    pcorp AS (SELECT vec_id, s, i, x FROM psub WHERE vec_id <> 0),
+    cbf0 AS (
+      SELECT vec_id AS cid, s, i, x FROM psub
+      WHERE vec_id BETWEEN 10 AND 17
+    ),
+    fd1 AS (
+      SELECT pc.vec_id, pc.s, cb.cid,
+             SUM(CAST(FLOOR((pc.x - cb.x) * (pc.x - cb.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorp pc JOIN cbf0 cb ON pc.i = cb.i AND pc.s = cb.s
+      GROUP BY 1, 2, 3
+    ),
+    fa1 AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM fd1
+      ) WHERE rn = 1
+    ),
+    fm1 AS (
+      SELECT a.cid, pc.s, pc.i,
+             CAST(CAST(
+               (CAST(SUM(CAST(FLOOR(pc.x * {QV!r} + 0.5) AS BIGINT))
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / {QV!r}
+               AS FLOAT) AS DOUBLE) AS x
+      FROM pcorp pc
+      JOIN fa1 a ON a.vec_id = pc.vec_id AND a.s = pc.s
+      GROUP BY 1, 2, 3
+    ),
+    cbf1 AS (
+      SELECT p.cid, p.s, p.i, COALESCE(m.x, p.x) AS x
+      FROM cbf0 p
+      LEFT JOIN fm1 m ON m.cid = p.cid AND m.s = p.s AND m.i = p.i
+    ),
+    pdists AS (
+      SELECT pcorp.vec_id, pcorp.s, cb.cid,
+             SUM(CAST(FLOOR((pcorp.x - cb.x) * (pcorp.x - cb.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorp JOIN cbf1 cb ON pcorp.i = cb.i AND pcorp.s = cb.s
+      GROUP BY 1, 2, 3
+    ),
+    pcodes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM pdists
+      ) WHERE rn = 1
+    ),
+    qtable AS (
+      SELECT cb.s, cb.cid,
+             SUM(CAST(FLOOR((qf.x - cb.x) * (qf.x - cb.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS qd
+      FROM (SELECT s, i, x FROM psub WHERE vec_id = 0) qf
+      JOIN cbf1 cb ON cb.i = qf.i AND cb.s = qf.s
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT c.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+      FROM pcodes c JOIN qtable t ON t.s = c.s AND t.cid = c.code
+      GROUP BY c.vec_id
+    ),
+    icent AS (SELECT vec_id AS cid, i, x FROM flat
+              WHERE vec_id BETWEEN 10 AND 17),
+    corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0),
+    adots AS (
+      SELECT corp.vec_id, icent.cid,
+             CAST(SUM(CAST(FLOOR(corp.x * icent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM corp JOIN icent ON corp.i = icent.i
+      GROUP BY 1, 2
+    ),
+    acos AS (
+      SELECT a.vec_id, a.cid,
+             (a.dot / (sqrt(nv.n2) * sqrt(nc.n2))) AS ccos
+      FROM adots a
+      JOIN norms nv ON nv.vec_id = a.vec_id
+      JOIN norms nc ON nc.vec_id = a.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM acos
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, e.label, CAST(g.list_id AS BIGINT) AS list_id,
+           a.adc_dist
+    FROM adc a
+    JOIN assign g ON g.vec_id = a.vec_id
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    ORDER BY a.adc_dist ASC, a.vec_id ASC
+    LIMIT 10
+    """
+
+
+_PQ_CB_FITTED_INDEX_CACHE: dict[str, str] = {}
+
+
+@register(
+    "ann_pq_fitted_codebook_topk",
+    _pq_fitted_codebook_oracle(),
+    description="the OTHER half of the fitted production index: the PQ "
+    "sub-quantizer itself is k-means-fitted (one per-subspace Lloyd "
+    "round from the seed init, integer-exact means — "
+    "operators/ann_index.pq_fit_codebook, the PQ twin of "
+    "ivf_fit_centroids with the same lazy fit-on-first-action "
+    "contract), persisted via build_pq_index(codebook=...), and the "
+    "full-ADC probe scans only the stored artifact.  With "
+    "ann_pq_persisted_fitted_topk (fitted coarse centroids) this "
+    "makes BOTH quantizer artifacts k-means products, each "
+    "hash-pinned: the oracle replays the per-subspace fit, the "
+    "re-encode under the fitted codebook, and the ADC scan "
+    "bit-for-bit",
+    tags=("similarity", "ann", "pq", "index", "extension"),
+)
+def ann_pq_fitted_codebook_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _PQ_CB_FITTED_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from ..operators.ann_index import build_pq_index, pq_fit_codebook
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") != 0)
+        path = tempfile.mkdtemp(prefix="pq_index_fitted_cb_")
+        build_pq_index(
+            spark, emb, path, codebook=pq_fit_codebook(corpus, n_iters=1)
+        )
+        _PQ_CB_FITTED_INDEX_CACHE[sf_dir] = path
+    return _probe_with_labels(spark, sf_dir, path, nprobe=None)

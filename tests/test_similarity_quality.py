@@ -401,3 +401,41 @@ def test_vector_dedup_multiprobe_widens_rejections(spark):
     r1, r2, r8 = rejected(1), rejected(2), rejected(8)
     assert r1 <= r2 <= r8
     assert r1, "fixture produced no rejections at all"
+
+
+def test_pq_fitted_codebook_reduces_quantization_error(spark):
+    """One per-subspace Lloyd round must not worsen total quantization
+    distortion (sum over (vector, subspace) of the min squared
+    distance to the codebook) — the k-means descent property, on the
+    same exact-BIGINT distances the index stores."""
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.operators.ann_index import (
+        l2q,
+        pq_codebook,
+        pq_fit_codebook,
+        pq_subspaces,
+    )
+    from eventstream_fanout_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    sub = pq_subspaces(corpus)
+
+    def distortion(cb):
+        return (
+            sub.join(F.broadcast(cb), "s")
+            .select(
+                "vec_id", "s", l2q(F.col("sub"), F.col("ce")).alias("d")
+            )
+            .groupBy("vec_id", "s")
+            .agg(F.min("d").alias("md"))
+            .agg(F.sum("md").alias("t"))
+            .collect()[0]["t"]
+        )
+
+    seed = distortion(pq_codebook(corpus))
+    fitted = distortion(pq_fit_codebook(corpus, n_iters=1))
+    assert fitted <= seed, (fitted, seed)
+    assert fitted < seed, "fit changed nothing — suspicious fixture"
