@@ -158,6 +158,15 @@ HEADLINE = [
     "cms_token_counts",
     "phrase_search_positional",
     "proximity_search_within_k",
+    # round 7 additions: fitted persisted indexes (both quantizers),
+    # the batch serving probes (BM25 / hybrid RRF), the vector-dedup
+    # recall report, and the full multimodal curated ingest
+    "ann_pq_persisted_fitted_topk",
+    "ann_pq_fitted_codebook_topk",
+    "bm25_batch_search",
+    "hybrid_batch_search_rrf",
+    "vector_dedup_recall_report",
+    "curated_multimodal_ingest",
 ]
 
 
