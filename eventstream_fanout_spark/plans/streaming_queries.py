@@ -284,10 +284,22 @@ def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_user_totals",
-    None,  # custom state-store operator; checked by equivalence in pytest
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           (CAST(SUM(CAST(FLOOR(
+              (CASE WHEN value IS NULL OR isnan(value)
+                    THEN 0.0 ELSE value END) * 1000000000.0 + 0.5)
+              AS BIGINT)) AS DOUBLE) / 1000000000.0) AS total_value
+    FROM events GROUP BY user_id
+    """,
     description="custom stateful operator: applyInPandasWithState running "
     "per-user totals (state-store-backed version of the reference's Redis "
-    "INCRBY counters); rows-only here, batch-equivalence pinned in tests",
+    "INCRBY counters), driven as a REAL update-mode stream inside the "
+    "query; latest emission per user = final totals.  Round 7 upgraded "
+    "this from rows-only to hash-checked: the state accumulates exact "
+    "nano-quantized BIGINTs (order-independent across any micro-batch "
+    "split — the stateful_v2 contract back-ported), so the streamed "
+    "totals equal the SQL oracle bit-for-bit",
     tags=("streaming", "stateful", "applyInPandasWithState"),
 )
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
