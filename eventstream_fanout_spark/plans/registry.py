@@ -57,6 +57,7 @@ FRONT: list[str] = [
     "bm25_batch_search",
     "hybrid_batch_search_rrf",
     "curated_multimodal_ingest",
+    "stream_stateful_user_totals",
     "bm25_keyword_search",
     "text_index_ingest_sim",
     "curated_ingest_pipeline",
@@ -102,24 +103,21 @@ FRONT: list[str] = [
     "text_quality_profile",
     "token_count_regex",
     "value_histogram",
-    # --- slot 50: the older of the two rows-only-by-nature queries
-    # (last driver run round 3, rows-only/no_oracle) — refreshed on
-    # the same staleness rule as the oracle-backed rows. ---
-    "multimodal_decode_stub",
 ]
 
-# ROUND-8 ROTATION PLAN: round 7 filled the window with its 13
-# new/changed plans + all 36 remaining round-3-only oracle-backed
-# greens + 1 of the two rows-only round-3 checks.  Assuming
+# ROUND-8 ROTATION PLAN: round 7 filled the window with its 14
+# new/changed plans (incl. stream_stateful_user_totals, upgraded from
+# rows-only to oracle-backed with a changed state contract) + all 36
+# remaining round-3-only oracle-backed greens.  Assuming
 # CORRECTNESS_r07 lands green, the remaining stale evidence, oldest
-# first, is stream_stateful_user_totals (rows-only, round 3 — first
-# slot next round), then the 48 round-4 rows (ann_recall_report,
-# approx_quantiles_value, arrow_doc_lengths, bad_records_quarantine,
-# benchmark_decontamination, bitmap_distinct_users,
-# boilerplate_block_removal, ... — alphabetical), then the 45 round-5
-# rows.  Fill round 8's slots with any new/changed queries first,
-# then that rows-only row, then the round-4 rows (alphabetical), then
-# the oldest round-5 rows.
+# first, is multimodal_decode_stub (rows-only by nature, last run
+# round 3 — first slot next round), then the 48 round-4 rows
+# (ann_recall_report, approx_quantiles_value, arrow_doc_lengths,
+# bad_records_quarantine, benchmark_decontamination,
+# bitmap_distinct_users, boilerplate_block_removal, ... —
+# alphabetical), then the 45 round-5 rows.  Fill round 8's slots with
+# any new/changed queries first, then that rows-only row, then the
+# round-4 rows (alphabetical), then the oldest round-5 rows.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:
