@@ -1394,7 +1394,9 @@ def semantic_cluster_diversity_sample(
 # --- persisted PQ/IVF ANN index (round 6: build once, probe many) -----
 
 
-def _pq_persisted_oracle(probed: bool) -> str:
+def _pq_persisted_oracle(
+    probed: bool, corpus_pred: str = "vec_id <> 0"
+) -> str:
     """DuckDB replay of the persisted index probe: PQ encode (what
     build_pq_index stored) + IVF assignment (the stored list_id) + ADC
     against the stored codes — optionally restricted to the query's 2
@@ -1432,7 +1434,7 @@ def _pq_persisted_oracle(probed: bool) -> str:
       SELECT vec_id AS cid, s, i, x FROM psub
       WHERE vec_id BETWEEN 10 AND 17
     ),
-    pcorp AS (SELECT vec_id, s, i, x FROM psub WHERE vec_id <> 0),
+    pcorp AS (SELECT vec_id, s, i, x FROM psub WHERE {corpus_pred}),
     pdists AS (
       SELECT pcorp.vec_id, pcorp.s, pcent.cid,
              SUM(CAST(FLOOR((pcorp.x - pcent.x) * (pcorp.x - pcent.x)
@@ -1463,7 +1465,7 @@ def _pq_persisted_oracle(probed: bool) -> str:
     ),
     icent AS (SELECT vec_id AS cid, i, x FROM flat
               WHERE vec_id BETWEEN 10 AND 17),
-    corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0),
+    corp AS (SELECT vec_id, i, x FROM flat WHERE {corpus_pred}),
     adots AS (
       SELECT corp.vec_id, icent.cid,
              CAST(SUM(CAST(FLOOR(corp.x * icent.x * {QV!r} + 0.5)
@@ -1721,6 +1723,43 @@ def ann_pq_persisted_fitted_topk(
 ) -> DataFrame:
     path = _ensure_fitted_pq_index(spark, sf_dir)
     return _probe_with_labels(spark, sf_dir, path, nprobe=2)
+
+
+@register(
+    "ann_index_delete_sim",
+    _pq_persisted_oracle(
+        probed=False, corpus_pred="vec_id <> 0 AND vec_id % 2 = 0"
+    ),
+    description="right-to-erasure on the persisted ANN index "
+    "(streaming/ann_ingest.delete_vectors, the text delete_docs "
+    "twin): the index is built over ALL vectors, the odd vec_ids are "
+    "erased — only the (generation, list) partitions containing them "
+    "rewrite, emptied partitions removed outright, quantizer "
+    "artifacts untouched — and the full-ADC probe must equal an index "
+    "that never contained them (the oracle replays encode + "
+    "assignment + ADC over the surviving evens only).  No stats "
+    "rebuild is needed on this side: ADC scoring carries no corpus "
+    "statistics",
+    tags=("similarity", "ann", "pq", "index", "maintenance",
+          "extension"),
+)
+def ann_index_delete_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import build_pq_index
+    from ..streaming.ann_ingest import delete_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_del_")
+    build_pq_index(spark, emb, path)
+    odd_ids = [
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") % 2 == 1)
+        .select("vec_id")
+        .collect()
+    ]
+    delete_vectors(spark, path, odd_ids)
+    return _probe_with_labels(spark, sf_dir, path, nprobe=None)
 
 
 @register(

@@ -1034,13 +1034,16 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(docs_pred: str = "TRUE") -> str:
+    """``docs_pred`` restricts the corpus (the delete-sim oracle probes
+    the index AFTER erasure, so the replay scores only survivors)."""
     from ..operators.text_index import sql_bm25_score_expr
 
     terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
     return f"""
     WITH occ AS (
       SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+      WHERE {docs_pred}
     ),
     tf AS (
       SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1054,7 +1057,8 @@ def _bm25_oracle() -> str:
       FROM occ GROUP BY 1
     ),
     stats AS (
-      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+              WHERE {docs_pred}) AS n_docs,
              (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_len
     ),
     scored AS (
@@ -1128,6 +1132,41 @@ def text_index_ingest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
     sink = streaming_text_index_sink(path)
     sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    return bm25_topk_merged(spark, path, list(_BM25_TERMS), 10)
+
+
+@register(
+    "text_index_delete_sim",
+    _bm25_oracle("doc_id % 2 = 0"),
+    description="right-to-erasure on the persisted inverted index "
+    "(streaming/text_ingest.delete_docs — the delete+re-send update "
+    "path the ingest sink's uniqueness contract points to): the index "
+    "is built over ALL docs, the odd doc_ids are erased — only the "
+    "generations containing them rewrite (emptied partitions removed "
+    "outright), vocab and the per-generation stats rollup rebuilt from "
+    "survivors — and the merge-on-read BM25 probe must equal an index "
+    "that never contained them.  The oracle replays BM25 over the "
+    "surviving (even) docs only, so the hash proves the erasure left "
+    "no trace in postings, df, n_docs or avgdl",
+    tags=("text", "search", "bm25", "index", "maintenance",
+          "extension"),
+)
+def text_index_delete_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import bm25_topk_merged, build_text_index
+    from ..streaming.text_ingest import delete_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="text_index_del_")
+    build_text_index(spark, docs, path)
+    odd_ids = [
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .collect()
+    ]
+    delete_docs(spark, path, odd_ids)
     return bm25_topk_merged(spark, path, list(_BM25_TERMS), 10)
 
 

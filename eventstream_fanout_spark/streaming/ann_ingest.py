@@ -80,6 +80,61 @@ def streaming_ann_index_sink(index_path: str):
     return process
 
 
+def delete_vectors(
+    spark: SparkSession, index_path: str, vec_ids: list[int]
+) -> int:
+    """Erase vectors from the stored codes — the ANN twin of
+    ``text_ingest.delete_docs`` (right-to-erasure / delete-then-resend
+    update path for the append-only index).  Returns the number of
+    (generation, list) partitions rewritten.
+
+    Only the (batch_id, list_id) partitions that contain a doomed
+    vector are touched: survivors dynamic-overwrite their partition, a
+    partition left empty is deleted outright.  Idempotent; run with
+    the ingest stream stopped.  Probes need no post-delete rebuild —
+    df-free ADC scoring has no corpus statistics to refresh (the
+    quantizer artifacts are unaffected by membership)."""
+    from py4j.java_gateway import java_import
+
+    ids = [int(v) for v in vec_ids]
+    path = f"{index_path}/codes"
+    df = spark.read.parquet(path)
+    touched = [
+        (r["batch_id"], r["list_id"])
+        for r in df.where(F.col("vec_id").isin(ids))
+        .select("batch_id", "list_id")
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return 0
+    pair_cond = F.lit(False)
+    for b, l in touched:  # exact pairs, not the cross product
+        pair_cond = pair_cond | (
+            (F.col("batch_id") == b) & (F.col("list_id") == l)
+        )
+    survivors = df.where(pair_cond & ~F.col("vec_id").isin(ids))
+    keep = {
+        (r["batch_id"], r["list_id"])
+        for r in survivors.select("batch_id", "list_id")
+        .distinct()
+        .collect()
+    }
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "list_id")
+        .parquet(path)
+    )
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    fs = jvm.Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for b, l in touched:
+        if (b, l) not in keep:
+            fs.delete(jvm.Path(f"{path}/batch_id={b}/list_id={l}"), True)
+    return len(touched)
+
+
 def compact_index(
     spark: SparkSession, index_path: str, upto_batch_id: int
 ) -> int:

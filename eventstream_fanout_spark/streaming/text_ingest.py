@@ -111,6 +111,93 @@ def _check_new_doc_ids(
         )
 
 
+def _rebuild_stats(spark: SparkSession, index_path: str) -> None:
+    """Recompute the per-generation stats rollup from the authoritative
+    doclens (tiny relation; full overwrite is safe — a crash mid-write
+    leaves an unreadable stats table and probes fail closed on read;
+    re-running heals)."""
+    dl = spark.read.parquet(f"{index_path}/doclens")
+    (
+        dl.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("total_len"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{index_path}/stats")
+    )
+
+
+def delete_docs(
+    spark: SparkSession, index_path: str, doc_ids: list[int]
+) -> int:
+    """Erase documents from the index — the maintenance op the ingest
+    sink's doc_id-uniqueness error message points to (delete + re-send
+    is the update path of this append-only store), and the
+    right-to-erasure primitive a training-data pipeline owes its
+    sources.  Returns the number of generations rewritten.
+
+    Mechanics: only the generations that actually CONTAIN a doomed doc
+    are rewritten (their surviving rows dynamic-overwrite the
+    partition; a partition left EMPTY is deleted outright — dynamic
+    overwrite cannot express "replace with nothing"), then the
+    vocab snapshot and the stats rollup are rebuilt from the surviving
+    rows, so BOTH probes (static snapshot and merge-on-read) are
+    consistent immediately.  Idempotent: re-running with the same ids
+    rewrites nothing.  Run with the ingest stream stopped (the
+    compaction contract).
+
+    Scale note: ``doc_ids`` is a driver-side list (an erasure request
+    is metadata-sized by nature); the rewrite cost is proportional to
+    the TOUCHED generations' size, not the store — compact first if
+    erasures should touch one folded generation instead of many."""
+    from py4j.java_gateway import java_import
+
+    ids = [int(d) for d in doc_ids]
+    rewritten = 0
+    for name, part_cols in (("postings", ["batch_id"]),
+                            ("doclens", ["batch_id"])):
+        path = f"{index_path}/{name}"
+        df = spark.read.parquet(path)
+        touched = [
+            r["batch_id"]
+            for r in df.where(F.col("doc_id").isin(ids))
+            .select("batch_id")
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            continue
+        survivors = df.where(
+            F.col("batch_id").isin(touched) & ~F.col("doc_id").isin(ids)
+        )
+        keep = {
+            r["batch_id"]
+            for r in survivors.select("batch_id").distinct().collect()
+        }
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+        jvm = spark._jvm
+        java_import(jvm, "org.apache.hadoop.fs.Path")
+        fs = jvm.Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        for bid in touched:
+            if bid not in keep:  # generation emptied entirely
+                fs.delete(jvm.Path(f"{path}/batch_id={bid}"), True)
+        rewritten += len(touched)
+    if rewritten:
+        _rebuild_stats(spark, index_path)
+        postings = spark.read.parquet(f"{index_path}/postings")
+        postings.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df")
+        ).write.mode("overwrite").parquet(f"{index_path}/vocab")
+    return rewritten
+
+
 def compact_text_index(
     spark: SparkSession, index_path: str, upto_batch_id: int
 ) -> int:
@@ -134,20 +221,7 @@ def compact_text_index(
         data_cols=["doc_id", "dl"],
         dedup_cols=["doc_id"],
     )
-    # stats rebuild: one row per surviving doclens generation, derived
-    # from the authoritative per-doc lengths (heals any rollup drift a
-    # crashed sink or fold left behind).  Tiny relation; full overwrite
-    # is safe — a crash mid-write leaves an unreadable stats table and
-    # probes fail closed on read; re-running compaction heals.
-    dl = spark.read.parquet(f"{index_path}/doclens")
-    (
-        dl.groupBy("batch_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("dl").cast("bigint").alias("total_len"),
-        )
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(f"{index_path}/stats")
-    )
+    # stats rebuild: one row per surviving doclens generation (heals
+    # any rollup drift a crashed sink or fold left behind)
+    _rebuild_stats(spark, index_path)
     return n

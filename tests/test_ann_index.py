@@ -659,3 +659,53 @@ def test_streaming_hybrid_probe_fuses_both_indexes(spark, tmp_path):
     n = answers.count()
     run()
     assert spark.read.parquet(out).count() == n
+
+
+def test_delete_vectors_erases_and_is_idempotent(spark, tmp_path):
+    """delete_vectors must leave a probe identical to an index that
+    never contained the doomed vectors, remove (generation, list)
+    partitions emptied entirely, and be a no-op on re-run."""
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        delete_vectors,
+        streaming_ann_index_sink,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(
+        spark,
+        emb,
+        path,
+        corpus=emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)),
+    )
+    sink = streaming_ann_index_sink(path)
+    sink(emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"), 1)
+
+    # erase all of streamed batch 1 + a slice of the frozen build
+    doomed = [
+        int(r["vec_id"])
+        for r in emb.where(
+            (F.col("vec_id") % 2 == 1) | (F.col("vec_id") % 10 == 2)
+        ).select("vec_id").collect()
+    ]
+    assert delete_vectors(spark, path, doomed) > 0
+    codes = spark.read.parquet(f"{path}/codes")
+    assert {
+        r["batch_id"]
+        for r in codes.select("batch_id").distinct().collect()
+    } == {-1}  # batch 1 emptied entirely -> partitions gone
+    left = {r["vec_id"] for r in codes.select("vec_id").collect()}
+    assert left.isdisjoint(set(doomed))
+
+    got = _topk_ids(pq_probe_topk(spark, path, _query(spark), 10))
+    fresh = str(tmp_path / "idx_fresh")
+    build_pq_index(
+        spark, emb, fresh,
+        corpus=emb.where(
+            (F.col("vec_id") != 0) & ~F.col("vec_id").isin(doomed)
+        ),
+    )
+    assert got == _topk_ids(pq_probe_topk(spark, fresh, _query(spark), 10))
+
+    assert delete_vectors(spark, path, doomed) == 0
+    assert got == _topk_ids(pq_probe_topk(spark, path, _query(spark), 10))

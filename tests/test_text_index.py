@@ -516,3 +516,83 @@ def test_multimodal_curated_ingest_crash_replay_converges(spark, tmp_path):
     shutil.rmtree(f"{tmp}/ann/codes/batch_id=1")
     sink(b1, 1)
     assert state() == want
+
+
+def test_delete_docs_erases_and_is_idempotent(spark, tmp_path):
+    """delete_docs must rewrite only touched generations, remove a
+    generation emptied entirely, rebuild vocab/stats so BOTH probes
+    are consistent (the static probe works because the store is still
+    frozen-plus-batches-it-knows — here all generations survive as
+    entities), and re-running with the same ids changes nothing."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        delete_docs,
+        streaming_text_index_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.where(F.col("doc_id") < 400), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)), 1)
+    sink(docs.where(F.col("doc_id") >= 450), 2)
+
+    # erase half of the frozen build + ALL of batch 1
+    doomed = [int(r["doc_id"]) for r in docs.where(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 400)
+        | ((F.col("doc_id") >= 400) & (F.col("doc_id") < 450))
+    ).select("doc_id").collect()]
+    assert delete_docs(spark, path, doomed) > 0
+
+    remaining = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{path}/doclens")
+        .select("doc_id")
+        .collect()
+    }
+    assert remaining == {
+        r["doc_id"]
+        for r in docs.where(
+            ((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 400))
+            | (F.col("doc_id") >= 450)
+        ).collect()
+    }
+    # batch 1 emptied entirely -> its partitions are gone
+    bids = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/postings")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert bids == {-1, 2}
+    # stats rebuilt from survivors
+    stats = {
+        r["batch_id"]: r["n_docs"]
+        for r in spark.read.parquet(f"{path}/stats").collect()
+    }
+    assert stats == {-1: 200, 2: 50}
+
+    want = [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, path, TERMS, 10).collect()
+    ]
+    assert all(d not in doomed for d, _ in want)
+    # probe equals an index that never contained the doomed docs
+    fresh = str(tmp_path / "tidx_fresh")
+    build_text_index(
+        spark, docs.where(~F.col("doc_id").isin(doomed)), fresh
+    )
+    assert want == [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, fresh, TERMS, 10).collect()
+    ]
+
+    # idempotent: nothing left to rewrite
+    assert delete_docs(spark, path, doomed) == 0
+    assert [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, path, TERMS, 10).collect()
+    ] == want
