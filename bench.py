@@ -167,6 +167,9 @@ HEADLINE = [
     "hybrid_batch_search_rrf",
     "vector_dedup_recall_report",
     "curated_multimodal_ingest",
+    "stream_stateful_user_totals",
+    "text_index_delete_sim",
+    "ann_index_delete_sim",
 ]
 
 
