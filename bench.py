@@ -170,6 +170,7 @@ HEADLINE = [
     "stream_stateful_user_totals",
     "text_index_delete_sim",
     "ann_index_delete_sim",
+    "curated_erasure_sim",
 ]
 
 

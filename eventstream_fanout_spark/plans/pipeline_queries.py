@@ -716,12 +716,14 @@ def incremental_dedup_verified_sim(
     )
 
 
-def _curated_ingest_oracle() -> str:
+def _curated_ingest_oracle(surviving_pred: str = "TRUE") -> str:
     """DuckDB replay of the staged ingest: the incremental-dedup
     parity-split admits acc0/acc1 (identical CTE chain to
     incremental_dedup_sim), then the merge-on-read BM25 probe runs
     over ONLY the accepted docs — the composed pipeline's visible
-    output."""
+    output.  ``surviving_pred`` restricts the accepted set (the
+    erasure sim probes AFTER right-to-erasure, so the replay scores
+    only survivors)."""
     from ..functions.core import sql_dsum
     from ..functions.hashing import sql_tokens
     from ..operators.text_index import sql_bm25_score_expr
@@ -757,7 +759,9 @@ def _curated_ingest_oracle() -> str:
       WHERE doc_id NOT IN (SELECT doc_id FROM rej1)
     ),
     accepted AS (
-      SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1
+      SELECT doc_id FROM (
+        SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1
+      ) WHERE {surviving_pred}
     ),
     occ AS (
       SELECT dd.doc_id, unnest({sql_tokens('dd.text')}) AS tok
@@ -1440,4 +1444,49 @@ def hybrid_batch_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=2,
         terms_literal=all_terms,
+    )
+
+
+@register(
+    "curated_erasure_sim",
+    _curated_ingest_oracle("doc_id % 7 <> 3"),
+    description="right-to-erasure across the WHOLE curated pipeline "
+    "(streaming/curated_ingest.curated_erase): after the staged "
+    "dedup->index ingest of two parity batches, every doc_id % 7 == 3 "
+    "is erased from the signature store, the accepted artifact AND "
+    "the text index in one call — ghost bands gone (future near-dups "
+    "of erased docs admit again, pytest-pinned), postings/df/stats "
+    "contributions gone — and the merge-on-read BM25 probe must equal "
+    "a pipeline whose accepted set never included them.  Erasure "
+    "semantics stated plainly: data and future influence removed, "
+    "historical rejection decisions stand (the oracle filters the "
+    "accepted set, not the dedup history)",
+    tags=("pipeline", "dedup", "search", "maintenance", "streaming",
+          "extension"),
+)
+def curated_erasure_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import bm25_topk_merged
+    from ..streaming.curated_ingest import curated_erase, curated_ingest_sink
+    from .text_queries import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="curated_erase_")
+    sink = curated_ingest_sink(
+        f"{tmp}/store", f"{tmp}/out", f"{tmp}/index"
+    )
+    sink(docs.where(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    erased = [
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+        .collect()
+    ]
+    curated_erase(
+        spark, f"{tmp}/store", f"{tmp}/out", f"{tmp}/index", erased
+    )
+    return bm25_topk_merged(
+        spark, f"{tmp}/index", list(_BM25_TERMS), 10
     )

@@ -41,11 +41,11 @@ QUERIES: dict[str, QuerySpec] = {}
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
     # --- round-7 rotation (registry ROUND-7 plan + VERDICT r6 item 5).
-    # Slots 1-16: new/changed plans — the nine round-7 additions
+    # Slots 1-17: new/changed plans — the ten round-7 additions
     # (fitted persisted-index probes for BOTH quantizers, vector-dedup
     # recall report, batch BM25 + batch hybrid-RRF serving, the full
-    # multimodal curated ingest, the two index-erasure sims, the
-    # stateful totals upgraded to oracle-backed with a quantized state
+    # multimodal curated ingest, the three erasure sims, the stateful
+    # totals upgraded to oracle-backed with a quantized state
     # contract) and the seven whose physical plan changed this round
     # (the BM25 probe family's document-ordered-postings redesign:
     # bm25_keyword_search / text_index_ingest_sim /
@@ -62,6 +62,7 @@ FRONT: list[str] = [
     "stream_stateful_user_totals",
     "text_index_delete_sim",
     "ann_index_delete_sim",
+    "curated_erasure_sim",
     "bm25_keyword_search",
     "text_index_ingest_sim",
     "curated_ingest_pipeline",
@@ -69,9 +70,9 @@ FRONT: list[str] = [
     "ann_pq_persisted_batch_topk",
     "ann_ivf_fitted_topk",
     "incremental_vector_dedup_sim",
-    # --- slots 17-50: 34 of the 36 queries whose only green row is
+    # --- slots 18-50: 33 of the 36 queries whose only green row is
     # ROUND 3 (the oldest oracle-backed evidence in the ledger; the
-    # last two alphabetically rotate first next round). ---
+    # last three alphabetically rotate first next round). ---
     "dedup_exact",
     "doc_fingerprint_winnow",
     "dq_expectation_profile",
@@ -105,18 +106,18 @@ FRONT: list[str] = [
     "stream_leaderboard_complete",
     "stream_window_counts_watermark",
     "string_agg_top_users",
-    "text_quality_profile",
 ]
 
-# ROUND-8 ROTATION PLAN: round 7 filled the window with its 16
+# ROUND-8 ROTATION PLAN: round 7 filled the window with its 17
 # new/changed plans (incl. stream_stateful_user_totals, upgraded from
 # rows-only to oracle-backed with a changed state contract, and the
-# two erasure sims) + 34 of the 36 remaining round-3-only
+# three erasure sims) + 33 of the 36 remaining round-3-only
 # oracle-backed greens.  Assuming CORRECTNESS_r07 lands green, the
-# remaining stale evidence, oldest first, is token_count_regex and
-# value_histogram (round 3, displaced by the erasure sims — first
-# slots next round), multimodal_decode_stub (rows-only by nature,
-# last run round 3), then the 48 round-4 rows (ann_recall_report,
+# remaining stale evidence, oldest first, is text_quality_profile,
+# token_count_regex and value_histogram (round 3, displaced by the
+# erasure sims — first slots next round), multimodal_decode_stub
+# (rows-only by nature, last run round 3), then the 48 round-4 rows
+# (ann_recall_report,
 # approx_quantiles_value, arrow_doc_lengths, bad_records_quarantine,
 # benchmark_decontamination, bitmap_distinct_users,
 # boilerplate_block_removal, ... — alphabetical), then the 45 round-5

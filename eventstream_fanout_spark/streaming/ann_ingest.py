@@ -89,50 +89,22 @@ def delete_vectors(
     (generation, list) partitions rewritten.
 
     Only the (batch_id, list_id) partitions that contain a doomed
-    vector are touched: survivors dynamic-overwrite their partition, a
-    partition left empty is deleted outright.  Idempotent; run with
-    the ingest stream stopped.  Probes need no post-delete rebuild —
-    df-free ADC scoring has no corpus statistics to refresh (the
-    quantizer artifacts are unaffected by membership)."""
-    from py4j.java_gateway import java_import
+    vector are touched (the shared partition-local eraser,
+    :func:`..streaming.compaction.erase_rows`): survivors
+    dynamic-overwrite their partition, a partition left empty is
+    deleted outright.  Idempotent; run with the ingest stream stopped.
+    Probes need no post-delete rebuild — ADC scoring carries no corpus
+    statistics (the quantizer artifacts are unaffected by
+    membership)."""
+    from .compaction import erase_rows
 
-    ids = [int(v) for v in vec_ids]
-    path = f"{index_path}/codes"
-    df = spark.read.parquet(path)
-    touched = [
-        (r["batch_id"], r["list_id"])
-        for r in df.where(F.col("vec_id").isin(ids))
-        .select("batch_id", "list_id")
-        .distinct()
-        .collect()
-    ]
-    if not touched:
-        return 0
-    pair_cond = F.lit(False)
-    for b, l in touched:  # exact pairs, not the cross product
-        pair_cond = pair_cond | (
-            (F.col("batch_id") == b) & (F.col("list_id") == l)
-        )
-    survivors = df.where(pair_cond & ~F.col("vec_id").isin(ids))
-    keep = {
-        (r["batch_id"], r["list_id"])
-        for r in survivors.select("batch_id", "list_id")
-        .distinct()
-        .collect()
-    }
-    (
-        survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "list_id")
-        .parquet(path)
+    return erase_rows(
+        spark,
+        f"{index_path}/codes",
+        "vec_id",
+        [int(v) for v in vec_ids],
+        extra_partition_cols=["list_id"],
     )
-    jvm = spark._jvm
-    java_import(jvm, "org.apache.hadoop.fs.Path")
-    fs = jvm.Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    for b, l in touched:
-        if (b, l) not in keep:
-            fs.delete(jvm.Path(f"{path}/batch_id={b}/list_id={l}"), True)
-    return len(touched)
 
 
 def compact_index(

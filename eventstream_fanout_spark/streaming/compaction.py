@@ -74,3 +74,68 @@ def compact_generations(
     for bid in fold_ids:
         fs.delete(jvm.Path(f"{path}/batch_id={bid}"), True)
     return len(fold_ids)
+
+
+def erase_rows(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    ids: list,
+    extra_partition_cols: list[str] | None = None,
+) -> int:
+    """Remove every row whose ``key_col`` is in ``ids`` from a
+    batch_id-partitioned store — the shared mechanics behind the
+    round-7 erasure ops (text_ingest.delete_docs,
+    ann_ingest.delete_vectors, corpus_dedup.delete_doc_signatures).
+
+    Only partitions that actually CONTAIN a doomed row are touched:
+    their surviving rows dynamic-overwrite the partition, and a
+    partition left EMPTY is deleted outright (dynamic overwrite cannot
+    express "replace with nothing" — without the explicit delete the
+    stale rows would silently survive).  Idempotent: re-running with
+    the same ids touches nothing.  Run with the owning stream stopped
+    (the compaction contract).  ``ids`` is a driver-side list — an
+    erasure request is metadata-sized by nature; the touched-partition
+    collects are the same metadata shape as compaction's.  Returns the
+    number of partitions rewritten or removed."""
+    from py4j.java_gateway import java_import
+
+    part_cols = ["batch_id", *(extra_partition_cols or [])]
+    ids = list(ids)
+    df = spark.read.parquet(path)
+    touched = [
+        tuple(r[c] for c in part_cols)
+        for r in df.where(F.col(key_col).isin(ids))
+        .select(*part_cols)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return 0
+    pair_cond = F.lit(False)
+    for vals in touched:  # exact partition tuples, not a cross product
+        c = F.lit(True)
+        for col, v in zip(part_cols, vals):
+            c = c & (F.col(col) == v)
+        pair_cond = pair_cond | c
+    survivors = df.where(pair_cond & ~F.col(key_col).isin(ids))
+    keep = {
+        tuple(r[c] for c in part_cols)
+        for r in survivors.select(*part_cols).distinct().collect()
+    }
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*part_cols)
+        .parquet(path)
+    )
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    fs = jvm.Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for vals in touched:
+        if vals not in keep:  # partition emptied entirely
+            sub = "/".join(
+                f"{c}={v}" for c, v in zip(part_cols, vals)
+            )
+            fs.delete(jvm.Path(f"{path}/{sub}"), True)
+    return len(touched)

@@ -653,3 +653,37 @@ def compact_store_table(
             f"PARTITION (batch_id={int(bid)})"
         )
     return len(fold_ids)
+
+
+def delete_doc_signatures(
+    spark: SparkSession,
+    store_path: str,
+    out_path: str,
+    doc_ids: list[int],
+) -> int:
+    """Erase documents from the dedup state: their bands leave the
+    signature store and their rows leave the accepted-docs artifact
+    (the shared partition-local eraser, compaction.erase_rows).
+
+    Without this, an erased doc leaves GHOST bands behind: any future
+    near-duplicate of it would be rejected against a document that no
+    longer exists — erasure from the retrieval index alone
+    (text_ingest.delete_docs) is not erasure from the pipeline.
+    Semantics stated plainly: erasure removes the doc's DATA and its
+    future influence; historical decisions stand (a doc rejected in a
+    past batch as a near-dup of the erased doc stays rejected — the
+    store is not a time machine, and replaying history against edited
+    state would break replay idempotence).  Verified mode stays
+    consistent: candidates against an erased doc cannot arise (its
+    bands are gone), so its missing shingles are never needed.
+
+    Applies to the parquet-path store; the bucketed-TABLE store
+    variant erases with one ``DELETE FROM`` on the table (Spark SQL
+    manages its partitions) — not wrapped here.  Returns the number of
+    partitions rewritten across both artifacts."""
+    from .compaction import erase_rows
+
+    ids = [int(d) for d in doc_ids]
+    n = erase_rows(spark, store_path, "doc_id", ids)
+    n += erase_rows(spark, out_path, "doc_id", ids)
+    return n

@@ -116,3 +116,37 @@ def curated_multimodal_ingest_sink(
         )
 
     return process
+
+
+def curated_erase(
+    spark,
+    store_path: str,
+    out_path: str,
+    text_index_path: str,
+    doc_ids: list[int],
+    ann_index_path: str | None = None,
+    vec_out_path: str | None = None,
+) -> int:
+    """Right-to-erasure across the WHOLE curated pipeline — the
+    erasure twin of the staged ingest above: one call removes the
+    docs' signature bands + accepted rows (future dedup no longer
+    sees them), their postings/doclens/stats/vocab contributions
+    (probes no longer rank them), and — when the multimodal artifacts
+    are given — their accepted vectors and ANN codes (vector dedup and
+    ANN probes no longer see them).  Every constituent op is
+    partition-local and idempotent, so a crash between stages is
+    healed by re-running the same call.  Returns total partitions
+    rewritten."""
+    from .ann_ingest import delete_vectors
+    from .compaction import erase_rows
+    from .corpus_dedup import delete_doc_signatures
+    from .text_ingest import delete_docs
+
+    ids = [int(d) for d in doc_ids]
+    n = delete_doc_signatures(spark, store_path, out_path, ids)
+    n += delete_docs(spark, text_index_path, ids)
+    if ann_index_path is not None:
+        n += delete_vectors(spark, ann_index_path, ids)
+    if vec_out_path is not None:
+        n += erase_rows(spark, vec_out_path, "vec_id", ids)
+    return n

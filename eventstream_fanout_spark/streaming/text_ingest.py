@@ -152,43 +152,14 @@ def delete_docs(
     is metadata-sized by nature); the rewrite cost is proportional to
     the TOUCHED generations' size, not the store — compact first if
     erasures should touch one folded generation instead of many."""
-    from py4j.java_gateway import java_import
+    from .compaction import erase_rows
 
     ids = [int(d) for d in doc_ids]
     rewritten = 0
-    for name, part_cols in (("postings", ["batch_id"]),
-                            ("doclens", ["batch_id"])):
-        path = f"{index_path}/{name}"
-        df = spark.read.parquet(path)
-        touched = [
-            r["batch_id"]
-            for r in df.where(F.col("doc_id").isin(ids))
-            .select("batch_id")
-            .distinct()
-            .collect()
-        ]
-        if not touched:
-            continue
-        survivors = df.where(
-            F.col("batch_id").isin(touched) & ~F.col("doc_id").isin(ids)
+    for name in ("postings", "doclens"):
+        rewritten += erase_rows(
+            spark, f"{index_path}/{name}", "doc_id", ids
         )
-        keep = {
-            r["batch_id"]
-            for r in survivors.select("batch_id").distinct().collect()
-        }
-        (
-            survivors.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*part_cols)
-            .parquet(path)
-        )
-        jvm = spark._jvm
-        java_import(jvm, "org.apache.hadoop.fs.Path")
-        fs = jvm.Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
-        for bid in touched:
-            if bid not in keep:  # generation emptied entirely
-                fs.delete(jvm.Path(f"{path}/batch_id={bid}"), True)
-        rewritten += len(touched)
     if rewritten:
         _rebuild_stats(spark, index_path)
         postings = spark.read.parquet(f"{index_path}/postings")

@@ -713,3 +713,70 @@ def test_compaction_refuses_ignore_missing_files(spark, tmp_path):
             compact_store_table(spark, "any_table", upto_batch_id=1)
     finally:
         spark.conf.set(key, prev)
+
+
+def test_erased_docs_leave_no_ghost_signatures(spark, tmp_path):
+    """curated_erase must remove a doc from the DEDUP STATE, not just
+    the index: a future copy of an ERASED doc's text is admitted again
+    (its bands are gone), while a copy of a SURVIVING doc is still
+    rejected; the erased doc also vanishes from the accepted artifact
+    and the text index, and re-running the same erasure is a no-op."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.sources.tables import load_table
+    from eventstream_fanout_spark.streaming.curated_ingest import (
+        curated_erase,
+        curated_ingest_sink,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 20)
+    )
+    store, out, idx = (
+        str(tmp_path / p) for p in ("store", "out", "index")
+    )
+    sink = curated_ingest_sink(store, out, idx)
+    sink(docs, 0)
+    accepted0 = {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    erased, survivor = sorted(accepted0)[0], sorted(accepted0)[1]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(F.col("doc_id").isin(erased, survivor)).collect()
+    }
+
+    n = curated_erase(spark, store, out, idx, [erased])
+    assert n > 0
+    assert curated_erase(spark, store, out, idx, [erased]) == 0  # no-op
+
+    assert erased not in {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    assert erased not in {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/doclens").collect()
+    }
+
+    # batch 1: exact copies of the erased doc (new id 900 — must now
+    # ADMIT: no ghost bands) and of a surviving doc (901 — must reject)
+    sink(
+        spark.createDataFrame(
+            [
+                Row(doc_id=900, text=texts[erased]),
+                Row(doc_id=901, text=texts[survivor]),
+            ]
+        ),
+        1,
+    )
+    admitted1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(out)
+        .where(F.col("batch_id") == 1)
+        .collect()
+    }
+    assert admitted1 == {900}
