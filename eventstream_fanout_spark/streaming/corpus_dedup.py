@@ -677,10 +677,14 @@ def delete_doc_signatures(
     consistent: candidates against an erased doc cannot arise (its
     bands are gone), so its missing shingles are never needed.
 
-    Applies to the parquet-path store; the bucketed-TABLE store
-    variant erases with one ``DELETE FROM`` on the table (Spark SQL
-    manages its partitions) — not wrapped here.  Returns the number of
-    partitions rewritten across both artifacts."""
+    Applies to the parquet-path store.  The bucketed-TABLE store
+    variant is not wrapped here: plain Spark tables have no ACID
+    ``DELETE`` (that is a lakehouse-format feature), so it erases the
+    same way this does — ``INSERT OVERWRITE`` each touched batch
+    partition with its survivors (which preserves the table's
+    bucketing) plus ``ALTER TABLE .. DROP PARTITION`` for emptied
+    ones.  Returns the number of partitions rewritten across both
+    artifacts."""
     from .compaction import erase_rows
 
     ids = [int(d) for d in doc_ids]
