@@ -483,6 +483,36 @@ def bm25_batch_topk(
     qterms = queries.select(
         "qid", F.explode("terms").alias("tok")
     ).distinct()
+    # fail-closed on a broken terms_literal contract: a query term
+    # absent from the pushed IN list would silently contribute nothing
+    # to its query's ranking (the scan never reads its postings) —
+    # assert coverage on the broadcast-sized qterms relation instead
+    # (rides the same plan; the ivf_topk 0-row-union guard pattern).
+    uncovered = (
+        qterms.where(~F.col("tok").isin(terms_literal))
+        .agg(F.count(F.lit(1)).cast("int").alias("_nu"))
+    )
+    qterms = qterms.unionByName(
+        uncovered.select(
+            F.assert_true(
+                F.col("_nu") == 0,
+                F.concat(
+                    F.col("_nu").cast("string"),
+                    F.lit(
+                        " query term(s) are missing from terms_literal "
+                        "— the pushed IN filter would silently exclude "
+                        "their postings from scoring; pass the union "
+                        "of ALL queries' terms (or None to derive it)"
+                    ),
+                ),
+            ).alias("_a")
+        )
+        .where(F.col("_a").isNotNull())
+        .select(
+            F.col("_a").cast("bigint").alias("qid"),
+            F.col("_a").cast("string").alias("tok"),
+        )
+    )
     postings = spark.read.parquet(f"{index_path}/postings").where(
         F.col("tok").isin(terms_literal)
     )

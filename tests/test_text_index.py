@@ -596,3 +596,33 @@ def test_delete_docs_erases_and_is_idempotent(spark, tmp_path):
         (r["doc_id"], r["bm25_score"])
         for r in bm25_topk_merged(spark, path, TERMS, 10).collect()
     ] == want
+
+
+def test_batch_probe_refuses_uncovered_query_terms(spark, tmp_path):
+    """bm25_batch_topk with an explicit terms_literal must RAISE when
+    a query's term is missing from it (the pushed IN filter would
+    silently drop that term's postings from scoring), and work when
+    the literal covers every term."""
+    from pyspark.sql import Row
+
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_batch_topk,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+    queries = spark.createDataFrame(
+        [Row(qid=0, terms=["spark", "window"]), Row(qid=1, terms=["join"])],
+        "qid long, terms array<string>",
+    )
+    ok = bm25_batch_topk(
+        spark, path, queries, 5, terms_literal=["join", "spark", "window"]
+    )
+    assert len({r["qid"] for r in ok.collect()}) == 2
+
+    broken = bm25_batch_topk(
+        spark, path, queries, 5, terms_literal=["spark", "window"]
+    )  # lazy: constructing is fine
+    with pytest.raises(Exception, match="missing from terms_literal"):
+        broken.collect()
