@@ -163,6 +163,7 @@ HEADLINE = [
     # recall report, and the full multimodal curated ingest
     "ann_pq_persisted_fitted_topk",
     "ann_pq_fitted_codebook_topk",
+    "ann_pq_fully_fitted_topk",
     "bm25_batch_search",
     "hybrid_batch_search_rrf",
     "vector_dedup_recall_report",

@@ -41,7 +41,7 @@ QUERIES: dict[str, QuerySpec] = {}
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
     # --- round-7 rotation (registry ROUND-7 plan + VERDICT r6 item 5).
-    # Slots 1-17: new/changed plans — the ten round-7 additions
+    # Slots 1-18: new/changed plans — the eleven round-7 additions
     # (fitted persisted-index probes for BOTH quantizers, vector-dedup
     # recall report, batch BM25 + batch hybrid-RRF serving, the full
     # multimodal curated ingest, the three erasure sims, the stateful
@@ -55,6 +55,7 @@ FRONT: list[str] = [
     # under incremental_vector_dedup_sim). ---
     "ann_pq_persisted_fitted_topk",
     "ann_pq_fitted_codebook_topk",
+    "ann_pq_fully_fitted_topk",
     "vector_dedup_recall_report",
     "bm25_batch_search",
     "hybrid_batch_search_rrf",
@@ -70,9 +71,9 @@ FRONT: list[str] = [
     "ann_pq_persisted_batch_topk",
     "ann_ivf_fitted_topk",
     "incremental_vector_dedup_sim",
-    # --- slots 18-50: 33 of the 36 queries whose only green row is
+    # --- slots 19-50: 32 of the 36 queries whose only green row is
     # ROUND 3 (the oldest oracle-backed evidence in the ledger; the
-    # last three alphabetically rotate first next round). ---
+    # last four alphabetically rotate first next round). ---
     "dedup_exact",
     "doc_fingerprint_winnow",
     "dq_expectation_profile",
@@ -105,24 +106,24 @@ FRONT: list[str] = [
     "stream_interval_join",
     "stream_leaderboard_complete",
     "stream_window_counts_watermark",
-    "string_agg_top_users",
 ]
 
-# ROUND-8 ROTATION PLAN: round 7 filled the window with its 17
+# ROUND-8 ROTATION PLAN: round 7 filled the window with its 18
 # new/changed plans (incl. stream_stateful_user_totals, upgraded from
 # rows-only to oracle-backed with a changed state contract, and the
-# three erasure sims) + 33 of the 36 remaining round-3-only
+# three erasure sims) + 32 of the 36 remaining round-3-only
 # oracle-backed greens.  Assuming CORRECTNESS_r07 lands green, the
-# remaining stale evidence, oldest first, is text_quality_profile,
-# token_count_regex and value_histogram (round 3, displaced by the
-# erasure sims — first slots next round), multimodal_decode_stub
+# remaining stale evidence, oldest first, is string_agg_top_users,
+# text_quality_profile, token_count_regex and value_histogram (round
+# 3, displaced by late round-7 additions — first slots next round),
+# multimodal_decode_stub
 # (rows-only by nature, last run round 3), then the 48 round-4 rows
 # (ann_recall_report,
 # approx_quantiles_value, arrow_doc_lengths, bad_records_quarantine,
 # benchmark_decontamination, bitmap_distinct_users,
 # boilerplate_block_removal, ... — alphabetical), then the 45 round-5
 # rows.  Fill round 8's slots with any new/changed queries first,
-# then those three, then the round-4 rows (alphabetical), then the
+# then those four, then the round-4 rows (alphabetical), then the
 # oldest round-5 rows.
 
 

@@ -2454,3 +2454,178 @@ def ann_pq_fitted_codebook_topk(
         )
         _PQ_CB_FITTED_INDEX_CACHE[sf_dir] = path
     return _probe_with_labels(spark, sf_dir, path, nprobe=None)
+
+
+def _pq_fully_fitted_oracle(n_iters: int = _IVF_FIT_ITERS) -> str:
+    """DuckDB replay of the FULLY fitted persisted index: the IVF
+    Lloyd chain (:func:`_fitted_centroid_ctes`) AND the per-subspace
+    PQ Lloyd round (the :func:`_pq_fitted_codebook_oracle` CTEs)
+    compose — encode against the fitted codebook, assign against the
+    fitted centroids, probe the query's 2 nearest fitted lists.
+    Exactly what ``build_pq_index(centroids=ivf_fit_centroids(...),
+    codebook=pq_fit_codebook(...))`` stores and
+    ``pq_probe_topk(nprobe=2)`` scans."""
+    ctes, fin, prev = _fitted_centroid_ctes(n_iters)
+    ctes.append(
+        f"""psub AS (
+      SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
+      FROM flat
+    )"""
+    )
+    ctes.append(
+        "pcorp AS (SELECT vec_id, s, i, x FROM psub WHERE vec_id <> 0)"
+    )
+    ctes.append(
+        """cbf0 AS (
+      SELECT vec_id AS cid, s, i, x FROM psub
+      WHERE vec_id BETWEEN 10 AND 17
+    )"""
+    )
+    ctes.append(
+        f"""fd1 AS (
+      SELECT pc.vec_id, pc.s, cb.cid,
+             SUM(CAST(FLOOR((pc.x - cb.x) * (pc.x - cb.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorp pc JOIN cbf0 cb ON pc.i = cb.i AND pc.s = cb.s
+      GROUP BY 1, 2, 3
+    )"""
+    )
+    ctes.append(
+        """fa1 AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM fd1
+      ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""fm1 AS (
+      SELECT a.cid, pc.s, pc.i,
+             CAST(CAST(
+               (CAST(SUM(CAST(FLOOR(pc.x * {QV!r} + 0.5) AS BIGINT))
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / {QV!r}
+               AS FLOAT) AS DOUBLE) AS x
+      FROM pcorp pc
+      JOIN fa1 a ON a.vec_id = pc.vec_id AND a.s = pc.s
+      GROUP BY 1, 2, 3
+    )"""
+    )
+    ctes.append(
+        """cbf1 AS (
+      SELECT p.cid, p.s, p.i, COALESCE(m.x, p.x) AS x
+      FROM cbf0 p
+      LEFT JOIN fm1 m ON m.cid = p.cid AND m.s = p.s AND m.i = p.i
+    )"""
+    )
+    ctes.append(
+        f"""pdists AS (
+      SELECT pcorp.vec_id, pcorp.s, cb.cid,
+             SUM(CAST(FLOOR((pcorp.x - cb.x) * (pcorp.x - cb.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorp JOIN cbf1 cb ON pcorp.i = cb.i AND pcorp.s = cb.s
+      GROUP BY 1, 2, 3
+    )"""
+    )
+    ctes.append(
+        """pcodes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM pdists
+      ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""qtable AS (
+      SELECT cb.s, cb.cid,
+             SUM(CAST(FLOOR((qf.x - cb.x) * (qf.x - cb.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS qd
+      FROM (SELECT s, i, x FROM psub WHERE vec_id = 0) qf
+      JOIN cbf1 cb ON cb.i = qf.i AND cb.s = qf.s
+      GROUP BY 1, 2
+    )"""
+    )
+    ctes.append(
+        """adc AS (
+      SELECT c.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+      FROM pcodes c JOIN qtable t ON t.s = c.s AND t.cid = c.code
+      GROUP BY c.vec_id
+    )"""
+    )
+    ctes.append(
+        f"""qd AS (
+      SELECT c.cid,
+             CAST(SUM(CAST(FLOOR(qf.x * c.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM flat qf JOIN {prev} c ON qf.i = c.i
+      WHERE qf.vec_id = 0
+      GROUP BY 1
+    )"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT q.cid FROM qd q
+      JOIN norms nq ON nq.vec_id = 0
+      JOIN cn{fin} cn ON cn.cid = q.cid
+      ORDER BY (q.dot / (sqrt(nq.n2) * sqrt(cn.n2))) DESC, q.cid ASC
+      LIMIT 2
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT a.vec_id, e.label, CAST(g.list_id AS BIGINT) AS list_id,
+           a.adc_dist
+    FROM adc a
+    JOIN asg{fin} g ON g.vec_id = a.vec_id
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    WHERE g.list_id IN (SELECT cid FROM probes)
+    ORDER BY a.adc_dist ASC, a.vec_id ASC
+    LIMIT 10
+    """
+
+
+_PQ_FULL_FITTED_INDEX_CACHE: dict[str, str] = {}
+
+
+@register(
+    "ann_pq_fully_fitted_topk",
+    _pq_fully_fitted_oracle(),
+    description="the COMPLETE production index in one artifact: BOTH "
+    "quantizers k-means-fitted (2 Lloyd iterations for the coarse "
+    "centroids, 1 per-subspace round for the PQ codebook — both lazy, "
+    "integer-exact), persisted together via build_pq_index(centroids="
+    "..., codebook=...), corpus encoded/assigned against the fitted "
+    "artifacts, and the probe partition-pruned to the query's 2 "
+    "nearest fitted lists — fit(x2) -> persist -> probe, all from "
+    "stored tables, no fit or encode subtree at query time.  The "
+    "oracle composes the two fitted replay chains (IVF Lloyd + "
+    "per-subspace PQ Lloyd) bit-for-bit, so the driver hash pins the "
+    "entire fitted artifact set at once",
+    tags=("similarity", "ann", "pq", "ivf", "index", "extension"),
+)
+def ann_pq_fully_fitted_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _PQ_FULL_FITTED_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from ..operators.ann_index import build_pq_index, pq_fit_codebook
+        from ..operators.similarity import ivf_fit_centroids
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") != 0)
+        path = tempfile.mkdtemp(prefix="pq_index_full_fitted_")
+        build_pq_index(
+            spark,
+            emb,
+            path,
+            centroids=ivf_fit_centroids(corpus, n_iters=_IVF_FIT_ITERS),
+            codebook=pq_fit_codebook(corpus, n_iters=1),
+        )
+        _PQ_FULL_FITTED_INDEX_CACHE[sf_dir] = path
+    return _probe_with_labels(spark, sf_dir, path, nprobe=2)

@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_fitted_topk",  # same 8-row centroid set, fitted by Lloyd
     "ann_ivfpq_persisted_topk",  # 1-row query x stored 8-row centroids
     "ann_pq_persisted_fitted_topk",  # 1-row query x fitted 8-row centroids
+    "ann_pq_fully_fitted_topk",  # 1-row query x fitted 8-row centroids
     "ann_pq_persisted_batch_topk",  # query batch x 8-row centroid ranking
     "bm25_batch_search",  # 1-row corpus-stats side (n_docs, total_len)
     "hybrid_batch_search_rrf",  # 1-row stats + 8-row centroid sides
