@@ -104,6 +104,10 @@ PICKS = {
     "the batch's terms is ONE pushed IN filter on the single postings "
     "scan; (qid, tok) mapping, merge-on-read df and folded stats all "
     "ride as broadcasts; per-qid window top-k",
+    "hybrid_batch_search_rrf": "round 7: batch hybrid serving — the "
+    "whole fused plan touches exactly TWO index relations (one "
+    "term-filtered postings scan, one DPP-pruned codes scan); "
+    "rankings fuse by reciprocal-rank sums with a per-qid window",
 }
 
 
