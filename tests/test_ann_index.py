@@ -709,3 +709,103 @@ def test_delete_vectors_erases_and_is_idempotent(spark, tmp_path):
 
     assert delete_vectors(spark, path, doomed) == 0
     assert got == _topk_ids(pq_probe_topk(spark, path, _query(spark), 10))
+
+
+def test_ann_erase_then_compact_restores_single_generation_index(
+    spark, tmp_path
+):
+    """VERDICT r7 item 6 (ANN side): erase-many then compact must
+    equal an index that never contained the doomed vectors AND restore
+    the single-generation codes layout (erasure fragments partitions;
+    only compaction folds the generation count back down)."""
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        compact_index,
+        delete_vectors,
+        streaming_ann_index_sink,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(
+        spark,
+        emb,
+        path,
+        corpus=emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") != 0)),
+    )
+    sink = streaming_ann_index_sink(path)
+    sink(emb.where(F.col("vec_id") % 3 == 1).select("vec_id", "embedding"), 1)
+    sink(emb.where(F.col("vec_id") % 3 == 2).select("vec_id", "embedding"), 2)
+
+    # two erasure calls across generations
+    d1 = [int(r["vec_id"]) for r in emb.where(
+        F.col("vec_id") % 7 == 1).select("vec_id").collect()]
+    d2 = [int(r["vec_id"]) for r in emb.where(
+        F.col("vec_id") % 7 == 4).select("vec_id").collect()]
+    assert delete_vectors(spark, path, d1) > 0
+    assert delete_vectors(spark, path, d2) > 0
+
+    assert compact_index(spark, path, upto_batch_id=3) > 0
+    gens = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/codes")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert len(gens) == 1, f"codes still multi-generation: {gens}"
+
+    doomed = set(d1) | set(d2)
+    fresh = str(tmp_path / "idx_fresh")
+    build_pq_index(
+        spark, emb, fresh,
+        corpus=emb.where(
+            (F.col("vec_id") != 0) & ~F.col("vec_id").isin(list(doomed))
+        ),
+    )
+    assert _topk_ids(
+        pq_probe_topk(spark, path, _query(spark), 10)
+    ) == _topk_ids(pq_probe_topk(spark, fresh, _query(spark), 10))
+
+
+def test_vector_erasure_leaves_no_ghost_codes(spark, tmp_path):
+    """The vector-side ghost-band test (VERDICT r7 item 4): after
+    delete_vectors erases an indexed vector, a NEW vector with the
+    same embedding must be ADMITTED by the vector-dedup gate (no ghost
+    codes keep rejecting near-dups of erased content) — the exact
+    analogue of corpus_dedup's ghost-band semantics."""
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        delete_vectors,
+    )
+    from eventstream_fanout_spark.streaming.vector_dedup import (
+        streaming_vector_dedup_sink,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_pq_index(
+        spark,
+        emb,
+        idx,
+        corpus=emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)),
+    )
+    out = str(tmp_path / "accepted")
+    sink = streaming_vector_dedup_sink(idx, out, 1_000_000_000)
+
+    twin = emb.where(F.col("vec_id") == 2).select(
+        F.lit(9001).cast("long").alias("vec_id"), "embedding"
+    )
+    # a copy of indexed vec 2 is rejected while 2's codes exist (the
+    # all-rejected batch writes no survivor rows, so assert on codes)
+    sink(twin, 0)
+    assert spark.read.parquet(f"{idx}/codes").where(
+        F.col("vec_id") == 9001
+    ).count() == 0
+
+    # ...and admitted once vec 2 is erased (no ghost rejection)
+    assert delete_vectors(spark, idx, [2]) > 0
+    sink(twin, 1)
+    assert spark.read.parquet(out).where(
+        F.col("vec_id") == 9001
+    ).count() == 1
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.where(F.col("vec_id") == 9001).count() == 1

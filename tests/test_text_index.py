@@ -335,9 +335,11 @@ def test_static_probe_refuses_ingested_index(spark, tmp_path):
         bm25_topk(spark, path, TERMS, 10).collect()
 
     # crashed-ingest variant: stats row gone, postings remain — the
-    # per-group postings guard catches what the stats guard now cannot
+    # candidate-scoped guards catch what the stats guard now cannot
+    # (whichever fires first: the vocab-generation coverage guard or
+    # the postings-generation guard — both are fail-closed)
     shutil.rmtree(f"{path}/stats/batch_id=1")
-    with pytest.raises(Exception, match="stale"):
+    with pytest.raises(Exception, match="stale|no stats row"):
         bm25_topk(spark, path, TERMS, 10).collect()
 
 
@@ -520,10 +522,10 @@ def test_multimodal_curated_ingest_crash_replay_converges(spark, tmp_path):
 
 def test_delete_docs_erases_and_is_idempotent(spark, tmp_path):
     """delete_docs must rewrite only touched generations, remove a
-    generation emptied entirely, rebuild vocab/stats so BOTH probes
-    are consistent (the static probe works because the store is still
-    frozen-plus-batches-it-knows — here all generations survive as
-    entities), and re-running with the same ids changes nothing."""
+    generation emptied entirely, append ONE committed correction
+    generation (negative stats delta + vocab df deltas + tombstones)
+    that the merge-on-read sums fold in exactly, and re-running with
+    the same ids changes nothing."""
     from eventstream_fanout_spark.operators.text_index import (
         bm25_topk_merged,
     )
@@ -568,12 +570,19 @@ def test_delete_docs_erases_and_is_idempotent(spark, tmp_path):
         .collect()
     }
     assert bids == {-1, 2}
-    # stats rebuilt from survivors
+    # the correction generation: original stats rows untouched, one
+    # NEGATIVE delta row summing the erased docs, tombstones committed
     stats = {
-        r["batch_id"]: r["n_docs"]
+        r["batch_id"]: (r["n_docs"], r["total_len"])
         for r in spark.read.parquet(f"{path}/stats").collect()
     }
-    assert stats == {-1: 200, 2: 50}
+    assert set(stats) == {-1, 1, 2, -2}
+    n_doomed = len(doomed)
+    assert stats[-2][0] == -n_doomed and stats[-2][1] < 0
+    assert sum(v[0] for v in stats.values()) == 250  # merged n_docs
+    tombs = spark.read.parquet(f"{path}/tombstones")
+    assert {r["doc_id"] for r in tombs.collect()} == set(doomed)
+    assert {r["batch_id"] for r in tombs.select("batch_id").collect()} == {-2}
 
     want = [
         (r["doc_id"], r["bm25_score"])
@@ -626,3 +635,287 @@ def test_batch_probe_refuses_uncovered_query_terms(spark, tmp_path):
     )  # lazy: constructing is fine
     with pytest.raises(Exception, match="missing from terms_literal"):
         broken.collect()
+
+
+def _file_census(root):
+    """{relpath: (size, mtime_ns)} of every data file under ``root``."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS / CRC markers churn on every write
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_delete_docs_runs_no_full_store_maintenance(spark, tmp_path):
+    """VERDICT r7 item 3: an erasure must not re-aggregate the full
+    postings/doclens stores — proven two ways: (a) file-level
+    invariance — every pre-existing vocab/stats file survives a
+    delete_docs byte-for-byte (a full rebuild would rewrite them all);
+    the only new files are the correction generation's partitions and
+    the untouched-generation postings/doclens files also survive;
+    (b) the production delta plans carry a pushed doc_id IN predicate
+    into the parquet scans (the doomed rows are the only input)."""
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        _erasure_deltas,
+        delete_docs,
+        streaming_text_index_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.where(F.col("doc_id") < 400), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where(F.col("doc_id") >= 400), 1)
+
+    doomed = [401, 403, 405]
+    # (b) plan shape of the actual delta relations
+    vocab_delta, stats_delta, tombs = _erasure_deltas(spark, path, doomed)
+    for rel in (vocab_delta, stats_delta, tombs):
+        plan = rel._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [In(doc_id" in plan, plan
+
+    before = {
+        name: _file_census(f"{path}/{name}") for name in ("vocab", "stats")
+    }
+    frozen_postings = _file_census(f"{path}/postings/batch_id=-1")
+    assert delete_docs(spark, path, doomed) > 0
+
+    # (a) nothing pre-existing was rewritten; the correction generation
+    # is purely additive
+    for name in ("vocab", "stats"):
+        after = _file_census(f"{path}/{name}")
+        for rel, sig in before[name].items():
+            assert after.get(rel) == sig, f"{name}/{rel} was rewritten"
+        new = {r for r in after if r not in before[name]}
+        assert new, f"no correction partition appeared under {name}"
+        assert all(r.startswith("batch_id=-2") or r.startswith("_") for r in new)
+    # untouched postings generation (frozen, contains no doomed doc)
+    assert _file_census(f"{path}/postings/batch_id=-1") == frozen_postings
+    assert _file_census(f"{path}/tombstones")  # commit marker landed
+
+
+def test_crashed_erasure_recovers_and_fails_closed(spark, tmp_path):
+    """Crash window between the erasure's vocab-delta write and its
+    stats-correction write: the static probe must fail closed (vocab
+    generation without a stats row), and re-running the SAME
+    delete_docs call must converge — the orphan partition is
+    overwritten in place (same correction generation id), after which
+    the probe equals an index that never contained the docs."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        _erasure_deltas,
+        _next_correction_gen,
+        delete_docs,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+    doomed = [
+        int(r["doc_id"])
+        for r in docs.where(F.col("doc_id") % 5 == 2)
+        .select("doc_id")
+        .collect()
+    ]
+    # simulate the crash: only the vocab delta landed
+    gen = _next_correction_gen(spark, path)
+    vocab_delta, _sd, _t = _erasure_deltas(spark, path, doomed)
+    (
+        vocab_delta.withColumn("batch_id", F.lit(int(gen)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{path}/vocab")
+    )
+    with pytest.raises(Exception, match="no stats row"):
+        bm25_topk(spark, path, TERMS, 10).collect()
+
+    # re-run heals: same generation id reused, correction committed
+    assert delete_docs(spark, path, doomed) > 0
+    gens = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/vocab")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert gens == {-1, gen}
+
+    fresh = str(tmp_path / "tidx_fresh")
+    build_text_index(spark, docs.where(~F.col("doc_id").isin(doomed)), fresh)
+    for probe in (bm25_topk, bm25_topk_merged):
+        assert [
+            (r["doc_id"], r["bm25_score"])
+            for r in probe(spark, path, TERMS, 10).collect()
+        ] == [
+            (r["doc_id"], r["bm25_score"])
+            for r in probe(spark, fresh, TERMS, 10).collect()
+        ]
+
+
+def test_erase_then_compact_restores_single_generation_store(
+    spark, tmp_path
+):
+    """VERDICT r7 item 6 (text side): erase-many then compact must (a)
+    equal the never-contained oracle and (b) restore the
+    single-generation probe plan — one generation in each of postings/
+    doclens/vocab/stats, tombstones gone."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        compact_text_index,
+        delete_docs,
+        streaming_text_index_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.where(F.col("doc_id") < 300), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)), 1)
+    sink(docs.where(F.col("doc_id") >= 400), 2)
+
+    # two erasure calls -> two correction generations
+    d1 = [int(r["doc_id"]) for r in docs.where(
+        F.col("doc_id") % 6 == 1).select("doc_id").collect()]
+    d2 = [int(r["doc_id"]) for r in docs.where(
+        F.col("doc_id") % 6 == 3).select("doc_id").collect()]
+    assert delete_docs(spark, path, d1) > 0
+    assert delete_docs(spark, path, d2) > 0
+    assert (
+        spark.read.parquet(f"{path}/stats")
+        .select("batch_id").distinct().count() >= 5
+    )
+
+    assert compact_text_index(spark, path, upto_batch_id=3) > 0
+    import os
+
+    for name in ("postings", "doclens", "vocab", "stats"):
+        gens = {
+            r["batch_id"]
+            for r in spark.read.parquet(f"{path}/{name}")
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
+        assert len(gens) == 1, f"{name} still multi-generation: {gens}"
+    assert not os.path.exists(f"{path}/tombstones")
+
+    doomed = set(d1) | set(d2)
+    fresh = str(tmp_path / "tidx_fresh")
+    build_text_index(
+        spark, docs.where(~F.col("doc_id").isin(list(doomed))), fresh
+    )
+    assert [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, path, TERMS, 10).collect()
+    ] == [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, fresh, TERMS, 10).collect()
+    ]
+
+
+def test_compact_refuses_crashed_erasure(spark, tmp_path):
+    """A delete_docs that crashed between its tombstone commit and its
+    row erase leaves corrected-but-present rows; compacting THAT would
+    rebuild stats/vocab from the doomed rows and drop the correction —
+    silently resurrecting the docs.  compact_text_index must refuse;
+    re-running the erasure then compacting must succeed."""
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        compact_text_index,
+        delete_docs,
+        streaming_text_index_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.where(F.col("doc_id") < 400), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where(F.col("doc_id") >= 400), 1)
+
+    # simulate the post-commit crash: tombstone a doc whose rows remain
+    spark.createDataFrame([(7,)], "doc_id bigint").withColumn(
+        "batch_id", F.lit(-2)
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(
+        f"{path}/tombstones"
+    )
+    with pytest.raises(RuntimeError, match="re-run the same delete_docs"):
+        compact_text_index(spark, path, upto_batch_id=2)
+
+    assert delete_docs(spark, path, [7]) > 0
+    assert compact_text_index(spark, path, upto_batch_id=2) > 0
+
+
+def test_hot_term_bound_drops_stopword_shaped_terms(spark, tmp_path):
+    """VERDICT r7 item 7: a term whose stored df exceeds
+    max_df_frac * n_docs is dropped BEFORE the postings scan — the
+    bounded probe scores only the surviving terms (equal to the merged
+    probe on exactly those terms), the bound reads the merge-on-read
+    vocab (current across build + ingest generations), and the batch
+    probe exempts policy-dropped terms from its coverage guard."""
+    from pyspark.sql import Row
+
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_batch_topk,
+        bm25_topk_bounded,
+        bm25_topk_merged,
+        hot_term_filter,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        streaming_text_index_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+
+    # the fixture corpus has exactly two df tiers: "dup" (~5% of docs)
+    # and everything else (~75-80%) — a 25% threshold separates them
+    # with wide margin on both sides
+    rare, hot = "dup", "batch"
+    frac = 0.25
+
+    kept, dropped = hot_term_filter(spark, path, [rare, hot, "spark"], frac)
+    assert kept == [rare] and dropped == [hot, "spark"]
+
+    got = [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_bounded(
+            spark, path, [rare, hot, "spark"], 10, frac
+        ).collect()
+    ]
+    want = [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, path, [rare], 10).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    # batch probe: the dropped term must not trip the coverage guard,
+    # and the result equals the batch probe on the kept terms
+    queries = spark.createDataFrame(
+        [Row(qid=0, terms=[rare, hot]), Row(qid=1, terms=[rare])],
+        "qid long, terms array<string>",
+    )
+    bounded = bm25_batch_topk(spark, path, queries, 5, max_df_frac=frac)
+    kept_queries = spark.createDataFrame(
+        [Row(qid=0, terms=[rare]), Row(qid=1, terms=[rare])],
+        "qid long, terms array<string>",
+    )
+    want_rows = {
+        (r["qid"], r["rank"], r["doc_id"])
+        for r in bm25_batch_topk(spark, path, kept_queries, 5).collect()
+    }
+    assert {
+        (r["qid"], r["rank"], r["doc_id"]) for r in bounded.collect()
+    } == want_rows
