@@ -1007,11 +1007,31 @@ def _curated_multimodal_oracle() -> str:
     embedding-survivors, batch 1 gates against them plus its own lower
     peers (cell-local, nprobe=1, the incremental_vector_dedup_sim
     semantics).  Output is the composed acceptance ledger."""
+    return f"""
+    WITH {_curated_multimodal_chain()}
+    SELECT doc_id, CAST(0 AS INTEGER) AS batch_id,
+           CAST(CASE WHEN doc_id IN (SELECT doc_id FROM accv0)
+                THEN 1 ELSE 0 END AS INTEGER) AS vec_ok
+    FROM acc0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER) AS batch_id,
+           CAST(CASE WHEN doc_id IN (SELECT doc_id FROM accv1)
+                THEN 1 ELSE 0 END AS INTEGER) AS vec_ok
+    FROM acc1
+    """
+
+
+def _curated_multimodal_chain() -> str:
+    """The shared CTE chain of the multimodal staged-ingest replay —
+    text-dedup parity split (acc0/acc1), PQ encode (pcodes), IVF
+    assign (assign), sequential cell-local vector gating
+    (accv0/accv1) — reused by the ingest ledger oracle above and the
+    erasure-sim oracle below (the parameterized-CTE-generator pattern
+    that made round 7's fitted-index oracles first-try green)."""
     from ..functions.vectors import QV
     from .similarity_queries import _PQ_SUBDIM, VEC_DEDUP_THRESH
 
-    return f"""
-    WITH {_SIG_CTES},
+    return f"""{_SIG_CTES},
     bands AS ({_BANDS_SQL}),
     b0 AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
     b1 AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
@@ -1133,15 +1153,6 @@ def _curated_multimodal_oracle() -> str:
       SELECT doc_id FROM acc1
       WHERE doc_id NOT IN (SELECT qid FROM rejv1)
     )
-    SELECT doc_id, CAST(0 AS INTEGER) AS batch_id,
-           CAST(CASE WHEN doc_id IN (SELECT doc_id FROM accv0)
-                THEN 1 ELSE 0 END AS INTEGER) AS vec_ok
-    FROM acc0
-    UNION ALL
-    SELECT doc_id, CAST(1 AS INTEGER) AS batch_id,
-           CAST(CASE WHEN doc_id IN (SELECT doc_id FROM accv1)
-                THEN 1 ELSE 0 END AS INTEGER) AS vec_ok
-    FROM acc1
     """
 
 
@@ -1490,3 +1501,193 @@ def curated_erasure_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_merged(
         spark, f"{tmp}/index", list(_BM25_TERMS), 10
     )
+
+
+def _curated_multimodal_erasure_oracle() -> str:
+    """DuckDB replay of the multimodal ingest FOLLOWED BY
+    right-to-erasure across all four stores: the shared multimodal
+    chain computes the text-accepted (acc0/acc1) and vector-accepted
+    (accv0/accv1) sets, the erasure predicate removes doc_id % 7 == 3
+    from both, and BOTH serving probes replay over survivors only —
+    merge-on-read BM25 over the surviving text-accepted docs, full-PQ
+    ADC top-10 for query vec 0 over the surviving indexed codes.  A
+    post-erasure probe that differs from this never-contained replay
+    would mean the erasure left a trace in postings/df/stats or in the
+    ANN codes."""
+    from ..functions.core import sql_dsum
+    from ..functions.hashing import sql_tokens
+    from ..functions.vectors import QV
+    from ..operators.text_index import sql_bm25_score_expr
+    from .text_queries import _BM25_TERMS
+
+    terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+    return f"""
+    WITH {_curated_multimodal_chain()},
+    acceptedt AS (
+      SELECT doc_id FROM (
+        SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1
+      ) WHERE doc_id % 7 <> 3
+    ),
+    occ AS (
+      SELECT dd.doc_id, unnest({sql_tokens('dd.text')}) AS tok
+      FROM documents dd JOIN acceptedt ac ON ac.doc_id = dd.doc_id
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM occ GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM occ GROUP BY 1
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM occ GROUP BY 1
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM acceptedt) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_len
+    ),
+    tscored AS (
+      SELECT t.doc_id, t.tok, {sql_bm25_score_expr()} AS sc
+      FROM tf t
+      JOIN vocab d ON d.tok = t.tok
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.tok IN {terms_sql}
+    ),
+    textside AS (
+      SELECT 'text' AS side, doc_id,
+             CAST(COUNT(*) AS INTEGER) AS n, {sql_dsum('sc')} AS metric
+      FROM tscored GROUP BY doc_id
+      ORDER BY metric DESC, doc_id ASC
+      LIMIT 10
+    ),
+    survv AS (
+      SELECT doc_id FROM (
+        SELECT doc_id FROM accv0 UNION ALL SELECT doc_id FROM accv1
+      ) WHERE doc_id % 7 <> 3
+    ),
+    qt0 AS (
+      SELECT pcent.s, pcent.cid,
+             SUM(CAST(FLOOR((qf.x - pcent.x) * (qf.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS qd
+      FROM psub qf
+      JOIN pcent ON pcent.i = qf.i AND pcent.s = qf.s
+      WHERE qf.vec_id = 0
+      GROUP BY 1, 2
+    ),
+    vprobe AS (
+      SELECT c.vec_id AS doc_id, CAST(SUM(t.qd) AS BIGINT) AS dist
+      FROM pcodes c
+      JOIN qt0 t ON t.s = c.s AND t.cid = c.code
+      WHERE c.vec_id IN (SELECT doc_id FROM survv)
+      GROUP BY 1
+    ),
+    vecside AS (
+      SELECT 'vec' AS side, doc_id, CAST(rnk AS INTEGER) AS n,
+             CAST(dist AS DOUBLE) AS metric
+      FROM (
+        SELECT doc_id, dist,
+               ROW_NUMBER() OVER (ORDER BY dist ASC, doc_id ASC) AS rnk
+        FROM vprobe
+      ) WHERE rnk <= 10
+    )
+    SELECT side, doc_id, n, metric FROM textside
+    UNION ALL
+    SELECT side, doc_id, n, metric FROM vecside
+    """
+
+
+@register(
+    "curated_multimodal_erasure_sim",
+    _curated_multimodal_erasure_oracle(),
+    description="right-to-erasure across ALL FOUR multimodal stores in "
+    "one call (VERDICT r7 item 4 — the erasure twin of "
+    "curated_multimodal_ingest): after the staged text-dedup -> "
+    "text-index -> vector-dedup -> ANN ingest of two parity batches, "
+    "every doc_id % 7 == 3 is erased from the signature store, the "
+    "accepted artifact, the text index (delta corrections — VERDICT "
+    "r7 item 3), the accepted-vector store AND the ANN codes via "
+    "curated_erase(ann_index_path=..., vec_out_path=...); the "
+    "hash-checked output is BOTH serving probes side by side — "
+    "merge-on-read BM25 top-10 and full-PQ ADC top-10 for query vec 0 "
+    "— which must equal a pipeline whose accepted sets never "
+    "contained the erased docs.  One oracle replays the whole "
+    "composition over survivors; the vector ghost-code semantics "
+    "(near-dups of erased vectors admit again) are pytest-pinned",
+    tags=("pipeline", "dedup", "search", "similarity", "ann", "index",
+          "maintenance", "streaming", "multimodal", "extension"),
+)
+def curated_multimodal_erasure_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..operators.ann_index import build_pq_quantizer, pq_probe_topk
+    from ..operators.text_index import bm25_topk_merged
+    from ..streaming.curated_ingest import (
+        curated_erase,
+        curated_multimodal_ingest_sink,
+    )
+    from .similarity_queries import VEC_DEDUP_THRESH
+    from .text_queries import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="curated_mm_erase_")
+    build_pq_quantizer(spark, emb, f"{tmp}/ann")
+    sink = curated_multimodal_ingest_sink(
+        f"{tmp}/store",
+        f"{tmp}/out",
+        f"{tmp}/tidx",
+        f"{tmp}/ann",
+        f"{tmp}/vec_out",
+        VEC_DEDUP_THRESH,
+    )
+    sink(batch.where(F.col("doc_id") % 2 == 0), 0)
+    sink(batch.where(F.col("doc_id") % 2 == 1), 1)
+    erased = [
+        int(r["doc_id"])
+        for r in docs.where(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+        .collect()
+    ]
+    curated_erase(
+        spark,
+        f"{tmp}/store",
+        f"{tmp}/out",
+        f"{tmp}/tidx",
+        erased,
+        ann_index_path=f"{tmp}/ann",
+        vec_out_path=f"{tmp}/vec_out",
+    )
+    text = bm25_topk_merged(
+        spark, f"{tmp}/tidx", list(_BM25_TERMS), 10
+    ).select(
+        F.lit("text").alias("side"),
+        "doc_id",
+        F.col("n_terms_matched").alias("n"),
+        F.col("bm25_score").alias("metric"),
+    )
+    query = emb.where(F.col("vec_id") == 0).select("embedding")
+    vec = (
+        pq_probe_topk(spark, f"{tmp}/ann", query, 10)
+        .withColumn(
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.asc("adc_dist"), F.asc("vec_id")))
+            .cast("int"),
+        )
+        .select(
+            F.lit("vec").alias("side"),
+            F.col("vec_id").alias("doc_id"),
+            "n",
+            F.col("adc_dist").cast("double").alias("metric"),
+        )
+    )
+    return text.unionByName(vec)

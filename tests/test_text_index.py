@@ -919,3 +919,40 @@ def test_hot_term_bound_drops_stopword_shaped_terms(spark, tmp_path):
     assert {
         (r["qid"], r["rank"], r["doc_id"]) for r in bounded.collect()
     } == want_rows
+
+
+def test_streaming_serve_applies_hot_term_bound(spark, tmp_path):
+    """The streaming BM25 serve sink with max_df_frac must answer each
+    trigger with hot terms dropped by policy (no coverage-guard trip,
+    results equal the bounded batch probe)."""
+    from pyspark.sql import Row
+
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_batch_topk,
+    )
+    from eventstream_fanout_spark.streaming.text_serve import (
+        streaming_bm25_probe_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+    out = str(tmp_path / "answers")
+    sink = streaming_bm25_probe_sink(path, out, k=5, max_df_frac=0.25)
+
+    batch = spark.createDataFrame(
+        [Row(qid=0, terms=["dup", "batch"]), Row(qid=1, terms=["dup"])],
+        "qid long, terms array<string>",
+    )
+    sink(batch, 0)
+    got = {
+        (r["qid"], r["rank"], r["doc_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["qid"], r["rank"], r["doc_id"])
+        for r in bm25_batch_topk(
+            spark, path, batch, 5, max_df_frac=0.25
+        ).collect()
+    }
+    assert got == want and len({q for q, _, _ in got}) == 2
