@@ -40,91 +40,85 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- round-7 rotation (registry ROUND-7 plan + VERDICT r6 item 5).
-    # Slots 1-18: new/changed plans — the eleven round-7 additions
-    # (fitted persisted-index probes for BOTH quantizers, vector-dedup
-    # recall report, batch BM25 + batch hybrid-RRF serving, the full
-    # multimodal curated ingest, the three erasure sims, the stateful
-    # totals upgraded to oracle-backed with a quantized state
-    # contract) and the seven whose physical plan changed this round
-    # (the BM25 probe family's document-ordered-postings redesign:
-    # bm25_keyword_search / text_index_ingest_sim /
-    # curated_ingest_pipeline / hybrid_search_rrf; the IVF-pruned
-    # batch ANN probe; the lazily-persisted Lloyd fit under
-    # ann_ivf_fitted_topk; the empty-store-tolerant vector-dedup sink
-    # under incremental_vector_dedup_sim). ---
-    "ann_pq_persisted_fitted_topk",
-    "ann_pq_fitted_codebook_topk",
-    "ann_pq_fully_fitted_topk",
-    "vector_dedup_recall_report",
-    "bm25_batch_search",
-    "hybrid_batch_search_rrf",
-    "curated_multimodal_ingest",
-    "stream_stateful_user_totals",
+    # --- round-8 rotation (registry ROUND-8 plan + VERDICT r7 item 1).
+    # Slots 1-11: new/changed plans — the two round-8 additions
+    # (curated_multimodal_erasure_sim: right-to-erasure across all
+    # four multimodal stores with BOTH serving probes hash-checked;
+    # bm25_hot_term_bound: the stored-df hot-term bound decided before
+    # the postings scan) and the nine whose physical plan changed with
+    # the text-store redesign (delta-shaped erasure corrections +
+    # the generational merge-on-read vocab: every query that builds,
+    # ingests into, erases from, or static-probes a text index). ---
+    "curated_multimodal_erasure_sim",
+    "bm25_hot_term_bound",
     "text_index_delete_sim",
-    "ann_index_delete_sim",
     "curated_erasure_sim",
     "bm25_keyword_search",
     "text_index_ingest_sim",
     "curated_ingest_pipeline",
+    "curated_multimodal_ingest",
+    "bm25_batch_search",
     "hybrid_search_rrf",
-    "ann_pq_persisted_batch_topk",
-    "ann_ivf_fitted_topk",
-    "incremental_vector_dedup_sim",
-    # --- slots 19-50: 32 of the 36 queries whose only green row is
-    # ROUND 3 (the oldest oracle-backed evidence in the ledger; the
-    # last four alphabetically rotate first next round). ---
-    "dedup_exact",
-    "doc_fingerprint_winnow",
-    "dq_expectation_profile",
-    "dup_clusters",
-    "embedding_label_stats",
-    "embedding_near_pairs",
-    "gap_filled_hourly_counts",
-    "global_leaderboard_top10",
-    "higher_order_array_functions",
-    "hourly_distinct_users",
-    "lang_id_heuristic",
-    "minhash_signatures",
-    "multimodal_meta",
-    "pandas_udf_token_count",
-    "q11_important_balance",
-    "q12_shipping_delay_priority",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "simhash_docs",
-    "stream_dedup_distinct",
-    "stream_enrich_availablenow",
-    "stream_interval_join",
-    "stream_leaderboard_complete",
-    "stream_window_counts_watermark",
+    "hybrid_batch_search_rrf",
+    # --- slots 12-16: the 4 round-3-only greens displaced by late
+    # round-7 additions + the rows-only stub (last recorded round 3).
+    "string_agg_top_users",
+    "text_quality_profile",
+    "token_count_regex",
+    "value_histogram",
+    "multimodal_decode_stub",
+    # --- slots 17-50: the first 34 of the 48 round-4-only greens,
+    # alphabetical (the largest stale block; the remaining 14 lead the
+    # round-9 rotation). ---
+    "ann_recall_report",
+    "approx_quantiles_value",
+    "arrow_doc_lengths",
+    "bad_records_quarantine",
+    "benchmark_decontamination",
+    "bitmap_distinct_users",
+    "boilerplate_block_removal",
+    "cluster_canonical_best_quality",
+    "corpus_shuffle_order",
+    "doc_chunks_udtf",
+    "domain_mix_sample",
+    "embedding_int8_quantization",
+    "embedding_random_projection",
+    "fuzzy_entity_match",
+    "hard_negative_mining",
+    "hll_daily_merge_distinct",
+    "html_text_extract",
+    "inverted_index_postings",
+    "kll_daily_merge_quantiles",
+    "label_balanced_sample",
+    "leakage_safe_splits",
+    "lsh_bucket_stats",
+    "media_header_parse",
+    "minhash_accuracy_report",
+    "neardup_edit_distance_verify",
+    "neardup_graph_triangles",
+    "pii_redaction",
+    "png_image_decode",
+    "q20_promotion_suppliers",
+    "repetition_profile",
+    "scd2_dimension_history",
+    "scd2_point_in_time_join",
+    "schema_drift_report",
+    "sequence_packing",
 ]
 
-# ROUND-8 ROTATION PLAN: round 7 filled the window with its 18
-# new/changed plans (incl. stream_stateful_user_totals, upgraded from
-# rows-only to oracle-backed with a changed state contract, and the
-# three erasure sims) + 32 of the 36 remaining round-3-only
-# oracle-backed greens.  Assuming CORRECTNESS_r07 lands green, the
-# remaining stale evidence, oldest first, is string_agg_top_users,
-# text_quality_profile, token_count_regex and value_histogram (round
-# 3, displaced by late round-7 additions — first slots next round),
-# multimodal_decode_stub
-# (rows-only by nature, last run round 3), then the 48 round-4 rows
-# (ann_recall_report,
-# approx_quantiles_value, arrow_doc_lengths, bad_records_quarantine,
-# benchmark_decontamination, bitmap_distinct_users,
-# boilerplate_block_removal, ... — alphabetical), then the 45 round-5
-# rows.  Fill round 8's slots with any new/changed queries first,
-# then those four, then the round-4 rows (alphabetical), then the
-# oldest round-5 rows.
+# ROUND-9 ROTATION PLAN (generated census: tools/rotation_bullet.py —
+# paste its output into COVERAGE.md instead of hand-writing the
+# bullet, VERDICT r7 item 5).  Assuming CORRECTNESS_r08 lands green,
+# the remaining stale evidence, oldest first: the 14 round-4 rows not
+# in this window (source_reputation_profile,
+# stream_session_window_watermark, table_profile,
+# text_normalization_roundtrip, tfidf_top_terms,
+# theta_sketch_user_sets, token_rarity_score, unpivot_event_matrix,
+# url_canonical_dedup, variant_props_extract, vocab_coverage,
+# wav_audio_decode, winsorized_values, zorder_layout_key), then the
+# 45 round-5 rows (alphabetical).  Fill round 9's slots with any
+# new/changed queries first, then those 14, then ~35 of the round-5
+# rows.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

