@@ -2629,3 +2629,53 @@ def ann_pq_fully_fitted_topk(
         )
         _PQ_FULL_FITTED_INDEX_CACHE[sf_dir] = path
     return _probe_with_labels(spark, sf_dir, path, nprobe=2)
+
+
+@register(
+    "ann_index_compact_sim",
+    _pq_persisted_oracle(
+        probed=False, corpus_pred="vec_id <> 0 AND vec_id % 5 <> 2"
+    ),
+    description="the full ANN index MAINTENANCE cycle at hash grade "
+    "(VERDICT r7 item 6): build the frozen generation over the even "
+    "vec_ids, stream the odds in as batch 1 (generational append), "
+    "erase every vec_id % 5 == 2 (partition-local rewrites fragment "
+    "the store), then compact_index folds the erasure-fragmented "
+    "generations into ONE frozen generation (two-phase, vec_id-deduped "
+    "fold) — and the full-ADC probe of the compacted single-generation "
+    "index must equal an index that never contained the erased "
+    "vectors.  The oracle replays encode + assignment + ADC over the "
+    "survivors only; the single-generation layout restoration is "
+    "additionally pytest-pinned",
+    tags=("similarity", "ann", "pq", "index", "maintenance",
+          "extension"),
+)
+def ann_index_compact_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import build_pq_index
+    from ..streaming.ann_ingest import (
+        compact_index,
+        delete_vectors,
+        streaming_ann_index_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_compact_")
+    build_pq_index(
+        spark,
+        emb,
+        path,
+        corpus=emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)),
+    )
+    sink = streaming_ann_index_sink(path)
+    sink(emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"), 1)
+    doomed = [
+        int(r["vec_id"])
+        for r in emb.where(F.col("vec_id") % 5 == 2)
+        .select("vec_id")
+        .collect()
+    ]
+    delete_vectors(spark, path, doomed)
+    compact_index(spark, path, upto_batch_id=2)
+    return _probe_with_labels(spark, sf_dir, path, nprobe=None)

@@ -1723,3 +1723,48 @@ def bm25_hot_term_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_bounded(
         spark, path, list(_HOT_TERMS), 10, _HOT_MAX_DF_FRAC
     )
+
+
+@register(
+    "text_index_compact_sim",
+    _bm25_oracle("doc_id % 5 <> 2"),
+    description="the full text-index MAINTENANCE cycle at hash grade "
+    "(VERDICT r7 item 6): build the frozen generation over the even "
+    "doc_ids, stream the odds in as batch 1 (postings/doclens/vocab/"
+    "stats all generational), erase every doc_id % 5 == 2 (delta "
+    "corrections + tombstones, partition-local rewrites), then "
+    "compact_text_index folds the erasure-fragmented stores into ONE "
+    "generation, rebuilds vocab and stats exactly from the folded "
+    "data, refuses if any tombstoned doc still had rows, and drops "
+    "the tombstones — and the merge-on-read BM25 probe of the "
+    "compacted single-generation index must equal an index that never "
+    "contained the erased docs.  The oracle replays BM25 over the "
+    "survivors only; single-generation restoration and the "
+    "resurrection-refusal guard are additionally pytest-pinned",
+    tags=("text", "search", "bm25", "index", "maintenance",
+          "extension"),
+)
+def text_index_compact_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import bm25_topk_merged, build_text_index
+    from ..streaming.text_ingest import (
+        compact_text_index,
+        delete_docs,
+        streaming_text_index_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="text_index_compact_")
+    build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    doomed = [
+        int(r["doc_id"])
+        for r in docs.where(F.col("doc_id") % 5 == 2)
+        .select("doc_id")
+        .collect()
+    ]
+    delete_docs(spark, path, doomed)
+    compact_text_index(spark, path, upto_batch_id=2)
+    return bm25_topk_merged(spark, path, list(_BM25_TERMS), 10)
