@@ -172,6 +172,15 @@ HEADLINE = [
     "text_index_delete_sim",
     "ann_index_delete_sim",
     "curated_erasure_sim",
+    # round 8 additions: the multimodal erasure sim (all four stores +
+    # both serving probes), the hot-term-bounded BM25 probe, and the
+    # full maintenance-cycle (erase -> compact) sims
+    "curated_multimodal_erasure_sim",
+    "bm25_hot_term_bound",
+    "text_index_compact_sim",
+    "ann_index_compact_sim",
+    "ann_binary_hamming_topk",
+    "ann_binary_rerank_topk",
 ]
 
 

@@ -410,3 +410,73 @@ def embedding_near_pairs(
         )
         .where(F.col("cosine") >= F.lit(min_cosine))
     )
+
+
+# --- binary (sign) quantization + Hamming ranking (round 8) ----------
+
+BINARY_WORDS = 4       # 64 sign bits packed 16 per word
+BINARY_WORD_BITS = 16  # 16-bit words: no BIGINT sign-bit edge cases
+
+
+def sign_words(embedding: F.Column) -> F.Column:
+    """``array<long>`` of 4 packed 16-bit words: bit j of word w is 1
+    iff ``embedding[16w + j] > 0`` — the 1-bit-per-dimension binary
+    sketch (64 dims -> 8 bytes, 1/32 of the float32 vector).  Strict
+    ``> 0`` so the zero boundary is engine-exact; powers of two are
+    literal (no column-shift ops), everything stays in whole-stage
+    codegen."""
+    pows = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(BINARY_WORD_BITS)]
+    )
+    words = []
+    for w in range(BINARY_WORDS):
+        sl = F.slice(
+            embedding, w * BINARY_WORD_BITS + 1, BINARY_WORD_BITS
+        )
+        bits = F.zip_with(
+            sl,
+            pows,
+            lambda x, p: F.when(
+                x.cast("double") > F.lit(0.0), p
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        words.append(
+            F.aggregate(
+                bits, F.lit(0).cast("long"), lambda a, b: a + b
+            )
+        )
+    return F.array(*words)
+
+
+def hamming_words(a: F.Column, b: F.Column) -> F.Column:
+    """Hamming distance between two packed word arrays: per-word
+    XOR + popcount, summed — integer-exact, 4 bit_count calls per
+    pair."""
+    x = F.zip_with(
+        a, b, lambda p, q: F.bit_count(p.bitwiseXOR(q)).cast("long")
+    )
+    return (
+        F.aggregate(x, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        .cast("int")
+    )
+
+
+def binary_hamming_topk(
+    corpus: DataFrame, query: DataFrame, k: int
+) -> DataFrame:
+    """Hamming top-k of the 1-row ``query`` (``qw`` packed-words
+    column) against pre-packed corpus ``(vec_id, wrd)`` rows.  Scale
+    shape: the scan side is the 8-byte sketch column (1/32 the float
+    vectors), the query is broadcast, ranking is XOR+popcount into a
+    TakeOrdered top-k — the cheapest ANN family, and the standard
+    shortlist stage in front of an exact rerank
+    (:func:`binary_rerank_topk`)."""
+    return (
+        corpus.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            hamming_words(F.col("wrd"), F.col("qw")).alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -41,20 +41,24 @@ QUERIES: dict[str, QuerySpec] = {}
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
     # --- round-8 rotation (registry ROUND-8 plan + VERDICT r7 item 1).
-    # Slots 1-13: new/changed plans — the four round-8 additions
+    # Slots 1-15: new/changed plans — the six round-8 additions
     # (curated_multimodal_erasure_sim: right-to-erasure across all
     # four multimodal stores with BOTH serving probes hash-checked;
     # bm25_hot_term_bound: the stored-df hot-term bound decided before
     # the postings scan; text_index_compact_sim / ann_index_compact_sim:
     # the build->ingest->erase->compact maintenance cycle at hash
-    # grade) and the nine whose physical plan changed with the
-    # text-store redesign (delta-shaped erasure corrections + the
-    # generational merge-on-read vocab: every query that builds,
-    # ingests into, erases from, or static-probes a text index). ---
+    # grade; ann_binary_hamming_topk / ann_binary_rerank_topk: the
+    # 8-byte sign-sketch prefilter + exact-rerank serving stack) and
+    # the nine whose physical plan changed with the text-store
+    # redesign (delta-shaped erasure corrections + the generational
+    # merge-on-read vocab: every query that builds, ingests into,
+    # erases from, or static-probes a text index). ---
     "curated_multimodal_erasure_sim",
     "bm25_hot_term_bound",
     "text_index_compact_sim",
     "ann_index_compact_sim",
+    "ann_binary_hamming_topk",
+    "ann_binary_rerank_topk",
     "text_index_delete_sim",
     "curated_erasure_sim",
     "bm25_keyword_search",
@@ -71,8 +75,8 @@ FRONT: list[str] = [
     "token_count_regex",
     "value_histogram",
     "multimodal_decode_stub",
-    # --- slots 19-50: the first 32 of the 48 round-4-only greens,
-    # alphabetical (the largest stale block; the remaining 16 lead the
+    # --- slots 21-50: the first 30 of the 48 round-4-only greens,
+    # alphabetical (the largest stale block; the remaining 18 lead the
     # round-9 rotation). ---
     "ann_recall_report",
     "approx_quantiles_value",
@@ -104,22 +108,21 @@ FRONT: list[str] = [
     "png_image_decode",
     "q20_promotion_suppliers",
     "repetition_profile",
-    "scd2_dimension_history",
-    "scd2_point_in_time_join",
 ]
 
 # ROUND-9 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
 # bullet, VERDICT r7 item 5).  Assuming CORRECTNESS_r08 lands green,
-# the remaining stale evidence, oldest first: the 16 round-4 rows not
-# in this window (schema_drift_report, sequence_packing,
-# source_reputation_profile, stream_session_window_watermark,
-# table_profile, text_normalization_roundtrip, tfidf_top_terms,
+# the remaining stale evidence, oldest first: the 18 round-4 rows not
+# in this window (scd2_dimension_history, scd2_point_in_time_join,
+# schema_drift_report, sequence_packing, source_reputation_profile,
+# stream_session_window_watermark, table_profile,
+# text_normalization_roundtrip, tfidf_top_terms,
 # theta_sketch_user_sets, token_rarity_score, unpivot_event_matrix,
 # url_canonical_dedup, variant_props_extract, vocab_coverage,
 # wav_audio_decode, winsorized_values, zorder_layout_key), then the
 # 45 round-5 rows (alphabetical).  Fill round 9's slots with any
-# new/changed queries first, then those 16, then ~33 of the round-5
+# new/changed queries first, then those 18, then ~30 of the round-5
 # rows.
 
 

@@ -19,6 +19,8 @@ from tests.conftest import SF_ORACLE
 BNLJ_ALLOWED = {
     "ann_cosine_topk",
     "ann_batch_topk",
+    "ann_binary_hamming_topk",  # 1-row broadcast packed-words query
+    "ann_binary_rerank_topk",  # same + 1-row query-vector rerank side
     "ann_lsh_bucket_topk",
     "ann_ivf_topk",
     "ann_ivf_fitted_topk",  # same 8-row centroid set, fitted by Lloyd
