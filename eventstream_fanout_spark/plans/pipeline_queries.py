@@ -1691,3 +1691,47 @@ def curated_multimodal_erasure_sim(
         )
     )
     return text.unionByName(vec)
+
+
+@register(
+    "streaming_erasure_sim",
+    _curated_ingest_oracle("doc_id % 7 <> 3 AND doc_id % 7 <> 5"),
+    description="right-to-erasure as a STREAM (the deletion-queue "
+    "shape a GDPR/DSAR processor emits): after the staged "
+    "dedup->index ingest of two parity batches, TWO erasure-request "
+    "micro-batches flow through streaming_erasure_sink (doc_id % 7 == "
+    "3, then % 7 == 5), each applied via curated_erase — "
+    "delta-corrected, tombstone-committed, idempotent under replay — "
+    "and the merge-on-read BM25 probe must equal a pipeline whose "
+    "accepted set never contained either request's docs.  The second "
+    "batch erases from a store the first already fragmented, so the "
+    "hash also pins correction-over-correction composition "
+    "(two stacked correction generations summing exactly)",
+    tags=("pipeline", "dedup", "search", "maintenance", "streaming",
+          "extension"),
+)
+def streaming_erasure_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import bm25_topk_merged
+    from ..streaming.curated_ingest import (
+        curated_ingest_sink,
+        streaming_erasure_sink,
+    )
+    from .text_queries import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_erase_")
+    sink = curated_ingest_sink(
+        f"{tmp}/store", f"{tmp}/out", f"{tmp}/index"
+    )
+    sink(docs.where(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    eraser = streaming_erasure_sink(
+        f"{tmp}/store", f"{tmp}/out", f"{tmp}/index"
+    )
+    eraser(docs.where(F.col("doc_id") % 7 == 3).select("doc_id"), 0)
+    eraser(docs.where(F.col("doc_id") % 7 == 5).select("doc_id"), 1)
+    return bm25_topk_merged(
+        spark, f"{tmp}/index", list(_BM25_TERMS), 10
+    )

@@ -150,3 +150,46 @@ def curated_erase(
     if vec_out_path is not None:
         n += erase_rows(spark, vec_out_path, "vec_id", ids)
     return n
+
+
+def streaming_erasure_sink(
+    store_path: str,
+    out_path: str,
+    text_index_path: str,
+    ann_index_path: str | None = None,
+    vec_out_path: str | None = None,
+):
+    """``foreachBatch`` callback: right-to-erasure requests arrive as
+    a STREAM of ``(doc_id)`` rows and each micro-batch is applied
+    through :func:`curated_erase` — the operational shape of a
+    deletion queue (GDPR/DSAR processors emit requests continuously;
+    the stores consume them in order).  The batch's ids are collected
+    per trigger (an erasure request is metadata-sized by nature —
+    SCALE.md §1).
+
+    Replay contract: a replayed batch re-runs the same
+    ``curated_erase``, which is idempotent end to end — the text side
+    is tombstone-gated (a committed correction is never re-applied;
+    a half-applied one is completed in place), the signature/vector/
+    code erases find nothing left to rewrite.  Run in a maintenance
+    window: not concurrent with the INGEST stream (the compaction
+    contract shared by every store-rewriting op)."""
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ids = [
+            int(r["doc_id"])
+            for r in batch_df.select("doc_id").distinct().collect()
+        ]
+        curated_erase(
+            batch_df.sparkSession,
+            store_path,
+            out_path,
+            text_index_path,
+            ids,
+            ann_index_path=ann_index_path,
+            vec_out_path=vec_out_path,
+        )
+
+    return process

