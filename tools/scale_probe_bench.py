@@ -110,13 +110,27 @@ def main():
     spark = get_spark(app_name="scale-probe-bench")
     rep = spark.range(MULT).select(F.col("id").alias("k"))
 
+    # the sf tables are single parquet files: without an explicit
+    # repartition the replicate-and-build pipeline would run in ONE
+    # task (scan parallelism = file count) — repartition the cheap
+    # pre-explode rows so the heavy tokenize/encode work fans out
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
-    big_docs = docs.crossJoin(rep).select(
-        (F.col("doc_id") + F.col("k") * OFFSET).alias("doc_id"), "text"
+    big_docs = (
+        docs.crossJoin(rep)
+        .repartition(64)
+        .select(
+            (F.col("doc_id") + F.col("k") * OFFSET).alias("doc_id"),
+            "text",
+        )
     )
     emb = load_table(spark, SF, "embeddings")
-    big_emb = emb.crossJoin(rep).select(
-        (F.col("vec_id") + F.col("k") * OFFSET).alias("vec_id"), "embedding"
+    big_emb = (
+        emb.crossJoin(rep)
+        .repartition(64)
+        .select(
+            (F.col("vec_id") + F.col("k") * OFFSET).alias("vec_id"),
+            "embedding",
+        )
     )
 
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
