@@ -181,6 +181,8 @@ HEADLINE = [
     "ann_index_compact_sim",
     "ann_binary_hamming_topk",
     "ann_binary_rerank_topk",
+    "streaming_erasure_sim",
+    "text_index_layout_census",
 ]
 
 

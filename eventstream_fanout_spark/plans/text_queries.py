@@ -1768,3 +1768,97 @@ def text_index_compact_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete_docs(spark, path, doomed)
     compact_text_index(spark, path, upto_batch_id=2)
     return bm25_topk_merged(spark, path, list(_BM25_TERMS), 10)
+
+
+def _layout_census_oracle() -> str:
+    """Replay of the STORE LAYOUT after build(evens) -> ingest(odds as
+    batch 1) -> delete(doc_id % 7 == 3): per-(store, generation) row
+    counts derived from first principles — postings = surviving
+    (doc, distinct tok) pairs per generation, doclens = surviving docs,
+    vocab = the build/ingest snapshots (NOT rewritten by erasure) plus
+    the correction generation's per-term deltas (distinct toks of the
+    doomed docs), stats = one row per generation incl. the correction,
+    tombstones = the doomed docs under the correction generation -2
+    (the deterministic allocation: one below the structural minimum)."""
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    pairs AS (SELECT DISTINCT doc_id, tok FROM occ),
+    gens AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 1 END AS INTEGER)
+               AS batch_id,
+             (doc_id % 7 = 3) AS doomed
+      FROM documents
+    )
+    SELECT 'postings' AS store, g.batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM pairs p JOIN gens g ON g.doc_id = p.doc_id
+    WHERE NOT g.doomed GROUP BY 2
+    UNION ALL
+    SELECT 'doclens', batch_id, CAST(COUNT(*) AS BIGINT)
+    FROM gens WHERE NOT doomed GROUP BY 2
+    UNION ALL
+    SELECT 'vocab', g.batch_id, CAST(COUNT(DISTINCT p.tok) AS BIGINT)
+    FROM pairs p JOIN gens g ON g.doc_id = p.doc_id
+    GROUP BY 2
+    UNION ALL
+    SELECT 'vocab', CAST(-2 AS INTEGER), CAST(COUNT(DISTINCT p.tok) AS BIGINT)
+    FROM pairs p JOIN gens g ON g.doc_id = p.doc_id
+    WHERE g.doomed
+    UNION ALL
+    SELECT 'stats', batch_id, CAST(1 AS BIGINT)
+    FROM (VALUES (CAST(-1 AS INTEGER)), (CAST(1 AS INTEGER)),
+                 (CAST(-2 AS INTEGER))) v(batch_id)
+    UNION ALL
+    SELECT 'tombstones', CAST(-2 AS INTEGER), CAST(COUNT(*) AS BIGINT)
+    FROM gens WHERE doomed
+    """
+
+
+@register(
+    "text_index_layout_census",
+    _layout_census_oracle(),
+    description="the generational store LAYOUT itself, hash-pinned "
+    "(the sims pin probe RESULTS; this pins the artifact shape the "
+    "cost model stands on): after build(evens) -> ingest(odds) -> "
+    "erase(doc_id % 7 == 3), the per-(store, generation) row counts "
+    "of all five tables must match first-principles replay — "
+    "postings/doclens rewritten to survivors only, vocab snapshots "
+    "NOT rewritten (erasure is additive: the correction generation "
+    "-2 holds one delta row per doomed-doc term), stats carrying "
+    "exactly one row per generation including the correction, "
+    "tombstones the doomed set under the deterministically-allocated "
+    "generation -2.  Any maintenance bug that silently rewrote, "
+    "dropped or duplicated a partition changes a count here",
+    tags=("text", "index", "maintenance", "observability", "extension"),
+)
+def text_index_layout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import build_text_index
+    from ..streaming.text_ingest import delete_docs, streaming_text_index_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="text_index_census_")
+    build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    doomed = [
+        int(r["doc_id"])
+        for r in docs.where(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+        .collect()
+    ]
+    delete_docs(spark, path, doomed)
+    census = None
+    for name in ("postings", "doclens", "vocab", "stats", "tombstones"):
+        c = (
+            spark.read.parquet(f"{path}/{name}")
+            .groupBy(F.col("batch_id").cast("int").alias("batch_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .select(F.lit(name).alias("store"), "batch_id", "n_rows")
+        )
+        census = c if census is None else census.unionByName(c)
+    return census
