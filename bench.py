@@ -183,6 +183,8 @@ HEADLINE = [
     "ann_binary_rerank_topk",
     "streaming_erasure_sim",
     "text_index_layout_census",
+    "text_index_asof_probe",
+    "exact_substring_spans",
 ]
 
 

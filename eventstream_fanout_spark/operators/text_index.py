@@ -500,6 +500,85 @@ def _stored_vocab(
     )
 
 
+def bm25_topk_asof(
+    spark: SparkSession,
+    index_path: str,
+    terms: list[str],
+    k: int,
+    upto_batch_id: int,
+) -> DataFrame:
+    """:func:`bm25_topk_merged` AS OF an ingest-generation watermark —
+    the reproducibility probe: "rank against the index exactly as it
+    stood after batch N" (training runs pin their retrieval corpus;
+    a later re-run must see the same index state).  Implemented as a
+    ``batch_id <= upto_batch_id`` filter on the postings AND stats
+    scans — ``batch_id`` is the partition column, so time travel is
+    literal partition pruning, no extra cost over the live probe.
+    The frozen build (-1) and compaction folds (< -1) are always
+    below any non-negative watermark, so an as-of probe over a
+    compacted store sees the fold (which is exactly the committed
+    prefix it represents).
+
+    Fail-closed (and deliberately so): a store that has been ERASED
+    refuses as-of probes — erasure is destructive by contract (a
+    right-to-erasure that a time-travel probe could resurrect would
+    not be an erasure), and a correction generation's deltas are
+    global (they correct the store as of erasure time), so no earlier
+    view is reconstructible.  The guard rides the stats aggregate the
+    probe already pays: any ``n_docs < 0`` row (a correction) raises."""
+    postings = spark.read.parquet(f"{index_path}/postings").where(
+        F.col("tok").isin(terms)
+        & (F.col("batch_id") <= F.lit(int(upto_batch_id)))
+    )
+    vocab = _merged_vocab(postings)
+    stats_rows = spark.read.parquet(f"{index_path}/stats").where(
+        F.col("batch_id") <= F.lit(int(upto_batch_id))
+    )
+    no_correction = F.assert_true(
+        F.col("_mn") >= 0,
+        F.lit(
+            "text index as-of probe: the store holds erasure "
+            "correction generations — erasure is destructive (no "
+            "earlier view is reconstructible, by right-to-erasure "
+            "contract); probe the live index with bm25_topk_merged"
+        ),
+    )
+    guarded_stats = (
+        stats_rows.agg(F.min("n_docs").alias("_mn"))
+        .crossJoin(_merged_stats(stats_rows.drop("batch_id")))
+        .select(
+            (
+                F.col("n_docs")
+                + F.coalesce(
+                    no_correction.cast("bigint"), F.lit(0).cast("bigint")
+                )
+            ).cast("bigint").alias("n_docs"),
+            "total_len",
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(guarded_stats))
+        .select("doc_id", "tok", bm25_score_expr().alias("sc"), "batch_id")
+    )
+    guard = _generation_coverage_guard(
+        postings,
+        stats_rows,
+        fields=(
+            ("doc_id", "bigint"),
+            ("tok", "string"),
+            ("sc", "double"),
+            ("batch_id", "int"),
+        ),
+    )
+    return (
+        _topk_from_scored(scored.unionByName(guard))
+        .select("doc_id", "n_terms_matched", "bm25_score")
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def hot_term_filter(
     spark: SparkSession,
     index_path: str,

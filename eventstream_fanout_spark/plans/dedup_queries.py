@@ -429,3 +429,127 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err"),
         )
     )
+
+
+_SPAN_K = 8  # duplicated token-run threshold (the ExactSubstr dial)
+
+
+@register(
+    "exact_substring_spans",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             generate_subscripts({sql_shingles('toks', _SPAN_K)}, 1) AS pos,
+             md5(unnest({sql_shingles('toks', _SPAN_K)})) AS h
+      FROM toked
+    ),
+    dup AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.pos FROM sh s JOIN dup d ON d.h = s.h
+    ),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) > {_SPAN_K}
+                  THEN 1 ELSE 0 END AS b
+      FROM flagged
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+      FROM isl GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_dup_spans,
+             CAST(SUM(e - s + {_SPAN_K}) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_dup_spans, 0) AS INTEGER) AS n_dup_spans,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CASE WHEN len(t.toks) > 0
+                THEN CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                     / CAST(len(t.toks) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_ratio
+    FROM toked t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    """,
+    description="exact duplicated-substring SPAN report (the "
+    "ExactSubstr-dedup family, Lee et al.'s 'Deduplicating Training "
+    f"Data' operator re-expressed Spark-first): every {_SPAN_K}-token "
+    "run is shingled at every position (no stride, no sampling — "
+    "alignment-robust and exhaustive by construction), runs appearing "
+    "in >= 2 distinct docs flag their positions, and per-doc "
+    "gaps-and-islands merging (windows whose starts differ by <= "
+    f"{_SPAN_K} cover a contiguous token range) yields MAXIMAL "
+    "duplicated spans — per doc: span count, duplicated-token "
+    "coverage, and the dup ratio a filtering policy thresholds on.  "
+    "Scale shape: rows = tokens per doc (the tf/postings explode "
+    "factor), the only shuffles are the shingle-hash groupBy and an "
+    "equi-join back on the hash (bucket-local, the suffix-array "
+    "replacement that distributes), islands are doc-local windows",
+    tags=("dedup", "text", "quality", "extension"),
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toked.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("toks"), _SPAN_K)).alias("pos", "g"),
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), F.md5("g").alias("h"))
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = sh.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = flagged.withColumn(
+        "b",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > _SPAN_K, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    isl = brk.withColumn("island", F.sum("b").over(w))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + F.lit(_SPAN_K))
+        .cast("bigint")
+        .alias("dup_tokens"),
+    )
+    base = toked.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("int").alias(
+            "n_dup_spans"
+        ),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias(
+            "dup_tokens"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0).cast("double"))
+        .alias("dup_ratio"),
+    )

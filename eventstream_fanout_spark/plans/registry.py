@@ -41,7 +41,7 @@ QUERIES: dict[str, QuerySpec] = {}
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
     # --- round-8 rotation (registry ROUND-8 plan + VERDICT r7 item 1).
-    # Slots 1-17: new/changed plans — the eight round-8 additions
+    # Slots 1-19: new/changed plans — the ten round-8 additions
     # (curated_multimodal_erasure_sim: right-to-erasure across all
     # four multimodal stores with BOTH serving probes hash-checked;
     # bm25_hot_term_bound: the stored-df hot-term bound decided before
@@ -52,7 +52,10 @@ FRONT: list[str] = [
     # streaming_erasure_sim: the deletion-queue stream applied through
     # curated_erase, correction-over-correction composition;
     # text_index_layout_census: the generational artifact SHAPE itself
-    # hash-pinned per (store, generation)) and
+    # hash-pinned per (store, generation); text_index_asof_probe:
+    # time-travel via batch_id partition pruning, refusing erased
+    # stores; exact_substring_spans: the ExactSubstr dedup-span
+    # report) and
     # the nine whose physical plan changed with the text-store
     # redesign (delta-shaped erasure corrections + the generational
     # merge-on-read vocab: every query that builds, ingests into,
@@ -65,6 +68,8 @@ FRONT: list[str] = [
     "ann_binary_rerank_topk",
     "streaming_erasure_sim",
     "text_index_layout_census",
+    "text_index_asof_probe",
+    "exact_substring_spans",
     "text_index_delete_sim",
     "curated_erasure_sim",
     "bm25_keyword_search",
@@ -74,15 +79,15 @@ FRONT: list[str] = [
     "bm25_batch_search",
     "hybrid_search_rrf",
     "hybrid_batch_search_rrf",
-    # --- slots 18-22: the 4 round-3-only greens displaced by late
+    # --- slots 20-24: the 4 round-3-only greens displaced by late
     # round-7 additions + the rows-only stub (last recorded round 3).
     "string_agg_top_users",
     "text_quality_profile",
     "token_count_regex",
     "value_histogram",
     "multimodal_decode_stub",
-    # --- slots 23-50: the first 28 of the 48 round-4-only greens,
-    # alphabetical (the largest stale block; the remaining 20 lead the
+    # --- slots 25-50: the first 26 of the 48 round-4-only greens,
+    # alphabetical (the largest stale block; the remaining 22 lead the
     # round-9 rotation). ---
     "ann_recall_report",
     "approx_quantiles_value",
@@ -110,15 +115,14 @@ FRONT: list[str] = [
     "minhash_accuracy_report",
     "neardup_edit_distance_verify",
     "neardup_graph_triangles",
-    "pii_redaction",
-    "png_image_decode",
 ]
 
 # ROUND-9 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
 # bullet, VERDICT r7 item 5).  Assuming CORRECTNESS_r08 lands green,
-# the remaining stale evidence, oldest first: the 20 round-4 rows not
-# in this window (q20_promotion_suppliers, repetition_profile,
+# the remaining stale evidence, oldest first: the 22 round-4 rows not
+# in this window (pii_redaction, png_image_decode,
+# q20_promotion_suppliers, repetition_profile,
 # scd2_dimension_history,
 # scd2_point_in_time_join,
 # schema_drift_report, sequence_packing, source_reputation_profile,
@@ -128,7 +132,7 @@ FRONT: list[str] = [
 # url_canonical_dedup, variant_props_extract, vocab_coverage,
 # wav_audio_decode, winsorized_values, zorder_layout_key), then the
 # 45 round-5 rows (alphabetical).  Fill round 9's slots with any
-# new/changed queries first, then those 20, then ~30 of the round-5
+# new/changed queries first, then those 22, then ~28 of the round-5
 # rows.
 
 

@@ -1862,3 +1862,35 @@ def text_index_layout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         census = c if census is None else census.unionByName(c)
     return census
+
+
+@register(
+    "text_index_asof_probe",
+    _bm25_oracle("doc_id % 2 = 0 OR doc_id % 4 = 1"),
+    description="TIME-TRAVEL probe of the generational index "
+    "(bm25_topk_asof — the reproducibility contract a training run "
+    "needs: 'rank against the index exactly as it stood after batch "
+    "N'): the build indexes the evens (frozen generation), batches 1 "
+    "and 2 ingest doc_id % 4 == 1 and % 4 == 3, and the probe AS OF "
+    "batch 1 must equal an index that never saw batch 2 — implemented "
+    "as batch_id <= N partition PRUNING on the postings and stats "
+    "scans, so time travel costs nothing over the live probe.  "
+    "Deliberately fail-closed on erased stores (a right-to-erasure "
+    "that time travel could resurrect would not be an erasure — the "
+    "guard rides the stats aggregate; pytest-pinned)",
+    tags=("text", "search", "bm25", "index", "time-travel",
+          "extension"),
+)
+def text_index_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import bm25_topk_asof, build_text_index
+    from ..streaming.text_ingest import streaming_text_index_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="text_index_asof_")
+    build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where(F.col("doc_id") % 4 == 1), 1)
+    sink(docs.where(F.col("doc_id") % 4 == 3), 2)
+    return bm25_topk_asof(spark, path, list(_BM25_TERMS), 10, 1)

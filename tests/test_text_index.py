@@ -1052,3 +1052,59 @@ def test_streaming_erasure_sink_applies_requests_and_replays(
         (r["doc_id"], r["bm25_score"])
         for r in bm25_topk_merged(spark, f"{tmp}/index", TERMS, 10).collect()
     ] == want
+
+
+def test_asof_probe_prunes_partitions_and_refuses_erased_store(
+    spark, tmp_path
+):
+    """bm25_topk_asof semantics: as-of N equals a build that never saw
+    later batches; as-of the max generation equals the live merged
+    probe; the plan prunes the postings scan to batch_id <= N; and an
+    ERASED store refuses time travel (erasure is destructive — no
+    earlier view may be reconstructible)."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_asof,
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        delete_docs,
+        streaming_text_index_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.where(F.col("doc_id") % 2 == 0), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where(F.col("doc_id") % 4 == 1), 1)
+    sink(docs.where(F.col("doc_id") % 4 == 3), 2)
+
+    asof1 = bm25_topk_asof(spark, path, TERMS, 10, 1)
+    plan = asof1._jdf.queryExecution().executedPlan().toString()
+    assert "batch_id" in plan  # the watermark reaches the scan
+    fresh = str(tmp_path / "tidx_asof")
+    build_text_index(
+        spark,
+        docs.where((F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 1)),
+        fresh,
+    )
+    assert [
+        (r["doc_id"], r["bm25_score"]) for r in asof1.collect()
+    ] == [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, fresh, TERMS, 10).collect()
+    ]
+    # as-of the newest generation == the live probe
+    assert [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_asof(spark, path, TERMS, 10, 2).collect()
+    ] == [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, path, TERMS, 10).collect()
+    ]
+
+    # erased store: time travel must refuse
+    doomed = [int(r["doc_id"]) for r in docs.where(
+        F.col("doc_id") % 7 == 3).select("doc_id").collect()]
+    assert delete_docs(spark, path, doomed) > 0
+    with pytest.raises(Exception, match="destructive"):
+        bm25_topk_asof(spark, path, TERMS, 10, 2).collect()
