@@ -184,7 +184,9 @@ HEADLINE = [
     "streaming_erasure_sim",
     "text_index_layout_census",
     "text_index_asof_probe",
+    "ann_index_asof_sim",
     "exact_substring_spans",
+    "exact_substring_dedup_cut",
 ]
 
 

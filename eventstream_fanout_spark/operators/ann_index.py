@@ -506,11 +506,21 @@ def pq_probe_topk(
     query: DataFrame,
     k: int,
     nprobe: int | None = None,
+    upto_batch_id: int | None = None,
 ) -> DataFrame:
     """ADC top-k against the STORED index.  ``nprobe=None`` scans all
     codes (pure PQ); an integer probes only the nprobe coarse lists
     nearest the query — a broadcast 8-row centroid ranking whose
     result prunes the codes scan on its ``list_id`` partition column.
+
+    ``upto_batch_id`` probes AS OF an ingest-generation watermark
+    (``batch_id <= N`` — partition pruning on the generation column,
+    the text index's bm25_topk_asof twin; the frozen build and
+    compaction folds are negative, so they sit below any non-negative
+    watermark).  ADC carries no corpus statistics, so no correction
+    bookkeeping exists on this side — and none is needed: erasure
+    physically removes code rows from every generation, so no as-of
+    view can resurrect an erased vector.
 
     The returned plan contains the codes/codebook/centroids table
     scans and NO encode subtree (no embedding slicing) — the property
@@ -518,6 +528,10 @@ def pq_probe_topk(
     from ..functions.vectors import cosine
 
     codes, codebook, centroids = read_index(spark, index_path)
+    if upto_batch_id is not None:
+        codes = codes.where(
+            F.col("batch_id") <= F.lit(int(upto_batch_id))
+        )
     if nprobe is not None:
         probes = (
             query.select(F.col("embedding").alias("qe"))

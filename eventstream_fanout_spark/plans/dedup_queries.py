@@ -553,3 +553,153 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0).cast("double"))
         .alias("dup_ratio"),
     )
+
+
+def _dup_token_spans(docs: DataFrame):
+    """(toked, spans): the maximal duplicated-run spans of
+    :func:`exact_substring_spans`, shared with the CUT step below.
+    ``spans`` rows are (doc_id, s, e) over 1-based shingle start
+    positions; the covered token range is [s, e + K - 1]."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import shingles, tokens
+
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toked.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("toks"), _SPAN_K)).alias("pos", "g"),
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), F.md5("g").alias("h"))
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = sh.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn(
+        "b",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > _SPAN_K, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("b").over(w))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e")
+    )
+    return toked, spans
+
+
+_CUT_SPAN_CTES = f"""
+    toked AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             generate_subscripts({sql_shingles('toks', _SPAN_K)}, 1) AS pos,
+             md5(unnest({sql_shingles('toks', _SPAN_K)})) AS h
+      FROM toked
+    ),
+    dup AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.pos FROM sh s JOIN dup d ON d.h = s.h
+    ),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) > {_SPAN_K}
+                  THEN 1 ELSE 0 END AS b
+      FROM flagged
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+      FROM isl GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "exact_substring_dedup_cut",
+    f"""
+    WITH {_CUT_SPAN_CTES},
+    tokpos AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+             unnest(toks) AS tok
+      FROM toked
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tokpos t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = t.doc_id
+          AND t.pos BETWEEN sp.s AND sp.e + {_SPAN_K} - 1
+      )
+    ),
+    cleaned AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           COALESCE(c.clean_md5, md5('')) AS clean_md5
+    FROM toked t LEFT JOIN cleaned c ON c.doc_id = t.doc_id
+    """,
+    description="the ExactSubstr dedup FIX step (the removal half of "
+    "Lee et al.'s operator — exact_substring_spans finds, this CUTS): "
+    "every token covered by a cross-doc duplicated maximal span is "
+    "removed from EVERY copy, and the surviving tokens re-assemble in "
+    "position order into the cleaned token stream — hash-checked via "
+    "its md5 plus kept/total counts per doc (a fully-duplicated doc "
+    "cleans to the empty stream).  Scale shape: the span chain's two "
+    "bucket-local shuffles plus one doc_id-equi ANTI join (token "
+    "positions vs their doc's span ranges — spans per doc are few) "
+    "and a doc-local ordered re-assembly; no all-pairs anywhere",
+    tags=("dedup", "text", "quality", "extension"),
+)
+def exact_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked, spans = _dup_token_spans(docs)
+    tokpos = toked.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "tok")
+    t, sp = tokpos.alias("t"), spans.alias("sp")
+    kept = t.join(
+        sp,
+        (F.col("t.doc_id") == F.col("sp.doc_id"))
+        & (F.col("t.pos") >= F.col("sp.s"))
+        & (F.col("t.pos") <= F.col("sp.e") + F.lit(_SPAN_K - 1)),
+        "left_anti",
+    )
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda st: st.getField("tok"),
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    base = toked.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    return base.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("bigint").alias(
+            "n_tokens_kept"
+        ),
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )

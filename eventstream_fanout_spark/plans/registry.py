@@ -41,7 +41,7 @@ QUERIES: dict[str, QuerySpec] = {}
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
     # --- round-8 rotation (registry ROUND-8 plan + VERDICT r7 item 1).
-    # Slots 1-19: new/changed plans — the ten round-8 additions
+    # Slots 1-21: new/changed plans — the twelve round-8 additions
     # (curated_multimodal_erasure_sim: right-to-erasure across all
     # four multimodal stores with BOTH serving probes hash-checked;
     # bm25_hot_term_bound: the stored-df hot-term bound decided before
@@ -54,8 +54,9 @@ FRONT: list[str] = [
     # text_index_layout_census: the generational artifact SHAPE itself
     # hash-pinned per (store, generation); text_index_asof_probe:
     # time-travel via batch_id partition pruning, refusing erased
-    # stores; exact_substring_spans: the ExactSubstr dedup-span
-    # report) and
+    # stores (plus its ANN twin ann_index_asof_sim);
+    # exact_substring_spans / exact_substring_dedup_cut: the
+    # ExactSubstr dedup-span report and its removal FIX step) and
     # the nine whose physical plan changed with the text-store
     # redesign (delta-shaped erasure corrections + the generational
     # merge-on-read vocab: every query that builds, ingests into,
@@ -69,7 +70,9 @@ FRONT: list[str] = [
     "streaming_erasure_sim",
     "text_index_layout_census",
     "text_index_asof_probe",
+    "ann_index_asof_sim",
     "exact_substring_spans",
+    "exact_substring_dedup_cut",
     "text_index_delete_sim",
     "curated_erasure_sim",
     "bm25_keyword_search",
@@ -79,15 +82,15 @@ FRONT: list[str] = [
     "bm25_batch_search",
     "hybrid_search_rrf",
     "hybrid_batch_search_rrf",
-    # --- slots 20-24: the 4 round-3-only greens displaced by late
+    # --- slots 22-26: the 4 round-3-only greens displaced by late
     # round-7 additions + the rows-only stub (last recorded round 3).
     "string_agg_top_users",
     "text_quality_profile",
     "token_count_regex",
     "value_histogram",
     "multimodal_decode_stub",
-    # --- slots 25-50: the first 26 of the 48 round-4-only greens,
-    # alphabetical (the largest stale block; the remaining 22 lead the
+    # --- slots 27-50: the first 24 of the 48 round-4-only greens,
+    # alphabetical (the largest stale block; the remaining 24 lead the
     # round-9 rotation). ---
     "ann_recall_report",
     "approx_quantiles_value",
@@ -113,15 +116,14 @@ FRONT: list[str] = [
     "lsh_bucket_stats",
     "media_header_parse",
     "minhash_accuracy_report",
-    "neardup_edit_distance_verify",
-    "neardup_graph_triangles",
 ]
 
 # ROUND-9 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
 # bullet, VERDICT r7 item 5).  Assuming CORRECTNESS_r08 lands green,
-# the remaining stale evidence, oldest first: the 22 round-4 rows not
-# in this window (pii_redaction, png_image_decode,
+# the remaining stale evidence, oldest first: the 24 round-4 rows not
+# in this window (neardup_edit_distance_verify, neardup_graph_triangles,
+# pii_redaction, png_image_decode,
 # q20_promotion_suppliers, repetition_profile,
 # scd2_dimension_history,
 # scd2_point_in_time_join,
@@ -132,7 +134,7 @@ FRONT: list[str] = [
 # url_canonical_dedup, variant_props_extract, vocab_coverage,
 # wav_audio_decode, winsorized_values, zorder_layout_key), then the
 # 45 round-5 rows (alphabetical).  Fill round 9's slots with any
-# new/changed queries first, then those 22, then ~28 of the round-5
+# new/changed queries first, then those 24, then ~26 of the round-5
 # rows.
 
 

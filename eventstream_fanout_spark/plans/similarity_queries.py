@@ -1615,13 +1615,19 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _probe_with_labels(
-    spark: SparkSession, sf_dir: str, path: str, nprobe: int | None
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    nprobe: int | None,
+    upto_batch_id: int | None = None,
 ) -> DataFrame:
     from ..operators.ann_index import pq_probe_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding")
-    topk = pq_probe_topk(spark, path, q, 10, nprobe=nprobe)
+    topk = pq_probe_topk(
+        spark, path, q, 10, nprobe=nprobe, upto_batch_id=upto_batch_id
+    )
     return (
         topk.join(emb.select("vec_id", "label"), "vec_id")
         .select(
@@ -2801,3 +2807,43 @@ def ann_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "ann_index_asof_sim",
+    _pq_persisted_oracle(
+        probed=False, corpus_pred="vec_id <> 0 AND vec_id % 3 <> 2"
+    ),
+    description="TIME-TRAVEL probe of the generational ANN index "
+    "(pq_probe_topk(upto_batch_id=...) — bm25_topk_asof's vector "
+    "twin, the same training-reproducibility contract): the build "
+    "indexes vec_id % 3 == 0 (frozen generation), batches 1 and 2 "
+    "ingest % 3 == 1 and % 3 == 2 against the stored quantizer, and "
+    "the full-ADC probe AS OF batch 1 must equal an index that never "
+    "saw batch 2 — batch_id <= N partition pruning on the codes scan, "
+    "zero cost over the live probe.  No correction bookkeeping exists "
+    "or is needed on this side: ADC carries no corpus statistics, and "
+    "erasure physically removes rows from every generation, so no "
+    "as-of view can resurrect an erased vector",
+    tags=("similarity", "ann", "pq", "index", "time-travel",
+          "extension"),
+)
+def ann_index_asof_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import build_pq_index
+    from ..streaming.ann_ingest import streaming_ann_index_sink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_asof_")
+    build_pq_index(
+        spark,
+        emb,
+        path,
+        corpus=emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") != 0)),
+    )
+    sink = streaming_ann_index_sink(path)
+    sink(emb.where(F.col("vec_id") % 3 == 1).select("vec_id", "embedding"), 1)
+    sink(emb.where(F.col("vec_id") % 3 == 2).select("vec_id", "embedding"), 2)
+    return _probe_with_labels(spark, sf_dir, path, nprobe=None,
+                              upto_batch_id=1)
