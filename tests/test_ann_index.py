@@ -809,3 +809,72 @@ def test_vector_erasure_leaves_no_ghost_codes(spark, tmp_path):
     ).count() == 1
     codes = spark.read.parquet(f"{idx}/codes")
     assert codes.where(F.col("vec_id") == 9001).count() == 1
+
+
+def test_ann_asof_probe_prunes_generations(spark, tmp_path):
+    """pq_probe_topk(upto_batch_id=N): as-of N equals an index that
+    never saw later batches, as-of the newest generation equals the
+    live probe, and the codes scan carries the batch_id partition
+    filter."""
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        streaming_ann_index_sink,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(
+        spark,
+        emb,
+        path,
+        corpus=emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") != 0)),
+    )
+    sink = streaming_ann_index_sink(path)
+    sink(emb.where(F.col("vec_id") % 3 == 1).select("vec_id", "embedding"), 1)
+    sink(emb.where(F.col("vec_id") % 3 == 2).select("vec_id", "embedding"), 2)
+
+    asof1 = pq_probe_topk(spark, path, _query(spark), 10, upto_batch_id=1)
+    plan = asof1._jdf.queryExecution().executedPlan().toString()
+    assert "batch_id" in plan and "<= 1" in plan, plan
+
+    fresh = str(tmp_path / "idx_fresh")
+    build_pq_index(
+        spark, emb, fresh,
+        corpus=emb.where((F.col("vec_id") % 3 != 2) & (F.col("vec_id") != 0)),
+    )
+    assert _topk_ids(asof1) == _topk_ids(
+        pq_probe_topk(spark, fresh, _query(spark), 10)
+    )
+    assert _topk_ids(
+        pq_probe_topk(spark, path, _query(spark), 10, upto_batch_id=2)
+    ) == _topk_ids(pq_probe_topk(spark, path, _query(spark), 10))
+
+
+def test_binary_hamming_plan_is_shuffle_free(spark):
+    """The sign-sketch ranking must stay a scan -> codegen ->
+    broadcast -> TakeOrdered pipeline: no Exchange anywhere on the
+    data path (each executor returns its local top-k)."""
+    from eventstream_fanout_spark.operators.similarity import (
+        binary_hamming_topk,
+        sign_words,
+    )
+
+    emb = _emb(spark)
+    words = emb.select("vec_id", sign_words(F.col("embedding")).alias("wrd"))
+    q = words.where(F.col("vec_id") == 0).select(F.col("wrd").alias("qw"))
+    plan = (
+        binary_hamming_topk(words.where(F.col("vec_id") != 0), q, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only allowed Exchange is the 1-row query broadcast
+    import re
+
+    exchanges = [
+        line for line in plan.splitlines()
+        if re.search(r"\bExchange\b", line)
+        and "BroadcastExchange" not in line
+    ]
+    assert exchanges == [], exchanges

@@ -130,3 +130,26 @@ def test_streaming_within_batch_rejection_matches_unsalted(spark):
         .collect()
     }
     assert salted_rejected == plain_rejected == set(range(1, 40))
+
+
+def test_exact_substring_injected_duplicates_fully_covered(spark):
+    """Property: the dedup fixture's template corpus guarantees the
+    exact-substring report finds REAL duplicated spans, and any doc
+    whose full token stream appears in another doc (if present) shows
+    dup_ratio 1.0; the cut step then empties exactly the fully-covered
+    docs and the kept counts reconcile: n_tokens - dup_tokens ==
+    n_tokens_kept for every doc."""
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    spans = QUERIES["exact_substring_spans"].fn(spark, SF_ORACLE)
+    cut = QUERIES["exact_substring_dedup_cut"].fn(spark, SF_ORACLE)
+    j = spans.join(
+        cut.select("doc_id", "n_tokens_kept"), "doc_id"
+    ).collect()
+    assert any(r["n_dup_spans"] > 0 for r in j), "fixture has no dups"
+    for r in j:
+        assert r["n_tokens"] - r["dup_tokens"] == r["n_tokens_kept"], r
+        assert 0 <= r["dup_ratio"] <= 1.0
+        if r["dup_ratio"] == 1.0:
+            assert r["n_tokens_kept"] == 0
