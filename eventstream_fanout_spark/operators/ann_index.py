@@ -549,3 +549,116 @@ def pq_probe_topk(
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def build_attr_store(
+    spark: SparkSession, attrs: DataFrame, index_path: str
+) -> None:
+    """Persist a filterable-attribute side store NEXT TO the codes
+    table, in the SAME ``(batch_id, list_id)`` partition layout —
+    the scale contract behind :func:`pq_filtered_topk`: a filtered
+    probe prunes BOTH relations to the query's nprobe lists, so the
+    metadata scan (and the predicate pushed into it) costs touched
+    lists, not corpus.  This is the codes-side twin of the BM25
+    denormalized-``dl`` move (operators/text_index.py): attributes
+    used at serve time live in index layout, never behind a
+    corpus-wide join to the embeddings table.
+
+    ``attrs`` is ``(vec_id, <metadata columns...>)``.  Coverage is
+    fail-closed: every stored code row must find its attrs row — a
+    missing one raises AT BUILD (per-row ``when``-owned assert, the
+    null branch owning the assert per the merged-probe guard lesson)
+    instead of silently vanishing from every future filtered probe.
+    """
+    codes = spark.read.parquet(f"{index_path}/codes").select(
+        "vec_id", "list_id", "batch_id"
+    )
+    tagged = attrs.withColumn("_present", F.lit(1))
+    joined = codes.join(tagged, "vec_id", "left")
+    guarded_list = F.when(
+        F.col("_present").isNull(),
+        F.assert_true(
+            F.col("_present").isNotNull(),
+            F.concat(
+                F.lit("attr store build: stored code vec_id="),
+                F.col("vec_id").cast("string"),
+                F.lit(
+                    " has no attrs row — a filtered probe would "
+                    "silently drop it; supply attrs for every "
+                    "indexed vector"
+                ),
+            ),
+        ).cast("long"),
+    ).otherwise(F.col("list_id"))
+    (
+        joined.select(
+            "vec_id",
+            guarded_list.alias("list_id"),
+            "batch_id",
+            *[
+                c
+                for c in attrs.columns
+                if c != "vec_id"
+            ],
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "list_id")
+        .parquet(f"{index_path}/attrs")
+    )
+
+
+def pq_filtered_topk(
+    spark: SparkSession,
+    index_path: str,
+    query: DataFrame,
+    k: int,
+    attr_pred: F.Column,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """FILTERED vector search: ADC top-k among stored vectors whose
+    attr-store row satisfies ``attr_pred`` — the
+    predicate + nearest-neighbor query every retrieval stack serves
+    (RAG "search within lang='en' docs", labeled-split mining).
+
+    Semantics (the standard filtered-IVF contract, and what the
+    DuckDB oracle replays): coarse-list selection ignores the filter
+    — the query's nprobe nearest lists are probed, then the predicate
+    restricts WITHIN those lists, so a matching vector in an unprobed
+    list is a (measurable, nprobe-dialable) recall miss exactly as in
+    unfiltered IVF.
+
+    Scale shape: probes prune codes AND attrs on the ``list_id``
+    partition column via the broadcast coarse ranking; ``attr_pred``
+    pushes into the pruned attrs parquet scan; the codes-side
+    restriction is a left-semi join between two list-pruned relations.
+    Probe cost stays proportional to touched lists under any filter
+    selectivity; no corpus-wide metadata join exists in the plan
+    (pinned by tests/test_ann_index.py).
+    """
+    from ..functions.vectors import cosine
+
+    codes, codebook, centroids = read_index(spark, index_path)
+    attrs = spark.read.parquet(f"{index_path}/attrs")
+    if nprobe is not None:
+        probes = (
+            query.select(F.col("embedding").alias("qe"))
+            .crossJoin(F.broadcast(centroids))
+            .select("cid", cosine(F.col("qe"), F.col("ce")).alias("qcos"))
+            .orderBy(F.desc("qcos"), F.asc("cid"))
+            .limit(nprobe)
+            .select(F.col("cid").alias("probe_cid"))
+        )
+        codes = codes.join(
+            F.broadcast(probes), F.col("list_id") == F.col("probe_cid")
+        ).select("vec_id", "list_id", "codes")
+        attrs = attrs.join(
+            F.broadcast(probes), F.col("list_id") == F.col("probe_cid")
+        )
+    allowed = attrs.where(attr_pred).select("vec_id")
+    codes = codes.join(allowed, "vec_id", "left_semi")
+    return (
+        adc_scores_from_index(codes, codebook, query)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1679,6 +1679,75 @@ def ann_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_with_labels(spark, sf_dir, path, nprobe=2)
 
 
+_PQ_ATTRS_BUILT: set[str] = set()
+
+
+def _ensure_pq_attrs(spark: SparkSession, sf_dir: str) -> str:
+    """Attach the filterable-attribute side store (label, in the
+    fixture schema) to the cached persisted index, once per
+    (process, sf_dir) — build_attr_store copies the codes table's
+    (batch_id, list_id) layout so filtered probes prune both
+    relations identically."""
+    from ..operators.ann_index import build_attr_store
+
+    path = _ensure_pq_index(spark, sf_dir)
+    if path not in _PQ_ATTRS_BUILT:
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_attr_store(
+            spark, emb.select("vec_id", "label"), path
+        )
+        _PQ_ATTRS_BUILT.add(path)
+    return path
+
+
+@register(
+    "ann_pq_filtered_topk",
+    _pq_persisted_oracle(
+        probed=True,
+        corpus_pred="vec_id <> 0 AND vec_id IN "
+        "(SELECT vec_id FROM embeddings WHERE label IN (1, 3, 5))",
+    ),
+    description="FILTERED vector search over the persisted IVF-PQ "
+    "index — predicate + nearest-neighbor, the retrieval-stack "
+    "staple (RAG 'within lang=en', labeled-split mining): top-10 by "
+    "ADC among stored vectors with label IN (1,3,5), probing the "
+    "query's 2 nearest coarse lists.  The filterable attribute lives "
+    "in a side store written in the SAME (batch_id, list_id) "
+    "partition layout as the codes (operators/ann_index."
+    "build_attr_store — the codes-side twin of BM25's denormalized "
+    "dl), so the probe prunes codes AND attrs to the probed lists, "
+    "pushes the label predicate into the pruned attrs scan, and "
+    "restricts codes via a list-local semi join — no corpus-wide "
+    "metadata join at serve time, cost stays ~ touched lists at any "
+    "selectivity.  Coarse-list selection deliberately IGNORES the "
+    "filter (the standard filtered-IVF contract, replayed by the "
+    "oracle): a matching vector in an unprobed list is an nprobe-"
+    "dialable recall miss, exactly as in unfiltered IVF",
+    tags=("similarity", "ann", "pq", "ivf", "index", "filtered",
+          "extension"),
+)
+def ann_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_index import pq_filtered_topk
+
+    path = _ensure_pq_attrs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding")
+    topk = pq_filtered_topk(
+        spark, path, q, 10,
+        F.col("label").isin(1, 3, 5), nprobe=2,
+    )
+    return (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("list_id").cast("long").alias("list_id"),
+            "adc_dist",
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    )
+
+
 _PQ_FITTED_INDEX_CACHE: dict[str, str] = {}
 
 

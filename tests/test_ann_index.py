@@ -878,3 +878,80 @@ def test_binary_hamming_plan_is_shuffle_free(spark):
         and "BroadcastExchange" not in line
     ]
     assert exchanges == [], exchanges
+
+
+def test_filtered_probe_prunes_lists_and_pushes_predicate(
+    spark, tmp_path
+):
+    """pq_filtered_topk: every hit satisfies the predicate and lies in
+    a probed list; the result equals the unfiltered full-ADC ranking
+    restricted to (predicate AND probed lists); the plan prunes the
+    codes scan via DPP on list_id and pushes the label predicate into
+    the attrs parquet scan (no corpus-wide metadata join)."""
+    from eventstream_fanout_spark.operators.ann_index import (
+        build_attr_store,
+        pq_filtered_topk,
+    )
+
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, _emb(spark), path)
+    build_attr_store(
+        spark, _emb(spark).select("vec_id", "label"), path
+    )
+
+    pred = F.col("label").isin(1, 3, 5)
+    filtered = pq_filtered_topk(
+        spark, path, _query(spark), 10, pred, nprobe=2
+    )
+    rows = filtered.collect()
+    assert 0 < len(rows) <= 10
+    labels = {
+        r["label"]
+        for r in _emb(spark)
+        .select("vec_id", "label")
+        .join(filtered.select("vec_id"), "vec_id")
+        .collect()
+    }
+    assert labels <= {1, 3, 5}
+    probed_lists = {r["list_id"] for r in rows}
+    assert len(probed_lists) <= 2
+
+    # semantics: the unpruned, unfiltered ranking restricted to
+    # predicate + probed lists gives the same ids in the same order
+    full = pq_probe_topk(spark, path, _query(spark), 10_000).collect()
+    allowed = {
+        r["vec_id"]
+        for r in _emb(spark).where(pred).select("vec_id").collect()
+    }
+    expected = [
+        r["vec_id"]
+        for r in full
+        if r["list_id"] in probed_lists and r["vec_id"] in allowed
+    ][:10]
+    assert _topk_ids(filtered) == expected
+
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    # the label predicate reaches the attrs parquet scan
+    assert "In(label" in plan or "in(label" in plan.lower(), plan
+
+
+def test_attr_store_build_refuses_uncovered_code_row(spark, tmp_path):
+    """Coverage is fail-closed at BUILD: an indexed vector with no
+    attrs row raises instead of silently vanishing from every future
+    filtered probe (the when-owned assert branch)."""
+    import pytest
+
+    from eventstream_fanout_spark.operators.ann_index import (
+        build_attr_store,
+    )
+
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, _emb(spark), path)
+    partial = (
+        _emb(spark)
+        .select("vec_id", "label")
+        .where(F.col("vec_id") % 7 != 3)
+    )
+    with pytest.raises(Exception, match="has no attrs row"):
+        build_attr_store(spark, partial, path)
