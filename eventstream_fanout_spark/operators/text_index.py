@@ -38,7 +38,10 @@ corpus-length scan per probe at billions of docs; that join is gone.
 * ``tombstones`` — ``(doc_id, batch_id)``: one partition per erasure
   CORRECTION generation, written LAST by ``delete_docs`` (the commit
   marker: a correction generation is committed iff its tombstone
-  partition exists).  Maintenance-only; probes never read it.
+  partition exists); ``upsert_docs`` appends RESURRECTION marker rows
+  under its (non-negative) ingest generation — a doc is erased iff
+  its negative-gen rows outnumber its markers (the balance rule).
+  Maintenance-only; probes never read it.
 
 Probe cost model: a keyword query filters ``postings`` (and, static
 probe, ``vocab``) on ``tok IN (terms)`` — a pushed-down parquet

@@ -1034,15 +1034,18 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _bm25_oracle(docs_pred: str = "TRUE") -> str:
+def _bm25_oracle(docs_pred: str = "TRUE", text_expr: str = "text") -> str:
     """``docs_pred`` restricts the corpus (the delete-sim oracle probes
-    the index AFTER erasure, so the replay scores only survivors)."""
+    the index AFTER erasure, so the replay scores only survivors);
+    ``text_expr`` substitutes the scored text (the upsert-sim oracle
+    replays the FINAL versions — default emits byte-identical SQL to
+    the pre-parameter generator)."""
     from ..operators.text_index import sql_bm25_score_expr
 
     terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
     return f"""
     WITH occ AS (
-      SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+      SELECT doc_id, unnest({sql_tokens(text_expr)}) AS tok FROM documents
       WHERE {docs_pred}
     ),
     tf AS (
@@ -1174,6 +1177,51 @@ def text_index_delete_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     delete_docs(spark, path, odd_ids)
+    return bm25_topk_merged(spark, path, list(_BM25_TERMS), 10)
+
+
+_UPSERT_SUFFIX = " freshly revised upsert content"
+
+
+@register(
+    "text_index_upsert_sim",
+    _bm25_oracle(
+        text_expr="CASE WHEN doc_id % 10 = 3 THEN text || "
+        f"'{_UPSERT_SUFFIX}' ELSE text END"
+    ),
+    description="UPDATE on the persisted inverted index "
+    "(streaming/text_ingest.upsert_docs — the missing face of the "
+    "store's CRUD matrix; ingest/delete/compact/as-of existed): the "
+    "index is built over ALL docs, then the doc_id % 10 = 3 docs are "
+    "re-sent with revised text in ONE replay-safe op — erase the old "
+    "rows (delta-corrected, tombstone-committed), re-ingest the new "
+    "versions through the sink's own uniqueness-gated per-batch "
+    "path, then append RESURRECTION markers to the tombstones table "
+    "(the upsert's commit point; under the balance rule the doc is "
+    "live again, later deletes are not short-circuited by the stale "
+    "tombstone, and compaction's resurrection guard does not refuse "
+    "the store).  The merge-on-read BM25 probe must equal an index "
+    "built from the FINAL versions — the oracle replays BM25 over "
+    "the revised corpus, so the hash proves the old content left no "
+    "trace in postings, df, n_docs or avgdl while the new content "
+    "scores exactly",
+    tags=("text", "search", "bm25", "index", "maintenance",
+          "extension"),
+)
+def text_index_upsert_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import bm25_topk_merged, build_text_index
+    from ..streaming.text_ingest import upsert_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="text_index_upsert_")
+    build_text_index(spark, docs, path)
+    revised = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_UPSERT_SUFFIX)).alias("text"),
+    )
+    upsert_docs(spark, path, revised, batch_id=1)
     return bm25_topk_merged(spark, path, list(_BM25_TERMS), 10)
 
 

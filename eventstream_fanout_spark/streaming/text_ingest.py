@@ -132,8 +132,8 @@ def _check_new_doc_ids(
             f"text index ingest: batch {batch_id} re-sends doc_id(s) "
             f"{ids} already indexed under another generation — doc_id "
             "uniqueness is a contract of this store (duplicates corrupt "
-            "df/stats and double score rows); route updates through a "
-            "delete+compact cycle instead"
+            "df/stats and double score rows); route updates through "
+            "upsert_docs (erase + re-ingest + resurrection marker)"
         )
 
 
@@ -227,6 +227,37 @@ def _next_correction_gen(spark: SparkSession, index_path: str) -> int:
     return min([*structural, *committed, 0]) - 1
 
 
+def _erased_docs(tombs: DataFrame) -> DataFrame:
+    """``(doc_id)`` of the docs currently ERASED under the tombstone
+    BALANCE rule: rows under negative (correction) generations are
+    erasure commits, rows under non-negative generations are
+    RESURRECTION markers (:func:`upsert_docs` re-admitting a doc with
+    new content) — a doc is erased iff its commits outnumber its
+    resurrections.  For a pure-delete history this reduces to "any
+    tombstone row exists" (every row is negative-gen), so delete-only
+    stores behave exactly as before upserts existed.  Plan-side: the
+    compaction guard joins this relation without collecting it."""
+    return (
+        tombs.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("batch_id") < 0, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias("_bal")
+        )
+        .where(F.col("_bal") > 0)
+        .select("doc_id")
+    )
+
+
+def _erased_ids(tombs: DataFrame) -> set[int]:
+    """Collected form of :func:`_erased_docs` — for the delete path,
+    where the input is already filtered to the request's metadata-sized
+    id list."""
+    return {r["doc_id"] for r in _erased_docs(tombs).collect()}
+
+
 def delete_docs(
     spark: SparkSession, index_path: str, doc_ids: list[int]
 ) -> int:
@@ -279,12 +310,7 @@ def delete_docs(
     ids = [int(d) for d in doc_ids]
     tombs = _read_or_none(spark, f"{index_path}/tombstones")
     done = (
-        {
-            r["doc_id"]
-            for r in tombs.where(F.col("doc_id").isin(ids))
-            .select("doc_id")
-            .collect()
-        }
+        _erased_ids(tombs.where(F.col("doc_id").isin(ids)))
         if tombs is not None
         else set()
     )
@@ -320,6 +346,138 @@ def delete_docs(
     return rewritten
 
 
+def upsert_docs(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    batch_id: int,
+) -> int:
+    """UPDATE for the append-only index — the missing face of its
+    CRUD matrix (ingest / delete / compact / as-of existed; this is
+    the "delete + re-send" cycle the ingest sink's uniqueness error
+    message prescribes, packaged as ONE replay-safe op).  Returns the
+    number of generations the erase phase rewrote.
+
+    Three steps, commit marker LAST:
+
+    1. :func:`delete_docs` on the batch's doc_ids — old rows erased,
+       their df/stats contributions negated under a tombstone-
+       committed correction generation (a doc currently ERASED is
+       simply skipped there, so upsert doubles as lawful
+       re-admission of an erased doc with new content).
+    2. The new versions ingest under ``batch_id`` through the sink's
+       own per-batch path (uniqueness gate, stats-last write order,
+       dynamic-overwrite replay).
+    3. RESURRECTION markers — ``(doc_id, batch_id)`` rows appended to
+       the tombstones table under the (non-negative) ingest
+       generation, one per id the delete phase left tombstoned,
+       written by partition overwrite (idempotent under replay).
+       Under the balance rule (:func:`_erased_docs`) the marker
+       returns the doc to LIVE: a later ``delete_docs`` is not
+       short-circuited by the stale tombstone, and
+       ``compact_text_index``'s resurrection guard does not refuse
+       the store.  Markers are append-only — no tombstone partition
+       shrinks outside compaction, so committed correction
+       generations can never be mistaken for orphans and reallocated
+       (``_next_correction_gen``'s overwrite-the-orphan contract
+       stays sound).
+
+    Crash contract (maintenance-window serialization, like every
+    store-rewriting op): a crash before step 3 leaves tombstoned docs
+    WITH rows — compaction refuses, probes of the new content fold
+    correctly, and re-running the SAME call converges (the delete
+    phase finds the ids tombstoned → no double correction; the erase
+    list still covers them → the half-written generation is erased
+    and re-ingested in place; the marker overwrite lands last).
+
+    Scale shape: cost ∝ touched generations + the batch itself
+    (inherited from delete_docs + the sink); the id list is
+    metadata-sized by nature (an update request), collected once."""
+    ids = [
+        int(r["doc_id"])
+        for r in new_docs.select("doc_id").distinct().collect()
+    ]
+    # Replay of a COMMITTED upsert is a no-op, decided by its own
+    # commit marker: if this batch's resurrection rows already cover
+    # the ids, re-running the delete phase would append a fresh
+    # correction against the very rows step 2 then restores by
+    # partition overwrite — a double subtraction nothing offsets.
+    # (batch_id identifies the upsert batch, exactly like the sink's
+    # replay contract: a re-call under the same id IS a replay.)
+    tombs0 = _read_or_none(spark, f"{index_path}/tombstones")
+    if tombs0 is not None:
+        already = {
+            r["doc_id"]
+            for r in tombs0.where(
+                (F.col("batch_id") == int(batch_id))
+                & F.col("doc_id").isin(ids)
+            )
+            .select("doc_id")
+            .collect()
+        }
+        if already >= set(ids):
+            return 0
+    # Fail-closed precondition: this op UPDATES (or re-admits) docs
+    # the store already knows — a doc with neither index rows nor a
+    # tombstone history belongs to the ingest sink.  The restriction
+    # is what makes the commit marker exact: every accepted id ends
+    # the run marked, so a replay is recognized by `already >= ids`
+    # above; a mixed insert+update batch would leave its brand-new
+    # ids unmarked and a replay's delete phase would double-subtract
+    # the updated ones.
+    stored = _read_or_none(spark, f"{index_path}/doclens")
+    known = (
+        {
+            r["doc_id"]
+            for r in stored.where(F.col("doc_id").isin(ids))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        if stored is not None
+        else set()
+    )
+    if tombs0 is not None:
+        known |= {
+            r["doc_id"]
+            for r in tombs0.where(F.col("doc_id").isin(ids))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+    unknown = sorted(set(ids) - known)
+    if unknown:
+        raise RuntimeError(
+            f"upsert_docs: doc_id(s) {unknown[:5]} have no index rows "
+            "and no tombstone history — this op updates or re-admits "
+            "known docs; ingest NEW docs through "
+            "streaming_text_index_sink instead (mixing inserts into "
+            "an upsert batch would break its replay marker)"
+        )
+    rewritten = delete_docs(spark, index_path, ids)
+    streaming_text_index_sink(index_path)(
+        new_docs.select("doc_id", "text"), int(batch_id)
+    )
+    tombs = _read_or_none(spark, f"{index_path}/tombstones")
+    marked = (
+        sorted(_erased_ids(tombs.where(F.col("doc_id").isin(ids))))
+        if tombs is not None
+        else []
+    )
+    if marked:
+        markers = spark.createDataFrame(
+            [(i,) for i in marked], "doc_id bigint"
+        )
+        (
+            markers.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{index_path}/tombstones")
+        )
+    return rewritten
+
+
 def compact_text_index(
     spark: SparkSession, index_path: str, upto_batch_id: int
 ) -> int:
@@ -344,7 +502,7 @@ def compact_text_index(
     if tombs is not None:
         undead = (
             spark.read.parquet(f"{index_path}/doclens")
-            .join(tombs.select("doc_id").distinct(), "doc_id")
+            .join(_erased_docs(tombs), "doc_id")
             .limit(5)
             .collect()
         )

@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "bm25_hot_term_bound",  # same 1-row stats side (bounded merged probe)
     "text_index_delete_sim",  # 1-row corpus-stats side (post-erasure probe)
     "text_index_compact_sim",  # same 1-row stats side (post-compact probe)
+    "text_index_upsert_sim",  # same 1-row stats side (post-upsert probe)
     "text_index_asof_probe",  # same 1-row stats side (watermark-filtered)
     "hybrid_search_rrf",  # 1-row query vector + 1-row stats sides
     "bloom_decontamination_prefilter",  # 1-row broadcast bitmap side

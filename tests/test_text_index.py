@@ -1108,3 +1108,173 @@ def test_asof_probe_prunes_partitions_and_refuses_erased_store(
     assert delete_docs(spark, path, doomed) > 0
     with pytest.raises(Exception, match="destructive"):
         bm25_topk_asof(spark, path, TERMS, 10, 2).collect()
+
+
+def test_upsert_docs_updates_probe_and_replays(spark, tmp_path):
+    """upsert_docs (erase + re-ingest + resurrection marker): the
+    merged probe over the upserted store equals a fresh index built
+    from the FINAL versions; replaying the same call converges to the
+    same store; the upserted ids end tombstone-BALANCED (live)."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        upsert_docs,
+    )
+
+    docs = _docs(spark)
+    terms = ["spark", "window", "join"]
+    # revise a term-bearing doc so the update MUST move a probe score
+    hot = _doc_with_term(spark, "spark")
+    revised = docs.where(
+        (F.col("doc_id") % 10 == 3) | (F.col("doc_id") == hot)
+    ).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" spark spark revised")).alias(
+            "text"
+        ),
+    )
+
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+    upsert_docs(spark, path, revised, batch_id=1)
+
+    final_corpus = docs.join(
+        revised.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(revised)
+    ref_path = str(tmp_path / "tidx_final")
+    build_text_index(spark, final_corpus, ref_path)
+    expect = bm25_topk_merged(spark, ref_path, terms, 10).collect()
+    got = bm25_topk_merged(spark, path, terms, 10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+    # replay: same call, same store, same probe
+    upsert_docs(spark, path, revised, batch_id=1)
+    again = bm25_topk_merged(spark, path, terms, 10).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in expect]
+
+    # balance rule: every upserted id has equal commits/markers
+    tombs = spark.read.parquet(f"{path}/tombstones")
+    bal = (
+        tombs.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("batch_id") < 0, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias("bal")
+        )
+        .where(F.col("bal") != 0)
+        .collect()
+    )
+    assert bal == []
+
+
+def test_upsert_then_delete_recompacts_and_readmits(spark, tmp_path):
+    """After an upsert: compaction's resurrection guard must NOT
+    refuse (the doc is live again); a LATER delete of an upserted id
+    is not short-circuited by its stale tombstone (the rows really
+    go); and upserting an ERASED doc re-admits it with new content."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        compact_text_index,
+        delete_docs,
+        upsert_docs,
+    )
+
+    docs = _docs(spark)
+    hot = _doc_with_term(spark, "spark")
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+    revised = docs.where(F.col("doc_id") == hot).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" revised")).alias("text")
+    )
+    upsert_docs(spark, path, revised, batch_id=1)
+
+    # later delete of the upserted doc must actually erase its rows
+    delete_docs(spark, path, [int(hot)])
+    assert (
+        spark.read.parquet(f"{path}/doclens")
+        .where(F.col("doc_id") == hot)
+        .count()
+        == 0
+    )
+    # ...and upserting the now-ERASED doc re-admits it (new text)
+    upsert_docs(spark, path, revised, batch_id=2)
+    assert (
+        spark.read.parquet(f"{path}/doclens")
+        .where(F.col("doc_id") == hot)
+        .count()
+        == 1
+    )
+
+    # compaction accepts the upserted store and folds it clean
+    compact_text_index(spark, path, upto_batch_id=3)
+    gens = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/stats")
+        .select("batch_id")
+        .collect()
+    }
+    assert len(gens) == 1, gens
+    ref_path = str(tmp_path / "tidx_final")
+    build_text_index(
+        spark,
+        docs.join(revised.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(revised),
+        ref_path,
+    )
+    terms = ["spark", "window", "join"]
+    got = bm25_topk_merged(spark, path, terms, 10).collect()
+    expect = bm25_topk_merged(spark, ref_path, terms, 10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+
+def test_upsert_crash_before_marker_fails_closed_then_heals(
+    spark, tmp_path
+):
+    """The upsert's commit point is the marker write: a crash after
+    delete+re-ingest but BEFORE the marker leaves tombstoned docs
+    with rows — compaction refuses (fail closed) — and re-running the
+    SAME upsert_docs call converges."""
+    import pytest
+
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        compact_text_index,
+        delete_docs,
+        streaming_text_index_sink,
+        upsert_docs,
+    )
+
+    docs = _docs(spark)
+    hot = _doc_with_term(spark, "spark")
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+    revised = docs.where(F.col("doc_id") == hot).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" revised")).alias("text")
+    )
+    # simulate the crash window: steps 1+2 of upsert_docs, no marker
+    delete_docs(spark, path, [int(hot)])
+    streaming_text_index_sink(path)(revised, 1)
+    with pytest.raises(Exception, match="still have index rows"):
+        compact_text_index(spark, path, upto_batch_id=1)
+
+    # the prescribed recovery: re-run the same call
+    upsert_docs(spark, path, revised, batch_id=1)
+    compact_text_index(spark, path, upto_batch_id=1)
+    ref_path = str(tmp_path / "tidx_final")
+    build_text_index(
+        spark,
+        docs.join(revised.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(revised),
+        ref_path,
+    )
+    terms = ["spark", "window", "join"]
+    got = bm25_topk_merged(spark, path, terms, 10).collect()
+    expect = bm25_topk_merged(spark, ref_path, terms, 10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
