@@ -1395,12 +1395,21 @@ def semantic_cluster_diversity_sample(
 
 
 def _pq_persisted_oracle(
-    probed: bool, corpus_pred: str = "vec_id <> 0"
+    probed: bool,
+    corpus_pred: str = "vec_id <> 0",
+    emb_update: str | None = None,
 ) -> str:
     """DuckDB replay of the persisted index probe: PQ encode (what
     build_pq_index stored) + IVF assignment (the stored list_id) + ADC
     against the stored codes — optionally restricted to the query's 2
-    nearest coarse lists (the partition-pruned probe)."""
+    nearest coarse lists (the partition-pruned probe).
+
+    ``emb_update``: SQL expression over ``(vec_id, embedding)``
+    replacing the embedding column the flat CTE reads — the
+    upsert-sim oracle replays the FINAL vector versions (it must
+    leave vec_id 0 and the 10-17 seed-centroid rows untouched, or it
+    would be replaying a different quantizer).  Default emits
+    byte-identical SQL to the pre-parameter generator."""
     probes_cte = (
         f""",
     qdots AS (
@@ -1424,8 +1433,17 @@ def _pq_persisted_oracle(
     where = (
         "WHERE g.list_id IN (SELECT cid FROM probes)" if probed else ""
     )
+    pre = ""
+    flat_block = _FLAT
+    if emb_update is not None:
+        pre = (
+            "emb_upd AS (\n"
+            f"      SELECT vec_id, {emb_update} AS embedding\n"
+            "      FROM embeddings\n    ),"
+        )
+        flat_block = _FLAT.replace("FROM embeddings", "FROM emb_upd")
     return f"""
-    WITH {_FLAT},
+    WITH {pre}{flat_block},
     psub AS (
       SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
       FROM flat
@@ -1834,6 +1852,56 @@ def ann_index_delete_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     delete_vectors(spark, path, odd_ids)
+    return _probe_with_labels(spark, sf_dir, path, nprobe=None)
+
+
+_VEC_UPSERT_SQL = (
+    "CASE WHEN vec_id % 10 = 4 AND vec_id > 20 "
+    "THEN list_transform(embedding, x -> x * 0.5) "
+    "ELSE embedding END"
+)
+
+
+@register(
+    "ann_index_upsert_sim",
+    _pq_persisted_oracle(probed=False, emb_update=_VEC_UPSERT_SQL),
+    description="UPDATE on the persisted ANN index "
+    "(streaming/ann_ingest.upsert_vectors — the text upsert's far "
+    "simpler twin: ADC carries no corpus statistics, so membership "
+    "IS the state; no corrections, tombstones or markers): the index "
+    "is built over ALL vectors, then the vec_id % 10 = 4 vectors "
+    "(> 20, leaving the query row and seed-centroid rows untouched) "
+    "are re-sent HALVED — old code rows physically erased from every "
+    "(generation, list) partition they occupy, new values re-encoded "
+    "against the STORED quantizer and appended under their own "
+    "generation, replay converging by partition overwrite.  The "
+    "full-ADC probe must equal an index built from the FINAL vector "
+    "versions: the oracle re-runs the whole encode/assign replay "
+    "over the halved embeddings (halving is exact in binary "
+    "floating point, so both engines see bit-identical inputs), "
+    "proving the old codes left no trace and the new values "
+    "quantize exactly",
+    tags=("similarity", "ann", "pq", "index", "maintenance",
+          "extension"),
+)
+def ann_index_upsert_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import build_pq_index
+    from ..streaming.ann_ingest import upsert_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_upsert_")
+    build_pq_index(spark, emb, path)
+    revised = emb.where(
+        (F.col("vec_id") % 10 == 4) & (F.col("vec_id") > 20)
+    ).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x * F.lit(0.5)
+        ).alias("embedding"),
+    )
+    upsert_vectors(spark, path, revised, batch_id=1)
     return _probe_with_labels(spark, sf_dir, path, nprobe=None)
 
 

@@ -128,3 +128,47 @@ def compact_index(
         dedup_cols=["vec_id"],
         extra_partition_cols=["list_id"],
     )
+
+
+def upsert_vectors(
+    spark: SparkSession,
+    index_path: str,
+    new_vectors: DataFrame,
+    batch_id: int,
+) -> int:
+    """UPDATE for the stored codes — re-encode known vectors with new
+    embedding values (the ANN face of ``text_ingest.upsert_docs``,
+    and a much simpler one: ADC scoring carries no corpus statistics,
+    so membership IS the whole state — no corrections, no tombstones,
+    no markers).  Returns the number of (generation, list) partitions
+    the erase phase rewrote.
+
+    Two steps: :func:`delete_vectors` on the batch's vec_ids (old
+    code rows physically removed from every generation), then the new
+    versions encode against the STORED quantizer and append under
+    ``batch_id`` through the sink's own per-batch path.  Replaying a
+    completed call converges by construction — the delete phase finds
+    only the generation-``batch_id`` rows (the previous run's output)
+    and the re-append overwrites that same partition set with
+    identical content.  Run in a maintenance window (the store-
+    rewriting contract); a crash between the phases leaves the batch
+    absent from probes until the re-run, which the generation-
+    duplicate probe guard cannot detect — membership changes are
+    statistics-free by design — so the re-run is the contract."""
+    from .compaction import erase_rows
+
+    ids = [
+        int(r["vec_id"])
+        for r in new_vectors.select("vec_id").distinct().collect()
+    ]
+    rewritten = erase_rows(
+        spark,
+        f"{index_path}/codes",
+        "vec_id",
+        ids,
+        extra_partition_cols=["list_id"],
+    )
+    streaming_ann_index_sink(index_path)(
+        new_vectors.select("vec_id", "embedding"), int(batch_id)
+    )
+    return rewritten

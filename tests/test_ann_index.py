@@ -955,3 +955,55 @@ def test_attr_store_build_refuses_uncovered_code_row(spark, tmp_path):
     )
     with pytest.raises(Exception, match="has no attrs row"):
         build_attr_store(spark, partial, path)
+
+
+def test_upsert_vectors_reencodes_and_replays(spark, tmp_path):
+    """upsert_vectors: the probe over the upserted store equals a
+    fresh index built from the FINAL vector versions, visibly differs
+    from the pre-upsert ranking, and replaying the same call
+    converges; no vec_id is ever duplicated across generations."""
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        upsert_vectors,
+    )
+
+    emb = _emb(spark)
+    pred = (F.col("vec_id") % 10 == 4) & (F.col("vec_id") > 20)
+    revised = emb.where(pred).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+            "embedding"
+        ),
+    )
+    final = emb.join(
+        revised.select("vec_id"), "vec_id", "left_anti"
+    ).unionByName(revised.join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).select("vec_id", "embedding", "label"))
+
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path)
+    before = [tuple(r) for r in pq_probe_topk(
+        spark, path, _query(spark), 10).collect()]
+    upsert_vectors(spark, path, revised, batch_id=1)
+    got = [tuple(r) for r in pq_probe_topk(
+        spark, path, _query(spark), 10).collect()]
+
+    ref_path = str(tmp_path / "idx_final")
+    build_pq_index(spark, final, ref_path)
+    expect = [tuple(r) for r in pq_probe_topk(
+        spark, ref_path, _query(spark), 10).collect()]
+    assert got == expect
+    assert got != before  # the update visibly moved the ranking
+
+    # replay converges
+    upsert_vectors(spark, path, revised, batch_id=1)
+    again = [tuple(r) for r in pq_probe_topk(
+        spark, path, _query(spark), 10).collect()]
+    assert again == expect
+
+    # membership stays unique across generations
+    codes = spark.read.parquet(f"{path}/codes")
+    assert (
+        codes.groupBy("vec_id").count().where(F.col("count") > 1).count()
+        == 0
+    )
