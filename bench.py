@@ -187,6 +187,9 @@ HEADLINE = [
     "ann_index_asof_sim",
     "exact_substring_spans",
     "exact_substring_dedup_cut",
+    "ann_pq_filtered_topk",
+    "text_index_upsert_sim",
+    "ann_index_upsert_sim",
 ]
 
 

@@ -60,7 +60,18 @@ FRONT: list[str] = [
     # the nine whose physical plan changed with the text-store
     # redesign (delta-shaped erasure corrections + the generational
     # merge-on-read vocab: every query that builds, ingests into,
-    # erases from, or static-probes a text index). ---
+    # erases from, or static-probes a text index).
+    # Late round-8 extension (displacing the END of the r4 stale
+    # block): ann_pq_filtered_topk (predicate + nearest-neighbor over
+    # the persisted index via a list-layout attr side store),
+    # text_index_upsert_sim / ann_index_upsert_sim (UPDATE — the
+    # missing CRUD face of both stores; text via erase + re-ingest +
+    # resurrection markers, ANN via erase + re-encode).  The
+    # delete/compact/erasure sims already in this window re-prove the
+    # tombstone BALANCE rule those ops now share. ---
+    "ann_pq_filtered_topk",
+    "text_index_upsert_sim",
+    "ann_index_upsert_sim",
     "curated_multimodal_erasure_sim",
     "bm25_hot_term_bound",
     "text_index_compact_sim",
@@ -89,9 +100,10 @@ FRONT: list[str] = [
     "token_count_regex",
     "value_histogram",
     "multimodal_decode_stub",
-    # --- slots 27-50: the first 24 of the 48 round-4-only greens,
-    # alphabetical (the largest stale block; the remaining 24 lead the
-    # round-9 rotation). ---
+    # --- remaining slots: the first 21 of the 48 round-4-only greens,
+    # alphabetical (the largest stale block; the remaining 27 — incl.
+    # the 3 displaced by the late-round upsert/filtered additions —
+    # lead the round-9 rotation). ---
     "ann_recall_report",
     "approx_quantiles_value",
     "arrow_doc_lengths",
@@ -113,17 +125,16 @@ FRONT: list[str] = [
     "kll_daily_merge_quantiles",
     "label_balanced_sample",
     "leakage_safe_splits",
-    "lsh_bucket_stats",
-    "media_header_parse",
-    "minhash_accuracy_report",
 ]
 
 # ROUND-9 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
 # bullet, VERDICT r7 item 5).  Assuming CORRECTNESS_r08 lands green,
-# the remaining stale evidence, oldest first: the 24 round-4 rows not
-# in this window (neardup_edit_distance_verify, neardup_graph_triangles,
-# pii_redaction, png_image_decode,
+# the remaining stale evidence, oldest first: the 27 round-4 rows not
+# in this window (lsh_bucket_stats, media_header_parse,
+# minhash_accuracy_report — the three displaced by the late-round
+# upsert/filtered additions — plus neardup_edit_distance_verify,
+# neardup_graph_triangles, pii_redaction, png_image_decode,
 # q20_promotion_suppliers, repetition_profile,
 # scd2_dimension_history,
 # scd2_point_in_time_join,
@@ -134,7 +145,7 @@ FRONT: list[str] = [
 # url_canonical_dedup, variant_props_extract, vocab_coverage,
 # wav_audio_decode, winsorized_values, zorder_layout_key), then the
 # 45 round-5 rows (alphabetical).  Fill round 9's slots with any
-# new/changed queries first, then those 24, then ~26 of the round-5
+# new/changed queries first, then those 27, then ~23 of the round-5
 # rows.
 
 

@@ -356,7 +356,15 @@ def upsert_docs(
     CRUD matrix (ingest / delete / compact / as-of existed; this is
     the "delete + re-send" cycle the ingest sink's uniqueness error
     message prescribes, packaged as ONE replay-safe op).  Returns the
-    number of generations the erase phase rewrote.
+    number of generations the erase phase rewrote (0 when the call is
+    recognized as a replay of a committed upsert).
+
+    Contract: every doc_id must be KNOWN to the store — live rows or
+    a tombstone history (fail-closed check below); brand-new docs go
+    through the ingest sink.  ``batch_id`` identifies the upsert
+    batch exactly like the sink's replay contract — a re-call under
+    the same id IS a replay, recognized by its own commit marker and
+    skipped whole.
 
     Three steps, commit marker LAST:
 
