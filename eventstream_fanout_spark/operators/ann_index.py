@@ -518,9 +518,19 @@ def pq_probe_topk(
     the text index's bm25_topk_asof twin; the frozen build and
     compaction folds are negative, so they sit below any non-negative
     watermark).  ADC carries no corpus statistics, so no correction
-    bookkeeping exists on this side — and none is needed: erasure
-    physically removes code rows from every generation, so no as-of
-    view can resurrect an erased vector.
+    bookkeeping exists on this side — and none is needed for ERASURE:
+    it physically removes code rows from every generation, so no as-of
+    view can resurrect an erased vector (right-to-erasure beats time
+    travel, by contract).  UPSERTS are different (ADVICE r8 item 2):
+    ``upsert_vectors`` rewrites history too — the old code rows leave
+    every generation — but the doc is supposed to still EXIST in past
+    views, so an as-of probe below an upsert generation would return a
+    state that never was.  Each upsert therefore leaves a marker
+    (``{index}/upserts``), and an as-of probe RAISES when its
+    watermark sits below the newest marker (lazy in-plan guard over
+    the metadata-sized marker table — bm25_topk_asof's no-correction
+    stance).  Probe the rewritten history at or above the upsert
+    generation, or the live index with ``upto_batch_id=None``.
 
     The returned plan contains the codes/codebook/centroids table
     scans and NO encode subtree (no embedding slicing) — the property
@@ -528,9 +538,13 @@ def pq_probe_topk(
     from ..functions.vectors import cosine
 
     codes, codebook, centroids = read_index(spark, index_path)
+    asof_guard = None
     if upto_batch_id is not None:
         codes = codes.where(
             F.col("batch_id") <= F.lit(int(upto_batch_id))
+        )
+        asof_guard = _upsert_asof_guard(
+            spark, index_path, int(upto_batch_id)
         )
     if nprobe is not None:
         probes = (
@@ -544,10 +558,58 @@ def pq_probe_topk(
         codes = codes.join(
             F.broadcast(probes), F.col("list_id") == F.col("probe_cid")
         ).select("vec_id", "list_id", "codes")
+    scored = adc_scores_from_index(codes, codebook, query)
+    if asof_guard is not None:
+        scored = scored.unionByName(asof_guard)
     return (
-        adc_scores_from_index(codes, codebook, query)
-        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-        .limit(k)
+        scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(k)
+    )
+
+
+def _upsert_asof_guard(
+    spark: SparkSession, index_path: str, upto_batch_id: int
+) -> DataFrame | None:
+    """Lazy 0-row branch refusing as-of probes whose watermark sits
+    below any generation an :func:`..streaming.ann_ingest.upsert_vectors`
+    call rewrote (ADVICE r8 item 2).  The marker table is
+    metadata-sized (one row per upsert batch); absent markers mean no
+    upsert ever ran and the probe plan is unchanged (returns None).
+    Outputs are cast FROM the assert column (the ivf_topk lazy-guard
+    pattern) so the branch cannot constant-fold away."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        markers = spark.read.parquet(f"{index_path}/upserts")
+    except AnalysisException:
+        return None
+    newest = markers.agg(
+        F.max("batch_id").cast("int").alias("_mx")
+    )
+    return (
+        newest.select(
+            F.assert_true(
+                F.col("_mx") <= F.lit(int(upto_batch_id)),
+                F.concat(
+                    F.lit("ANN as-of probe: upto_batch_id="),
+                    F.lit(str(int(upto_batch_id))),
+                    F.lit(" is below upsert generation "),
+                    F.col("_mx").cast("string"),
+                    F.lit(
+                        " — upsert_vectors physically rewrote the "
+                        "old code rows out of every generation, so "
+                        "this as-of view no longer exists; probe at "
+                        "or above the upsert generation, or the live "
+                        "index without a watermark"
+                    ),
+                ),
+            ).alias("_a")
+        )
+        .where(F.col("_a").isNotNull())
+        .select(
+            F.col("_a").cast("long").alias("vec_id"),
+            F.col("_a").cast("long").alias("list_id"),
+            F.col("_a").cast("bigint").alias("adc_dist"),
+        )
     )
 
 
@@ -635,6 +697,19 @@ def pq_filtered_topk(
     Probe cost stays proportional to touched lists under any filter
     selectivity; no corpus-wide metadata join exists in the plan
     (pinned by tests/test_ann_index.py).
+
+    Probe-time coverage guard (ADVICE r8 item 1): build-time coverage
+    alone cannot protect a LIVE store — vectors appended later by
+    ``streaming_ann_index_sink``, or re-encoded into a new
+    ``(batch_id, list_id)`` partition by ``upsert_vectors``, have no
+    (or no longer co-partitioned) attrs row, and the semi-join would
+    silently exclude them from every filtered probe.  So every probe
+    re-checks coverage WITHIN the probed lists: a pruned code row with
+    no attrs row raises (lazy 0-row union branch over a second
+    vec_id-only projection of the same list-pruned attrs scan —
+    list-local cost, and it cannot constant-fold away because the
+    branch outputs are cast from the assert column).  Rebuild the attr
+    store (``build_attr_store``) after ingests/upserts to clear it.
     """
     from ..functions.vectors import cosine
 
@@ -656,9 +731,39 @@ def pq_filtered_topk(
             F.broadcast(probes), F.col("list_id") == F.col("probe_cid")
         )
     allowed = attrs.where(attr_pred).select("vec_id")
+    uncovered = (
+        codes.select("vec_id")
+        .join(attrs.select("vec_id"), "vec_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nu"))
+    )
+    coverage_guard = (
+        uncovered.select(
+            F.assert_true(
+                F.col("_nu") == 0,
+                F.concat(
+                    F.col("_nu").cast("string"),
+                    F.lit(
+                        " stored code row(s) in the probed lists have "
+                        "no attrs row — the attr store is stale (a "
+                        "streamed ingest or upsert_vectors landed "
+                        "since it was built) and a filtered probe "
+                        "would silently drop those vectors; re-run "
+                        "build_attr_store"
+                    ),
+                ),
+            ).alias("_a")
+        )
+        .where(F.col("_a").isNotNull())
+        .select(
+            F.col("_a").cast("long").alias("vec_id"),
+            F.col("_a").cast("long").alias("list_id"),
+            F.col("_a").cast("bigint").alias("adc_dist"),
+        )
+    )
     codes = codes.join(allowed, "vec_id", "left_semi")
     return (
         adc_scores_from_index(codes, codebook, query)
+        .unionByName(coverage_guard)
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
     )

@@ -143,7 +143,9 @@ def upsert_vectors(
     no markers).  Returns the number of (generation, list) partitions
     the erase phase rewrote.
 
-    Two steps: :func:`delete_vectors` on the batch's vec_ids (old
+    Three steps, marker FIRST: a ``(batch_id)`` row lands in the
+    ``upserts`` marker table (its own partition — replay overwrites it
+    in place), then :func:`delete_vectors` on the batch's vec_ids (old
     code rows physically removed from every generation), then the new
     versions encode against the STORED quantizer and append under
     ``batch_id`` through the sink's own per-batch path.  Replaying a
@@ -154,13 +156,35 @@ def upsert_vectors(
     rewriting contract); a crash between the phases leaves the batch
     absent from probes until the re-run, which the generation-
     duplicate probe guard cannot detect — membership changes are
-    statistics-free by design — so the re-run is the contract."""
+    statistics-free by design — so the re-run is the contract.
+
+    The marker exists for AS-OF reproducibility (ADVICE r8 item 2):
+    the physical erase rewrites history, so a later
+    ``pq_probe_topk(upto_batch_id=N)`` for ``N < batch_id`` would
+    return a state that never existed (the vector absent instead of
+    present at its old value).  ``pq_probe_topk`` reads the marker
+    table and REFUSES as-of probes below the newest upsert generation
+    — mirroring ``bm25_topk_asof``'s no-correction guard; erasure
+    needs no marker because an erased vector MUST stay absent from
+    every as-of view (right-to-erasure beats time travel).  The
+    marker is written first so the failure direction is conservative:
+    a crash right after it refuses some reproducible probes, never
+    serves an unreproducible one."""
     from .compaction import erase_rows
 
     ids = [
         int(r["vec_id"])
         for r in new_vectors.select("vec_id").distinct().collect()
     ]
+    (
+        spark.createDataFrame(
+            [(len(ids), int(batch_id))], "n_ids int, batch_id int"
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_path}/upserts")
+    )
     rewritten = erase_rows(
         spark,
         f"{index_path}/codes",

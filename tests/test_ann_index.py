@@ -957,6 +957,58 @@ def test_attr_store_build_refuses_uncovered_code_row(spark, tmp_path):
         build_attr_store(spark, partial, path)
 
 
+def test_filtered_probe_refuses_stale_attr_store(spark, tmp_path):
+    """Probe-time coverage (ADVICE r8 item 1): a vector appended AFTER
+    build_attr_store (here via the streaming ingest sink's per-batch
+    path) has no attrs row, and the filtered probe must RAISE instead
+    of silently excluding it from every filtered result.  The guard
+    fires through the full registered shape (nprobe pruning on), and
+    rebuilding the attr store clears it."""
+    import pytest
+
+    from eventstream_fanout_spark.operators.ann_index import (
+        build_attr_store,
+        pq_filtered_topk,
+    )
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        streaming_ann_index_sink,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = _emb(spark)
+    late = emb.where(F.col("vec_id") >= 55)
+    build_pq_index(spark, emb.where(F.col("vec_id") < 55), path)
+    build_attr_store(
+        spark,
+        emb.where(F.col("vec_id") < 55).select("vec_id", "label"),
+        path,
+    )
+    streaming_ann_index_sink(path)(
+        late.select("vec_id", "embedding"), 7
+    )
+    # every coarse list is probed (nprobe high), so the uncovered late
+    # rows are inside the pruned scan and the guard must trip
+    with pytest.raises(Exception, match="no attrs row"):
+        pq_filtered_topk(
+            spark,
+            path,
+            _query(spark),
+            10,
+            F.col("label").isin(1, 3, 5),
+            nprobe=8,
+        ).collect()
+    build_attr_store(spark, emb.select("vec_id", "label"), path)
+    rows = pq_filtered_topk(
+        spark,
+        path,
+        _query(spark),
+        10,
+        F.col("label").isin(1, 3, 5),
+        nprobe=8,
+    ).collect()
+    assert 0 < len(rows) <= 10
+
+
 def test_upsert_vectors_reencodes_and_replays(spark, tmp_path):
     """upsert_vectors: the probe over the upserted store equals a
     fresh index built from the FINAL vector versions, visibly differs
@@ -1007,3 +1059,43 @@ def test_upsert_vectors_reencodes_and_replays(spark, tmp_path):
         codes.groupBy("vec_id").count().where(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_asof_probe_refuses_upsert_rewritten_history(spark, tmp_path):
+    """ADVICE r8 item 2: upsert_vectors physically rewrites old code
+    rows out of every generation, so an as-of probe BELOW the upsert
+    generation would serve a state that never existed — it must raise
+    via the marker-table guard.  At/above the upsert generation (and
+    on a store that never upserted) as-of probes still work."""
+    import pytest
+
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        upsert_vectors,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path)
+    # no upserts yet: as-of works (the guard is absent, not just idle)
+    pre = pq_probe_topk(
+        spark, path, _query(spark), 10, upto_batch_id=0
+    ).collect()
+    assert len(pre) == 10
+
+    revised = emb.where(F.col("vec_id") % 9 == 2).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+            "embedding"
+        ),
+    )
+    upsert_vectors(spark, path, revised, batch_id=3)
+    with pytest.raises(Exception, match="below upsert generation"):
+        pq_probe_topk(
+            spark, path, _query(spark), 10, upto_batch_id=2
+        ).collect()
+    ok = pq_probe_topk(
+        spark, path, _query(spark), 10, upto_batch_id=3
+    ).collect()
+    assert len(ok) == 10
+    live = pq_probe_topk(spark, path, _query(spark), 10).collect()
+    assert [tuple(r) for r in ok] == [tuple(r) for r in live]
