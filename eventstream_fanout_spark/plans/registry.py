@@ -40,113 +40,81 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- round-8 rotation (registry ROUND-8 plan + VERDICT r7 item 1).
-    # Slots 1-21: new/changed plans — the twelve round-8 additions
-    # (curated_multimodal_erasure_sim: right-to-erasure across all
-    # four multimodal stores with BOTH serving probes hash-checked;
-    # bm25_hot_term_bound: the stored-df hot-term bound decided before
-    # the postings scan; text_index_compact_sim / ann_index_compact_sim:
-    # the build->ingest->erase->compact maintenance cycle at hash
-    # grade; ann_binary_hamming_topk / ann_binary_rerank_topk: the
-    # 8-byte sign-sketch prefilter + exact-rerank serving stack;
-    # streaming_erasure_sim: the deletion-queue stream applied through
-    # curated_erase, correction-over-correction composition;
-    # text_index_layout_census: the generational artifact SHAPE itself
-    # hash-pinned per (store, generation); text_index_asof_probe:
-    # time-travel via batch_id partition pruning, refusing erased
-    # stores (plus its ANN twin ann_index_asof_sim);
-    # exact_substring_spans / exact_substring_dedup_cut: the
-    # ExactSubstr dedup-span report and its removal FIX step) and
-    # the nine whose physical plan changed with the text-store
-    # redesign (delta-shaped erasure corrections + the generational
-    # merge-on-read vocab: every query that builds, ingests into,
-    # erases from, or static-probes a text index).
-    # Late round-8 extension (displacing the END of the r4 stale
-    # block): ann_pq_filtered_topk (predicate + nearest-neighbor over
-    # the persisted index via a list-layout attr side store),
-    # text_index_upsert_sim / ann_index_upsert_sim (UPDATE — the
-    # missing CRUD face of both stores; text via erase + re-ingest +
-    # resurrection markers, ANN via erase + re-encode).  The
-    # delete/compact/erasure sims already in this window re-prove the
-    # tombstone BALANCE rule those ops now share. ---
-    "ann_pq_filtered_topk",
-    "text_index_upsert_sim",
-    "ann_index_upsert_sim",
-    "curated_multimodal_erasure_sim",
-    "bm25_hot_term_bound",
-    "text_index_compact_sim",
-    "ann_index_compact_sim",
-    "ann_binary_hamming_topk",
-    "ann_binary_rerank_topk",
-    "streaming_erasure_sim",
-    "text_index_layout_census",
-    "text_index_asof_probe",
-    "ann_index_asof_sim",
-    "exact_substring_spans",
-    "exact_substring_dedup_cut",
-    "text_index_delete_sim",
-    "curated_erasure_sim",
-    "bm25_keyword_search",
-    "text_index_ingest_sim",
-    "curated_ingest_pipeline",
-    "curated_multimodal_ingest",
-    "bm25_batch_search",
-    "hybrid_search_rrf",
-    "hybrid_batch_search_rrf",
-    # --- slots 22-26: the 4 round-3-only greens displaced by late
-    # round-7 additions + the rows-only stub (last recorded round 3).
-    "string_agg_top_users",
-    "text_quality_profile",
-    "token_count_regex",
-    "value_histogram",
-    "multimodal_decode_stub",
-    # --- remaining slots: the first 21 of the 48 round-4-only greens,
-    # alphabetical (the largest stale block; the remaining 27 — incl.
-    # the 3 displaced by the late-round upsert/filtered additions —
-    # lead the round-9 rotation). ---
-    "ann_recall_report",
-    "approx_quantiles_value",
-    "arrow_doc_lengths",
-    "bad_records_quarantine",
-    "benchmark_decontamination",
-    "bitmap_distinct_users",
-    "boilerplate_block_removal",
-    "cluster_canonical_best_quality",
-    "corpus_shuffle_order",
-    "doc_chunks_udtf",
-    "domain_mix_sample",
-    "embedding_int8_quantization",
-    "embedding_random_projection",
-    "fuzzy_entity_match",
-    "hard_negative_mining",
-    "hll_daily_merge_distinct",
-    "html_text_extract",
-    "inverted_index_postings",
-    "kll_daily_merge_quantiles",
-    "label_balanced_sample",
-    "leakage_safe_splits",
+    # --- round-10 rotation (registry ROUND-9 plan, executed one round
+    # late per VERDICT r9 item 1).  Slots 1-27: the 27 round-4-only
+    # greens — the oldest stale evidence block, alphabetical. ---
+    "lsh_bucket_stats",
+    "media_header_parse",
+    "minhash_accuracy_report",
+    "neardup_edit_distance_verify",
+    "neardup_graph_triangles",
+    "pii_redaction",
+    "png_image_decode",
+    "q20_promotion_suppliers",
+    "repetition_profile",
+    "scd2_dimension_history",
+    "scd2_point_in_time_join",
+    "schema_drift_report",
+    "sequence_packing",
+    "source_reputation_profile",
+    "stream_session_window_watermark",
+    "table_profile",
+    "text_normalization_roundtrip",
+    "tfidf_top_terms",
+    "theta_sketch_user_sets",
+    "token_rarity_score",
+    "unpivot_event_matrix",
+    "url_canonical_dedup",
+    "variant_props_extract",
+    "vocab_coverage",
+    "wav_audio_decode",
+    "winsorized_values",
+    "zorder_layout_key",
+    # --- remaining slots: the head of the 45 round-5-only greens,
+    # alphabetical.  Round-10 new/changed-plan queries displace the
+    # END of this block as they land (round-workflow rule g). ---
+    "above_nation_avg_balance",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_multiprobe_topk",
+    "anti_join_customers_no_urgent_orders",
+    "approx_distinct_users",
+    "bigram_lift_top",
+    "bpe_merge_candidates",
+    "cdc_variant_props",
+    "corpus_clean_pipeline",
+    "count_star",
+    "deterministic_sample",
+    "dq_expectations_report",
+    "embedding_lsh_near_pairs",
+    "filter_pushdown_scan",
+    "flagship_enrich",
+    "incremental_dedup_sim",
+    "incremental_mv_maintenance",
+    "json_extract_props",
+    "mad_outlier_report",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_dups",
+    "null_reject_filter",
 ]
 
-# ROUND-9 ROTATION PLAN (generated census: tools/rotation_bullet.py —
+# ROUND-11 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
-# bullet, VERDICT r7 item 5).  Assuming CORRECTNESS_r08 lands green,
-# the remaining stale evidence, oldest first: the 27 round-4 rows not
-# in this window (lsh_bucket_stats, media_header_parse,
-# minhash_accuracy_report — the three displaced by the late-round
-# upsert/filtered additions — plus neardup_edit_distance_verify,
-# neardup_graph_triangles, pii_redaction, png_image_decode,
-# q20_promotion_suppliers, repetition_profile,
-# scd2_dimension_history,
-# scd2_point_in_time_join,
-# schema_drift_report, sequence_packing, source_reputation_profile,
-# stream_session_window_watermark, table_profile,
-# text_normalization_roundtrip, tfidf_top_terms,
-# theta_sketch_user_sets, token_rarity_score, unpivot_event_matrix,
-# url_canonical_dedup, variant_props_extract, vocab_coverage,
-# wav_audio_decode, winsorized_values, zorder_layout_key), then the
-# 45 round-5 rows (alphabetical).  Fill round 9's slots with any
-# new/changed queries first, then those 27, then ~23 of the round-5
-# rows.
+# bullet).  Assuming CORRECTNESS_r10 lands green, the remaining stale
+# evidence, oldest first: the ~22 round-5 rows not in this window
+# (the alphabetical tail from q10_returned_items onward plus any rows
+# displaced by round-10 additions: q10_returned_items,
+# q14_promo_revenue_share, q18_large_volume_orders,
+# q19_disjunctive_predicates, q1_pricing_summary,
+# q3_shipping_priority, q4_order_priority, q5_local_supplier_volume,
+# q6_forecast_revenue, rollup_nation_segment, salted_join_counts,
+# semantic_cluster_diversity_sample, session_concurrency_sweep,
+# set_ops_purchasers_vs_errors, simhash_near_pairs, sort_limit_latest,
+# stratified_sample_20_per_type, timestamp_parse,
+# training_export_pipeline, trigram_novelty_score,
+# union_intersect_users, weighted_systematic_sample), then the 44
+# round-6 rows (alphabetical).  Fill round 11's slots with any
+# new/changed queries first, then those, then round-6 rows up to 50.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:
