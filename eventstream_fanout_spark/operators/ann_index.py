@@ -573,14 +573,19 @@ def _upsert_asof_guard(
     below any generation an :func:`..streaming.ann_ingest.upsert_vectors`
     call rewrote (ADVICE r8 item 2).  The marker table is
     metadata-sized (one row per upsert batch); absent markers mean no
-    upsert ever ran and the probe plan is unchanged (returns None).
+    upsert ever ran and the probe plan is unchanged (returns None) —
+    but ONLY the missing-path case is treated as absent: a corrupt or
+    half-written marker store propagates its read error instead of
+    silently disabling the refusal (fail-closed, ADVICE r9 item 1).
+    An EXISTING-but-empty marker table passes the guard (no upsert
+    generation to refuse below — the ``coalesce`` keeps the NULL max
+    from raising an inscrutable null-message error, ADVICE r9 item 2).
     Outputs are cast FROM the assert column (the ivf_topk lazy-guard
     pattern) so the branch cannot constant-fold away."""
-    from pyspark.errors import AnalysisException
+    from ..streaming.compaction import read_store_or_none
 
-    try:
-        markers = spark.read.parquet(f"{index_path}/upserts")
-    except AnalysisException:
+    markers = read_store_or_none(spark, f"{index_path}/upserts")
+    if markers is None:
         return None
     newest = markers.agg(
         F.max("batch_id").cast("int").alias("_mx")
@@ -588,7 +593,10 @@ def _upsert_asof_guard(
     return (
         newest.select(
             F.assert_true(
-                F.col("_mx") <= F.lit(int(upto_batch_id)),
+                F.coalesce(
+                    F.col("_mx") <= F.lit(int(upto_batch_id)),
+                    F.lit(True),  # empty marker table: nothing to refuse
+                ),
                 F.concat(
                     F.lit("ANN as-of probe: upto_batch_id="),
                     F.lit(str(int(upto_batch_id))),
@@ -631,6 +639,13 @@ def build_attr_store(
     missing one raises AT BUILD (per-row ``when``-owned assert, the
     null branch owning the assert per the merged-probe guard lesson)
     instead of silently vanishing from every future filtered probe.
+
+    This is the BOOTSTRAP (and out-of-band-repair) path only: once the
+    store exists, the ingest/upsert/delete ops
+    (streaming/ann_ingest.py) maintain it DELTA-SHAPED — each batch's
+    attrs rows ride the batch into its own partitions — so a live
+    index never needs this corpus-length codes-join again
+    (VERDICT r9 item 2).
     """
     codes = spark.read.parquet(f"{index_path}/codes").select(
         "vec_id", "list_id", "batch_id"
@@ -708,8 +723,18 @@ def pq_filtered_topk(
     no attrs row raises (lazy 0-row union branch over a second
     vec_id-only projection of the same list-pruned attrs scan —
     list-local cost, and it cannot constant-fold away because the
-    branch outputs are cast from the assert column).  Rebuild the attr
-    store (``build_attr_store``) after ingests/upserts to clear it.
+    branch outputs are cast from the assert column).  With
+    ``nprobe=None`` no list pruning applies, so the guard's anti-join
+    runs codes-vs-attrs over the WHOLE corpus — a second full
+    vec_id-column scan per probe (ADVICE r9 item 4); exhaustive
+    filtered probes are a correctness/debug shape, not the serving
+    path — serve with an integer nprobe, where the guard stays
+    list-local.  The attr store is maintained DELTA-SHAPED by the
+    ingest/upsert/delete paths (streaming/ann_ingest.py — the batch's
+    attrs rows ride the same call into the same (batch_id, list_id)
+    partitions), so this guard is a tripwire for OUT-OF-BAND writes,
+    not a scheduled-rebuild prompt; ``build_attr_store`` clears it
+    after one.
     """
     from ..functions.vectors import cosine
 

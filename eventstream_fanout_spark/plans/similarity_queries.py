@@ -1942,6 +1942,86 @@ def ann_index_ingest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_filtered_live_sim",
+    _pq_persisted_oracle(
+        probed=True,
+        corpus_pred="vec_id <> 0 AND vec_id IN "
+        "(SELECT vec_id FROM embeddings WHERE label IN (1, 3, 5))",
+        emb_update=_VEC_UPSERT_SQL,
+    ),
+    description="FILTERED search on a LIVE index — the composition "
+    "round 9 left as design debt (VERDICT r9 item 2: the attr store "
+    "was rebuild-only, so filtered search and streaming ingest were "
+    "operationally exclusive): the index + attr store are built over "
+    "the EVEN vec_ids only, the odds stream in through the ingest "
+    "sink WITH their label column (the batch's attrs rows ride the "
+    "same call into the same (batch_id, list_id) partitions as its "
+    "codes — delta-shaped, no corpus-length build_attr_store rerun), "
+    "then the vec_id % 10 = 4 (> 20) vectors are UPSERTED halved "
+    "(their attrs rewrite alongside their re-encoded codes), and the "
+    "filtered probe (label IN (1,3,5), nprobe=2) runs directly — no "
+    "rebuild anywhere after the initial bootstrap.  The oracle "
+    "replays encode/assign/ADC over the FINAL embeddings restricted "
+    "to the labeled subset, so the hash proves the three maintenance "
+    "paths kept attrs exactly co-complete with codes; the probe-time "
+    "coverage guard (tripwire for out-of-band writes) stays in the "
+    "plan at list-local cost",
+    tags=("similarity", "ann", "pq", "ivf", "index", "filtered",
+          "streaming", "maintenance", "extension"),
+)
+def ann_filtered_live_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import (
+        build_attr_store,
+        build_pq_index,
+        pq_filtered_topk,
+    )
+    from ..streaming.ann_ingest import (
+        streaming_ann_index_sink,
+        upsert_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_filt_live_")
+    evens = emb.where(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)
+    )
+    build_pq_index(spark, emb, path, corpus=evens)
+    build_attr_store(spark, evens.select("vec_id", "label"), path)
+    streaming_ann_index_sink(path)(
+        emb.where(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding", "label"
+        ),
+        1,
+    )
+    revised = emb.where(
+        (F.col("vec_id") % 10 == 4) & (F.col("vec_id") > 20)
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    upsert_vectors(spark, path, revised, batch_id=2)
+    q = emb.where(F.col("vec_id") == 0).select("embedding")
+    topk = pq_filtered_topk(
+        spark, path, q, 10, F.col("label").isin(1, 3, 5), nprobe=2
+    )
+    return (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("list_id").cast("long").alias("list_id"),
+            "adc_dist",
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    )
+
+
+@register(
     "ann_pq_persisted_batch_topk",
     f"""
     WITH {_FLAT},

@@ -50,13 +50,41 @@ def _read_artifact_or_raise(spark: SparkSession, path: str, what: str):
         ) from exc
 
 
+def _attr_data_cols(attrs_store: DataFrame) -> list[str]:
+    """The attr store's metadata columns (everything but the key and
+    the layout columns)."""
+    return [
+        c
+        for c in attrs_store.columns
+        if c not in ("vec_id", "batch_id", "list_id")
+    ]
+
+
 def streaming_ann_index_sink(index_path: str):
     """``foreachBatch`` callback: encode each micro-batch of
     ``(vec_id, embedding)`` rows against the stored quantizer and
     append their index rows idempotently.  Compose with
-    ``start_fanout`` or pass to ``writeStream.foreachBatch``."""
+    ``start_fanout`` or pass to ``writeStream.foreachBatch``.
+
+    DELTA-SHAPED attr maintenance (VERDICT r9 item 2): when the index
+    carries a filterable-attribute side store
+    (operators/ann_index.build_attr_store), the batch's attrs rows
+    ride the SAME call — the sink already knows each vector's
+    ``list_id`` assignment, so the attrs append lands in the identical
+    ``(batch_id, list_id)`` partitions as the codes, and a filtered
+    probe stays valid with NO corpus-length ``build_attr_store``
+    rebuild.  Fail-closed: an attrs store whose metadata columns the
+    batch does not carry raises (silently appending codes without
+    attrs would trip every future filtered probe's coverage guard —
+    correct but avoidable); batches on an index with NO attrs store
+    ignore any extra columns (unfiltered index, current behavior).
+    Write order is codes THEN attrs: a crash in between leaves probed
+    code rows without attrs, which the probe-time coverage guard
+    reports loudly, and replay overwrites both partitions."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from .compaction import read_store_or_none
+
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -66,6 +94,20 @@ def streaming_ann_index_sink(index_path: str):
         centroids = _read_artifact_or_raise(
             spark, f"{index_path}/centroids", "IVF centroids"
         )
+        attrs_store = read_store_or_none(spark, f"{index_path}/attrs")
+        acols: list[str] = []
+        if attrs_store is not None:
+            acols = _attr_data_cols(attrs_store)
+            missing = [c for c in acols if c not in batch_df.columns]
+            if missing:
+                raise RuntimeError(
+                    f"ANN ingest: the index at {index_path} carries a "
+                    f"filterable attr store with column(s) {missing} "
+                    "the batch does not supply — appending codes "
+                    "without their attrs rows would invalidate every "
+                    "filtered probe; carry the attr columns on the "
+                    "ingest stream (or drop the attrs store)"
+                )
         (
             encode_pq_codes(
                 batch_df.select("vec_id", "embedding"), codebook, centroids
@@ -76,6 +118,25 @@ def streaming_ann_index_sink(index_path: str):
             .partitionBy("batch_id", "list_id")
             .parquet(f"{index_path}/codes")
         )
+        if attrs_store is not None:
+            # the just-written codes partition IS the batch's
+            # (vec_id -> list_id) assignment — a partition-pruned read
+            # beats re-running the encode subtree
+            assigned = (
+                spark.read.parquet(f"{index_path}/codes")
+                .where(F.col("batch_id") == int(batch_id))
+                .select("vec_id", "list_id")
+            )
+            (
+                assigned.join(
+                    batch_df.select("vec_id", *acols), "vec_id"
+                )
+                .withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "list_id")
+                .parquet(f"{index_path}/attrs")
+            )
 
     return process
 
@@ -95,16 +156,30 @@ def delete_vectors(
     deleted outright.  Idempotent; run with the ingest stream stopped.
     Probes need no post-delete rebuild — ADC scoring carries no corpus
     statistics (the quantizer artifacts are unaffected by
-    membership)."""
-    from .compaction import erase_rows
+    membership).  An attrs side store, when present, erases the same
+    ids alongside (delta-shaped, VERDICT r9 item 2 — attrs rows for
+    erased vectors are dead weight the filtered probe's semi-join
+    would silently carry, and right-to-erasure covers the metadata
+    too)."""
+    from .compaction import erase_rows, read_store_or_none
 
-    return erase_rows(
+    ids = [int(v) for v in vec_ids]
+    n = erase_rows(
         spark,
         f"{index_path}/codes",
         "vec_id",
-        [int(v) for v in vec_ids],
+        ids,
         extra_partition_cols=["list_id"],
     )
+    if read_store_or_none(spark, f"{index_path}/attrs") is not None:
+        erase_rows(
+            spark,
+            f"{index_path}/attrs",
+            "vec_id",
+            ids,
+            extra_partition_cols=["list_id"],
+        )
+    return n
 
 
 def compact_index(
@@ -117,10 +192,18 @@ def compact_index(
     because code duplicates are NOT harmless here (they double summed
     ADC distances) — after a crash between fold and deletes, RE-RUN
     compaction before probes resume.  Run only with the ingest stream
-    stopped.  Returns the number of source partitions folded."""
-    from .compaction import compact_generations
+    stopped.  Returns the number of source partitions folded.
 
-    return compact_generations(
+    An attrs side store, when present, folds through the same
+    two-phase contract (its generation ids are allocated from its own
+    partitions — the two tables need not share fold ids, the filtered
+    probe's coverage join is on ``vec_id``)."""
+    from .compaction import (
+        compact_generations,
+        read_store_or_none,
+    )
+
+    n = compact_generations(
         spark,
         f"{index_path}/codes",
         upto_batch_id,
@@ -128,6 +211,17 @@ def compact_index(
         dedup_cols=["vec_id"],
         extra_partition_cols=["list_id"],
     )
+    attrs_store = read_store_or_none(spark, f"{index_path}/attrs")
+    if attrs_store is not None:
+        n += compact_generations(
+            spark,
+            f"{index_path}/attrs",
+            upto_batch_id,
+            data_cols=["vec_id", "list_id", *_attr_data_cols(attrs_store)],
+            dedup_cols=["vec_id"],
+            extra_partition_cols=["list_id"],
+        )
+    return n
 
 
 def upsert_vectors(
@@ -139,9 +233,9 @@ def upsert_vectors(
     """UPDATE for the stored codes — re-encode known vectors with new
     embedding values (the ANN face of ``text_ingest.upsert_docs``,
     and a much simpler one: ADC scoring carries no corpus statistics,
-    so membership IS the whole state — no corrections, no tombstones,
-    no markers).  Returns the number of (generation, list) partitions
-    the erase phase rewrote.
+    so membership IS the whole state — no corrections, no tombstones;
+    the only bookkeeping is the as-of marker below).  Returns the
+    number of (generation, list) partitions the erase phase rewrote.
 
     Three steps, marker FIRST: a ``(batch_id)`` row lands in the
     ``upserts`` marker table (its own partition — replay overwrites it
@@ -170,7 +264,7 @@ def upsert_vectors(
     marker is written first so the failure direction is conservative:
     a crash right after it refuses some reproducible probes, never
     serves an unreproducible one."""
-    from .compaction import erase_rows
+    from .compaction import erase_rows, read_store_or_none
 
     ids = [
         int(r["vec_id"])
@@ -192,7 +286,19 @@ def upsert_vectors(
         ids,
         extra_partition_cols=["list_id"],
     )
-    streaming_ann_index_sink(index_path)(
-        new_vectors.select("vec_id", "embedding"), int(batch_id)
-    )
+    if read_store_or_none(spark, f"{index_path}/attrs") is not None:
+        # delta-shaped attrs maintenance (VERDICT r9 item 2): the old
+        # attrs rows leave with the old codes; the sink call below
+        # re-appends the new versions' attrs (it requires the attr
+        # columns on new_vectors — fail-closed) into the re-encoded
+        # (batch_id, list_id) partitions, so filtered probes stay
+        # valid with no build_attr_store rebuild
+        erase_rows(
+            spark,
+            f"{index_path}/attrs",
+            "vec_id",
+            ids,
+            extra_partition_cols=["list_id"],
+        )
+    streaming_ann_index_sink(index_path)(new_vectors, int(batch_id))
     return rewritten

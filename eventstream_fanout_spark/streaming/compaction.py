@@ -24,8 +24,30 @@ Contract (identical across stores):
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def read_store_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a store artifact, returning None ONLY on the missing-path
+    case (store not created yet).  Any other analysis failure — schema
+    inference, corrupt metadata, a half-written marker — must PROPAGATE
+    (ADVICE r9 item 1): swallowing it would fail OPEN, silently
+    disabling whatever guard or dedup check the caller builds from the
+    artifact.  One shared classification so the generational stores
+    cannot drift apart on what "missing" means."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        get_cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        err_class = get_cond() if get_cond is not None else None
+        if err_class != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return None
 
 
 def compact_generations(

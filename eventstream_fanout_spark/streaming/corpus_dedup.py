@@ -61,17 +61,10 @@ def _read_store_or_none(
     must propagate, or the caller would silently dedup against nothing
     and admit duplicates forever — one shared classification so the
     band store and the accepted-docs artifact cannot drift apart."""
-    from pyspark.errors import AnalysisException
+    from .compaction import read_store_or_none
 
-    try:
-        df = spark.read.parquet(path)
-    except AnalysisException as exc:
-        get_cond = getattr(exc, "getCondition", None) or getattr(
-            exc, "getErrorClass", None
-        )
-        err_class = get_cond() if get_cond is not None else None
-        if err_class != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(exc):
-            raise
+    df = read_store_or_none(spark, path)
+    if df is None:
         return None
     if exclude_batch_id is not None and "batch_id" in df.columns:
         df = df.where(F.col("batch_id") != int(exclude_batch_id))

@@ -58,12 +58,12 @@ from ..operators.text_index import batch_stats, doc_postings
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    from pyspark.errors import AnalysisException
+    """Missing-path → None; any OTHER read failure propagates (the
+    shared fail-closed classification — a corrupt tombstones table
+    must not be mistaken for "no erasure ever ran")."""
+    from .compaction import read_store_or_none
 
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return None
+    return read_store_or_none(spark, path)
 
 
 def streaming_text_index_sink(

@@ -958,17 +958,19 @@ def test_attr_store_build_refuses_uncovered_code_row(spark, tmp_path):
 
 
 def test_filtered_probe_refuses_stale_attr_store(spark, tmp_path):
-    """Probe-time coverage (ADVICE r8 item 1): a vector appended AFTER
-    build_attr_store (here via the streaming ingest sink's per-batch
-    path) has no attrs row, and the filtered probe must RAISE instead
-    of silently excluding it from every filtered result.  The guard
-    fires through the full registered shape (nprobe pruning on), and
-    rebuilding the attr store clears it."""
+    """Two fail-closed layers around attr coverage on a live store:
+    (1) the ingest sink itself now REFUSES a batch that lacks the attr
+    store's metadata columns (the delta-maintenance contract — VERDICT
+    r9 item 2); (2) codes appended OUT OF BAND (a writer that bypasses
+    the sink) still trip the probe-time coverage guard (ADVICE r8
+    item 1), and build_attr_store repairs the store."""
     import pytest
 
     from eventstream_fanout_spark.operators.ann_index import (
         build_attr_store,
+        encode_pq_codes,
         pq_filtered_topk,
+        read_index,
     )
     from eventstream_fanout_spark.streaming.ann_ingest import (
         streaming_ann_index_sink,
@@ -983,8 +985,24 @@ def test_filtered_probe_refuses_stale_attr_store(spark, tmp_path):
         emb.where(F.col("vec_id") < 55).select("vec_id", "label"),
         path,
     )
-    streaming_ann_index_sink(path)(
-        late.select("vec_id", "embedding"), 7
+    # layer 1: the sink refuses an attr-less batch on an attr-carrying
+    # index instead of silently appending uncovered codes
+    with pytest.raises(Exception, match="does not supply"):
+        streaming_ann_index_sink(path)(
+            late.select("vec_id", "embedding"), 7
+        )
+    # layer 2: an out-of-band writer bypasses the sink entirely —
+    # the probe-time guard is the remaining tripwire
+    _, codebook, centroids = read_index(spark, path)
+    (
+        encode_pq_codes(
+            late.select("vec_id", "embedding"), codebook, centroids
+        )
+        .withColumn("batch_id", F.lit(7))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "list_id")
+        .parquet(f"{path}/codes")
     )
     # every coarse list is probed (nprobe high), so the uncovered late
     # rows are inside the pruned scan and the guard must trip
@@ -1099,3 +1117,131 @@ def test_asof_probe_refuses_upsert_rewritten_history(spark, tmp_path):
     assert len(ok) == 10
     live = pq_probe_topk(spark, path, _query(spark), 10).collect()
     assert [tuple(r) for r in ok] == [tuple(r) for r in live]
+
+
+def test_asof_upsert_guard_fail_modes(spark, tmp_path):
+    """ADVICE r9 items 1-2: an EMPTY upserts marker table must pass
+    the as-of guard (nothing to refuse below — the NULL max must not
+    raise an inscrutable null-message error), while a CORRUPT marker
+    store must propagate its read error instead of silently disabling
+    the refusal (fail-open would serve unreproducible history)."""
+    import pytest
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path)
+
+    # existing-but-empty marker table: probe works
+    spark.createDataFrame([], "n_ids int, batch_id int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/upserts")
+    ok = pq_probe_topk(
+        spark, path, _query(spark), 10, upto_batch_id=0
+    ).collect()
+    assert len(ok) == 10
+
+    # corrupt marker store: the read error propagates at plan time
+    import shutil
+
+    shutil.rmtree(f"{path}/upserts")
+    os.makedirs(f"{path}/upserts", exist_ok=True)
+    with open(f"{path}/upserts/part-corrupt.parquet", "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        pq_probe_topk(
+            spark, path, _query(spark), 10, upto_batch_id=0
+        ).collect()
+
+
+def test_attr_store_delta_maintenance_live_flow(spark, tmp_path):
+    """VERDICT r9 item 2 (done-criterion): build -> stream-ingest ->
+    upsert -> delete -> filtered probe, with NO intervening
+    build_attr_store — the attrs rows ride each maintenance call into
+    the same (batch_id, list_id) partitions as the codes, so the
+    filtered result equals a fresh index+attrs built from the final
+    corpus, and compaction folds the attrs store alongside."""
+    from eventstream_fanout_spark.operators.ann_index import (
+        build_attr_store,
+        pq_filtered_topk,
+    )
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        compact_index,
+        delete_vectors,
+        streaming_ann_index_sink,
+        upsert_vectors,
+    )
+
+    emb = _emb(spark)
+    pred = F.col("label").isin(1, 3, 5)
+
+    # live store: build over evens, ingest odds (attrs ride along),
+    # upsert a slice halved, erase a few ids
+    path = str(tmp_path / "idx")
+    evens = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0))
+    odds = emb.where(F.col("vec_id") % 2 == 1)
+    build_pq_index(spark, emb, path, corpus=evens)
+    build_attr_store(spark, evens.select("vec_id", "label"), path)
+    streaming_ann_index_sink(path)(
+        odds.select("vec_id", "embedding", "label"), 1
+    )
+    revised = emb.where(
+        (F.col("vec_id") % 10 == 4) & (F.col("vec_id") > 20)
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    upsert_vectors(spark, path, revised, batch_id=2)
+    doomed = [
+        r["vec_id"]
+        for r in emb.where(
+            (F.col("vec_id") % 11 == 5) & (F.col("vec_id") > 20)
+        ).select("vec_id").collect()
+    ]
+    delete_vectors(spark, path, doomed)
+    got = [
+        tuple(r)
+        for r in pq_filtered_topk(
+            spark, path, _query(spark), 10, pred, nprobe=2
+        ).collect()
+    ]
+
+    # oracle twin: one-shot build from the FINAL corpus + fresh attrs
+    final = (
+        emb.join(revised.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", "embedding", "label")
+        .unionByName(revised)
+        .where(~F.col("vec_id").isin([int(d) for d in doomed]))
+    )
+    ref = str(tmp_path / "idx_ref")
+    build_pq_index(spark, emb, ref, corpus=final.where(F.col("vec_id") != 0))
+    build_attr_store(
+        spark,
+        final.where(F.col("vec_id") != 0).select("vec_id", "label"),
+        ref,
+    )
+    expect = [
+        tuple(r)
+        for r in pq_filtered_topk(
+            spark, ref, _query(spark), 10, pred, nprobe=2
+        ).collect()
+    ]
+    assert got == expect and len(got) > 0
+
+    # compaction folds attrs alongside codes; the probe still works
+    compact_index(spark, path, upto_batch_id=10)
+    gens = [
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/attrs")
+        .select("batch_id").distinct().collect()
+    ]
+    assert len(gens) == 1 and gens[0] < 0
+    after = [
+        tuple(r)
+        for r in pq_filtered_topk(
+            spark, path, _query(spark), 10, pred, nprobe=2
+        ).collect()
+    ]
+    assert after == expect
