@@ -100,3 +100,78 @@ def hybrid_batch_rrf(
             "qid", "doc_id", "rank_text", "rank_vec", "rrf_score", "rank"
         )
     )
+
+
+def hybrid_filtered_rrf(
+    spark: SparkSession,
+    text_index_path: str,
+    ann_index_path: str,
+    terms: list[str],
+    query: DataFrame,
+    attr_pred_text: F.Column,
+    attr_pred_vec: F.Column,
+    k: int = 10,
+    depth: int = HYBRID_DEPTH,
+    nprobe: int | None = 2,
+) -> DataFrame:
+    """FILTERED hybrid retrieval (VERDICT r9 item 3): RRF fusion of
+    the filtered BM25 probe (``text_index.bm25_topk_filtered``) and
+    the filtered ADC probe (``ann_index.pq_filtered_topk``) — "hybrid
+    search within lang='en'", the predicate+fusion query a RAG stack
+    serves.  ``doc_id`` doubles as ``vec_id`` (the multimodal corpus
+    contract); the two predicates express the SAME metadata filter
+    against each index's own attr side store (text: postings-layout
+    attrs; ANN: codes-layout attrs), so each side's candidate
+    restriction stays term-filtered / list-pruned respectively —
+    nothing corpus-wide enters the fused plan.
+
+    Each ranker contributes its filtered top-``depth``; a doc passing
+    the filter but outside a probed list (ANN side) is the standard
+    nprobe-dialable recall miss.  Fusion is the rank-only
+    ``sum(1/(RRF_K + rank))`` of :func:`hybrid_batch_rrf` — pure
+    rational arithmetic, hash-exact."""
+    from pyspark.sql import Window
+
+    from .ann_index import pq_filtered_topk
+    from .text_index import bm25_topk_filtered
+
+    wb = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    brank = (
+        bm25_topk_filtered(
+            spark, text_index_path, terms, depth, attr_pred_text
+        )
+        .withColumn("rank_text", F.row_number().over(wb).cast("int"))
+        .select("doc_id", "rank_text")
+    )
+    wv = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    vrank = (
+        pq_filtered_topk(
+            spark, ann_index_path, query, depth, attr_pred_vec,
+            nprobe=nprobe,
+        )
+        .withColumn("rank_vec", F.row_number().over(wv).cast("int"))
+        .select(F.col("vec_id").alias("doc_id"), "rank_vec")
+    )
+    zero = F.lit(0.0).cast("double")
+    one = F.lit(1.0).cast("double")
+    fused = brank.join(vrank, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_text",
+        "rank_vec",
+        (
+            F.coalesce(
+                one / (F.lit(RRF_K) + F.col("rank_text")).cast("double"),
+                zero,
+            )
+            + F.coalesce(
+                one / (F.lit(RRF_K) + F.col("rank_vec")).cast("double"),
+                zero,
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank_text", "rank_vec", "rrf_score", "rank")
+    )

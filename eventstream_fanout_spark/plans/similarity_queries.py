@@ -1701,18 +1701,29 @@ _PQ_ATTRS_BUILT: set[str] = set()
 
 
 def _ensure_pq_attrs(spark: SparkSession, sf_dir: str) -> str:
-    """Attach the filterable-attribute side store (label, in the
-    fixture schema) to the cached persisted index, once per
-    (process, sf_dir) — build_attr_store copies the codes table's
-    (batch_id, list_id) layout so filtered probes prune both
-    relations identically."""
+    """Attach the filterable-attribute side store to the cached
+    persisted index, once per (process, sf_dir) — build_attr_store
+    copies the codes table's (batch_id, list_id) layout so filtered
+    probes prune both relations identically.  Carries the embedding's
+    own ``label`` plus the owning document's ``lang`` (doc i's
+    embedding is vector i — the multimodal corpus contract), so both
+    the label-filtered ANN probe and the lang-filtered hybrid share
+    one store."""
     from ..operators.ann_index import build_attr_store
 
     path = _ensure_pq_index(spark, sf_dir)
     if path not in _PQ_ATTRS_BUILT:
         emb = load_table(spark, sf_dir, "embeddings")
+        docs = load_table(spark, sf_dir, "documents")
         build_attr_store(
-            spark, emb.select("vec_id", "label"), path
+            spark,
+            emb.select("vec_id", "label").join(
+                docs.select(
+                    F.col("doc_id").alias("vec_id"), "lang"
+                ),
+                "vec_id",
+            ),
+            path,
         )
         _PQ_ATTRS_BUILT.add(path)
     return path

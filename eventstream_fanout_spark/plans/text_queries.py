@@ -1034,15 +1034,28 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _bm25_oracle(docs_pred: str = "TRUE", text_expr: str = "text") -> str:
+def _bm25_oracle(
+    docs_pred: str = "TRUE",
+    text_expr: str = "text",
+    cand_pred: str = "TRUE",
+) -> str:
     """``docs_pred`` restricts the corpus (the delete-sim oracle probes
     the index AFTER erasure, so the replay scores only survivors);
     ``text_expr`` substitutes the scored text (the upsert-sim oracle
     replays the FINAL versions — default emits byte-identical SQL to
-    the pre-parameter generator)."""
+    the pre-parameter generator); ``cand_pred`` restricts CANDIDATES
+    only (the filtered-search contract: df/n_docs/avgdl stay
+    corpus-global, the predicate prunes which docs may appear in the
+    top-k — exactly what bm25_topk_filtered computes)."""
     from ..operators.text_index import sql_bm25_score_expr
 
     terms_sql = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+    cand = (
+        ""
+        if cand_pred == "TRUE"
+        else f"\n        AND t.doc_id IN (SELECT doc_id FROM documents"
+        f" WHERE {cand_pred})"
+    )
     return f"""
     WITH occ AS (
       SELECT doc_id, unnest({sql_tokens(text_expr)}) AS tok FROM documents
@@ -1070,7 +1083,7 @@ def _bm25_oracle(docs_pred: str = "TRUE", text_expr: str = "text") -> str:
       JOIN vocab d ON d.tok = t.tok
       JOIN dl l ON l.doc_id = t.doc_id
       CROSS JOIN stats s
-      WHERE t.tok IN {terms_sql}
+      WHERE t.tok IN {terms_sql}{cand}
     )
     SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
            {sql_dsum('sc')} AS bm25_score
@@ -1108,6 +1121,57 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _ensure_text_index(spark, sf_dir)
     return bm25_topk(spark, path, list(_BM25_TERMS), 10)
+
+
+_TEXT_ATTRS_BUILT: set[str] = set()
+
+
+def _ensure_text_attrs(spark: SparkSession, sf_dir: str) -> str:
+    """Attach the postings-layout attr side store (lang + source, the
+    documents fixture's metadata) to the cached persisted text index,
+    once per (process, sf_dir)."""
+    from ..operators.text_index import build_text_attr_store
+
+    path = _ensure_text_index(spark, sf_dir)
+    if path not in _TEXT_ATTRS_BUILT:
+        docs = load_table(spark, sf_dir, "documents")
+        build_text_attr_store(
+            spark, docs.select("doc_id", "lang", "source"), path
+        )
+        _TEXT_ATTRS_BUILT.add(path)
+    return path
+
+
+@register(
+    "bm25_filtered_search",
+    _bm25_oracle(cand_pred="lang = 'en'"),
+    description="FILTERED keyword search over the persisted inverted "
+    "index — BM25 top-10 among documents with lang='en' (VERDICT r9 "
+    "item 3: the attr-store pattern transplanted from the ANN side, "
+    "operators/text_index.build_text_attr_store + bm25_topk_filtered)."
+    "  The filterable metadata lives in a side store in POSTINGS "
+    "layout — one row per (tok, doc_id), the dl-denormalization trade "
+    "again — so the probe's metadata scan is TERM-FILTERED exactly "
+    "like its postings scan (tok IN terms AND lang='en', both pushed "
+    "to parquet) and the candidate restriction is a left-semi join "
+    "between two term-filtered relations: per-term cost at any "
+    "selectivity, no corpus-wide metadata join in the plan (pinned by "
+    "pytest).  Statistics stay corpus-global (the standard filtered-"
+    "search contract, replayed by the oracle): df/n_docs/avgdl are "
+    "unchanged by the filter, so the filtered ranking is the "
+    "unfiltered ranking restricted to matching docs.  Fail-closed: a "
+    "scanned posting row with no attrs twin raises (out-of-band-write "
+    "tripwire; the store is otherwise delta-maintained by the "
+    "ingest/delete/upsert paths)",
+    tags=("text", "search", "bm25", "index", "filtered", "extension"),
+)
+def bm25_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_index import bm25_topk_filtered
+
+    path = _ensure_text_attrs(spark, sf_dir)
+    return bm25_topk_filtered(
+        spark, path, list(_BM25_TERMS), 10, F.col("lang") == "en"
+    )
 
 
 @register(

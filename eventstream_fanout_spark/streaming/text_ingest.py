@@ -87,12 +87,42 @@ def streaming_text_index_sink(
         vocab = postings.groupBy("tok").agg(
             F.count(F.lit(1)).cast("bigint").alias("df")
         )
-        for rel, name in (
+        # delta-shaped attr maintenance (VERDICT r9 item 3, the ANN
+        # sink's text twin): when the index carries a filterable attr
+        # store, the batch's attr-posting rows ride this call into its
+        # own generation — written BEFORE stats (the commit marker),
+        # so the crash window stays detectable-missing.  Fail-closed:
+        # an attrs store whose metadata columns the batch does not
+        # carry raises instead of appending uncovered postings.
+        attrs_store = _read_or_none(spark, f"{index_path}/attrs")
+        rels = [
             (postings, "postings"),
             (dl, "doclens"),
             (vocab, "vocab"),
-            (batch_stats(dl), "stats"),  # stats LAST — see module doc
-        ):
+        ]
+        if attrs_store is not None:
+            acols = [
+                c
+                for c in attrs_store.columns
+                if c not in ("tok", "doc_id", "batch_id")
+            ]
+            missing = [c for c in acols if c not in batch_df.columns]
+            if missing:
+                raise RuntimeError(
+                    f"text index ingest: the index at {index_path} "
+                    f"carries a filterable attr store with column(s) "
+                    f"{missing} the batch does not supply — appending "
+                    "postings without their attrs rows would "
+                    "invalidate every filtered probe; carry the attr "
+                    "columns on the ingest stream (or drop the attrs "
+                    "store)"
+                )
+            attr_rows = postings.select("tok", "doc_id").join(
+                batch_df.select("doc_id", *acols), "doc_id"
+            )
+            rels.append((attr_rows, "attrs"))
+        rels.append((batch_stats(dl), "stats"))  # LAST — see module doc
+        for rel, name in rels:
             (
                 rel.withColumn("batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite")
@@ -343,6 +373,11 @@ def delete_docs(
         rewritten += erase_rows(
             spark, f"{index_path}/{name}", "doc_id", ids
         )
+    # attrs side store (when present): the doomed docs' attr-posting
+    # rows leave alongside their postings (delta-shaped — attrs need
+    # no df/stats correction, they carry no statistics)
+    if _read_or_none(spark, f"{index_path}/attrs") is not None:
+        erase_rows(spark, f"{index_path}/attrs", "doc_id", ids)
     return rewritten
 
 
@@ -463,9 +498,10 @@ def upsert_docs(
             "an upsert batch would break its replay marker)"
         )
     rewritten = delete_docs(spark, index_path, ids)
-    streaming_text_index_sink(index_path)(
-        new_docs.select("doc_id", "text"), int(batch_id)
-    )
+    # pass new_docs whole: the sink tokenizes (doc_id, text) and, when
+    # the index carries an attr store, requires the attr columns on
+    # the batch (fail-closed) to keep the attrs delta-maintained
+    streaming_text_index_sink(index_path)(new_docs, int(batch_id))
     tombs = _read_or_none(spark, f"{index_path}/tombstones")
     marked = (
         sorted(_erased_ids(tombs.where(F.col("doc_id").isin(ids))))
@@ -537,6 +573,20 @@ def compact_text_index(
         data_cols=["doc_id", "dl"],
         dedup_cols=["doc_id"],
     )
+    attrs_store = _read_or_none(spark, f"{index_path}/attrs")
+    if attrs_store is not None:
+        acols = [
+            c
+            for c in attrs_store.columns
+            if c not in ("tok", "doc_id", "batch_id")
+        ]
+        n += compact_generations(
+            spark,
+            f"{index_path}/attrs",
+            upto_batch_id,
+            data_cols=["tok", "doc_id", *acols],
+            dedup_cols=["tok", "doc_id"],
+        )
     # exact rebuilds: one row-set per surviving generation (heals any
     # rollup drift a crashed sink, erasure or fold left behind) —
     # compaction is the one op that is full-store by nature

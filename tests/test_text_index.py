@@ -1278,3 +1278,179 @@ def test_upsert_crash_before_marker_fails_closed_then_heals(
     got = bm25_topk_merged(spark, path, terms, 10).collect()
     expect = bm25_topk_merged(spark, ref_path, terms, 10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+
+def _docs_with_lang(spark):
+    return load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text", "lang"
+    )
+
+
+def test_filtered_probe_semantics_and_plan(spark, tmp_path):
+    """bm25_topk_filtered: the filtered top-k equals the unfiltered
+    ranking restricted to matching docs (stats corpus-global — the
+    standard filtered-search contract), and the plan reads NO
+    corpus-wide metadata: both the postings scan and the attrs scan
+    carry pushed tok IN filters, and the documents table is absent."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_filtered,
+        bm25_topk_merged,
+        build_text_attr_store,
+    )
+
+    docs = _docs_with_lang(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.select("doc_id", "text"), path)
+    build_text_attr_store(
+        spark, docs.select("doc_id", "lang"), path
+    )
+    probe = bm25_topk_filtered(
+        spark, path, TERMS, 10, F.col("lang") == "en"
+    )
+    got = [tuple(r) for r in probe.collect()]
+
+    allowed = {
+        r["doc_id"]
+        for r in docs.where(F.col("lang") == "en")
+        .select("doc_id")
+        .collect()
+    }
+    unfiltered = bm25_topk_merged(spark, path, TERMS, 100000).collect()
+    expect = [
+        (r["doc_id"], r["n_terms_matched"], r["bm25_score"])
+        for r in unfiltered
+        if r["doc_id"] in allowed
+    ][:10]
+    assert got == expect and len(got) == 10
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, "probe re-reads the corpus"
+    assert plan.count("PushedFilters: [In(tok") >= 2, (
+        "attrs scan lost its pushed term filter:\n" + plan
+    )
+    assert "doclens" not in plan
+
+
+def test_text_attr_delta_maintenance_live_flow(spark, tmp_path):
+    """VERDICT r9 item 3 + delta maintenance: build -> stream-ingest
+    (attrs riding) -> upsert -> delete -> filtered probe with NO
+    build_text_attr_store rerun; result equals a fresh index + attrs
+    over the final corpus, and compaction folds the attrs store."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_filtered,
+        build_text_attr_store,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        compact_text_index,
+        delete_docs,
+        streaming_text_index_sink,
+        upsert_docs,
+    )
+
+    docs = _docs_with_lang(spark)
+    pred = F.col("lang") == "en"
+    path = str(tmp_path / "tidx")
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    odds = docs.where(F.col("doc_id") % 2 == 1)
+    build_text_index(spark, evens.select("doc_id", "text"), path)
+    build_text_attr_store(
+        spark, evens.select("doc_id", "lang"), path
+    )
+    streaming_text_index_sink(path)(odds, 1)
+    revised = docs.where(F.col("doc_id") % 10 == 4).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" spark spark")).alias("text"),
+        "lang",
+    )
+    upsert_docs(spark, path, revised, batch_id=2)
+    doomed = [
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % 13 == 6)
+        .select("doc_id")
+        .collect()
+    ]
+    delete_docs(spark, path, doomed)
+    got = [
+        tuple(r)
+        for r in bm25_topk_filtered(spark, path, TERMS, 10, pred).collect()
+    ]
+
+    final = (
+        docs.join(revised.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(revised)
+        .where(~F.col("doc_id").isin([int(d) for d in doomed]))
+    )
+    ref = str(tmp_path / "tidx_ref")
+    build_text_index(spark, final.select("doc_id", "text"), ref)
+    build_text_attr_store(spark, final.select("doc_id", "lang"), ref)
+    expect = [
+        tuple(r)
+        for r in bm25_topk_filtered(spark, ref, TERMS, 10, pred).collect()
+    ]
+    assert got == expect and len(got) == 10
+
+    compact_text_index(spark, path, upto_batch_id=10)
+    gens = [
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/attrs")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    ]
+    assert len(gens) == 1
+    after = [
+        tuple(r)
+        for r in bm25_topk_filtered(spark, path, TERMS, 10, pred).collect()
+    ]
+    assert after == expect
+
+
+def test_text_attr_guards_fail_closed(spark, tmp_path):
+    """Three fail-closed layers: (1) build refuses partial attrs;
+    (2) the sink refuses an attr-less batch on an attr-carrying index;
+    (3) postings appended OUT OF BAND trip the filtered probe's
+    coverage guard, and build_text_attr_store repairs."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_filtered,
+        build_text_attr_store,
+        doc_postings,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        streaming_text_index_sink,
+    )
+
+    docs = _docs_with_lang(spark)
+    path = str(tmp_path / "tidx")
+    early = docs.where(F.col("doc_id") < 400)
+    late = docs.where(F.col("doc_id") >= 400)
+    build_text_index(spark, early.select("doc_id", "text"), path)
+
+    with pytest.raises(Exception, match="has no attrs row"):
+        build_text_attr_store(
+            spark,
+            early.where(F.col("doc_id") % 3 != 1).select("doc_id", "lang"),
+            path,
+        )
+    build_text_attr_store(spark, early.select("doc_id", "lang"), path)
+
+    with pytest.raises(RuntimeError, match="does not supply"):
+        streaming_text_index_sink(path)(late.select("doc_id", "text"), 1)
+
+    # out-of-band: postings + stats written directly, bypassing the
+    # sink (stats too, so the generation-coverage guard stays quiet
+    # and the ATTR guard is what must fire)
+    from eventstream_fanout_spark.operators.text_index import batch_stats
+
+    postings, _dl = doc_postings(late.select("doc_id", "text"))
+    for rel, name in ((postings, "postings"), (batch_stats(_dl), "stats")):
+        (
+            rel.withColumn("batch_id", F.lit(1))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{path}/{name}")
+        )
+    with pytest.raises(Exception, match="no attrs row"):
+        bm25_topk_filtered(
+            spark, path, TERMS, 10, F.col("lang") == "en"
+        ).collect()
