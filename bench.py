@@ -190,7 +190,38 @@ HEADLINE = [
     "ann_pq_filtered_topk",
     "text_index_upsert_sim",
     "ann_index_upsert_sim",
+    # round 11 additions: live filtered search (delta-maintained attr
+    # stores on both indexes), filtered hybrid fusion, the update-queue
+    # stream sim
+    "ann_filtered_live_sim",
+    "bm25_filtered_search",
+    "hybrid_filtered_search_rrf",
+    "streaming_upsert_sim",
 ]
+
+
+def _calibration_queries(spark):
+    """Fixed pure-compute plans (no table IO, seeded spark.range) that
+    measure THE BOX, not the engine (VERDICT r8 item 2 / r9 item 6):
+    identical work every round, so the ratio of this round's
+    calibration times to last round's separates machine drift (shared
+    VM, co-tenant load) from real engine regressions.  Three shapes:
+    a codegen-bound scalar aggregate, a shuffle-bound groupBy, and a
+    string/hash-bound pipeline."""
+    from pyspark.sql import functions as F
+
+    n = 50_000_000
+    return {
+        "cal_scalar_agg": lambda: spark.range(0, n, 1, 32).select(
+            F.sum((F.col("id") * 2654435761) % 1000000007).alias("s")
+        ),
+        "cal_shuffle_agg": lambda: spark.range(0, n // 5, 1, 32)
+        .groupBy((F.col("id") % 4096).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("id").alias("s")),
+        "cal_string_hash": lambda: spark.range(0, n // 25, 1, 32)
+        .select(F.md5(F.col("id").cast("string")).alias("h"))
+        .select(F.count_distinct(F.substring("h", 1, 4)).alias("d")),
+    }
 
 
 def main() -> None:
@@ -205,6 +236,16 @@ def main() -> None:
         # warm the JVM/scan path once (not timed)
         QUERIES["count_star"].fn(spark, SF_DIR).collect()
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+        calibration: dict[str, float] = {}
+        for cname, make in _calibration_queries(spark).items():
+            cbest = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                make().write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                cbest = dt if cbest is None else min(cbest, dt)
+            calibration[cname] = round(cbest, 3)
+            print(f"#cal {cname}={calibration[cname]}", flush=True)
         for name in HEADLINE:
             spec = QUERIES[name]
             best = None
@@ -236,6 +277,11 @@ def main() -> None:
             "run_meta": {
                 "runs_per_query": runs,
                 "aggregation": "min-of-N per query",
+                # box-speed probes (identical pure-compute work every
+                # round): divide a cross-round suite ratio by the
+                # calibration ratio to split machine drift from engine
+                # change
+                "calibration_sec": calibration,
                 "cpus": os.cpu_count(),
                 "load_avg_start_1m_5m_15m": [round(x, 2) for x in load_start],
                 "load_avg_end_1m_5m_15m": [

@@ -1289,6 +1289,71 @@ def text_index_upsert_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_merged(spark, path, list(_BM25_TERMS), 10)
 
 
+_UPD_S0 = " spark spark revision"
+_UPD_S1 = " window revision"
+_UPD_S2 = " join window second revision"
+
+
+@register(
+    "streaming_upsert_sim",
+    _bm25_oracle(
+        text_expr="CASE "
+        f"WHEN doc_id % 20 = 3 THEN text || '{_UPD_S0}' || '{_UPD_S2}' "
+        f"WHEN doc_id % 10 = 3 THEN text || '{_UPD_S0}' "
+        f"WHEN doc_id % 10 = 7 THEN text || '{_UPD_S1}' "
+        "ELSE text END"
+    ),
+    description="UPDATE-QUEUE stream over the persisted inverted "
+    "index (streaming/text_ingest.streaming_upsert_sink — VERDICT r9 "
+    "item 4): the index is built over ALL docs, then two update "
+    "micro-batches flow through the sink, each driving one replay-"
+    "safe upsert_docs call under its own generation — trigger 0 "
+    "revises doc_id % 10 = 3, trigger 1 revises doc_id % 10 = 7 AND "
+    "re-revises doc_id % 20 = 3 (update-over-update: the second "
+    "trigger rewrites docs the first already rewrote, so the hash "
+    "pins stacked correction generations + resurrection-marker "
+    "balance composing across triggers).  Trigger 1 is then REPLAYED "
+    "(same generation id) and must be recognized by its own commit "
+    "marker as a no-op.  The merge-on-read BM25 probe must equal an "
+    "index built from the FINAL versions — the oracle replays BM25 "
+    "over the twice-revised corpus",
+    tags=("text", "search", "bm25", "index", "maintenance",
+          "streaming", "extension"),
+)
+def streaming_upsert_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import bm25_topk_merged, build_text_index
+    from ..streaming.text_ingest import streaming_upsert_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="text_index_stream_upsert_")
+    build_text_index(spark, docs, path)
+    upd = streaming_upsert_sink(path, batch_id_base=1)
+    batch0 = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_UPD_S0)).alias("text")
+    )
+    upd(batch0, 0)
+    batch1 = (
+        docs.where(F.col("doc_id") % 10 == 7)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(_UPD_S1)).alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 20 == 3).select(
+                "doc_id",
+                F.concat(
+                    F.col("text"), F.lit(_UPD_S0), F.lit(_UPD_S2)
+                ).alias("text"),
+            )
+        )
+    )
+    upd(batch1, 1)
+    upd(batch1, 1)  # crash-replay of the completed trigger: no-op
+    return bm25_topk_merged(spark, path, list(_BM25_TERMS), 10)
+
+
 _BM25_BATCH = ((0, ("spark", "window")), (1, ("window", "join")),
                (2, ("spark", "join")))
 

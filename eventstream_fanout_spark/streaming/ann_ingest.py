@@ -302,3 +302,28 @@ def upsert_vectors(
         )
     streaming_ann_index_sink(index_path)(new_vectors, int(batch_id))
     return rewritten
+
+
+def streaming_upsert_sink(index_path: str, batch_id_base: int = 0):
+    """``foreachBatch`` callback for a vector UPDATE-QUEUE stream —
+    the ANN face of ``text_ingest.streaming_upsert_sink`` (VERDICT r9
+    item 4): each micro-batch of ``(vec_id, embedding [, attr cols])``
+    rows drives one :func:`upsert_vectors` call under generation
+    ``batch_id_base + micro_batch_id``.  Replay converges by
+    construction (the delete phase finds only the previous run's
+    generation rows; the re-append overwrites the same partitions) and
+    the as-of marker lands first, so a crash mid-trigger refuses some
+    reproducible as-of probes rather than serving an unreproducible
+    one.  Same single-writer contract as the text twin."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_vectors(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            int(batch_id_base) + int(batch_id),
+        )
+
+    return process

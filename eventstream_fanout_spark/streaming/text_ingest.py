@@ -598,3 +598,34 @@ def compact_text_index(
         tp = jvm.Path(f"{index_path}/tombstones")
         tp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(tp, True)
     return n
+
+
+def streaming_upsert_sink(index_path: str, batch_id_base: int = 0):
+    """``foreachBatch`` callback for an UPDATE-QUEUE stream (VERDICT
+    r9 item 4): each micro-batch of ``(doc_id, text [, attr cols])``
+    rows is one update batch driving :func:`upsert_docs` under
+    generation ``batch_id_base + micro_batch_id``.  Replay-idempotent
+    through the upsert's own commit marker — a crash-replayed trigger
+    re-runs the SAME upsert call, which recognizes its resurrection
+    markers and converges (completed replays skip whole; partial ones
+    re-erase and re-ingest in place).
+
+    ``batch_id_base`` separates the update stream's generation ids
+    from any ingest stream's (the two share the store's generation
+    space); pick it above every id the ingest stream will ever use.
+    The update stream must be the store's ONLY writer while running —
+    upsert is a store-rewriting op, and the stream's serial triggers
+    ARE its maintenance window (stop it before compaction/erasure,
+    like every other maintenance op)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_docs(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            int(batch_id_base) + int(batch_id),
+        )
+
+    return process

