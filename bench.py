@@ -197,6 +197,8 @@ HEADLINE = [
     "bm25_filtered_search",
     "hybrid_filtered_search_rrf",
     "streaming_upsert_sim",
+    "ann_recall_after_churn",
+    "ann_index_refit_sim",
 ]
 
 

@@ -805,6 +805,101 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_FIT_ITERS = 2
 
 
+def _fitted_chain_ctes(
+    n_iters: int,
+    sfx: str = "",
+    fit_flat: str = "flat",
+    fit_norms: str = "norms",
+    enc_flat: str | None = None,
+    enc_norms: str | None = None,
+) -> tuple[list[str], int, str]:
+    """Suffix-parameterized Lloyd replay (round 11): the fit runs over
+    ``fit_flat``/``fit_norms`` while the FINAL corpus assignment (the
+    ``asg{fin}{sfx}`` relation probes consume) runs over
+    ``enc_flat``/``enc_norms`` — defaulting to the fit source.  The
+    split is what the quantizer-drift oracle needs: a STALE index fits
+    on the original corpus but encodes post-churn values against the
+    frozen artifacts (fit=orig, encode=updated), while the fresh-fit
+    twin uses one source for both.  ``sfx`` disambiguates chains
+    coexisting in one query.  Does NOT emit the flat/norms CTEs —
+    callers own those (two chains share them)."""
+    enc_flat = enc_flat or fit_flat
+    enc_norms = enc_norms or fit_norms
+    ctes = [
+        f"corp{sfx} AS (SELECT vec_id, i, x FROM {fit_flat} "
+        "WHERE vec_id <> 0)",
+        # generation 0: the deterministic seed centroids, flat form
+        f"cf0{sfx} AS (SELECT vec_id AS cid, i, x FROM {fit_flat} "
+        "WHERE vec_id BETWEEN 10 AND 17)",
+    ]
+    enc_corp = f"corp{sfx}"
+    if enc_flat != fit_flat:
+        ctes.append(
+            f"ecorp{sfx} AS (SELECT vec_id, i, x FROM {enc_flat} "
+            "WHERE vec_id <> 0)"
+        )
+        enc_corp = f"ecorp{sfx}"
+    prev = f"cf0{sfx}"
+    # each round t: centroid norms -> quantized dots -> argmax assign
+    # -> quantized per-element FLOAT mean -> fold (empty lists keep
+    # their previous centroid, the COALESCE); the final round (t >
+    # n_iters) assigns the ENCODE corpus instead of iterating
+    for t in range(1, n_iters + 2):
+        corp = f"corp{sfx}" if t <= n_iters else enc_corp
+        nv = fit_norms if t <= n_iters else enc_norms
+        ctes.append(
+            f"""cn{t}{sfx} AS (
+      SELECT cid, CAST(SUM(CAST(FLOOR(x * x * {QV!r} + 0.5) AS BIGINT))
+                       AS DOUBLE) / {QV!r} AS n2
+      FROM {prev} GROUP BY cid
+    )"""
+        )
+        ctes.append(
+            f"""ad{t}{sfx} AS (
+      SELECT {corp}.vec_id, c.cid,
+             CAST(SUM(CAST(FLOOR({corp}.x * c.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM {corp} JOIN {prev} c ON {corp}.i = c.i
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""asg{t}{sfx} AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT a.vec_id, a.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY (a.dot / (sqrt(nv.n2) * sqrt(cn.n2))) DESC,
+                          a.cid ASC) AS rn
+        FROM ad{t}{sfx} a
+        JOIN {nv} nv ON nv.vec_id = a.vec_id
+        JOIN cn{t}{sfx} cn ON cn.cid = a.cid
+      ) WHERE rn = 1
+    )"""
+        )
+        if t > n_iters:
+            return ctes, t, prev
+        ctes.append(
+            f"""mn{t}{sfx} AS (
+      SELECT s.list_id AS cid, corp{sfx}.i,
+             CAST(CAST(
+               (CAST(SUM(CAST(FLOOR(corp{sfx}.x * {QV!r} + 0.5) AS BIGINT))
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / {QV!r}
+               AS FLOAT) AS DOUBLE) AS x
+      FROM corp{sfx} JOIN asg{t}{sfx} s ON s.vec_id = corp{sfx}.vec_id
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""cf{t}{sfx} AS (
+      SELECT p.cid, p.i, COALESCE(m.x, p.x) AS x
+      FROM {prev} p LEFT JOIN mn{t}{sfx} m ON m.cid = p.cid AND m.i = p.i
+    )"""
+        )
+        prev = f"cf{t}{sfx}"
+    raise AssertionError("unreachable: loop always returns at fin")
+
+
 def _fitted_centroid_ctes(n_iters: int) -> tuple[list[str], int, str]:
     """The shared CTE chain replaying ``ivf_fit_centroids``: returns
     ``(ctes, fin, prev)`` where ``ctes`` covers flat/norms/corp and
@@ -813,70 +908,11 @@ def _fitted_centroid_ctes(n_iters: int) -> tuple[list[str], int, str]:
     their norms, and ``prev`` names the final fitted-centroid flat
     relation.  Used by the fitted IVF-Flat oracle AND the fitted
     persisted-PQ-index oracle (round 7) — one replay of the Lloyd
-    machinery, two probe tails."""
-    ctes = [
-        _FLAT.strip(),
-        "corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0)",
-        # generation 0: the deterministic seed centroids, flat form
-        "cf0 AS (SELECT vec_id AS cid, i, x FROM flat "
-        "WHERE vec_id BETWEEN 10 AND 17)",
-    ]
-    prev = "cf0"
-    # each round t: centroid norms -> quantized dots -> argmax assign
-    # -> quantized per-element FLOAT mean -> fold (empty lists keep
-    # their previous centroid, the COALESCE)
-    for t in range(1, n_iters + 2):
-        ctes.append(
-            f"""cn{t} AS (
-      SELECT cid, CAST(SUM(CAST(FLOOR(x * x * {QV!r} + 0.5) AS BIGINT))
-                       AS DOUBLE) / {QV!r} AS n2
-      FROM {prev} GROUP BY cid
-    )"""
-        )
-        ctes.append(
-            f"""ad{t} AS (
-      SELECT corp.vec_id, c.cid,
-             CAST(SUM(CAST(FLOOR(corp.x * c.x * {QV!r} + 0.5) AS BIGINT))
-                  AS DOUBLE) / {QV!r} AS dot
-      FROM corp JOIN {prev} c ON corp.i = c.i
-      GROUP BY 1, 2
-    )"""
-        )
-        ctes.append(
-            f"""asg{t} AS (
-      SELECT vec_id, cid AS list_id FROM (
-        SELECT a.vec_id, a.cid,
-               ROW_NUMBER() OVER (
-                 PARTITION BY a.vec_id
-                 ORDER BY (a.dot / (sqrt(nv.n2) * sqrt(cn.n2))) DESC,
-                          a.cid ASC) AS rn
-        FROM ad{t} a
-        JOIN norms nv ON nv.vec_id = a.vec_id
-        JOIN cn{t} cn ON cn.cid = a.cid
-      ) WHERE rn = 1
-    )"""
-        )
-        if t > n_iters:
-            return ctes, t, prev
-        ctes.append(
-            f"""mn{t} AS (
-      SELECT s.list_id AS cid, corp.i,
-             CAST(CAST(
-               (CAST(SUM(CAST(FLOOR(corp.x * {QV!r} + 0.5) AS BIGINT))
-                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / {QV!r}
-               AS FLOAT) AS DOUBLE) AS x
-      FROM corp JOIN asg{t} s ON s.vec_id = corp.vec_id
-      GROUP BY 1, 2
-    )"""
-        )
-        ctes.append(
-            f"""cf{t} AS (
-      SELECT p.cid, p.i, COALESCE(m.x, p.x) AS x
-      FROM {prev} p LEFT JOIN mn{t} m ON m.cid = p.cid AND m.i = p.i
-    )"""
-        )
-        prev = f"cf{t}"
-    raise AssertionError("unreachable: loop always returns at fin")
+    machinery, two probe tails.  Since round 11 a thin wrapper over
+    the suffix-parameterized :func:`_fitted_chain_ctes` (the
+    drift-report oracle runs two chains in one query)."""
+    chain, fin, prev = _fitted_chain_ctes(n_iters)
+    return [_FLAT.strip(), *chain], fin, prev
 
 
 def _ivf_fitted_oracle(n_iters: int = _IVF_FIT_ITERS) -> str:
@@ -1517,7 +1553,9 @@ def _pq_persisted_oracle(
     """
 
 
-def _pq_persisted_fitted_oracle(n_iters: int = _IVF_FIT_ITERS) -> str:
+def _pq_persisted_fitted_oracle(
+    n_iters: int = _IVF_FIT_ITERS, emb_update: str | None = None
+) -> str:
     """DuckDB replay of the FITTED persisted index (VERDICT r6 item 3):
     the Lloyd chain (:func:`_fitted_centroid_ctes`) reproduces the
     k-means coarse quantizer bit-for-bit, the PQ CTEs reproduce the
@@ -1525,8 +1563,22 @@ def _pq_persisted_fitted_oracle(n_iters: int = _IVF_FIT_ITERS) -> str:
     deterministic artifact), and the probe tail restricts the ADC scan
     to the query's 2 nearest FITTED lists — exactly what
     ``build_pq_index(centroids=ivf_fit_centroids(...))`` persisted and
-    ``pq_probe_topk(nprobe=2)`` scans."""
+    ``pq_probe_topk(nprobe=2)`` scans.
+
+    ``emb_update`` substitutes the embedding relation the WHOLE chain
+    (fit + encode + probe) reads — the refit-sim oracle (round 11):
+    after ``refit_index`` every artifact derives from the CURRENT
+    corpus, so the replay is simply the fitted build over the final
+    vector versions."""
     ctes, fin, prev = _fitted_centroid_ctes(n_iters)
+    if emb_update is not None:
+        pre = (
+            "emb_upd AS (\n"
+            f"      SELECT vec_id, {emb_update} AS embedding\n"
+            "      FROM embeddings\n    )"
+        )
+        ctes[0] = ctes[0].replace("FROM embeddings", "FROM emb_upd")
+        ctes.insert(0, pre)
     ctes.append(
         f"""psub AS (
       SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
@@ -1775,6 +1827,157 @@ def ann_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     )
+
+
+_DRIFT_CHURN_SQL = (
+    "CASE WHEN vec_id % 10 = 4 AND vec_id > 20 "
+    "THEN list_transform(embedding, x -> x * 0.5 + 0.25) "
+    "ELSE embedding END"
+)
+
+
+def _recall_after_churn_oracle(n_iters: int = _IVF_FIT_ITERS) -> str:
+    """DuckDB replay of the quantizer-drift report: TWO fitted-index
+    chains in one query (the suffix-parameterized Lloyd generator) —
+    the STALE index fits on the ORIGINAL corpus but encodes the
+    post-churn values against those frozen artifacts (exactly the
+    state build + upsert_vectors leaves), the FRESH twin fits and
+    encodes on the current corpus — each probed nprobe=2, each top-10
+    intersected with the ground truth.
+
+    Ground truth is the EXHAUSTIVE full-ADC top-10: the PQ seed
+    codebook and the query row are untouched by the churn (one
+    pcent/qtable pair serves both chains), so both variants' code
+    arrays are identical and the full scan ranks them identically —
+    recall@10 against it isolates exactly the COARSE quantizer, the
+    artifact that drifts (exact-L2 truth would bury the signal under
+    the shared PQ quantization error — measured: 0/0 hits).  The
+    churn transform (halve + 0.25, both exact in binary FP) changes
+    vector DIRECTIONS, so the Lloyd fit genuinely moves — a
+    scale-only churn is invisible to the cosine assignment."""
+    churn = _DRIFT_CHURN_SQL
+    sctes, fin, prev_s = _fitted_chain_ctes(
+        n_iters, sfx="s", fit_flat="flat", fit_norms="norms",
+        enc_flat="flatu", enc_norms="normsu",
+    )
+    fctes, _fin2, prev_f = _fitted_chain_ctes(
+        n_iters, sfx="f", fit_flat="flatu", fit_norms="normsu",
+    )
+    probe_tail = []
+    for sfx, prev in (("s", prev_s), ("f", prev_f)):
+        probe_tail.append(
+            f"""qd{sfx} AS (
+      SELECT c.cid,
+             CAST(SUM(CAST(FLOOR(qf.x * c.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM flat qf JOIN {prev} c ON qf.i = c.i
+      WHERE qf.vec_id = 0
+      GROUP BY 1
+    )"""
+        )
+        probe_tail.append(
+            f"""probes{sfx} AS (
+      SELECT q.cid FROM qd{sfx} q
+      JOIN norms nq ON nq.vec_id = 0
+      JOIN cn{fin}{sfx} cn ON cn.cid = q.cid
+      ORDER BY (q.dot / (sqrt(nq.n2) * sqrt(cn.n2))) DESC, q.cid ASC
+      LIMIT 2
+    )"""
+        )
+        probe_tail.append(
+            f"""adc{sfx} AS (
+      SELECT c.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+      FROM pcodes c
+      JOIN asg{fin}{sfx} g ON g.vec_id = c.vec_id
+      JOIN qtable t ON t.s = c.s AND t.cid = c.code
+      WHERE g.list_id IN (SELECT cid FROM probes{sfx})
+      GROUP BY 1
+    )"""
+        )
+        probe_tail.append(
+            f"""vrank{sfx} AS (
+      SELECT vec_id FROM adc{sfx}
+      ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    )"""
+        )
+    body = ",\n    ".join(
+        [
+            f"""emb_upd AS (
+      SELECT vec_id, {churn} AS embedding FROM embeddings
+    )""",
+            _FLAT.strip(),
+            f"""flatu AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM emb_upd
+    )""",
+            f"""normsu AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(FLOOR(x * x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS n2
+      FROM flatu GROUP BY vec_id
+    )""",
+            *sctes,
+            *fctes,
+            # PQ encode of the CURRENT corpus against the (churn-
+            # invariant) seed codebook — shared by both chains
+            f"""psubu AS (
+      SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
+      FROM flatu
+    )""",
+            """pcent AS (
+      SELECT vec_id AS cid, s, i, x FROM psubu
+      WHERE vec_id BETWEEN 10 AND 17
+    )""",
+            "pcorpu AS (SELECT vec_id, s, i, x FROM psubu "
+            "WHERE vec_id <> 0)",
+            f"""pdists AS (
+      SELECT pcorpu.vec_id, pcorpu.s, pcent.cid,
+             SUM(CAST(FLOOR((pcorpu.x - pcent.x) * (pcorpu.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorpu JOIN pcent ON pcent.i = pcorpu.i AND pcent.s = pcorpu.s
+      GROUP BY 1, 2, 3
+    )""",
+            """pcodes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM pdists
+      ) WHERE rn = 1
+    )""",
+            f"""qtable AS (
+      SELECT pcent.s, pcent.cid,
+             SUM(CAST(FLOOR((qf.x - pcent.x) * (qf.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS qd
+      FROM (SELECT s, i, x FROM psubu WHERE vec_id = 0) qf
+      JOIN pcent ON pcent.i = qf.i AND pcent.s = qf.s
+      GROUP BY 1, 2
+    )""",
+            *probe_tail,
+            """truth AS (
+      SELECT vec_id FROM (
+        SELECT c.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+        FROM pcodes c
+        JOIN qtable t ON t.s = c.s AND t.cid = c.code
+        GROUP BY c.vec_id
+      ) ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    )""",
+        ]
+    )
+    return f"""
+    WITH {body}
+    SELECT v.variant,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vrankf
+            WHERE vec_id IN (SELECT vec_id FROM truth)) * (
+              CASE WHEN v.variant = 'fresh_fit' THEN 1 ELSE 0 END)
+           + (SELECT CAST(COUNT(*) AS BIGINT) FROM vranks
+              WHERE vec_id IN (SELECT vec_id FROM truth)) * (
+              CASE WHEN v.variant = 'stale_fit' THEN 1 ELSE 0 END)
+           AS n_hits
+    FROM (VALUES ('fresh_fit'), ('stale_fit')) v(variant)
+    ORDER BY v.variant
+    """
 
 
 _PQ_FITTED_INDEX_CACHE: dict[str, str] = {}
@@ -2030,6 +2233,170 @@ def ann_filtered_live_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     )
+
+
+def _churned_emb(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(revised_slice, final_emb) under the shared churn
+    (_VEC_UPSERT_SQL: vec_id % 10 = 4 and > 20, halved — seed rows and
+    the query row untouched)."""
+    revised = emb.where(
+        (F.col("vec_id") % 10 == 4) & (F.col("vec_id") > 20)
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+            "embedding"
+        ),
+    )
+    final_emb = (
+        emb.select("vec_id", "embedding")
+        .join(revised.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(revised)
+    )
+    return revised, final_emb
+
+
+@register(
+    "ann_recall_after_churn",
+    _recall_after_churn_oracle(),
+    description="QUANTIZER DRIFT measured (VERDICT r9 item 7): after "
+    "heavy churn (every vec_id % 10 = 4 vector > 20 upserted with a "
+    "direction-changing exact-FP transform x*0.5+0.25), the report "
+    "compares recall@10 — hits against the EXHAUSTIVE full-ADC top-10, "
+    "which is identical across variants because the seed PQ codebook "
+    "is churn-invariant, so the measurement isolates the COARSE "
+    "quantizer, the artifact that drifts — of (a) the STALE index, "
+    "whose Lloyd-fitted coarse quantizer froze at build time on the "
+    "original corpus and whose upserted vectors were re-encoded "
+    "against those stale artifacts, vs (b) a FRESH-FIT twin built on "
+    "the current corpus.  Two full fitted-index replay chains run in "
+    "the oracle (the suffix-parameterized Lloyd generator: "
+    "fit-on-original + encode-current for the stale side, "
+    "fit-and-encode-current for the fresh side), so the driver hash "
+    "pins the drift measurement itself, not just that two numbers "
+    "came out.  When the report shows decay, refit_index "
+    "(ann_index_refit_sim) is the recovery",
+    tags=("similarity", "ann", "pq", "ivf", "index", "maintenance",
+          "report", "extension"),
+)
+def ann_recall_after_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import build_pq_index, pq_probe_topk
+    from ..operators.similarity import ivf_fit_centroids
+    from ..streaming.ann_ingest import upsert_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    revised = emb.where(
+        (F.col("vec_id") % 10 == 4) & (F.col("vec_id") > 20)
+    ).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x * F.lit(0.5) + F.lit(0.25)
+        ).alias("embedding"),
+    )
+    final_emb = (
+        emb.select("vec_id", "embedding")
+        .join(revised.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(revised)
+    )
+    final_corpus = final_emb.where(F.col("vec_id") != 0)
+    q = emb.where(F.col("vec_id") == 0).select("embedding")
+
+    stale = tempfile.mkdtemp(prefix="pq_index_stale_")
+    build_pq_index(
+        spark,
+        emb,
+        stale,
+        centroids=ivf_fit_centroids(
+            emb.where(F.col("vec_id") != 0), n_iters=_IVF_FIT_ITERS
+        ),
+    )
+    upsert_vectors(spark, stale, revised, batch_id=1)
+
+    fresh = tempfile.mkdtemp(prefix="pq_index_fresh_")
+    build_pq_index(
+        spark,
+        final_emb,
+        fresh,
+        corpus=final_corpus,
+        centroids=ivf_fit_centroids(final_corpus, n_iters=_IVF_FIT_ITERS),
+    )
+
+    # ground truth: the exhaustive full-ADC ranking (identical on both
+    # stores — same codes, same codebook; only list assignments differ)
+    truth = (
+        pq_probe_topk(spark, fresh, q, 10, nprobe=None).select("vec_id")
+    )
+    variants = (
+        ("fresh_fit", fresh),
+        ("stale_fit", stale),
+    )
+    parts = [
+        pq_probe_topk(spark, path, q, 10, nprobe=2)
+        .select("vec_id")
+        .join(truth, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .select(F.lit(name).alias("variant"), "n_hits")
+        for name, path in variants
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("variant")
+
+
+@register(
+    "ann_index_refit_sim",
+    _pq_persisted_fitted_oracle(emb_update=_VEC_UPSERT_SQL),
+    description="QUANTIZER REFIT end to end (VERDICT r9 item 7, the "
+    "recovery for the drift ann_recall_after_churn measures): a "
+    "Lloyd-FITTED index is built on the original corpus, the churn "
+    "slice is upserted against the now-stale artifacts, then "
+    "refit_index re-fits the coarse quantizer on the CURRENT corpus, "
+    "re-derives the seed codebook, re-encodes everything, and swaps "
+    "the whole staged index in by atomic directory rename — probes "
+    "see the old index or the new, never mixed quantizers (the one "
+    "failure shape per-table guards cannot see); the refit marker "
+    "generalizes the r9 upsert marker, landing atomically WITH the "
+    "rewritten history so as-of probes below the refit generation "
+    "refuse from the first post-swap read.  The probe must equal a "
+    "fresh fitted build over the final corpus — the oracle replays "
+    "the full Lloyd fit + encode + pruned ADC over the post-churn "
+    "embeddings (the Lloyd-replay pattern with the updated relation "
+    "feeding the whole chain)",
+    tags=("similarity", "ann", "pq", "ivf", "index", "maintenance",
+          "extension"),
+)
+def ann_index_refit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import build_pq_index
+    from ..operators.similarity import ivf_fit_centroids
+    from ..streaming.ann_ingest import refit_index, upsert_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    revised, final_emb = _churned_emb(emb)
+    path = tempfile.mkdtemp(prefix="pq_index_refit_")
+    build_pq_index(
+        spark,
+        emb,
+        path,
+        centroids=ivf_fit_centroids(
+            emb.where(F.col("vec_id") != 0), n_iters=_IVF_FIT_ITERS
+        ),
+    )
+    upsert_vectors(spark, path, revised, batch_id=1)
+    refit_index(
+        spark,
+        path,
+        final_emb,
+        batch_id=2,
+        centroids=ivf_fit_centroids(
+            final_emb.where(F.col("vec_id") != 0),
+            n_iters=_IVF_FIT_ITERS,
+        ),
+    )
+    return _probe_with_labels(spark, sf_dir, path, nprobe=2)
 
 
 @register(

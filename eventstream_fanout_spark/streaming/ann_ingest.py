@@ -327,3 +327,124 @@ def streaming_upsert_sink(index_path: str, batch_id_base: int = 0):
         )
 
     return process
+
+
+def refit_index(
+    spark: SparkSession,
+    index_path: str,
+    emb: DataFrame,
+    batch_id: int,
+    corpus: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    n_iters: int = 2,
+) -> None:
+    """QUANTIZER REFIT — the maintenance op that closes the drift loop
+    (VERDICT r9 item 7): after heavy churn the stored quantizer no
+    longer reflects the corpus distribution (``ann_recall_after_churn``
+    measures the decay), so re-fit on the CURRENT corpus, re-encode
+    everything, and swap the whole index in one atomic rename.
+
+    ``emb`` is the current embedding relation (the store keeps 8-byte
+    codes only — the PQ memory contract — so the authoritative vectors
+    live in the warehouse and the caller supplies them, exactly like
+    the build).  ``centroids`` defaults to a fresh
+    ``ivf_fit_centroids(corpus, n_iters)`` Lloyd fit; ``codebook``
+    defaults to the deterministic seed codebook re-derived from the
+    CURRENT seed-row values.  Run in a maintenance window (single
+    writer, like every store-rewriting op).
+
+    Two-phase swap (the crash windows of an in-place overwrite would
+    serve MIXED quantizers — codes from the new fit scored against the
+    old codebook join silently, the one failure shape the per-table
+    guards cannot see): the complete new index — codes, codebook,
+    centroids, the attrs side store re-laid-out under the new list
+    assignments, and the marker table — is staged as a sibling
+    directory, then swapped in by directory rename, so probes see the
+    old index or the new one, never a mixture.
+
+    The refit marker generalizes the r9 upsert marker: a row under
+    ``batch_id`` joins the staged ``upserts`` table (old markers
+    carried over), so an as-of probe below the refit generation
+    REFUSES — the refit rewrote every generation's history.  The
+    marker rides the stage and becomes visible atomically WITH the
+    rewritten index: refusal starts exactly when the old history
+    stops being servable.
+
+    Crash contract (re-run the SAME call to heal): before the swap the
+    live index is untouched (the stage rebuilds from scratch — it is
+    deterministic given the same inputs); between the two renames the
+    index path is MISSING (probes fail loudly, never silently mixed)
+    and the re-run's recovery preamble restores the live index from
+    the parked copy before refitting again; after the second rename
+    the refit is complete and the preamble merely deletes the parked
+    copy."""
+    from py4j.java_gateway import java_import
+
+    from ..operators.ann_index import (
+        build_attr_store,
+        build_pq_index,
+        pq_codebook,
+    )
+    from ..operators.similarity import ivf_fit_centroids
+    from .compaction import read_store_or_none
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark._jsc.hadoopConfiguration()
+    live_p = jvm.Path(index_path)
+    stage = f"{index_path}.refit_stage"
+    parked = f"{index_path}.pre_refit"
+    stage_p, parked_p = jvm.Path(stage), jvm.Path(parked)
+    fs = live_p.getFileSystem(conf)
+
+    # recovery preamble (see crash contract above)
+    if fs.exists(parked_p):
+        if not fs.exists(live_p):
+            # crashed between the renames: restore, then refit fresh
+            fs.rename(parked_p, live_p)
+        else:
+            # crashed after the swap, before cleanup
+            fs.delete(parked_p, True)
+    if fs.exists(stage_p):  # stale stage from any crashed attempt
+        fs.delete(stage_p, True)
+
+    if corpus is None:
+        corpus = emb.where(F.col("vec_id") != 0)
+    if centroids is None:
+        centroids = ivf_fit_centroids(corpus, n_iters=n_iters)
+    if codebook is None:
+        codebook = pq_codebook(emb)
+    build_pq_index(
+        spark, emb, stage,
+        corpus=corpus, centroids=centroids, codebook=codebook,
+    )
+    attrs_store = read_store_or_none(spark, f"{index_path}/attrs")
+    if attrs_store is not None:
+        # re-lay the attrs under the NEW list assignments from the
+        # per-vector metadata the old store already carries
+        build_attr_store(
+            spark,
+            attrs_store.select(
+                "vec_id", *_attr_data_cols(attrs_store)
+            ).distinct(),
+            stage,
+        )
+    old_markers = read_store_or_none(spark, f"{index_path}/upserts")
+    marker = spark.createDataFrame(
+        [(-1, int(batch_id))], "n_ids int, batch_id int"
+    )
+    markers = (
+        old_markers.select("n_ids", "batch_id").unionByName(marker)
+        if old_markers is not None
+        else marker
+    )
+    (
+        markers.write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{stage}/upserts")
+    )
+    # the swap: old index parked, staged index in, park deleted
+    fs.rename(live_p, parked_p)
+    fs.rename(stage_p, live_p)
+    fs.delete(parked_p, True)

@@ -1245,3 +1245,93 @@ def test_attr_store_delta_maintenance_live_flow(spark, tmp_path):
         ).collect()
     ]
     assert after == expect
+
+
+def test_refit_index_recovers_attrs_and_asof(spark, tmp_path):
+    """refit_index: (a) after churn the refit index equals a fresh
+    fitted build over the final corpus; (b) an attrs side store is
+    re-laid under the new list assignments — the filtered probe works
+    with NO build_attr_store rerun; (c) as-of probes below the refit
+    generation refuse (the marker generalizes the upsert marker);
+    (d) the crash window between the two swap renames heals on
+    re-run (recovery preamble restores the parked live index)."""
+    import os
+
+    import pytest
+
+    from eventstream_fanout_spark.operators.ann_index import (
+        build_attr_store,
+        pq_filtered_topk,
+    )
+    from eventstream_fanout_spark.operators.similarity import (
+        ivf_fit_centroids,
+    )
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        refit_index,
+        upsert_vectors,
+    )
+
+    emb = _emb(spark)
+    revised = emb.where(
+        (F.col("vec_id") % 10 == 4) & (F.col("vec_id") > 20)
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    final_emb = (
+        emb.select("vec_id", "embedding", "label")
+        .join(revised.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(revised)
+    )
+    fit = lambda df: ivf_fit_centroids(  # noqa: E731
+        df.where(F.col("vec_id") != 0).select("vec_id", "embedding"),
+        n_iters=2,
+    )
+
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path, centroids=fit(emb))
+    build_attr_store(spark, emb.where(F.col("vec_id") != 0)
+                     .select("vec_id", "label"), path)
+    upsert_vectors(spark, path, revised, batch_id=1)
+    refit_index(spark, path, final_emb.select("vec_id", "embedding"),
+                batch_id=2, centroids=fit(final_emb))
+
+    ref = str(tmp_path / "idx_ref")
+    build_pq_index(
+        spark,
+        final_emb,
+        ref,
+        corpus=final_emb.where(F.col("vec_id") != 0),
+        centroids=fit(final_emb),
+    )
+    got = [tuple(r) for r in pq_probe_topk(
+        spark, path, _query(spark), 10, nprobe=2).collect()]
+    want = [tuple(r) for r in pq_probe_topk(
+        spark, ref, _query(spark), 10, nprobe=2).collect()]
+    assert got == want
+
+    # (b) attrs re-laid under the new assignments — no rebuild needed
+    filt = pq_filtered_topk(
+        spark, path, _query(spark), 10, F.col("label").isin(1, 3, 5),
+        nprobe=8,
+    ).collect()
+    assert 0 < len(filt) <= 10
+
+    # (c) as-of below the refit generation refuses
+    with pytest.raises(Exception, match="below upsert generation"):
+        pq_probe_topk(
+            spark, path, _query(spark), 10, upto_batch_id=1
+        ).collect()
+
+    # (d) crash between the two renames: live missing, park present
+    os.rename(path, f"{path}.pre_refit")
+    refit_index(spark, path, final_emb.select("vec_id", "embedding"),
+                batch_id=3, centroids=fit(final_emb))
+    assert not os.path.exists(f"{path}.pre_refit")
+    assert not os.path.exists(f"{path}.refit_stage")
+    again = [tuple(r) for r in pq_probe_topk(
+        spark, path, _query(spark), 10, nprobe=2).collect()]
+    assert again == want
