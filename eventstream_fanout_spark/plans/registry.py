@@ -40,9 +40,40 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- round-10 rotation (registry ROUND-9 plan, executed one round
-    # late per VERDICT r9 item 1).  Slots 1-27: the 27 round-4-only
-    # greens — the oldest stale evidence block, alphabetical. ---
+    # --- round-11 window.  NOTE: round 10 produced no CORRECTNESS
+    # artifact (the rotation commit landed but the driver gate never
+    # recorded), so the r4-stale block below is still unproven and
+    # stays.  Slots 1-6: round-11 NEW queries (rule g). ---
+    "ann_filtered_live_sim",
+    "ann_recall_after_churn",
+    "ann_index_refit_sim",
+    "bm25_filtered_search",
+    "hybrid_filtered_search_rrf",
+    "streaming_upsert_sim",
+    # --- slots 7-23: round-11 CHANGED plans — the correction-commit
+    # guard entered every BM25 probe, the fitted-oracle Lloyd
+    # generator was refactored, upserts pass attr columns through,
+    # and the shared ANN attrs store gained the lang column. ---
+    "bm25_keyword_search",
+    "bm25_batch_search",
+    "bm25_hot_term_bound",
+    "text_index_ingest_sim",
+    "text_index_delete_sim",
+    "text_index_upsert_sim",
+    "ann_pq_filtered_topk",
+    "ann_index_upsert_sim",
+    "ann_index_asof_sim",
+    "ann_ivf_fitted_topk",
+    "ann_pq_persisted_fitted_topk",
+    "hybrid_search_rrf",
+    "hybrid_batch_search_rrf",
+    "curated_ingest_pipeline",
+    "curated_erasure_sim",
+    "streaming_erasure_sim",
+    "incremental_dedup_sim",
+    # --- slots 24-50: the 27 round-4-only greens (the oldest stale
+    # evidence block, alphabetical), carried from the unproven
+    # round-10 window. ---
     "lsh_bucket_stats",
     "media_header_parse",
     "minhash_accuracy_report",
@@ -70,51 +101,16 @@ FRONT: list[str] = [
     "wav_audio_decode",
     "winsorized_values",
     "zorder_layout_key",
-    # --- remaining slots: the head of the 45 round-5-only greens,
-    # alphabetical.  Round-10 new/changed-plan queries displace the
-    # END of this block as they land (round-workflow rule g). ---
-    "above_nation_avg_balance",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_multiprobe_topk",
-    "anti_join_customers_no_urgent_orders",
-    "approx_distinct_users",
-    "bigram_lift_top",
-    "bpe_merge_candidates",
-    "cdc_variant_props",
-    "corpus_clean_pipeline",
-    "count_star",
-    "deterministic_sample",
-    "dq_expectations_report",
-    "embedding_lsh_near_pairs",
-    "filter_pushdown_scan",
-    "flagship_enrich",
-    "incremental_dedup_sim",
-    "incremental_mv_maintenance",
-    "json_extract_props",
-    "mad_outlier_report",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_dups",
-    "null_reject_filter",
 ]
 
-# ROUND-11 ROTATION PLAN (generated census: tools/rotation_bullet.py —
+# ROUND-12 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
-# bullet).  Assuming CORRECTNESS_r10 lands green, the remaining stale
-# evidence, oldest first: the ~22 round-5 rows not in this window
-# (the alphabetical tail from q10_returned_items onward plus any rows
-# displaced by round-10 additions: q10_returned_items,
-# q14_promo_revenue_share, q18_large_volume_orders,
-# q19_disjunctive_predicates, q1_pricing_summary,
-# q3_shipping_priority, q4_order_priority, q5_local_supplier_volume,
-# q6_forecast_revenue, rollup_nation_segment, salted_join_counts,
-# semantic_cluster_diversity_sample, session_concurrency_sweep,
-# set_ops_purchasers_vs_errors, simhash_near_pairs, sort_limit_latest,
-# stratified_sample_20_per_type, timestamp_parse,
-# training_export_pipeline, trigram_novelty_score,
-# union_intersect_users, weighted_systematic_sample), then the 44
-# round-6 rows (alphabetical).  Fill round 11's slots with any
-# new/changed queries first, then those, then round-6 rows up to 50.
+# bullet).  Assuming CORRECTNESS_r11 lands green, the remaining stale
+# evidence, oldest first: the 45 round-5-only greens (alphabetical,
+# above_nation_avg_balance .. weighted_systematic_sample — none made
+# this window except the changed-plan rows), then the round-6 rows
+# (alphabetical).  Fill round 12's slots with any new/changed queries
+# first, then ~45 of the round-5 block, keeping the list at <= 50.
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

@@ -19,8 +19,24 @@ stored artifacts (median of N timed runs after a warmup run that
 absorbs one-time planning/broadcast costs).  Output: one JSON line;
 PERF.md records the table.
 
+Round 11 (VERDICT r9 item 8) adds mode families, selected by
+``SCALE_MODES`` (comma list, default ``probe``):
+
+* ``probe``    — the original r7/r8 comparisons (denorm-vs-doclens
+  BM25, pruned-vs-full ANN);
+* ``filtered`` — filtered vs unfiltered ANN probe across predicate
+  selectivities, plus the r9 probe-time coverage guard's cost (the
+  same probe with a guard-free bench-only comparator);
+* ``maint``    — delta-shaped erasure vs full index rebuild, and
+  fixed-size upsert cost (store-size scaling read across MULT runs);
+* ``hotterm``  — the hot-term-bounded BM25 probe vs the unbounded
+  merged probe on stop-word-shaped terms;
+* ``substr``   — the ExactSubstr duplicated-span chain (shingle
+  groupBy + hash equi-join) over the replicated corpus.
+
 Run detached (tmux) — the index builds dominate wall time:
-    SCALE_MULT=100 python tools/scale_probe_bench.py
+    SCALE_MULT=100 SCALE_MODES=probe,filtered,maint,hotterm,substr \\
+        python tools/scale_probe_bench.py
 """
 
 import json
@@ -39,6 +55,7 @@ from eventstream_fanout_spark.sources.tables import load_table  # noqa: E402
 SF = os.environ.get("SCALE_SF_DIR", "/root/testdata/sf0.1")
 MULT = int(os.environ.get("SCALE_MULT", "100"))
 RUNS = int(os.environ.get("SCALE_RUNS", "3"))
+MODES = set(os.environ.get("SCALE_MODES", "probe").split(","))
 OFFSET = 10_000_000  # replica id stride — replicas never collide
 
 RARE_TERMS = ["dup"]                      # ~5% df — the common probe
@@ -96,13 +113,51 @@ def bm25_topk_doclens_shape(spark, index_path, terms, k):
     )
 
 
+def pq_filtered_noguard_shape(spark, index_path, query, k, attr_pred, nprobe):
+    """BENCH-ONLY replica of ``pq_filtered_topk`` WITHOUT the r9
+    probe-time coverage guard (the comparator isolating the guard's
+    list-local anti-join cost; not a product code path)."""
+    from eventstream_fanout_spark.functions.vectors import cosine
+    from eventstream_fanout_spark.operators.ann_index import (
+        adc_scores_from_index,
+        read_index,
+    )
+
+    codes, codebook, centroids = read_index(spark, index_path)
+    attrs = spark.read.parquet(f"{index_path}/attrs")
+    probes = (
+        query.select(F.col("embedding").alias("qe"))
+        .crossJoin(F.broadcast(centroids))
+        .select("cid", cosine(F.col("qe"), F.col("ce")).alias("qcos"))
+        .orderBy(F.desc("qcos"), F.asc("cid"))
+        .limit(nprobe)
+        .select(F.col("cid").alias("probe_cid"))
+    )
+    codes = codes.join(
+        F.broadcast(probes), F.col("list_id") == F.col("probe_cid")
+    ).select("vec_id", "list_id", "codes")
+    attrs = attrs.join(
+        F.broadcast(probes), F.col("list_id") == F.col("probe_cid")
+    )
+    allowed = attrs.where(attr_pred).select("vec_id")
+    codes = codes.join(allowed, "vec_id", "left_semi")
+    return (
+        adc_scores_from_index(codes, codebook, query)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def main():
     from eventstream_fanout_spark.operators.ann_index import (
+        build_attr_store,
         build_pq_index,
         pq_batch_probe_topk,
+        pq_filtered_topk,
         pq_probe_topk,
     )
     from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_bounded,
         bm25_topk_merged,
         build_text_index,
     )
@@ -132,62 +187,206 @@ def main():
             "embedding",
         )
     )
+    big_labels = (
+        emb.crossJoin(rep)
+        .repartition(64)
+        .select(
+            (F.col("vec_id") + F.col("k") * OFFSET).alias("vec_id"),
+            "label",
+        )
+    )
 
+    need_text = MODES & {"probe", "hotterm", "maint"}
+    need_ann = MODES & {"probe", "filtered", "maint"}
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
     tpath, apath = f"{tmp}/tidx", f"{tmp}/ann"
-
-    t0 = time.perf_counter()
-    build_text_index(spark, big_docs, tpath)
-    t_tbuild = round(time.perf_counter() - t0, 1)
-    t0 = time.perf_counter()
-    build_pq_index(
-        spark, emb, apath, corpus=big_emb.where(F.col("vec_id") != 0)
-    )
-    t_abuild = round(time.perf_counter() - t0, 1)
-
-    n_docs = big_docs.count()
-    n_vecs = big_emb.count() - 1
 
     res = {
         "sf_dir": SF,
         "mult": MULT,
-        "n_docs": n_docs,
-        "n_vecs": n_vecs,
-        "build_text_s": t_tbuild,
-        "build_ann_s": t_abuild,
+        "modes": sorted(MODES),
         "load_avg": os.getloadavg(),
     }
-
-    for label, terms in (("rare", RARE_TERMS), ("hot", HOT_TERMS)):
-        res[f"bm25_{label}_denorm_s"] = timed(
-            lambda: bm25_topk_merged(spark, tpath, terms, 10).collect()
+    if need_text:
+        t0 = time.perf_counter()
+        build_text_index(spark, big_docs, tpath)
+        res["build_text_s"] = round(time.perf_counter() - t0, 1)
+        res["n_docs"] = big_docs.count()
+    if need_ann:
+        t0 = time.perf_counter()
+        build_pq_index(
+            spark, emb, apath, corpus=big_emb.where(F.col("vec_id") != 0)
         )
-        res[f"bm25_{label}_doclens_s"] = timed(
-            lambda: bm25_topk_doclens_shape(
-                spark, tpath, terms, 10
+        res["build_ann_s"] = round(time.perf_counter() - t0, 1)
+        res["n_vecs"] = big_emb.count() - 1
+
+    q1 = emb.where(F.col("vec_id") == 0).select("embedding")
+
+    if "probe" in MODES:
+        for label, terms in (("rare", RARE_TERMS), ("hot", HOT_TERMS)):
+            res[f"bm25_{label}_denorm_s"] = timed(
+                lambda: bm25_topk_merged(spark, tpath, terms, 10).collect()
+            )
+            res[f"bm25_{label}_doclens_s"] = timed(
+                lambda: bm25_topk_doclens_shape(
+                    spark, tpath, terms, 10
+                ).collect()
+            )
+        queries = emb.where(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= 8)
+        ).select(F.col("vec_id").alias("qid"), "embedding")
+        res["ann_batch_pruned_s"] = timed(
+            lambda: pq_batch_probe_topk(
+                spark, apath, queries, 10, nprobe=2
+            ).collect()
+        )
+        res["ann_batch_full_s"] = timed(
+            lambda: pq_batch_probe_topk(
+                spark, apath, queries, 10, nprobe=None
+            ).collect()
+        )
+        res["ann_single_pruned_s"] = timed(
+            lambda: pq_probe_topk(spark, apath, q1, 10, nprobe=2).collect()
+        )
+        res["ann_single_full_s"] = timed(
+            lambda: pq_probe_topk(
+                spark, apath, q1, 10, nprobe=None
             ).collect()
         )
 
-    queries = emb.where(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") <= 8)
-    ).select(F.col("vec_id").alias("qid"), "embedding")
-    res["ann_batch_pruned_s"] = timed(
-        lambda: pq_batch_probe_topk(
-            spark, apath, queries, 10, nprobe=2
-        ).collect()
-    )
-    res["ann_batch_full_s"] = timed(
-        lambda: pq_batch_probe_topk(
-            spark, apath, queries, 10, nprobe=None
-        ).collect()
-    )
-    q1 = emb.where(F.col("vec_id") == 0).select("embedding")
-    res["ann_single_pruned_s"] = timed(
-        lambda: pq_probe_topk(spark, apath, q1, 10, nprobe=2).collect()
-    )
-    res["ann_single_full_s"] = timed(
-        lambda: pq_probe_topk(spark, apath, q1, 10, nprobe=None).collect()
-    )
+    if "filtered" in MODES:
+        t0 = time.perf_counter()
+        build_attr_store(spark, big_labels, apath)
+        res["build_attrs_s"] = round(time.perf_counter() - t0, 1)
+        res["filt_unfiltered_s"] = timed(
+            lambda: pq_probe_topk(spark, apath, q1, 10, nprobe=2).collect()
+        )
+        # selectivity sweep: ~12% / ~37% / 100% of rows pass
+        for label, pred in (
+            ("sel1", F.col("label") == 3),
+            ("sel3", F.col("label").isin(1, 3, 5)),
+            ("sel8", F.col("label") >= 0),
+        ):
+            res[f"filt_{label}_s"] = timed(
+                lambda: pq_filtered_topk(
+                    spark, apath, q1, 10, pred, nprobe=2
+                ).collect()
+            )
+            res[f"filt_{label}_noguard_s"] = timed(
+                lambda: pq_filtered_noguard_shape(
+                    spark, apath, q1, 10, pred, nprobe=2
+                ).collect()
+            )
+
+    if "maint" in MODES:
+        from eventstream_fanout_spark.streaming.ann_ingest import (
+            upsert_vectors,
+        )
+        from eventstream_fanout_spark.streaming.text_ingest import (
+            delete_docs,
+        )
+
+        # (a) WORST-CASE delta erasure: single-generation store, the
+        # doomed ids spread across every partition — the eraser must
+        # rewrite the whole generation, so delta CANNOT win here (the
+        # honest bound; rebuild is one pass, delta is two stores'
+        # rewrites plus the correction aggregates)
+        doomed = [
+            int(r["doc_id"])
+            for r in big_docs.where(F.col("doc_id") % 97 == 11)
+            .select("doc_id")
+            .collect()
+        ]
+        res["erase_n_docs"] = len(doomed)
+        t0 = time.perf_counter()
+        delete_docs(spark, tpath, doomed)
+        res["erase_delta_worstcase_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        build_text_index(
+            spark,
+            big_docs.where(F.col("doc_id") % 97 != 11),
+            f"{tmp}/tidx_rebuild",
+        )
+        res["erase_rebuild_s"] = round(time.perf_counter() - t0, 1)
+
+        # (b) the INTENDED regime — generational store, erasure ids
+        # concentrated in one generation (a deletion request is
+        # usually recent / source-scoped): build 10 generations of 10
+        # replicas each, erase ~0.1% of docs all living in the last
+        # generation — cost should track the touched generation, not
+        # the store
+        from eventstream_fanout_spark.streaming.text_ingest import (
+            streaming_text_index_sink,
+        )
+
+        gens = 10
+        per = max(MULT // gens, 1)
+        gdoc = lambda g: big_docs.where(  # noqa: E731
+            (F.col("doc_id") >= g * per * OFFSET)
+            & (F.col("doc_id") < (g + 1) * per * OFFSET)
+        )
+        tpath2 = f"{tmp}/tidx_gen"
+        build_text_index(spark, gdoc(0), tpath2)
+        sink = streaming_text_index_sink(
+            tpath2, enforce_unique_doc_ids=False
+        )
+        for g in range(1, gens):
+            sink(gdoc(g), g)
+        doomed2 = [
+            int(r["doc_id"])
+            for r in gdoc(gens - 1)
+            .where(F.col("doc_id") % 97 == 11)
+            .select("doc_id")
+            .collect()
+        ]
+        res["erase_gen_n_docs"] = len(doomed2)
+        t0 = time.perf_counter()
+        delete_docs(spark, tpath2, doomed2)
+        res["erase_delta_1of10gens_s"] = round(
+            time.perf_counter() - t0, 1
+        )
+
+        # fixed-size upsert on a MULT-sized store: compare across MULT
+        # runs to read the store-size scaling of the erase+re-encode
+        # carry label: when the `filtered` mode also ran, the index
+        # has an attrs store and the (fail-closed) sink demands it
+        upd = emb.where(
+            (F.col("vec_id") % 10 == 4) & (F.col("vec_id") > 20)
+        ).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+                "embedding"
+            ),
+            "label",
+        )
+        res["upsert_n_vecs"] = upd.count()
+        t0 = time.perf_counter()
+        upsert_vectors(spark, apath, upd, batch_id=777)
+        res["upsert_fixed_batch_s"] = round(time.perf_counter() - t0, 1)
+
+    if "hotterm" in MODES:
+        res["hot_unbounded_s"] = timed(
+            lambda: bm25_topk_merged(spark, tpath, HOT_TERMS, 10).collect()
+        )
+        res["hot_bounded_s"] = timed(
+            lambda: bm25_topk_bounded(
+                spark, tpath, RARE_TERMS + HOT_TERMS, 10, 0.5
+            ).collect()
+        )
+        res["hot_rare_via_bound_s"] = timed(
+            lambda: bm25_topk_bounded(
+                spark, tpath, RARE_TERMS, 10, 0.5
+            ).collect()
+        )
+
+    if "substr" in MODES:
+        from eventstream_fanout_spark.plans.dedup_queries import (
+            _dup_token_spans,
+        )
+
+        res["substr_spans_s"] = timed(
+            lambda: _dup_token_spans(big_docs)[1].count(), runs=1
+        )
 
     print(json.dumps(res))
 
