@@ -199,6 +199,8 @@ HEADLINE = [
     "streaming_upsert_sim",
     "ann_recall_after_churn",
     "ann_index_refit_sim",
+    "ann_pq_filtered_batch_topk",
+    "bm25_filtered_batch_search",
 ]
 
 

@@ -406,12 +406,55 @@ def batch_probe_lists(
     )
 
 
+def _batch_filtered_restrict(
+    codes: DataFrame, attrs: DataFrame, attr_pred: F.Column
+) -> tuple[DataFrame, DataFrame]:
+    """(restricted_codes, coverage_guard) for the batch filtered probe:
+    codes semi-joined to the attr-allowed vec_ids, plus the 0-row lazy
+    branch raising when any code row in the (already list-pruned)
+    relation has no attrs twin — the same fail-closed stance as
+    ``pq_filtered_topk``, shaped for the batch plan's
+    (qid, vec_id, adc_dist) columns."""
+    allowed = attrs.where(attr_pred).select("vec_id")
+    uncovered = (
+        codes.select("vec_id")
+        .join(attrs.select("vec_id"), "vec_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nu"))
+    )
+    guard = (
+        uncovered.select(
+            F.assert_true(
+                F.col("_nu") == 0,
+                F.concat(
+                    F.col("_nu").cast("string"),
+                    F.lit(
+                        " stored code row(s) in the probed lists have "
+                        "no attrs row — the attr store is stale (an "
+                        "out-of-band write bypassed the delta-"
+                        "maintaining sinks) and a filtered batch probe "
+                        "would silently drop those vectors; re-run "
+                        "build_attr_store"
+                    ),
+                ),
+            ).alias("_a")
+        )
+        .where(F.col("_a").isNotNull())
+        .select(
+            F.col("_a").cast("long").alias("qid"),
+            F.col("_a").cast("long").alias("vec_id"),
+            F.col("_a").cast("bigint").alias("adc_dist"),
+        )
+    )
+    return codes.join(allowed, "vec_id", "left_semi"), guard
+
+
 def pq_batch_probe_topk(
     spark: SparkSession,
     index_path: str,
     queries: DataFrame,
     k: int,
     nprobe: int | None = None,
+    attr_pred: F.Column | None = None,
 ) -> DataFrame:
     """ADC top-k for a BATCH of queries ``(qid, embedding)`` in one
     pass over the stored codes — the production serving shape: the
@@ -429,10 +472,26 @@ def pq_batch_probe_topk(
     plan pinned by tests/test_ann_index.py) and per-batch cost is
     |touched lists' codes|, not |corpus| — at 100 TB this was the
     serving path's only remaining linear-in-corpus scan (VERDICT r6
-    item 1)."""
+    item 1).
+
+    ``attr_pred`` makes this the BATCH form of filtered vector search
+    (``pq_filtered_topk``'s serving twin, round 11): the attrs side
+    store prunes to the union of the batch's probed lists, the
+    predicate pushes into that pruned scan, and the codes restriction
+    is a vec_id semi-join — the per-query (qid, list) pairing already
+    guarantees a vector only scores for queries that probed its list,
+    so the shared allowed-set is exact.  Same probe-time coverage
+    guard as the single probe (codes in probed lists without attrs
+    rows raise — list-local with an integer nprobe, corpus-length in
+    the nprobe=None debug shape)."""
     from pyspark.sql import Window
 
     codes, codebook, centroids = read_index(spark, index_path)
+    attrs = (
+        spark.read.parquet(f"{index_path}/attrs")
+        if attr_pred is not None
+        else None
+    )
     qtable = (
         pq_subspaces(queries.select(F.col("qid").alias("vec_id"), "embedding"))
         .join(F.broadcast(codebook), "s")
@@ -443,9 +502,15 @@ def pq_batch_probe_topk(
             l2q(F.col("sub"), F.col("ce")).alias("qd"),
         )
     )
+    coverage_guard = None
     if nprobe is None:
         # every (query, stored vector) pair scores
-        unpacked = codes.select(
+        base = codes
+        if attrs is not None:
+            base, coverage_guard = _batch_filtered_restrict(
+                base, attrs, attr_pred
+            )
+        unpacked = base.select(
             "vec_id", F.posexplode(F.col("codes")).alias("s", "code")
         )
         pair_cond = (F.col("s") == F.col("qs")) & (
@@ -453,16 +518,23 @@ def pq_batch_probe_topk(
         )
     else:
         probes = batch_probe_lists(queries, centroids, nprobe)
-        unpacked = (
-            codes.join(
-                F.broadcast(probes),
+        pruned = codes.join(
+            F.broadcast(probes),
+            F.col("list_id") == F.col("probe_cid"),
+        )
+        if attrs is not None:
+            lists = probes.select("probe_cid").distinct()
+            attrs_pruned = attrs.join(
+                F.broadcast(lists),
                 F.col("list_id") == F.col("probe_cid"),
             )
-            .select(
-                "qid",
-                "vec_id",
-                F.posexplode(F.col("codes")).alias("s", "code"),
+            pruned, coverage_guard = _batch_filtered_restrict(
+                pruned, attrs_pruned, attr_pred
             )
+        unpacked = pruned.select(
+            "qid",
+            "vec_id",
+            F.posexplode(F.col("codes")).alias("s", "code"),
         )
         pair_cond = (
             (F.col("s") == F.col("qs"))
@@ -490,6 +562,8 @@ def pq_batch_probe_topk(
             )
         )
     )
+    if coverage_guard is not None:
+        adc = adc.unionByName(coverage_guard)
     w = Window.partitionBy("qid").orderBy(
         F.asc("adc_dist"), F.asc("vec_id")
     )

@@ -43,12 +43,17 @@ def hybrid_batch_rrf(
     depth: int = HYBRID_DEPTH,
     nprobe: int | None = 2,
     terms_literal: list[str] | None = None,
+    attr_pred_text: F.Column | None = None,
+    attr_pred_vec: F.Column | None = None,
 ) -> DataFrame:
     """Fused top-``k`` per query: ``(qid, doc_id, rank_text, rank_vec,
     rrf_score, rank)``.  ``doc_id`` doubles as ``vec_id`` (the
     multimodal corpus contract: doc i's embedding is vector i);
     ``terms_literal``/``nprobe`` pass through to the two batch
-    probes."""
+    probes; the optional attr predicates (round 11) make this the
+    FILTERED batch hybrid — each side's restriction rides its own
+    index layout (term-filtered attrs scan / list-pruned attrs scan),
+    exactly as in ``hybrid_filtered_rrf``."""
     from pyspark.sql import Window
 
     from .ann_index import pq_batch_probe_topk
@@ -60,6 +65,7 @@ def hybrid_batch_rrf(
         queries.select("qid", "terms"),
         depth,
         terms_literal=terms_literal,
+        attr_pred=attr_pred_text,
     ).select("qid", "doc_id", F.col("rank").alias("rank_text"))
     vrank = pq_batch_probe_topk(
         spark,
@@ -67,6 +73,7 @@ def hybrid_batch_rrf(
         queries.select("qid", "embedding"),
         depth,
         nprobe=nprobe,
+        attr_pred=attr_pred_vec,
     ).select(
         "qid",
         F.col("vec_id").alias("doc_id"),

@@ -723,6 +723,7 @@ def bm25_batch_topk(
     k: int,
     terms_literal: list[str] | None = None,
     max_df_frac: float | None = None,
+    attr_pred: F.Column | None = None,
 ) -> DataFrame:
     """BM25 top-k for a BATCH of keyword queries ``(qid, terms
     array<string>)`` in ONE pass over the term-filtered postings — the
@@ -748,7 +749,15 @@ def bm25_batch_topk(
     to the batch's term union before the scan: stop-word-shaped terms
     (stored ``df > max_df_frac * n_docs``) are excluded from the
     pushed IN predicate AND exempted from the coverage guard — they
-    are dropped by POLICY, not lost by a broken literal."""
+    are dropped by POLICY, not lost by a broken literal.
+
+    ``attr_pred`` makes this the BATCH form of filtered keyword search
+    (``bm25_topk_filtered``'s serving twin, round 11): the
+    postings-layout attrs scan takes the SAME pushed term filter, the
+    predicate pushes into it, candidates semi-join the allowed set,
+    and scanned postings without an attrs twin raise (term-local
+    coverage tripwire).  Statistics stay corpus-global, per the
+    filtered-search contract."""
     from pyspark.sql import Window
 
     if terms_literal is None:
@@ -805,8 +814,38 @@ def bm25_batch_topk(
     vocab = _merged_vocab(postings)
     stats_rows = spark.read.parquet(f"{index_path}/stats")
     stats = _merged_stats(stats_rows.drop("batch_id"))
+    attr_guard = None
+    scoring_postings = postings
+    if attr_pred is not None:
+        attrs = spark.read.parquet(f"{index_path}/attrs").where(
+            F.col("tok").isin(terms_literal)
+        )
+        allowed = attrs.where(attr_pred).select("doc_id").distinct()
+        uncovered = (
+            postings.select("tok", "doc_id")
+            .join(
+                attrs.select("tok", "doc_id"),
+                ["tok", "doc_id"],
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("_nu"))
+        )
+        attr_guard = uncovered.select(
+            F.assert_true(
+                F.col("_nu") == 0,
+                F.concat(
+                    F.col("_nu").cast("string"),
+                    F.lit(
+                        " scanned posting row(s) have no attrs row — "
+                        "the text attr store is stale; re-run "
+                        "build_text_attr_store"
+                    ),
+                ),
+            ).alias("_a")
+        ).where(F.col("_a").isNotNull())
+        scoring_postings = postings.join(allowed, "doc_id", "left_semi")
     scored = (
-        postings.join(F.broadcast(qterms), "tok")
+        scoring_postings.join(F.broadcast(qterms), "tok")
         .join(F.broadcast(vocab), "tok")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -824,6 +863,12 @@ def bm25_batch_topk(
     commit_guard = _correction_commit_guard(
         spark, index_path, stats_rows, bfields
     )
+    if attr_guard is not None:
+        scored = scored.unionByName(
+            attr_guard.select(
+                *[F.col("_a").cast(t).alias(n) for n, t in bfields]
+            )
+        )
     agg = (
         scored.unionByName(guard)
         .unionByName(commit_guard)

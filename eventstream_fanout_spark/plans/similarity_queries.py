@@ -2523,6 +2523,139 @@ def ann_pq_persisted_batch_topk(
     return pq_batch_probe_topk(spark, path, queries, 5, nprobe=2)
 
 
+@register(
+    "ann_pq_filtered_batch_topk",
+    f"""
+    WITH {_FLAT},
+    psub AS (
+      SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
+      FROM flat
+    ),
+    pcent AS (
+      SELECT vec_id AS cid, s, i, x FROM psub
+      WHERE vec_id BETWEEN 10 AND 17
+    ),
+    pcorp AS (SELECT vec_id, s, i, x FROM psub WHERE vec_id <> 0),
+    pdists AS (
+      SELECT pcorp.vec_id, pcorp.s, pcent.cid,
+             SUM(CAST(FLOOR((pcorp.x - pcent.x) * (pcorp.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorp JOIN pcent ON pcorp.i = pcent.i AND pcorp.s = pcent.s
+      GROUP BY 1, 2, 3
+    ),
+    pcodes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM pdists
+      ) WHERE rn = 1
+    ),
+    icent AS (SELECT vec_id AS cid, i, x FROM flat
+              WHERE vec_id BETWEEN 10 AND 17),
+    corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0),
+    adots AS (
+      SELECT corp.vec_id, icent.cid,
+             CAST(SUM(CAST(FLOOR(corp.x * icent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM corp JOIN icent ON corp.i = icent.i
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT a.vec_id, a.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY (a.dot / (sqrt(nv.n2) * sqrt(nc.n2))) DESC,
+                          a.cid ASC) AS rn
+        FROM adots a
+        JOIN norms nv ON nv.vec_id = a.vec_id
+        JOIN norms nc ON nc.vec_id = a.cid
+      ) WHERE rn = 1
+    ),
+    qdots AS (
+      SELECT qf.vec_id AS qid, icent.cid,
+             CAST(SUM(CAST(FLOOR(qf.x * icent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM flat qf JOIN icent ON qf.i = icent.i
+      WHERE qf.vec_id < 5
+      GROUP BY 1, 2
+    ),
+    qprobes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, q.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY (q.dot / (sqrt(nq.n2) * sqrt(nc.n2))) DESC,
+                          q.cid ASC) AS rn
+        FROM qdots q
+        JOIN norms nq ON nq.vec_id = q.qid
+        JOIN norms nc ON nc.vec_id = q.cid
+      ) WHERE rn <= 2
+    ),
+    qtables AS (
+      SELECT qf.vec_id AS qid, pcent.s, pcent.cid,
+             SUM(CAST(FLOOR((qf.x - pcent.x) * (qf.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS qd
+      FROM (SELECT vec_id, s, i, x FROM psub WHERE vec_id < 5) qf
+      JOIN pcent ON pcent.i = qf.i AND pcent.s = qf.s
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT t.qid, c.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+      FROM pcodes c
+      JOIN assign g ON g.vec_id = c.vec_id
+      JOIN qtables t ON t.s = c.s AND t.cid = c.code
+      JOIN qprobes p ON p.qid = t.qid AND p.cid = g.list_id
+      WHERE c.vec_id <> t.qid
+        AND c.vec_id IN (SELECT vec_id FROM embeddings
+                         WHERE label IN (1, 3, 5))
+      GROUP BY 1, 2
+    )
+    SELECT qid, vec_id, adc_dist, rank FROM (
+      SELECT qid, vec_id, adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY adc_dist ASC, vec_id ASC)
+                  AS INTEGER) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+    description="FILTERED batch ANN — pq_batch_probe_topk(attr_pred): "
+    "top-5 among label IN (1,3,5) vectors for 5 queries in ONE pass "
+    "over the stored codes (round 11, the serving twin of "
+    "ann_pq_filtered_topk).  The attrs side store prunes to the UNION "
+    "of the batch's probed lists via the same broadcast probe-pair "
+    "relation that prunes the codes scan, the predicate pushes into "
+    "the pruned attrs scan, and the codes restriction is a vec_id "
+    "semi-join — exact despite being shared across queries, because "
+    "the per-(qid, list) pairing already confines each vector to the "
+    "queries that probed its list.  Probe-time coverage guard "
+    "included (codes in probed lists without attrs rows raise).  The "
+    "oracle is the unfiltered batch replay with the label restriction "
+    "on the ADC candidates",
+    tags=("similarity", "ann", "pq", "ivf", "index", "batch",
+          "filtered", "extension"),
+)
+def ann_pq_filtered_batch_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.ann_index import pq_batch_probe_topk
+
+    path = _ensure_pq_attrs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return pq_batch_probe_topk(
+        spark,
+        path,
+        queries,
+        5,
+        nprobe=2,
+        attr_pred=F.col("label").isin(1, 3, 5),
+    )
+
+
 VEC_DEDUP_THRESH = 1_000_000_000  # nano-quantized squared-L2 ~ 1.0
 
 

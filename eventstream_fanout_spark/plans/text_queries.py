@@ -1358,7 +1358,7 @@ _BM25_BATCH = ((0, ("spark", "window")), (1, ("window", "join")),
                (2, ("spark", "join")))
 
 
-def _bm25_batch_oracle() -> str:
+def _bm25_batch_oracle(cand_pred: str = "TRUE") -> str:
     from ..functions.core import sql_dsum
     from ..operators.text_index import sql_bm25_score_expr
 
@@ -1367,6 +1367,12 @@ def _bm25_batch_oracle() -> str:
     )
     all_terms = sorted({t for _, terms in _BM25_BATCH for t in terms})
     terms_sql = "(" + ", ".join(f"'{t}'" for t in all_terms) + ")"
+    cand = (
+        ""
+        if cand_pred == "TRUE"
+        else f"\n        AND t.doc_id IN (SELECT doc_id FROM documents"
+        f" WHERE {cand_pred})"
+    )
     return f"""
     WITH qterms AS (
       SELECT CAST(qid AS BIGINT) AS qid, tok
@@ -1397,7 +1403,7 @@ def _bm25_batch_oracle() -> str:
       JOIN vocab d ON d.tok = t.tok
       JOIN dl l ON l.doc_id = t.doc_id
       CROSS JOIN stats s
-      WHERE t.tok IN {terms_sql}
+      WHERE t.tok IN {terms_sql}{cand}
     ),
     agg AS (
       SELECT qid, doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
@@ -1440,6 +1446,42 @@ def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     all_terms = sorted({t for _, terms in _BM25_BATCH for t in terms})
     return bm25_batch_topk(spark, path, queries, 5, terms_literal=all_terms)
+
+
+@register(
+    "bm25_filtered_batch_search",
+    _bm25_batch_oracle(cand_pred="lang = 'en'"),
+    description="FILTERED batch BM25 — bm25_batch_topk(attr_pred): "
+    "the 3-query batch answered in ONE term-filtered postings scan, "
+    "restricted to lang='en' docs (round 11, the serving twin of "
+    "bm25_filtered_search).  The postings-layout attrs scan takes the "
+    "SAME pushed term-union IN predicate with the lang filter pushed "
+    "alongside, candidates semi-join the allowed doc set, statistics "
+    "stay corpus-global, and scanned postings without an attrs twin "
+    "raise (term-local coverage tripwire).  The oracle is the "
+    "unfiltered batch replay with the candidate restriction",
+    tags=("text", "search", "bm25", "index", "batch", "filtered",
+          "extension"),
+)
+def bm25_filtered_batch_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.text_index import bm25_batch_topk
+
+    path = _ensure_text_attrs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _BM25_BATCH],
+        "qid long, terms array<string>",
+    )
+    all_terms = sorted({t for _, terms in _BM25_BATCH for t in terms})
+    return bm25_batch_topk(
+        spark,
+        path,
+        queries,
+        5,
+        terms_literal=all_terms,
+        attr_pred=F.col("lang") == "en",
+    )
 
 
 @register(

@@ -25,10 +25,16 @@ def streaming_hybrid_probe_sink(
     out_path: str,
     k: int = 5,
     nprobe: int | None = 2,
+    attr_pred_text: F.Column | None = None,
+    attr_pred_vec: F.Column | None = None,
 ):
     """``foreachBatch`` callback: answer each micro-batch of
     ``(qid, terms, embedding)`` hybrid queries with its fused top-k,
-    appended idempotently under the batch's own partition."""
+    appended idempotently under the batch's own partition.  The
+    optional attr predicates (round 11) make this the FILTERED hybrid
+    serving sink — the per-trigger scans stay term-filtered /
+    list-pruned, with each side's predicate pushed into its own attr
+    side store's scan."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -41,6 +47,8 @@ def streaming_hybrid_probe_sink(
             batch_df.select("qid", "terms", "embedding"),
             k=k,
             nprobe=nprobe,
+            attr_pred_text=attr_pred_text,
+            attr_pred_vec=attr_pred_vec,
         )
         (
             topk.withColumn("batch_id", F.lit(int(batch_id)))

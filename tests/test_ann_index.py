@@ -1335,3 +1335,149 @@ def test_refit_index_recovers_attrs_and_asof(spark, tmp_path):
     again = [tuple(r) for r in pq_probe_topk(
         spark, path, _query(spark), 10, nprobe=2).collect()]
     assert again == want
+
+
+def test_batch_filtered_probe_matches_singles_and_serves_stream(
+    spark, tmp_path
+):
+    """Round 11 batch filtered serving: (a) pq_batch_probe_topk with
+    attr_pred equals the single filtered probe run per query; (b) the
+    filtered hybrid serving sink streams micro-batches against both
+    attr stores, matching the batch operator, with checkpointed
+    restart reprocessing nothing."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from eventstream_fanout_spark.operators.ann_index import (
+        build_attr_store,
+        pq_batch_probe_topk,
+        pq_filtered_topk,
+    )
+    from eventstream_fanout_spark.operators.hybrid import (
+        hybrid_batch_rrf,
+    )
+    from eventstream_fanout_spark.operators.text_index import (
+        build_text_attr_store,
+        build_text_index,
+    )
+    from eventstream_fanout_spark.sources.tables import load_table
+    from eventstream_fanout_spark.streaming.fanout import (
+        FanoutSink,
+        start_fanout,
+    )
+    from eventstream_fanout_spark.streaming.hybrid_serve import (
+        streaming_hybrid_probe_sink,
+    )
+
+    emb = _emb(spark)
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    apath = str(tmp_path / "ann_idx")
+    tpath = str(tmp_path / "text_idx")
+    build_pq_index(spark, emb, apath)
+    build_attr_store(
+        spark,
+        emb.where(F.col("vec_id") != 0).select("vec_id", "label").join(
+            docs.select(F.col("doc_id").alias("vec_id"), "lang"),
+            "vec_id",
+        ),
+        apath,
+    )
+    build_text_index(spark, docs.select("doc_id", "text"), tpath)
+    build_text_attr_store(spark, docs.select("doc_id", "lang"), tpath)
+
+    pred = F.col("label").isin(1, 3, 5)
+    queries = emb.where(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    batch = pq_batch_probe_topk(
+        spark, apath, queries, 5, nprobe=2, attr_pred=pred
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    for qid in (1, 2, 3):
+        q = emb.where(F.col("vec_id") == qid).select("embedding")
+        single = [
+            r["vec_id"]
+            for r in pq_filtered_topk(
+                spark, apath, q, 6, pred, nprobe=2
+            ).collect()
+            if r["vec_id"] != qid
+        ][:5]
+        assert [v for _, v in sorted(got[qid])] == single, qid
+
+    # (b) filtered hybrid serving stream
+    evec = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(F.col("vec_id").isin(1, 2)).collect()
+    }
+    rows = [
+        Row(qid=1, terms=["spark", "window"], embedding=evec[1]),
+        Row(qid=2, terms=["join"], embedding=evec[2]),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("terms", T.ArrayType(T.StringType())),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    src = str(tmp_path / "q_src")
+    os.makedirs(src)
+    spark.createDataFrame(rows, schema).toPandas().to_json(
+        f"{src}/a.jsonl", orient="records", lines=True
+    )
+    out = str(tmp_path / "answers")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_fanout(
+            stream,
+            [
+                FanoutSink(
+                    "hybrid-filtered",
+                    streaming_hybrid_probe_sink(
+                        tpath,
+                        apath,
+                        out,
+                        attr_pred_text=F.col("lang") == "en",
+                        attr_pred_vec=F.col("lang") == "en",
+                    ),
+                )
+            ],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            query_name="hybrid-filtered-stream",
+        )
+        q.awaitTermination(300)
+
+    run()
+    answers = spark.read.parquet(out)
+    sgot = {}
+    for r in answers.collect():
+        sgot.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    want = {}
+    for r in hybrid_batch_rrf(
+        spark,
+        tpath,
+        apath,
+        spark.createDataFrame(rows, schema),
+        k=5,
+        nprobe=2,
+        attr_pred_text=F.col("lang") == "en",
+        attr_pred_vec=F.col("lang") == "en",
+    ).collect():
+        want.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    assert {q: sorted(v) for q, v in sgot.items()} == {
+        q: sorted(v) for q, v in want.items()
+    }
+    n = answers.count()
+    run()
+    assert spark.read.parquet(out).count() == n

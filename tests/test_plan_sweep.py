@@ -64,6 +64,15 @@ BNLJ_ALLOWED = {
     "kll_daily_merge_quantiles",
     "theta_sketch_user_sets",
     "hll_daily_merge_distinct",
+    # round 11: the same 1-row-query x 8-row-centroid coarse rankings
+    "ann_filtered_live_sim",  # filtered probe over the live store
+    "ann_recall_after_churn",  # two pruned probes + the full-ADC truth
+    "ann_index_refit_sim",  # post-refit pruned probe
+    "hybrid_filtered_search_rrf",  # 1-row stats + centroid sides
+    "bm25_filtered_search",  # 1-row corpus-stats side
+    "streaming_upsert_sim",  # 1-row stats side (post-upsert probe)
+    "ann_pq_filtered_batch_topk",  # query batch x 8-row centroid ranking
+    "bm25_filtered_batch_search",  # 1-row corpus-stats side
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the

@@ -119,3 +119,58 @@ def check_query(con, name, fn, oracle, spark, sf_dir):
             f"    cols: spark={sorted(sdf.columns)} duck={sorted(dcols)}"
         )
     return ok, lines
+
+
+def gate_line(
+    pytest_result: str, front_result: str, entry_rows: int | None = None
+) -> str:
+    """The COVERAGE.md closing-gates paragraph, derived from the
+    SHIPPED registry by construction (VERDICT r8 item 8: the
+    hand-written line drifted from the registry twice) — query/oracle/
+    FRONT counts are read from the code; the run outcomes (pytest,
+    front_check, entry smoke) are passed in from the actual runs.
+
+        python tools/gatecheck.py "<pytest summary>" "<front result>" \\
+            [entry_rows]
+    """
+    import datetime
+
+    from eventstream_fanout_spark.plans.registry import (
+        FRONT,
+        ordered_queries,
+    )
+
+    qs = ordered_queries()
+    n_oracle = sum(1 for s in qs.values() if s.oracle is not None)
+    entry = (
+        f"`__spark_entry__` smoke green (entry {entry_rows} rows; "
+        if entry_rows is not None
+        else "`__spark_entry__` smoke green ("
+    )
+    today = datetime.date.today().isoformat()
+    return (
+        f"Closing gates (generated by tools/gatecheck.gate_line from "
+        f"the shipped registry, {today}): full pytest "
+        f"**{pytest_result}**, `tools/front_check.py` (no args = the "
+        f"{len(FRONT)}-slot FRONT) **{front_result}** at sf0.01, "
+        f"{entry}{len(qs)} queries / {n_oracle} oracles), COVERAGE "
+        f"rotation bullet generated by tools/rotation_bullet.py (not "
+        f"hand-written)."
+    )
+
+
+if __name__ == "__main__":
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    )
+    print(
+        gate_line(
+            _sys.argv[1] if len(_sys.argv) > 1 else "<pytest result>",
+            _sys.argv[2] if len(_sys.argv) > 2 else "<front result>",
+            int(_sys.argv[3]) if len(_sys.argv) > 3 else None,
+        )
+    )
