@@ -201,6 +201,8 @@ HEADLINE = [
     "ann_index_refit_sim",
     "ann_pq_filtered_batch_topk",
     "bm25_filtered_batch_search",
+    "ann_filtered_asof_sim",
+    "text_filtered_asof_probe",
 ]
 
 

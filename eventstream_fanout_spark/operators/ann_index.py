@@ -766,6 +766,7 @@ def pq_filtered_topk(
     k: int,
     attr_pred: F.Column,
     nprobe: int | None = None,
+    upto_batch_id: int | None = None,
 ) -> DataFrame:
     """FILTERED vector search: ADC top-k among stored vectors whose
     attr-store row satisfies ``attr_pred`` — the
@@ -809,11 +810,27 @@ def pq_filtered_topk(
     partitions), so this guard is a tripwire for OUT-OF-BAND writes,
     not a scheduled-rebuild prompt; ``build_attr_store`` clears it
     after one.
+
+    ``upto_batch_id`` composes filtered search with AS-OF time travel
+    (round 11 — "rank within lang='en' exactly as the index stood
+    after batch N", the reproducible-filtered-retrieval shape a
+    training run pins): the watermark partition-prunes BOTH the codes
+    and the attrs scans (attrs ride the same ``batch_id`` generations,
+    so the committed prefix of one is the committed prefix of the
+    other), and the same upsert/refit marker guard as
+    ``pq_probe_topk`` refuses watermarks below rewritten history.
     """
     from ..functions.vectors import cosine
 
     codes, codebook, centroids = read_index(spark, index_path)
     attrs = spark.read.parquet(f"{index_path}/attrs")
+    asof_guard = None
+    if upto_batch_id is not None:
+        codes = codes.where(F.col("batch_id") <= F.lit(int(upto_batch_id)))
+        attrs = attrs.where(F.col("batch_id") <= F.lit(int(upto_batch_id)))
+        asof_guard = _upsert_asof_guard(
+            spark, index_path, int(upto_batch_id)
+        )
     if nprobe is not None:
         probes = (
             query.select(F.col("embedding").alias("qe"))
@@ -860,9 +877,9 @@ def pq_filtered_topk(
         )
     )
     codes = codes.join(allowed, "vec_id", "left_semi")
-    return (
-        adc_scores_from_index(codes, codebook, query)
-        .unionByName(coverage_guard)
-        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-        .limit(k)
+    scored = adc_scores_from_index(codes, codebook, query).unionByName(
+        coverage_guard
     )
+    if asof_guard is not None:
+        scored = scored.unionByName(asof_guard)
+    return scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(k)

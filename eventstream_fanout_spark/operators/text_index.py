@@ -950,6 +950,7 @@ def bm25_topk_filtered(
     terms: list[str],
     k: int,
     attr_pred: F.Column,
+    upto_batch_id: int | None = None,
 ) -> DataFrame:
     """FILTERED keyword search: :func:`bm25_topk_merged` restricted to
     documents whose attr rows satisfy ``attr_pred`` — the "search
@@ -974,16 +975,55 @@ def bm25_topk_filtered(
     probe-time coverage tripwire for out-of-band writes — attrs are
     otherwise maintained delta-shaped by the ingest/delete/upsert
     paths), on top of the merged probe's duplicate-row and
-    generation-coverage guards."""
+    generation-coverage guards.
+
+    ``upto_batch_id`` composes filtered search with AS-OF time travel
+    (round 11 — "rank within lang='en' exactly as the index stood
+    after batch N"): the watermark partition-prunes the postings,
+    attrs AND stats scans (attrs ride the same ``batch_id``
+    generations, so one committed prefix covers both), df derives from
+    the watermarked scan, and — like ``bm25_topk_asof`` — an ERASED
+    store refuses (erasure corrections are global; no earlier view is
+    reconstructible by right-to-erasure contract), which also
+    subsumes the correction-commit guard below the watermark."""
     postings = spark.read.parquet(f"{index_path}/postings").where(
         F.col("tok").isin(terms)
     )
     attrs = spark.read.parquet(f"{index_path}/attrs").where(
         F.col("tok").isin(terms)
     )
-    vocab = _merged_vocab(postings)
     stats_rows = spark.read.parquet(f"{index_path}/stats")
-    stats = _merged_stats(stats_rows.drop("batch_id"))
+    if upto_batch_id is not None:
+        wm = F.col("batch_id") <= F.lit(int(upto_batch_id))
+        postings = postings.where(wm)
+        attrs = attrs.where(wm)
+        stats_rows = stats_rows.where(wm)
+        no_correction = F.assert_true(
+            F.col("_mn") >= 0,
+            F.lit(
+                "filtered as-of probe: the store holds erasure "
+                "correction generations — erasure is destructive (no "
+                "earlier view is reconstructible, by right-to-erasure "
+                "contract); probe the live index without a watermark"
+            ),
+        )
+        stats = (
+            stats_rows.agg(F.min("n_docs").alias("_mn"))
+            .crossJoin(_merged_stats(stats_rows.drop("batch_id")))
+            .select(
+                (
+                    F.col("n_docs")
+                    + F.coalesce(
+                        no_correction.cast("bigint"),
+                        F.lit(0).cast("bigint"),
+                    )
+                ).cast("bigint").alias("n_docs"),
+                "total_len",
+            )
+        )
+    else:
+        stats = _merged_stats(stats_rows.drop("batch_id"))
+    vocab = _merged_vocab(postings)
     allowed = (
         attrs.where(attr_pred).select("doc_id").distinct()
     )

@@ -43,7 +43,7 @@ FRONT: list[str] = [
     # --- round-11 window.  NOTE: round 10 produced no CORRECTNESS
     # artifact (the rotation commit landed but the driver gate never
     # recorded), so the r4-stale block below is still unproven and
-    # stays.  Slots 1-8: round-11 NEW queries (rule g). ---
+    # stays.  Slots 1-10: round-11 NEW queries (rule g). ---
     "ann_filtered_live_sim",
     "ann_recall_after_churn",
     "ann_index_refit_sim",
@@ -52,7 +52,9 @@ FRONT: list[str] = [
     "streaming_upsert_sim",
     "ann_pq_filtered_batch_topk",
     "bm25_filtered_batch_search",
-    # --- slots 9-25: round-11 CHANGED plans — the correction-commit
+    "ann_filtered_asof_sim",
+    "text_filtered_asof_probe",
+    # --- slots 11-27: round-11 CHANGED plans — the correction-commit
     # guard entered every BM25 probe, the fitted-oracle Lloyd
     # generator was refactored, upserts pass attr columns through,
     # and the shared ANN attrs store gained the lang column. ---
@@ -73,11 +75,11 @@ FRONT: list[str] = [
     "curated_erasure_sim",
     "streaming_erasure_sim",
     "incremental_dedup_sim",
-    # --- slots 26-50: the round-4-only greens (the oldest stale
+    # --- slots 28-50: the round-4-only greens (the oldest stale
     # evidence block, alphabetical), carried from the unproven
-    # round-10 window; the two batch-filtered additions displaced
-    # winsorized_values + zorder_layout_key (judge-spot-checked green
-    # in r9) to round 12. ---
+    # round-10 window; the four late round-11 additions displaced
+    # vocab_coverage, wav_audio_decode (judge-spot-checked green in
+    # r9), winsorized_values + zorder_layout_key to round 12. ---
     "lsh_bucket_stats",
     "media_header_parse",
     "minhash_accuracy_report",
@@ -101,8 +103,6 @@ FRONT: list[str] = [
     "unpivot_event_matrix",
     "url_canonical_dedup",
     "variant_props_extract",
-    "vocab_coverage",
-    "wav_audio_decode",
 ]
 
 # ROUND-12 ROTATION PLAN (generated census: tools/rotation_bullet.py —

@@ -2235,6 +2235,74 @@ def ann_filtered_live_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_filtered_asof_sim",
+    _pq_persisted_oracle(
+        probed=True,
+        corpus_pred="vec_id <> 0 AND vec_id % 2 = 0 AND vec_id IN "
+        "(SELECT vec_id FROM embeddings WHERE label IN (1, 3, 5))",
+    ),
+    description="FILTERED search composed with AS-OF time travel "
+    "(round 11): 'rank within label IN (1,3,5) exactly as the index "
+    "stood after the build' — the reproducible-filtered-retrieval "
+    "shape a training run pins.  The index + attr store are built "
+    "over the EVEN vec_ids, the odds stream in (attrs riding, "
+    "generation 1), and the filtered probe runs with "
+    "upto_batch_id=0: the watermark partition-prunes BOTH the codes "
+    "and the attrs scans (attrs ride the same batch_id generations, "
+    "so one committed prefix covers both), and the result must equal "
+    "the filtered probe over an index that never ingested the odds — "
+    "the oracle restricts the replay to even, labeled vectors within "
+    "the probed lists.  The upsert/refit marker guard composes: a "
+    "watermark below rewritten history refuses (pytest)",
+    tags=("similarity", "ann", "pq", "ivf", "index", "filtered",
+          "asof", "extension"),
+)
+def ann_filtered_asof_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import (
+        build_attr_store,
+        build_pq_index,
+        pq_filtered_topk,
+    )
+    from ..streaming.ann_ingest import streaming_ann_index_sink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_filt_asof_")
+    evens = emb.where(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)
+    )
+    build_pq_index(spark, emb, path, corpus=evens)
+    build_attr_store(spark, evens.select("vec_id", "label"), path)
+    streaming_ann_index_sink(path)(
+        emb.where(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding", "label"
+        ),
+        1,
+    )
+    q = emb.where(F.col("vec_id") == 0).select("embedding")
+    topk = pq_filtered_topk(
+        spark,
+        path,
+        q,
+        10,
+        F.col("label").isin(1, 3, 5),
+        nprobe=2,
+        upto_batch_id=0,
+    )
+    return (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("list_id").cast("long").alias("list_id"),
+            "adc_dist",
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    )
+
+
 def _churned_emb(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(revised_slice, final_emb) under the shared churn
     (_VEC_UPSERT_SQL: vec_id % 10 = 4 and > 20, halved — seed rows and

@@ -1289,6 +1289,56 @@ def text_index_upsert_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_merged(spark, path, list(_BM25_TERMS), 10)
 
 
+@register(
+    "text_filtered_asof_probe",
+    _bm25_oracle(docs_pred="doc_id % 2 = 0", cand_pred="lang = 'en'"),
+    description="FILTERED keyword search composed with AS-OF time "
+    "travel (round 11, the text twin of ann_filtered_asof_sim): the "
+    "index + postings-layout attr store are built over the EVEN "
+    "doc_ids, the odds stream in (attrs riding, generation 1), and "
+    "bm25_topk_filtered probes with upto_batch_id=0 — the watermark "
+    "partition-prunes the postings, attrs AND stats scans (one "
+    "committed prefix covers all three), df derives from the "
+    "watermarked term-filtered scan, and the result must equal the "
+    "lang='en'-filtered probe over an index that never ingested the "
+    "odds.  An ERASED store refuses as-of (right-to-erasure beats "
+    "time travel), which subsumes the correction-commit guard below "
+    "the watermark",
+    tags=("text", "search", "bm25", "index", "filtered", "asof",
+          "extension"),
+)
+def text_filtered_asof_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_topk_filtered,
+        build_text_attr_store,
+        build_text_index,
+    )
+    from ..streaming.text_ingest import streaming_text_index_sink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    path = tempfile.mkdtemp(prefix="text_index_filt_asof_")
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    build_text_index(spark, evens.select("doc_id", "text"), path)
+    build_text_attr_store(spark, evens.select("doc_id", "lang"), path)
+    streaming_text_index_sink(path)(
+        docs.where(F.col("doc_id") % 2 == 1), 1
+    )
+    return bm25_topk_filtered(
+        spark,
+        path,
+        list(_BM25_TERMS),
+        10,
+        F.col("lang") == "en",
+        upto_batch_id=0,
+    )
+
+
 _UPD_S0 = " spark spark revision"
 _UPD_S1 = " window revision"
 _UPD_S2 = " join window second revision"

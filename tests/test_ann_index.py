@@ -1481,3 +1481,81 @@ def test_batch_filtered_probe_matches_singles_and_serves_stream(
     n = answers.count()
     run()
     assert spark.read.parquet(out).count() == n
+
+
+def test_filtered_asof_refusals_compose(spark, tmp_path):
+    """The as-of + filtered composition inherits both sides' refusals:
+    a filtered probe below an upsert generation raises via the marker
+    guard (ANN), and a filtered as-of probe on an ERASED text store
+    raises via the no-correction guard."""
+    import pytest
+
+    from eventstream_fanout_spark.operators.ann_index import (
+        build_attr_store,
+        pq_filtered_topk,
+    )
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_filtered,
+        build_text_attr_store,
+        build_text_index,
+    )
+    from eventstream_fanout_spark.sources.tables import load_table
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        upsert_vectors,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        delete_docs,
+    )
+
+    emb = _emb(spark)
+    apath = str(tmp_path / "idx")
+    build_pq_index(spark, emb, apath)
+    build_attr_store(
+        spark,
+        emb.where(F.col("vec_id") != 0).select("vec_id", "label"),
+        apath,
+    )
+    pred = F.col("label").isin(1, 3, 5)
+    ok = pq_filtered_topk(
+        spark, apath, _query(spark), 10, pred, nprobe=8, upto_batch_id=0
+    ).collect()
+    assert len(ok) == 10
+    revised = emb.where(
+        (F.col("vec_id") % 10 == 4) & (F.col("vec_id") > 20)
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    upsert_vectors(spark, apath, revised, batch_id=3)
+    with pytest.raises(Exception, match="below upsert generation"):
+        pq_filtered_topk(
+            spark, apath, _query(spark), 10, pred, nprobe=8,
+            upto_batch_id=2,
+        ).collect()
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    tpath = str(tmp_path / "tidx")
+    build_text_index(spark, docs.select("doc_id", "text"), tpath)
+    build_text_attr_store(spark, docs.select("doc_id", "lang"), tpath)
+    tok = bm25_topk_filtered(
+        spark, tpath, ["spark", "join"], 10, F.col("lang") == "en",
+        upto_batch_id=0,
+    ).collect()
+    assert len(tok) > 0
+    doomed = [
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+        .collect()
+    ]
+    delete_docs(spark, tpath, doomed)
+    with pytest.raises(Exception, match="erasure is destructive"):
+        bm25_topk_filtered(
+            spark, tpath, ["spark", "join"], 10, F.col("lang") == "en",
+            upto_batch_id=0,
+        ).collect()

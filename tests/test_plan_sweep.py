@@ -73,6 +73,8 @@ BNLJ_ALLOWED = {
     "streaming_upsert_sim",  # 1-row stats side (post-upsert probe)
     "ann_pq_filtered_batch_topk",  # query batch x 8-row centroid ranking
     "bm25_filtered_batch_search",  # 1-row corpus-stats side
+    "ann_filtered_asof_sim",  # 1-row query x 8-row centroid ranking
+    "text_filtered_asof_probe",  # 1-row corpus-stats side
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
