@@ -149,6 +149,9 @@ def build_text_index(
     vocab = postings.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
+    write_idbloom(
+        spark, index_path, dl.select("doc_id"), FROZEN_BATCH_ID
+    )
     for rel, name in ((postings, "postings"), (dl, "doclens"),
                       (vocab, "vocab"), (batch_stats(dl), "stats")):
         (
@@ -1079,4 +1082,84 @@ def bm25_topk_filtered(
         .select("doc_id", "n_terms_matched", "bm25_score")
         .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+# --- per-generation doc_id Bloom artifact (round 11) -------------------
+#
+# The ingest sink's doc_id-uniqueness gate anti-joined every batch
+# against the FULL doclens store — the last corpus-length scan on a
+# hot WRITE path (at 10^9 docs: a corpus scan per micro-batch).  Each
+# generation now also stores a tiny Bloom filter of its doc_ids
+# (sparse (w, bits) long words, ~2 bytes/doc); the gate tests the
+# batch against the stored blooms via a broadcast join (metadata-sized
+# side) and touches doclens only for the (normally empty) maybe-hit
+# set.  Over-approximation is always SAFE here: a stale bloom (erased
+# docs, crashed writes) only costs an extra narrow doclens probe that
+# finds nothing; a generation MISSING its bloom row falls back to the
+# full anti-join — so the gate's fail-closed contract is unchanged.
+# Write-path internals only: never part of an oracle-checked plan, so
+# the hash functions are free to use conv() (no DuckDB twin needed).
+
+IDBLOOM_WORD = 64   # bits per stored word
+IDBLOOM_K = 3       # hash positions per id
+
+
+def idbloom_m(n_ids: int) -> int:
+    """Bits for a generation of ``n_ids`` docs: ~16 bits/id (<1% FP at
+    k=3), power of two, floored at 1024 and capped at 2^26 (8 MB of
+    bits — beyond that the fallback scan is cheap relative to the
+    generation anyway)."""
+    m = 1024
+    while m < 16 * max(int(n_ids), 1) and m < (1 << 26):
+        m *= 2
+    return m
+
+
+def _idbloom_pos(h: F.Column, j: int, m: int) -> F.Column:
+    """Position j from 8 hex chars of the id's md5 (16^8 = 4.3e9
+    combinations — never the resolution cap for any allowed m)."""
+    return F.conv(F.substring(h, j * 8 + 1, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(int(m))
+
+
+def idbloom_rows(ids: DataFrame, m: int) -> DataFrame:
+    """Sparse Bloom words ``(w, bits, m)`` for a ``(doc_id)`` relation
+    — a batch-local aggregate (explode k positions, bit_or per word);
+    absent words are implicitly zero."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    pos = ids.select(
+        F.explode(
+            F.array(*[_idbloom_pos(h, j, m) for j in range(IDBLOOM_K)])
+        ).alias("pos")
+    )
+    return (
+        pos.groupBy((F.col("pos") / IDBLOOM_WORD).cast("int").alias("w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("pos") % IDBLOOM_WORD).cast("int"),
+                )
+            ).alias("bits")
+        )
+        .select("w", "bits", F.lit(int(m)).alias("m"))
+    )
+
+
+def write_idbloom(
+    spark: SparkSession, index_path: str, ids: DataFrame, batch_id: int
+) -> None:
+    """Persist one generation's id bloom (dynamic partition overwrite
+    — replay overwrites only itself, like every other store table)."""
+    n = ids.count()
+    (
+        idbloom_rows(ids, idbloom_m(n))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_path}/idbloom")
     )

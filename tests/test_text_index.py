@@ -1671,3 +1671,100 @@ def test_streaming_upsert_sink_ann_replays_converge(spark, tmp_path):
         codes.groupBy("vec_id").count().where(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_idbloom_gates_uniqueness_check(spark, tmp_path, monkeypatch):
+    """Round 11: the ingest gate's bloom path — (a) fresh ids return
+    an EMPTY maybe-set (no doclens scan needed); (b) a reused id is a
+    maybe-hit and the gate still raises; (c) a generation missing its
+    bloom row forces the full-fallback (None); (d) erased ids linger
+    as maybe-hits but the narrow probe passes them (over-approximate,
+    never a missed clash); (e) compaction's exact rebuild restores a
+    single bloom generation and the gate still works.  The measured
+    corpus-size crossover is lowered to 0 so the bloom path runs at
+    fixture scale (in production it engages only above ~5e7 docs,
+    where the full scan's linear cost passes the bloom's constant)."""
+    from eventstream_fanout_spark.streaming import text_ingest as ti
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        _idbloom_maybe_ids,
+        compact_text_index,
+        delete_docs,
+        streaming_text_index_sink,
+    )
+
+    monkeypatch.setattr(ti, "_IDBLOOM_MIN_CORPUS", 0)
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.where(F.col("doc_id") < 300), path)
+    sink = streaming_text_index_sink(path)
+    sink(docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)), 1)
+
+    fresh = spark.createDataFrame(
+        [(900001,), (900002,)], "doc_id bigint"
+    )
+    assert _idbloom_maybe_ids(spark, path, fresh, 2) == []
+
+    reused = spark.createDataFrame([(310,)], "doc_id bigint")
+    maybe = _idbloom_maybe_ids(spark, path, reused, 2)
+    assert maybe == [310]
+    with pytest.raises(RuntimeError, match="re-sends doc_id"):
+        sink(docs.where(F.col("doc_id") == 310), 2)
+
+    # (c) a generation without its bloom row -> full fallback (None)
+    import shutil
+
+    shutil.rmtree(f"{path}/idbloom/batch_id=1")
+    assert _idbloom_maybe_ids(spark, path, fresh, 2) is None
+    with pytest.raises(RuntimeError, match="re-sends doc_id"):
+        sink(docs.where(F.col("doc_id") == 310), 2)  # still fails closed
+    # replaying batch 1 heals its bloom partition
+    sink(docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)), 1)
+    assert _idbloom_maybe_ids(spark, path, fresh, 2) == []
+
+    # (d) erased ids linger in the bloom (maybe-hit) but the narrow
+    # doclens probe finds nothing — the uniqueness gate passes a batch
+    # carrying the erased id, exactly as the pre-bloom full anti-join
+    # did (re-ADMISSION still belongs to upsert_docs, whose
+    # resurrection markers keep compaction sound — unchanged contract)
+    delete_docs(spark, path, [310])
+    assert _idbloom_maybe_ids(spark, path, reused, 2) == [310]
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        _check_new_doc_ids,
+    )
+
+    _check_new_doc_ids(
+        spark, path, docs.where(F.col("doc_id") == 310), 3
+    )  # no raise: the id is gone from doclens
+    from eventstream_fanout_spark.streaming.text_ingest import upsert_docs
+
+    upsert_docs(
+        spark,
+        path,
+        docs.where(F.col("doc_id") == 310).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" anew")).alias("text"),
+        ),
+        batch_id=3,
+    )  # lawful re-admission (resurrection marker written)
+
+    # (e) compaction rebuilds blooms exactly per surviving generation
+    compact_text_index(spark, path, upto_batch_id=10)
+    gens = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/idbloom")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    dl_gens = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/doclens")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert gens == dl_gens
+    assert _idbloom_maybe_ids(spark, path, fresh, 99) == []
+    with pytest.raises(RuntimeError, match="re-sends doc_id"):
+        sink(docs.where(F.col("doc_id") == 310), 99)

@@ -196,7 +196,7 @@ def main():
         )
     )
 
-    need_text = MODES & {"probe", "hotterm", "maint"}
+    need_text = MODES & {"probe", "hotterm", "maint", "ingestgate"}
     need_ann = MODES & {"probe", "filtered", "maint"}
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
     tpath, apath = f"{tmp}/tidx", f"{tmp}/ann"
@@ -377,6 +377,33 @@ def main():
             lambda: bm25_topk_bounded(
                 spark, tpath, RARE_TERMS, 10, 0.5
             ).collect()
+        )
+
+    if "ingestgate" in MODES:
+        import shutil
+
+        from eventstream_fanout_spark.streaming import text_ingest as ti
+        from eventstream_fanout_spark.streaming.text_ingest import (
+            _check_new_doc_ids,
+        )
+
+        # ids beyond any replica stride (k * OFFSET + doc_id)
+        fresh = spark.range(
+            100_000_000_000, 100_000_005_000
+        ).select(F.col("id").alias("doc_id"))
+        res["gate_auto_s"] = timed(
+            lambda: _check_new_doc_ids(spark, tpath, fresh, 7)
+        )
+        saved = ti._IDBLOOM_MIN_CORPUS
+        ti._IDBLOOM_MIN_CORPUS = 0  # force the bloom path
+        res["gate_bloom_forced_s"] = timed(
+            lambda: _check_new_doc_ids(spark, tpath, fresh, 7)
+        )
+        ti._IDBLOOM_MIN_CORPUS = saved
+        # remove the blooms: the gate falls back to the full anti-join
+        shutil.rmtree(f"{tpath}/idbloom")
+        res["gate_fullscan_s"] = timed(
+            lambda: _check_new_doc_ids(spark, tpath, fresh, 7)
         )
 
     if "substr" in MODES:
