@@ -40,79 +40,71 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- round-11 window.  NOTE: round 10 produced no CORRECTNESS
-    # artifact (the rotation commit landed but the driver gate never
-    # recorded), so the r4-stale block below is still unproven and
-    # stays.  Slots 1-10: round-11 NEW queries (rule g). ---
-    "ann_filtered_live_sim",
-    "ann_recall_after_churn",
-    "ann_index_refit_sim",
-    "bm25_filtered_search",
-    "hybrid_filtered_search_rrf",
-    "streaming_upsert_sim",
-    "ann_pq_filtered_batch_topk",
-    "bm25_filtered_batch_search",
-    "ann_filtered_asof_sim",
-    "text_filtered_asof_probe",
-    # --- slots 11-27: round-11 CHANGED plans — the correction-commit
-    # guard entered every BM25 probe, the fitted-oracle Lloyd
-    # generator was refactored, upserts pass attr columns through,
-    # and the shared ANN attrs store gained the lang column. ---
-    "bm25_keyword_search",
-    "bm25_batch_search",
-    "bm25_hot_term_bound",
-    "text_index_ingest_sim",
-    "text_index_delete_sim",
-    "text_index_upsert_sim",
-    "ann_pq_filtered_topk",
-    "ann_index_upsert_sim",
-    "ann_index_asof_sim",
-    "ann_ivf_fitted_topk",
-    "ann_pq_persisted_fitted_topk",
-    "hybrid_search_rrf",
-    "hybrid_batch_search_rrf",
-    "curated_ingest_pipeline",
-    "curated_erasure_sim",
-    "streaming_erasure_sim",
-    "incremental_dedup_sim",
-    # --- slots 28-50: the round-4-only greens (the oldest stale
-    # evidence block, alphabetical), carried from the unproven
-    # round-10 window; the four late round-11 additions displaced
-    # vocab_coverage, wav_audio_decode (judge-spot-checked green in
-    # r9), winsorized_values + zorder_layout_key to round 12. ---
-    "lsh_bucket_stats",
-    "media_header_parse",
-    "minhash_accuracy_report",
-    "neardup_edit_distance_verify",
-    "neardup_graph_triangles",
-    "pii_redaction",
-    "png_image_decode",
-    "q20_promotion_suppliers",
-    "repetition_profile",
-    "scd2_dimension_history",
-    "scd2_point_in_time_join",
-    "schema_drift_report",
-    "sequence_packing",
-    "source_reputation_profile",
-    "stream_session_window_watermark",
-    "table_profile",
-    "text_normalization_roundtrip",
-    "tfidf_top_terms",
-    "theta_sketch_user_sets",
-    "token_rarity_score",
-    "unpivot_event_matrix",
-    "url_canonical_dedup",
-    "variant_props_extract",
+    # --- ROUND-12 window.  Slots 1-2 are reserved for this round's
+    # NEW queries (attr-schema-evolution sim + streaming filtered
+    # soak sim, per VERDICT r11 items 4+8) and are prepended when
+    # they land.  Remaining slots: the oldest stale evidence, per the
+    # generated census (tools/rotation_bullet.py after r11 landed
+    # 50/50 green): the 4 remaining r4-only greens, then the full
+    # 44-query r5-only block, alphabetical. ---
+    "vocab_coverage",
+    "wav_audio_decode",
+    "winsorized_values",
+    "zorder_layout_key",
+    "above_nation_avg_balance",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_multiprobe_topk",
+    "anti_join_customers_no_urgent_orders",
+    "approx_distinct_users",
+    "bigram_lift_top",
+    "bpe_merge_candidates",
+    "cdc_variant_props",
+    "corpus_clean_pipeline",
+    "count_star",
+    "deterministic_sample",
+    "dq_expectations_report",
+    "embedding_lsh_near_pairs",
+    "filter_pushdown_scan",
+    "flagship_enrich",
+    "incremental_mv_maintenance",
+    "json_extract_props",
+    "mad_outlier_report",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_dups",
+    "null_reject_filter",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "rollup_nation_segment",
+    "salted_join_counts",
+    "semantic_cluster_diversity_sample",
+    "session_concurrency_sweep",
+    "set_ops_purchasers_vs_errors",
+    "simhash_near_pairs",
+    "sort_limit_latest",
+    "stratified_sample_20_per_type",
+    "timestamp_parse",
+    "training_export_pipeline",
+    "trigram_novelty_score",
+    "union_intersect_users",
+    "weighted_systematic_sample",
 ]
 
-# ROUND-12 ROTATION PLAN (generated census: tools/rotation_bullet.py —
+# ROUND-13 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
-# bullet).  Assuming CORRECTNESS_r11 lands green, the remaining stale
-# evidence, oldest first: the 45 round-5-only greens (alphabetical,
-# above_nation_avg_balance .. weighted_systematic_sample — none made
-# this window except the changed-plan rows), then the round-6 rows
-# (alphabetical).  Fill round 12's slots with any new/changed queries
-# first, then ~45 of the round-5 block, keeping the list at <= 50.
+# bullet).  Assuming CORRECTNESS_r12 lands green, the remaining stale
+# evidence, oldest first: the 44 round-6-only greens (alphabetical,
+# ann_batch_topk .. window_tumbling_10m), then the 39 round-7 rows.
+# Fill round 13's slots with any new/changed queries first, then the
+# r6 block, keeping the list at <= 50.  VERIFY THE ARTIFACT RECORDS
+# (round 10's window was silently lost).
 
 
 def ordered_queries() -> dict[str, QuerySpec]:
