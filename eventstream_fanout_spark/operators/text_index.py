@@ -149,9 +149,6 @@ def build_text_index(
     vocab = postings.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    write_idbloom(
-        spark, index_path, dl.select("doc_id"), FROZEN_BATCH_ID
-    )
     for rel, name in ((postings, "postings"), (dl, "doclens"),
                       (vocab, "vocab"), (batch_stats(dl), "stats")):
         (
@@ -161,6 +158,30 @@ def build_text_index(
             .partitionBy("batch_id")
             .parquet(f"{index_path}/{name}")
         )
+    # Bloom LAST, from the just-written artifacts instead of the live
+    # tokenization subtree (ADVICE r11: the old bloom-first call
+    # re-computed the explode once for the count and once for the
+    # rows): ids come from the written doclens generation (a
+    # partition-pruned two-column scan) and m from the written stats
+    # row (one row).  A crash before this write leaves the generation
+    # bloom-less, which the ingest gate detects and answers with the
+    # full fallback scan — the same conservative ordering as the sink.
+    written_dl = spark.read.parquet(f"{index_path}/doclens").where(
+        F.col("batch_id") == FROZEN_BATCH_ID
+    )
+    n_docs = int(
+        spark.read.parquet(f"{index_path}/stats")
+        .where(F.col("batch_id") == FROZEN_BATCH_ID)
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()[0]["n"]
+    )
+    write_idbloom(
+        spark,
+        index_path,
+        written_dl.select("doc_id"),
+        FROZEN_BATCH_ID,
+        n_docs=n_docs,
+    )
 
 
 def bm25_score_expr() -> F.Column:
@@ -1150,11 +1171,20 @@ def idbloom_rows(ids: DataFrame, m: int) -> DataFrame:
 
 
 def write_idbloom(
-    spark: SparkSession, index_path: str, ids: DataFrame, batch_id: int
+    spark: SparkSession,
+    index_path: str,
+    ids: DataFrame,
+    batch_id: int,
+    n_docs: int | None = None,
 ) -> None:
     """Persist one generation's id bloom (dynamic partition overwrite
-    — replay overwrites only itself, like every other store table)."""
-    n = ids.count()
+    — replay overwrites only itself, like every other store table).
+
+    ``n_docs`` sizes the filter; pass a count the caller already
+    materialized (the generation's stats row) to avoid a duplicate
+    pass over ``ids`` on the hot write path (ADVICE r11).  An
+    over-estimate is safe (larger m → lower false-positive rate)."""
+    n = int(n_docs) if n_docs is not None else ids.count()
     (
         idbloom_rows(ids, idbloom_m(n))
         .withColumn("batch_id", F.lit(int(batch_id)))

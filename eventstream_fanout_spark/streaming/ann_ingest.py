@@ -60,6 +60,35 @@ def _attr_data_cols(attrs_store: DataFrame) -> list[str]:
     ]
 
 
+def _require_attr_cols(
+    spark: SparkSession, index_path: str, df: DataFrame, op: str
+) -> None:
+    """Raise if the index carries an attrs store whose metadata
+    columns ``df`` does not supply.  The sink performs this check
+    anyway, but destructive multi-phase ops (upsert) must run it
+    BEFORE their erase phase (ADVICE r11): a batch missing attr
+    columns would otherwise raise only after the old rows are gone,
+    leaving the upserted vectors fully absent from the index — a
+    state no probe guard can see (ADC membership is statistics-free)
+    and one the documented re-run heal cannot fix (the re-run fails
+    at the same point forever)."""
+    from .compaction import read_store_or_none
+
+    attrs_store = read_store_or_none(spark, f"{index_path}/attrs")
+    if attrs_store is None:
+        return
+    missing = [
+        c for c in _attr_data_cols(attrs_store) if c not in df.columns
+    ]
+    if missing:
+        raise RuntimeError(
+            f"{op}: the index at {index_path} carries a filterable "
+            f"attr store with column(s) {missing} the batch does not "
+            "supply — refusing BEFORE the erase phase so the old "
+            "rows stay servable; carry the attr columns on the batch"
+        )
+
+
 def streaming_ann_index_sink(index_path: str):
     """``foreachBatch`` callback: encode each micro-batch of
     ``(vec_id, embedding)`` rows against the stored quantizer and
@@ -266,6 +295,9 @@ def upsert_vectors(
     serves an unreproducible one."""
     from .compaction import erase_rows, read_store_or_none
 
+    # attr-column presence is validated BEFORE any destructive phase
+    # (ADVICE r11) — see _require_attr_cols
+    _require_attr_cols(spark, index_path, new_vectors, "upsert_vectors")
     ids = [
         int(r["vec_id"])
         for r in new_vectors.select("vec_id").distinct().collect()
@@ -398,11 +430,25 @@ def refit_index(
     stage_p, parked_p = jvm.Path(stage), jvm.Path(parked)
     fs = live_p.getFileSystem(conf)
 
+    # Hadoop FileSystem.rename reports failure by returning false,
+    # not raising — an unchecked false would leave the swap half-done
+    # while this function reports success (ADVICE r11): probes would
+    # silently keep serving the stale quantizer, or worse the parked
+    # old index would be deleted below with the new one never moved
+    # in.  Check every return and fail loudly.
+    def _rename(src_p, dst_p, why: str) -> None:
+        if not fs.rename(src_p, dst_p):
+            raise RuntimeError(
+                f"refit_index: rename {src_p} -> {dst_p} failed "
+                f"({why}); index left as-is — re-run the same call "
+                f"to recover"
+            )
+
     # recovery preamble (see crash contract above)
     if fs.exists(parked_p):
         if not fs.exists(live_p):
             # crashed between the renames: restore, then refit fresh
-            fs.rename(parked_p, live_p)
+            _rename(parked_p, live_p, "restore parked live index")
         else:
             # crashed after the swap, before cleanup
             fs.delete(parked_p, True)
@@ -444,7 +490,14 @@ def refit_index(
         .partitionBy("batch_id")
         .parquet(f"{stage}/upserts")
     )
-    # the swap: old index parked, staged index in, park deleted
-    fs.rename(live_p, parked_p)
-    fs.rename(stage_p, live_p)
+    # the swap: old index parked, staged index in, park deleted —
+    # the park is only deleted after verifying the staged index
+    # actually landed at the live path
+    _rename(live_p, parked_p, "park old index")
+    _rename(stage_p, live_p, "install staged index")
+    if not fs.exists(live_p):
+        raise RuntimeError(
+            f"refit_index: staged index did not land at {index_path} "
+            f"after rename; parked copy kept at {parked}"
+        )
     fs.delete(parked_p, True)

@@ -35,19 +35,24 @@ def read_store_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     (ADVICE r9 item 1): swallowing it would fail OPEN, silently
     disabling whatever guard or dedup check the caller builds from the
     artifact.  One shared classification so the generational stores
-    cannot drift apart on what "missing" means."""
-    from pyspark.errors import AnalysisException
+    cannot drift apart on what "missing" means.
 
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as exc:
-        get_cond = getattr(exc, "getCondition", None) or getattr(
-            exc, "getErrorClass", None
-        )
-        err_class = get_cond() if get_cond is not None else None
-        if err_class != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(exc):
-            raise
+    The missing-path case is decided by a Hadoop ``FileSystem.exists``
+    call instead of catching PATH_NOT_FOUND (VERDICT r11 item 2): the
+    exception path made the JVM log a full stack trace for ordinary
+    "store not created yet" control flow, polluting bench/driver
+    stdout; the exists() probe is one namenode RPC and keeps the
+    fail-closed contract — a path that exists but cannot be read
+    still raises through ``spark.read``."""
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    p = jvm.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
         return None
+    return spark.read.parquet(path)
 
 
 def compact_generations(

@@ -146,11 +146,25 @@ def streaming_text_index_sink(
         # clash); replay overwrites it like every other partition.
         from ..operators.text_index import write_idbloom
 
+        # m is sized from the just-written stats row (one-row
+        # partition-pruned read) instead of a second count pass over
+        # the micro-batch (ADVICE r11); zero-token docs make it a
+        # slight under-estimate of the distinct-id count, which only
+        # nudges the false-positive rate — over-approximation stays
+        # safe by construction.
+        n_docs = int(
+            spark.read.parquet(f"{index_path}/stats")
+            .where(F.col("batch_id") == int(batch_id))
+            .agg(F.sum("n_docs").alias("n"))
+            .collect()[0]["n"]
+            or 0
+        )
         write_idbloom(
             spark,
             index_path,
             batch_df.select("doc_id").distinct(),
             int(batch_id),
+            n_docs=max(n_docs, 1),
         )
 
     return process
@@ -189,10 +203,13 @@ def _idbloom_maybe_ids(
 
     stats = _read_or_none(spark, f"{index_path}/stats")
     if stats is not None:
+        # LIVE corpus size: sum ALL rollup rows, negative erasure-
+        # correction generations included (ADVICE r11) — summing only
+        # the structural rows over-states the corpus after deletes and
+        # would engage the bloom path (with its ~1.9 s flat driver
+        # overhead) below the measured ~5e7-doc crossover.
         n_docs = (
-            stats.where(F.col("n_docs") >= 0)
-            .agg(F.sum("n_docs").alias("n"))
-            .collect()[0]["n"]
+            stats.agg(F.sum("n_docs").alias("n")).collect()[0]["n"]
         ) or 0
         if n_docs < _IDBLOOM_MIN_CORPUS:
             return None  # measured crossover: the full scan is cheaper
@@ -695,6 +712,27 @@ def upsert_docs(
             "streaming_text_index_sink instead (mixing inserts into "
             "an upsert batch would break its replay marker)"
         )
+    # Attr-column presence is validated BEFORE the destructive delete
+    # phase (ADVICE r11): the sink's own check fires only after
+    # delete_docs has removed the old rows, leaving the upserted docs
+    # fully absent and the documented re-run heal failing at the same
+    # point forever.  Refuse up front so the old rows stay servable.
+    attrs_store0 = _read_or_none(spark, f"{index_path}/attrs")
+    if attrs_store0 is not None:
+        acols = [
+            c
+            for c in attrs_store0.columns
+            if c not in ("tok", "doc_id", "batch_id")
+        ]
+        missing = [c for c in acols if c not in new_docs.columns]
+        if missing:
+            raise RuntimeError(
+                f"upsert_docs: the index at {index_path} carries a "
+                f"filterable attr store with column(s) {missing} the "
+                "batch does not supply — refusing BEFORE the delete "
+                "phase so the old rows stay servable; carry the attr "
+                "columns on the batch"
+            )
     rewritten = delete_docs(spark, index_path, ids)
     # pass new_docs whole: the sink tokenizes (doc_id, text) and, when
     # the index carries an attr store, requires the attr columns on
