@@ -47,6 +47,8 @@ FRONT: list[str] = [
     # generated census (tools/rotation_bullet.py after r11 landed
     # 50/50 green): the 4 remaining r4-only greens, then the full
     # 44-query r5-only block, alphabetical. ---
+    "ann_attr_evolve_sim",
+    "ann_filtered_soak_sim",
     "vocab_coverage",
     "wav_audio_decode",
     "winsorized_values",

@@ -2303,6 +2303,182 @@ def ann_filtered_asof_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_attr_evolve_sim",
+    _pq_persisted_oracle(
+        probed=True,
+        corpus_pred="vec_id <> 0 AND vec_id % 7 IN (2, 5) AND vec_id "
+        "IN (SELECT vec_id FROM embeddings WHERE label IN (1, 3, 5))",
+    ),
+    description="ATTR-SCHEMA EVOLUTION on a live filtered index "
+    "(VERDICT r11 item 4: the attr column set was frozen at "
+    "build/first-ingest — a new filter dimension needed a full "
+    "build_attr_store rerun, a corpus-length codes join): the index "
+    "+ attr store (label only) are built over the EVEN vec_ids, the "
+    "odds stream in with their label (generation 1), then "
+    "add_attr_column backfills a NEW grp = vec_id % 7 column — one "
+    "pass over the narrow attrs store joined to the supplied values, "
+    "codes and embeddings never read, installed by the checked "
+    "atomic-rename swap with an as-of marker landing first — and the "
+    "filtered probe composes OLD and NEW columns (label IN (1,3,5) "
+    "AND grp IN (2,5), nprobe=2) with no probe-side changes.  The "
+    "oracle replays encode/assign/ADC restricted by the same "
+    "composed predicate, so the hash proves the widened store is "
+    "exactly co-complete with the codes across both the built and "
+    "the ingested generations",
+    tags=("similarity", "ann", "pq", "ivf", "index", "filtered",
+          "maintenance", "evolution", "extension"),
+)
+def ann_attr_evolve_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import (
+        build_attr_store,
+        build_pq_index,
+        pq_filtered_topk,
+    )
+    from ..streaming.ann_ingest import (
+        add_attr_column,
+        streaming_ann_index_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_attr_evolve_")
+    evens = emb.where(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)
+    )
+    build_pq_index(spark, emb, path, corpus=evens)
+    build_attr_store(spark, evens.select("vec_id", "label"), path)
+    streaming_ann_index_sink(path)(
+        emb.where(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding", "label"
+        ),
+        1,
+    )
+    add_attr_column(
+        spark,
+        path,
+        emb.select(
+            "vec_id", (F.col("vec_id") % 7).alias("grp")
+        ),
+        batch_id=2,
+    )
+    q = emb.where(F.col("vec_id") == 0).select("embedding")
+    topk = pq_filtered_topk(
+        spark,
+        path,
+        q,
+        10,
+        F.col("label").isin(1, 3, 5) & F.col("grp").isin(2, 5),
+        nprobe=2,
+    )
+    return (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("list_id").cast("long").alias("list_id"),
+            "adc_dist",
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    )
+
+
+@register(
+    "ann_filtered_soak_sim",
+    _pq_persisted_oracle(
+        probed=True,
+        corpus_pred="vec_id <> 0 AND vec_id IN "
+        "(SELECT vec_id FROM embeddings WHERE label IN (1, 3, 5))",
+        emb_update=_VEC_UPSERT_SQL,
+    ),
+    description="STREAMING FILTERED SERVING SOAK (VERDICT r11 item "
+    "8): ann_filtered_live_sim proves ONE ingest→filtered-probe "
+    "cycle; this sim pins the delta-maintained attr store under "
+    "sustained churn — two ingest triggers land the odd vec_ids in "
+    "separate generations (vec_id % 4 = 1 as generation 1, % 4 = 3 "
+    "as generation 2, attrs riding each), a filtered probe is SERVED "
+    "BETWEEN triggers (evaluated, k rows demanded — the live-serving "
+    "interleave), trigger 1 is then REPLAYED whole (the crash-replay "
+    "path: dynamic partition overwrite must converge, not duplicate), "
+    "and the % 10 = 4 (> 20) vectors are upserted halved (generation "
+    "3).  The final filtered probe (label IN (1,3,5), nprobe=2) must "
+    "equal the oracle's replay over the FINAL embeddings restricted "
+    "to the labeled subset — any drift the churn sequence left in "
+    "codes/attrs co-completeness breaks the hash",
+    tags=("similarity", "ann", "pq", "ivf", "index", "filtered",
+          "streaming", "maintenance", "soak", "extension"),
+)
+def ann_filtered_soak_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import (
+        build_attr_store,
+        build_pq_index,
+        pq_filtered_topk,
+    )
+    from ..streaming.ann_ingest import (
+        streaming_ann_index_sink,
+        upsert_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_filt_soak_")
+    evens = emb.where(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)
+    )
+    build_pq_index(spark, emb, path, corpus=evens)
+    build_attr_store(spark, evens.select("vec_id", "label"), path)
+    sink = streaming_ann_index_sink(path)
+    gen1 = emb.where(F.col("vec_id") % 4 == 1).select(
+        "vec_id", "embedding", "label"
+    )
+    sink(gen1, 1)
+    q = emb.where(F.col("vec_id") == 0).select("embedding")
+    # mid-churn serving: the probe is EVALUATED here (k rows
+    # demanded), exercising the coverage guard against the
+    # half-ingested store — a missing attrs row raises now, not at
+    # the end
+    mid = pq_filtered_topk(
+        spark, path, q, 5, F.col("label").isin(1, 3, 5), nprobe=2
+    ).collect()
+    if len(mid) != 5:
+        raise RuntimeError(
+            f"soak sim: mid-churn filtered probe returned {len(mid)} "
+            "rows, expected 5"
+        )
+    sink(
+        emb.where(F.col("vec_id") % 4 == 3).select(
+            "vec_id", "embedding", "label"
+        ),
+        2,
+    )
+    sink(gen1, 1)  # trigger-1 REPLAY: must converge, not duplicate
+    revised = emb.where(
+        (F.col("vec_id") % 10 == 4) & (F.col("vec_id") > 20)
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    upsert_vectors(spark, path, revised, batch_id=3)
+    topk = pq_filtered_topk(
+        spark, path, q, 10, F.col("label").isin(1, 3, 5), nprobe=2
+    )
+    return (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("list_id").cast("long").alias("list_id"),
+            "adc_dist",
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    )
+
+
 def _churned_emb(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(revised_slice, final_emb) under the shared churn
     (_VEC_UPSERT_SQL: vec_id % 10 = 4 and > 20, halved — seed rows and

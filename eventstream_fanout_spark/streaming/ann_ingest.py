@@ -501,3 +501,167 @@ def refit_index(
             f"after rename; parked copy kept at {parked}"
         )
     fs.delete(parked_p, True)
+
+
+def add_attr_column(
+    spark: SparkSession,
+    index_path: str,
+    values: DataFrame,
+    batch_id: int,
+) -> None:
+    """ATTR-SCHEMA EVOLUTION on a live filtered index (VERDICT r11
+    item 4): give the attrs side store a NEW filterable column without
+    rebuilding the index or rescanning codes/embeddings.  Before this
+    op the attr column set was frozen at ``build_attr_store``/first
+    ingest — a 100 TB index gaining a filter dimension needed a full
+    ``build_attr_store`` rerun (a corpus-length codes join).
+
+    ``values`` is ``(vec_id, <new column(s)...>)``.  The backfill
+    joins the EXISTING attrs rows (which already carry their
+    ``(batch_id, list_id)`` layout — the codes table is never read)
+    against ``values`` on ``vec_id`` and rewrites the attrs store
+    with the widened schema.  Cost ∝ the attrs store — the narrow
+    metadata side — never the codes or the embedding corpus.
+
+    Fail-closed coverage, both directions that matter: every live
+    attrs row must find its value (a missing one raises via the
+    per-row when-owned assert — a silently-NULL attr would make every
+    filtered probe on the new column drop the vector); a ``values``
+    row for an unknown vec_id is ignored (over-supplying is safe, the
+    build_attr_store stance).  A column name colliding with an
+    existing attr or layout column raises.
+
+    Atomic swap (the refit_index pattern): the widened store is
+    staged as a sibling directory and installed by checked renames —
+    probes see the old schema or the new one, never a partition mix
+    (a half-rewritten store would serve the new column as NULL for
+    unrewritten partitions under parquet schema merging: exactly the
+    silent-drop failure the coverage assert exists to prevent).
+
+    Marker FIRST (the upsert_vectors stance): a ``(n_ids=-2,
+    batch_id)`` row lands in the ``upserts`` marker table before the
+    stage, so as-of probes below the evolve generation REFUSE — the
+    backfill writes the new column into every historical generation's
+    attrs rows, so a pre-evolve as-of view filtered on the new column
+    would be a state that never existed.  A crash after the marker
+    refuses some reproducible probes (conservative), never serves an
+    unreproducible one; re-running the SAME call converges (marker
+    overwrite is idempotent, the stage is deterministic, the recovery
+    preamble handles both rename crash windows).
+
+    Single-writer maintenance-window contract, like every
+    store-rewriting op."""
+    from py4j.java_gateway import java_import
+
+    from .compaction import read_store_or_none
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark._jsc.hadoopConfiguration()
+    live_p = jvm.Path(f"{index_path}/attrs")
+    stage = f"{index_path}/attrs.evolve_stage"
+    parked = f"{index_path}/attrs.pre_evolve"
+    stage_p, parked_p = jvm.Path(stage), jvm.Path(parked)
+    fs = live_p.getFileSystem(conf)
+
+    def _rename(src_p, dst_p, why: str) -> None:
+        if not fs.rename(src_p, dst_p):
+            raise RuntimeError(
+                f"add_attr_column: rename {src_p} -> {dst_p} failed "
+                f"({why}); re-run the same call to recover"
+            )
+
+    # recovery preamble FIRST (the refit_index crash contract): a
+    # crash between the swap renames leaves the live attrs path
+    # missing and the old store parked — restore it before any read
+    if fs.exists(parked_p):
+        if not fs.exists(live_p):
+            _rename(parked_p, live_p, "restore parked attrs store")
+        else:
+            fs.delete(parked_p, True)
+    if fs.exists(stage_p):
+        fs.delete(stage_p, True)
+
+    attrs = read_store_or_none(spark, f"{index_path}/attrs")
+    if attrs is None:
+        raise RuntimeError(
+            f"add_attr_column: no attrs store at {index_path}/attrs — "
+            "bootstrap one with build_attr_store before evolving it"
+        )
+    new_cols = [c for c in values.columns if c != "vec_id"]
+    if not new_cols:
+        raise RuntimeError(
+            "add_attr_column: values must carry (vec_id, <new "
+            "column(s)>) — got only vec_id"
+        )
+    clash = [c for c in new_cols if c in attrs.columns]
+    if clash:
+        raise RuntimeError(
+            f"add_attr_column: column(s) {clash} already exist on the "
+            f"attrs store at {index_path} — evolution is additive; "
+            "upsert values through upsert_vectors instead"
+        )
+
+    # marker FIRST (see docstring); n_ids=-2 tags the evolve
+    # generation (refit uses -1, upserts the non-negative id count) —
+    # the as-of guard keys on max(batch_id) only, so the tag is
+    # diagnostic
+    (
+        spark.createDataFrame(
+            [(-2, int(batch_id))], "n_ids int, batch_id int"
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_path}/upserts")
+    )
+
+    tagged = values.withColumn("_present", F.lit(1))
+    joined = attrs.join(tagged, "vec_id", "left")
+    # per-row when-owned assert (the build_attr_store guard shape):
+    # the null branch OWNS the assert so it cannot constant-fold away
+    guarded_list = F.when(
+        F.col("_present").isNull(),
+        F.assert_true(
+            F.col("_present").isNotNull(),
+            F.concat(
+                F.lit("add_attr_column: live attrs row vec_id="),
+                F.col("vec_id").cast("string"),
+                F.lit(
+                    " has no value for the new column(s) — a filtered "
+                    "probe on them would silently drop it; supply a "
+                    "value for every indexed vector"
+                ),
+            ),
+        ).cast("long"),
+    ).otherwise(F.col("list_id"))
+    try:
+        (
+            joined.select(
+                "vec_id",
+                guarded_list.alias("list_id"),
+                "batch_id",
+                *[c for c in attrs.columns
+                  if c not in ("vec_id", "list_id", "batch_id")],
+                *new_cols,
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "list_id")
+            .parquet(stage)
+        )
+    except Exception:
+        # a refused stage (coverage assert, executor loss) must not
+        # linger: the live store is untouched and still servable, so
+        # drop the partial sibling instead of leaving it for the next
+        # run's preamble
+        if fs.exists(stage_p):
+            fs.delete(stage_p, True)
+        raise
+    _rename(live_p, parked_p, "park old attrs store")
+    _rename(stage_p, live_p, "install widened attrs store")
+    if not fs.exists(live_p):
+        raise RuntimeError(
+            f"add_attr_column: widened attrs store did not land at "
+            f"{index_path}/attrs; parked copy kept at {parked}"
+        )
+    fs.delete(parked_p, True)

@@ -1559,3 +1559,98 @@ def test_filtered_asof_refusals_compose(spark, tmp_path):
             spark, tpath, ["spark", "join"], 10, F.col("lang") == "en",
             upto_batch_id=0,
         ).collect()
+
+
+def test_add_attr_column_evolution_contracts(spark, tmp_path):
+    """add_attr_column (VERDICT r11 item 4): (a) the widened store
+    serves composed old+new-column filtered probes with no rebuild;
+    (b) a colliding column name refuses; (c) a values relation
+    missing a live vec_id refuses (coverage fail-closed) AND leaves
+    the old store servable (the refusal pre-empts the swap); (d)
+    as-of probes below the evolve generation refuse (the marker
+    lands first); (e) the crash window between the swap renames
+    heals on re-run."""
+    import os
+
+    import pytest
+
+    from eventstream_fanout_spark.operators.ann_index import (
+        build_attr_store,
+        pq_filtered_topk,
+    )
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        add_attr_column,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path)
+    corpus = emb.where(F.col("vec_id") != 0)
+    build_attr_store(spark, corpus.select("vec_id", "label"), path)
+
+    values = emb.select("vec_id", (F.col("vec_id") % 7).alias("grp"))
+
+    # (c) first — before any successful evolve: missing coverage
+    # refuses and the OLD store still serves label-filtered probes
+    with pytest.raises(Exception, match="has no value"):
+        add_attr_column(
+            spark, path, values.where(F.col("vec_id") % 3 != 1),
+            batch_id=1,
+        )
+    still = pq_filtered_topk(
+        spark, path, _query(spark), 5, F.col("label").isin(1, 3, 5),
+        nprobe=8,
+    ).collect()
+    assert len(still) == 5
+    assert not os.path.exists(f"{path}/attrs.evolve_stage")
+
+    # (a) the successful evolve: composed filter, no rebuild
+    add_attr_column(spark, path, values, batch_id=1)
+    got = pq_filtered_topk(
+        spark,
+        path,
+        _query(spark),
+        10,
+        F.col("label").isin(1, 3, 5) & F.col("grp").isin(2, 5),
+        nprobe=8,
+    ).collect()
+    assert 0 < len(got) <= 10
+    want_ids = {
+        r["vec_id"]
+        for r in corpus.where(
+            F.col("label").isin(1, 3, 5) & (F.col("vec_id") % 7).isin(2, 5)
+        ).collect()
+    }
+    assert all(r["vec_id"] in want_ids for r in got)
+
+    # (b) additive only — same name again refuses
+    with pytest.raises(Exception, match="already exist"):
+        add_attr_column(spark, path, values, batch_id=2)
+
+    # (d) the marker landed first: as-of below the evolve refuses
+    with pytest.raises(Exception, match="below upsert generation"):
+        pq_probe_topk(
+            spark, path, _query(spark), 10, upto_batch_id=0
+        ).collect()
+
+    # (e) crash between the renames: attrs missing, park present —
+    # re-running the SAME call heals
+    os.rename(f"{path}/attrs", f"{path}/attrs.pre_evolve")
+    values2 = emb.select(
+        "vec_id", (F.col("vec_id") % 3).alias("tri")
+    )
+    add_attr_column(spark, path, values2, batch_id=3)
+    assert not os.path.exists(f"{path}/attrs.pre_evolve")
+    assert not os.path.exists(f"{path}/attrs.evolve_stage")
+    healed = pq_filtered_topk(
+        spark,
+        path,
+        _query(spark),
+        10,
+        F.col("grp").isin(2, 5) & (F.col("tri") == 0),
+        nprobe=8,
+    ).collect()
+    assert all(
+        r["vec_id"] % 7 in (2, 5) and r["vec_id"] % 3 == 0
+        for r in healed
+    )
