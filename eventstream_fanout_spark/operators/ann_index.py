@@ -267,6 +267,25 @@ def read_index(
     )
 
 
+def _manifest_rows(rows: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Restrict an index-layout relation (codes or attrs) to lists
+    present in the centroids table — the LIST MANIFEST invariant
+    (round 12, split_list): rows under a list_id the centroids table
+    does not name are not part of the index.  Integer-nprobe probes
+    enforce this for free (their coarse ranking only ever selects
+    manifest cids); exhaustive (nprobe=None) scans apply this
+    broadcast semi-join so that split_list's staged rewrites — new
+    lists written before the centroid-swap commit, the old list's
+    rows awaiting cleanup after it — are invisible at every probe
+    shape, in every crash window.  Cost: a ~k-row broadcast hash
+    semi-join riding the scan."""
+    return rows.join(
+        F.broadcast(centroids.select(F.col("cid").alias("_mcid"))),
+        F.col("list_id") == F.col("_mcid"),
+        "left_semi",
+    )
+
+
 def _codebook_guard(
     codebook: DataFrame,
     fields: tuple[tuple[str, str], ...] = (
@@ -504,11 +523,12 @@ def pq_batch_probe_topk(
     )
     coverage_guard = None
     if nprobe is None:
-        # every (query, stored vector) pair scores
-        base = codes
+        # every (query, stored vector) pair scores — restricted to
+        # the list manifest (split_list invariant, _manifest_rows)
+        base = _manifest_rows(codes, centroids)
         if attrs is not None:
             base, coverage_guard = _batch_filtered_restrict(
-                base, attrs, attr_pred
+                base, _manifest_rows(attrs, centroids), attr_pred
             )
         unpacked = base.select(
             "vec_id", F.posexplode(F.col("codes")).alias("s", "code")
@@ -632,6 +652,8 @@ def pq_probe_topk(
         codes = codes.join(
             F.broadcast(probes), F.col("list_id") == F.col("probe_cid")
         ).select("vec_id", "list_id", "codes")
+    else:
+        codes = _manifest_rows(codes, centroids)
     scored = adc_scores_from_index(codes, codebook, query)
     if asof_guard is not None:
         scored = scored.unionByName(asof_guard)
@@ -846,6 +868,9 @@ def pq_filtered_topk(
         attrs = attrs.join(
             F.broadcast(probes), F.col("list_id") == F.col("probe_cid")
         )
+    else:
+        codes = _manifest_rows(codes, centroids)
+        attrs = _manifest_rows(attrs, centroids)
     allowed = attrs.where(attr_pred).select("vec_id")
     uncovered = (
         codes.select("vec_id")

@@ -172,6 +172,7 @@ def ivf_fit_centroids(
     corpus: DataFrame,
     n_iters: int = 2,
     sample_mod: int = 1,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Fitted IVF coarse quantizer: Lloyd k-means iterations over a
     deterministic sample, initialized from the seed centroids — the
@@ -186,8 +187,13 @@ def ivf_fit_centroids(
     join.  ``sample_mod`` gates the fit to a 1/sample_mod sample (the
     standard sampled-k-means economy at 100 TB); empty clusters keep
     their previous centroid.  Deterministic: fixed init, fixed
-    iteration count, no RNG."""
-    cents = ivf_centroids(corpus)
+    iteration count, no RNG.
+
+    ``init`` overrides the seed-row initialization with any (cid, ce)
+    relation — the Lloyd loop is k-agnostic, so a caller can fit 2
+    centroids over one inverted list (split_list) with the same
+    deterministic machinery as the 8-way corpus fit."""
+    cents = ivf_centroids(corpus) if init is None else init
     sample = (
         corpus.where(F.col("vec_id") % sample_mod == 0)
         if sample_mod > 1

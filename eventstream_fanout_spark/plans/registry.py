@@ -40,15 +40,29 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- ROUND-12 window.  Slots 1-2 are reserved for this round's
-    # NEW queries (attr-schema-evolution sim + streaming filtered
-    # soak sim, per VERDICT r11 items 4+8) and are prepended when
-    # they land.  Remaining slots: the oldest stale evidence, per the
-    # generated census (tools/rotation_bullet.py after r11 landed
-    # 50/50 green): the 4 remaining r4-only greens, then the full
-    # 44-query r5-only block, alphabetical. ---
+    # --- ROUND-12 window.  Slots 1-3: this round's NEW queries
+    # (attr-schema evolution, streaming filtered soak, IVF list
+    # split — VERDICT r11 items 4, 8, 5).  Slots 4-12: CHANGED plans
+    # — the list-manifest semi-join entered every exhaustive
+    # (nprobe=None) ANN probe (split_list's commit invariant), so
+    # their old green rows no longer prove the shipped plan.
+    # Remaining slots: the oldest stale evidence per the generated
+    # census — the 4 r4-only greens, then the r5-only block
+    # alphabetical; the 10 displaced r5 names (session_concurrency_
+    # sweep .. weighted_systematic_sample) move to round 13's
+    # window. ---
     "ann_attr_evolve_sim",
     "ann_filtered_soak_sim",
+    "ann_list_split_sim",
+    "ann_pq_persisted_topk",
+    "ann_index_delete_sim",
+    "ann_index_upsert_sim",
+    "ann_index_ingest_sim",
+    "ann_recall_after_churn",
+    "ann_pq_fitted_codebook_topk",
+    "ann_index_compact_sim",
+    "ann_index_asof_sim",
+    "curated_multimodal_erasure_sim",
     "vocab_coverage",
     "wav_audio_decode",
     "winsorized_values",
@@ -87,26 +101,20 @@ FRONT: list[str] = [
     "rollup_nation_segment",
     "salted_join_counts",
     "semantic_cluster_diversity_sample",
-    "session_concurrency_sweep",
-    "set_ops_purchasers_vs_errors",
-    "simhash_near_pairs",
-    "sort_limit_latest",
-    "stratified_sample_20_per_type",
-    "timestamp_parse",
-    "training_export_pipeline",
-    "trigram_novelty_score",
-    "union_intersect_users",
-    "weighted_systematic_sample",
 ]
 
 # ROUND-13 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
 # bullet).  Assuming CORRECTNESS_r12 lands green, the remaining stale
-# evidence, oldest first: the 44 round-6-only greens (alphabetical,
-# ann_batch_topk .. window_tumbling_10m), then the 39 round-7 rows.
-# Fill round 13's slots with any new/changed queries first, then the
-# r6 block, keeping the list at <= 50.  VERIFY THE ARTIFACT RECORDS
-# (round 10's window was silently lost).
+# evidence, oldest first: the 10 r5-only names this window displaced
+# (session_concurrency_sweep, set_ops_purchasers_vs_errors,
+# simhash_near_pairs, sort_limit_latest, stratified_sample_20_per_type,
+# timestamp_parse, training_export_pipeline, trigram_novelty_score,
+# union_intersect_users, weighted_systematic_sample), then the 44
+# round-6-only greens (alphabetical, ann_batch_topk ..
+# window_tumbling_10m).  Fill round 13's slots with any new/changed
+# queries first, then those blocks, keeping the list at <= 50.
+# VERIFY THE ARTIFACT RECORDS (round 10's window was silently lost).
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

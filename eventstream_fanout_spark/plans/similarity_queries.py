@@ -2479,6 +2479,55 @@ def ann_filtered_soak_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_list_split_sim",
+    "SELECT vec_id, label, adc_dist FROM ("
+    + _pq_persisted_oracle(probed=False)
+    + ") ORDER BY adc_dist ASC, vec_id ASC",
+    description="IVF LIST-SKEW MAINTENANCE (VERDICT r11 item 5): the "
+    "hottest inverted list (computed from the stored codes — probe "
+    "cost is ∝ touched lists, so one skewed list re-creates the "
+    "linear-scan problem) is SPLIT into two by "
+    "streaming/ann_ingest.split_list — a LIST-length op (2-centroid "
+    "deterministic Lloyd over the members, codes copied unchanged, "
+    "the centroids table swapped as the atomic commit under the "
+    "list-manifest invariant) where the only previous remedy, "
+    "refit_index, is CORPUS-length.  The exhaustive probe after the "
+    "split must hash-equal the plain full-ADC oracle: PQ distances "
+    "are list-independent, so any vector the split lost, duplicated, "
+    "or left in the retired list breaks the match (the manifest "
+    "semi-join hides retired/staged lists from every probe shape).  "
+    "Routing quality (each member in its nearer new centroid's list) "
+    "is pinned by pytest",
+    tags=("similarity", "ann", "pq", "ivf", "index", "maintenance",
+          "skew", "extension"),
+)
+def ann_list_split_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import build_pq_index, pq_probe_topk
+    from ..streaming.ann_ingest import split_list
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_split_")
+    build_pq_index(spark, emb, path)
+    counts = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("list_id")
+        .count()
+        .collect()
+    )
+    hot = max(counts, key=lambda r: (r["count"], -r["list_id"]))
+    split_list(spark, path, int(hot["list_id"]), emb, batch_id=1)
+    q = emb.where(F.col("vec_id") == 0).select("embedding")
+    topk = pq_probe_topk(spark, path, q, 10, nprobe=None)
+    return (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "adc_dist")
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    )
+
+
 def _churned_emb(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(revised_slice, final_emb) under the shared churn
     (_VEC_UPSERT_SQL: vec_id % 10 = 4 and > 20, halved — seed rows and

@@ -665,3 +665,226 @@ def add_attr_column(
             f"{index_path}/attrs; parked copy kept at {parked}"
         )
     fs.delete(parked_p, True)
+
+
+def split_list(
+    spark: SparkSession,
+    index_path: str,
+    list_id: int,
+    emb: DataFrame,
+    batch_id: int,
+    n_iters: int = 2,
+) -> tuple[int, int] | None:
+    """IVF LIST-SKEW MAINTENANCE (VERDICT r11 item 5): split one hot
+    inverted list into two — probe cost is ∝ touched lists, so a
+    skewed corpus piling into one list re-creates the linear-scan
+    problem filtered/pruned search exists to avoid, and the only
+    previous remedy was :func:`refit_index`, a CORPUS-length
+    re-encode.  This op is LIST-length: it reads the one list's code
+    rows, fits 2 centroids over their (caller-supplied) embeddings,
+    and rewrites only that list's partitions.  Returns the two new
+    list ids, or None when the call is a replay after the commit
+    point (cleanup re-run).
+
+    ``emb`` supplies the authoritative embeddings for (at least) the
+    list's members — the store keeps 8-byte codes only (the PQ memory
+    contract), and a split needs real vectors twice: to FIT the two
+    replacement centroids (deterministic Lloyd via
+    ``ivf_fit_centroids(init=...)``, seeded with the member of
+    smallest vec_id and the member farthest from it) and to ASSIGN
+    each member to its nearer new centroid.  The PQ codes themselves
+    are list-independent and copy over unchanged — no re-encode.
+
+    Commit protocol — the LIST MANIFEST invariant (every probe shape
+    ignores rows under a list_id the centroids table does not name;
+    integer-nprobe probes get this from their coarse ranking,
+    exhaustive probes from ``_manifest_rows``):
+
+    1. as-of marker (``n_ids=-3``) — the split rewrites the list's
+       history (rows move to new list ids in every generation), so
+       as-of probes below the split generation refuse; conservative
+       under any later crash.
+    2. new-list codes + attrs partitions written under the members'
+       ORIGINAL generations (dynamic partition overwrite — replay
+       converges).  Invisible: the new cids are not in the manifest.
+    3. the centroids table swaps by checked atomic rename — old cid
+       out, two new cids in.  THE commit point: every probe flips
+       from the old list to the new pair in one metadata move.
+    4. cleanup: the old list's (generation, list) directories are
+       deleted.  Crash before this leaves invisible garbage only.
+
+    Replay: before the commit the old cid is still in the manifest,
+    so the re-run redoes 1-4 with identical content (same max-cid ⇒
+    same new cids; the fit is deterministic); after the commit the
+    old cid is gone and the re-run runs cleanup only (returns None).
+
+    Single-writer maintenance-window contract, like every
+    store-rewriting op."""
+    from py4j.java_gateway import java_import
+
+    from ..functions.vectors import cosine
+    from ..operators.similarity import ivf_assign, ivf_fit_centroids
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.Path(index_path).getFileSystem(conf)
+
+    def _rename(src_p, dst_p, why: str) -> None:
+        if not fs.rename(src_p, dst_p):
+            raise RuntimeError(
+                f"split_list: rename {src_p} -> {dst_p} failed "
+                f"({why}); re-run the same call to recover"
+            )
+
+    def _cleanup_old_list() -> None:
+        for table in ("codes", "attrs"):
+            tpath = f"{index_path}/{table}"
+            if not fs.exists(jvm.Path(tpath)):
+                continue
+            gens = [
+                r["batch_id"]
+                for r in spark.read.parquet(tpath)
+                .where(F.col("list_id") == int(list_id))
+                .select("batch_id")
+                .distinct()
+                .collect()
+            ]
+            for g in gens:
+                fs.delete(
+                    jvm.Path(f"{tpath}/batch_id={g}/list_id={list_id}"),
+                    True,
+                )
+
+    cent_live = f"{index_path}/centroids"
+    cent_stage = f"{index_path}/centroids.split_stage"
+    cent_park = f"{index_path}/centroids.pre_split"
+    live_p, stage_p, park_p = (
+        jvm.Path(cent_live), jvm.Path(cent_stage), jvm.Path(cent_park)
+    )
+    # recovery preamble: a crash between the centroid-swap renames
+    # leaves the live centroids missing and the old table parked
+    if fs.exists(park_p):
+        if not fs.exists(live_p):
+            _rename(park_p, live_p, "restore parked centroids")
+        else:
+            fs.delete(park_p, True)
+    if fs.exists(stage_p):
+        fs.delete(stage_p, True)
+
+    centroids = spark.read.parquet(cent_live)
+    cids = [int(r["cid"]) for r in centroids.select("cid").collect()]
+    if int(list_id) not in cids:
+        # replay after the commit point: finish the cleanup phase
+        _cleanup_old_list()
+        return None
+
+    codes = spark.read.parquet(f"{index_path}/codes")
+    members = codes.where(F.col("list_id") == int(list_id)).select(
+        "vec_id", "batch_id", "codes"
+    )
+    mvecs = members.select("vec_id").distinct().join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    n_members = members.select("vec_id").distinct().count()
+    n_vecs = mvecs.count()
+    if n_vecs < n_members:
+        raise RuntimeError(
+            f"split_list: emb supplies embeddings for {n_vecs} of the "
+            f"list's {n_members} members — the fit would mis-place "
+            "the missing vectors; supply every member's vector "
+            "(refusing before any write)"
+        )
+    if n_members < 2:
+        raise RuntimeError(
+            f"split_list: list {list_id} has {n_members} member(s) — "
+            "nothing to split"
+        )
+
+    # deterministic 2-seed init: the member of smallest vec_id, and
+    # the member farthest from it (minimum cosine — the assignment
+    # metric) — k-means++'s first two picks without RNG
+    c1, c2 = max(cids) + 1, max(cids) + 2
+    seed1 = mvecs.orderBy(F.asc("vec_id")).limit(1).select(
+        F.lit(c1).alias("cid"), F.col("embedding").alias("ce")
+    )
+    far = (
+        mvecs.crossJoin(
+            F.broadcast(seed1.select(F.col("ce").alias("_s1")))
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            cosine(F.col("embedding"), F.col("_s1")).alias("_d"),
+        )
+        .orderBy(F.asc("_d"), F.asc("vec_id"))
+        .limit(1)
+        .select(F.lit(c2).alias("cid"), F.col("embedding").alias("ce"))
+    )
+    fitted = ivf_fit_centroids(
+        mvecs, n_iters=n_iters, init=seed1.unionByName(far)
+    )
+
+    # 1. marker first (see protocol)
+    (
+        spark.createDataFrame(
+            [(-3, int(batch_id))], "n_ids int, batch_id int"
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_path}/upserts")
+    )
+
+    # 2. rewrite the list's rows under the new assignment — PQ codes
+    # copy over unchanged (list-independent); generations preserved
+    assign = ivf_assign(mvecs, fitted).withColumnRenamed(
+        "list_id", "_new_list"
+    )
+    (
+        members.join(assign, "vec_id")
+        .select(
+            "vec_id",
+            F.col("_new_list").alias("list_id"),
+            "codes",
+            "batch_id",
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "list_id")
+        .parquet(f"{index_path}/codes")
+    )
+    from .compaction import read_store_or_none
+
+    attrs = read_store_or_none(spark, f"{index_path}/attrs")
+    if attrs is not None:
+        (
+            attrs.where(F.col("list_id") == int(list_id))
+            .drop("list_id")
+            .join(assign.select("vec_id", "_new_list"), "vec_id")
+            .withColumnRenamed("_new_list", "list_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "list_id")
+            .parquet(f"{index_path}/attrs")
+        )
+
+    # 3. the commit: swap the centroids table (old cid out, new in)
+    (
+        centroids.where(F.col("cid") != int(list_id))
+        .unionByName(fitted.select("cid", "ce"))
+        .write.mode("overwrite")
+        .parquet(cent_stage)
+    )
+    _rename(live_p, park_p, "park old centroids")
+    _rename(stage_p, live_p, "install split centroids")
+    if not fs.exists(live_p):
+        raise RuntimeError(
+            f"split_list: split centroids did not land at {cent_live};"
+            f" parked copy kept at {cent_park}"
+        )
+    fs.delete(park_p, True)
+
+    # 4. cleanup the now-unreferenced old-list partitions
+    _cleanup_old_list()
+    return c1, c2

@@ -1654,3 +1654,113 @@ def test_add_attr_column_evolution_contracts(spark, tmp_path):
         r["vec_id"] % 7 in (2, 5) and r["vec_id"] % 3 == 0
         for r in healed
     )
+
+
+def test_split_list_membership_routing_and_replay(spark, tmp_path):
+    """split_list (VERDICT r11 item 5): (a) membership through the
+    split is exact — the exhaustive probe equals the pre-split probe
+    bit-for-bit (codes are list-independent, the manifest hides the
+    rewrite); (b) the split list's members land in the two new lists
+    and each member sits in its nearer new centroid's list; (c) probes
+    with integer nprobe serve across the split; (d) replay after the
+    commit point is cleanup-only (returns None) and converges; (e)
+    as-of below the split generation refuses; (f) a member without a
+    supplied embedding refuses before any write."""
+    import pytest
+
+    from eventstream_fanout_spark.functions.vectors import cosine
+    from eventstream_fanout_spark.streaming.ann_ingest import split_list
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path)
+
+    def _vd(rows):
+        # membership + distances only: split members legitimately
+        # change list_id
+        return [(r["vec_id"], r["adc_dist"]) for r in rows]
+
+    before = _vd(pq_probe_topk(
+        spark, path, _query(spark), 10, nprobe=None).collect())
+    counts = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("list_id").count().collect()
+    )
+    hot = max(counts, key=lambda r: (r["count"], -r["list_id"]))
+    hot_list = int(hot["list_id"])
+
+    # (f) refuse on missing member embeddings, before any write
+    with pytest.raises(Exception, match="supplies embeddings"):
+        split_list(
+            spark, path, hot_list,
+            emb.where(F.col("vec_id") % 2 == 0), batch_id=1,
+        )
+    assert hot_list in {
+        int(r["cid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+
+    got = split_list(spark, path, hot_list, emb, batch_id=1)
+    assert got is not None
+    c1, c2 = got
+
+    # (a) exhaustive probe identical through the split
+    after = _vd(pq_probe_topk(
+        spark, path, _query(spark), 10, nprobe=None).collect())
+    assert after == before
+
+    # (b) old list gone; members routed to their nearer new centroid
+    cents = {
+        int(r["cid"]): r["ce"]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    assert hot_list not in cents and c1 in cents and c2 in cents
+    moved = spark.read.parquet(f"{path}/codes").where(
+        F.col("list_id").isin(c1, c2)
+    )
+    assert moved.count() == hot["count"]
+    assert spark.read.parquet(f"{path}/codes").where(
+        F.col("list_id") == hot_list
+    ).count() == 0
+    two = spark.createDataFrame(
+        [(c1, cents[c1]), (c2, cents[c2])], ["cid", "ce"]
+    )
+    routed = (
+        moved.select("vec_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(two))
+        .select(
+            "vec_id", "cid",
+            cosine(F.col("embedding"), F.col("ce")).alias("c"),
+        )
+    )
+    best = {
+        r["vec_id"]: r["cid"]
+        for r in routed.groupBy("vec_id").agg(
+            F.max(F.struct(F.col("c"), (-F.col("cid")).alias("n")))
+            .alias("m")
+        ).select("vec_id", (-F.col("m.n")).alias("cid")).collect()
+    }
+    stored = {
+        r["vec_id"]: r["list_id"] for r in moved.select(
+            "vec_id", "list_id").collect()
+    }
+    assert stored == best
+
+    # (c) integer-nprobe probe works across the split (9-list index)
+    served = pq_probe_topk(
+        spark, path, _query(spark), 10, nprobe=3
+    ).collect()
+    assert len(served) == 10
+
+    # (d) replay after commit: cleanup-only, state unchanged
+    assert split_list(spark, path, hot_list, emb, batch_id=1) is None
+    again = _vd(pq_probe_topk(
+        spark, path, _query(spark), 10, nprobe=None).collect())
+    assert again == before
+
+    # (e) as-of below the split generation refuses
+    with pytest.raises(Exception, match="below upsert generation"):
+        pq_probe_topk(
+            spark, path, _query(spark), 10, upto_batch_id=0
+        ).collect()

@@ -415,6 +415,73 @@ def main():
             lambda: _dup_token_spans(big_docs)[1].count(), runs=1
         )
 
+    if "listskew" in MODES:
+        # VERDICT r11 item 5: per-list row-count skew + the split
+        # payoff.  Skew RATIOS are replication-invariant (each replica
+        # multiplies every list equally), so the ratio here equals the
+        # sf-fixture ratio at any MULT; the xMULT run proves the
+        # ABSOLUTE hot-list cost and the split op's cost/payoff at
+        # scale.  Requires the `probe` or `filtered` mode's ANN build
+        # (need_ann) — build one here if neither ran.
+        from eventstream_fanout_spark.streaming.ann_ingest import (
+            split_list,
+        )
+
+        if not need_ann:
+            t0 = time.perf_counter()
+            build_pq_index(
+                spark, emb, apath,
+                corpus=big_emb.where(F.col("vec_id") != 0),
+            )
+            res["build_ann_s"] = round(time.perf_counter() - t0, 1)
+        counts = (
+            spark.read.parquet(f"{apath}/codes")
+            .groupBy("list_id").count().collect()
+        )
+        per = sorted(
+            (int(r["list_id"]), int(r["count"])) for r in counts
+        )
+        vals = [c for _, c in per]
+        res["listskew_counts"] = dict(per)
+        res["listskew_max_over_mean"] = round(
+            max(vals) * len(vals) / sum(vals), 3
+        )
+        hot = max(per, key=lambda t: (t[1], -t[0]))[0]
+        # probe WITH the hot list: query = the hot centroid itself, so
+        # nprobe=1 scans exactly the hot list before the split and its
+        # nearer child after — the payoff is the halved list scan
+        q_hot = (
+            spark.read.parquet(f"{apath}/centroids")
+            .where(F.col("cid") == hot)
+            .select(F.col("ce").alias("embedding"))
+            .cache()
+        )
+        q_hot.count()
+        res["listskew_hot_probe_before_s"] = timed(
+            lambda: pq_probe_topk(
+                spark, apath, q_hot, 10, nprobe=1
+            ).collect()
+        )
+        t0 = time.perf_counter()
+        split_list(
+            spark, apath, hot,
+            big_emb.select("vec_id", "embedding"), batch_id=991,
+        )
+        res["listskew_split_s"] = round(time.perf_counter() - t0, 1)
+        res["listskew_hot_probe_after_s"] = timed(
+            lambda: pq_probe_topk(
+                spark, apath, q_hot, 10, nprobe=1
+            ).collect()
+        )
+        counts2 = (
+            spark.read.parquet(f"{apath}/codes")
+            .groupBy("list_id").count().collect()
+        )
+        vals2 = [int(r["count"]) for r in counts2]
+        res["listskew_max_over_mean_after"] = round(
+            max(vals2) * len(vals2) / sum(vals2), 3
+        )
+
     print(json.dumps(res))
 
 
