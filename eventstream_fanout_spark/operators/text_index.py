@@ -1010,6 +1010,8 @@ def bm25_topk_filtered(
     store refuses (erasure corrections are global; no earlier view is
     reconstructible by right-to-erasure contract), which also
     subsumes the correction-commit guard below the watermark."""
+    from ..streaming.compaction import read_store_or_none
+
     postings = spark.read.parquet(f"{index_path}/postings").where(
         F.col("tok").isin(terms)
     )
@@ -1017,11 +1019,50 @@ def bm25_topk_filtered(
         F.col("tok").isin(terms)
     )
     stats_rows = spark.read.parquet(f"{index_path}/stats")
+    evolve_guard = None
     if upto_batch_id is not None:
         wm = F.col("batch_id") <= F.lit(int(upto_batch_id))
         postings = postings.where(wm)
         attrs = attrs.where(wm)
         stats_rows = stats_rows.where(wm)
+        # attr-evolution marker (add_doc_attr_column): the backfill
+        # wrote the new column into every historical generation, so a
+        # filtered as-of view below the evolve generation is a state
+        # that never existed — refuse, mirroring the ANN upsert/refit
+        # marker guard.  Absent marker store = no evolution ever ran
+        # (plan unchanged); metadata-sized when present.
+        evo = read_store_or_none(spark, f"{index_path}/attr_evolutions")
+        if evo is not None:
+            evolve_guard = (
+                evo.agg(F.max("batch_id").cast("int").alias("_mx"))
+                .select(
+                    F.assert_true(
+                        F.coalesce(
+                            F.col("_mx") <= F.lit(int(upto_batch_id)),
+                            F.lit(True),
+                        ),
+                        F.concat(
+                            F.lit(
+                                "filtered as-of probe: upto_batch_id="
+                            ),
+                            F.lit(str(int(upto_batch_id))),
+                            F.lit(
+                                " is below attr-evolution generation "
+                            ),
+                            F.col("_mx").cast("string"),
+                            F.lit(
+                                " — add_doc_attr_column backfilled "
+                                "the new column into every historical "
+                                "generation, so this filtered as-of "
+                                "view never existed; probe at or "
+                                "above the evolve generation, or the "
+                                "live index without a watermark"
+                            ),
+                        ),
+                    ).alias("_a")
+                )
+                .where(F.col("_a").isNotNull())
+            )  # shaped to `fields` below, once fields is defined
         no_correction = F.assert_true(
             F.col("_mn") >= 0,
             F.lit(
@@ -1094,6 +1135,12 @@ def bm25_topk_filtered(
     commit_guard = _correction_commit_guard(
         spark, index_path, stats_rows, fields
     )
+    if evolve_guard is not None:
+        scored = scored.unionByName(
+            evolve_guard.select(
+                *[F.col("_a").cast(t).alias(n) for n, t in fields]
+            )
+        )
     return (
         _topk_from_scored(
             scored.unionByName(gen_guard)

@@ -1175,6 +1175,71 @@ def bm25_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_attr_evolve_sim",
+    _bm25_oracle(cand_pred="lang = 'en' AND doc_id % 5 IN (1, 2)"),
+    description="ATTR-SCHEMA EVOLUTION on the live filtered TEXT "
+    "index — the BM25 twin of ann_attr_evolve_sim (VERDICT r11 item "
+    "4): the index + postings-layout attr store (lang, source) are "
+    "built over the EVEN doc_ids, the odds stream in through the "
+    "ingest sink WITH their attrs (delta-shaped, generation 1), then "
+    "streaming/text_ingest.add_doc_attr_column backfills a NEW "
+    "mod5 = doc_id % 5 column — one pass over the attrs store joined "
+    "to the supplied values, postings and documents never read, "
+    "installed by the checked atomic-rename swap with the "
+    "attr_evolutions marker landing first — and the filtered probe "
+    "composes OLD and NEW columns (lang='en' AND mod5 IN (1,2)) with "
+    "no probe-side changes.  The oracle replays BM25 with the same "
+    "composed candidate predicate over the full corpus, so the hash "
+    "proves the widened store is exactly co-complete with the "
+    "postings across both generations; as-of refusal below the "
+    "evolve generation is pinned by pytest",
+    tags=("text", "search", "bm25", "index", "filtered",
+          "maintenance", "evolution", "extension"),
+)
+def text_attr_evolve_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_topk_filtered,
+        build_text_attr_store,
+        build_text_index,
+    )
+    from ..streaming.text_ingest import (
+        add_doc_attr_column,
+        streaming_text_index_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="text_index_attr_evolve_")
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    build_text_index(
+        spark, evens.select("doc_id", "text"), path
+    )
+    build_text_attr_store(
+        spark, evens.select("doc_id", "lang", "source"), path
+    )
+    streaming_text_index_sink(path)(
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "lang", "source"
+        ),
+        1,
+    )
+    add_doc_attr_column(
+        spark,
+        path,
+        docs.select("doc_id", (F.col("doc_id") % 5).alias("mod5")),
+        batch_id=2,
+    )
+    return bm25_topk_filtered(
+        spark,
+        path,
+        list(_BM25_TERMS),
+        10,
+        (F.col("lang") == "en") & F.col("mod5").isin(1, 2),
+    )
+
+
+@register(
     "text_index_ingest_sim",
     _bm25_oracle(),
     description="incremental inverted-index ingestion simulated as a "

@@ -866,3 +866,138 @@ def streaming_upsert_sink(index_path: str, batch_id_base: int = 0):
         )
 
     return process
+
+
+def add_doc_attr_column(
+    spark: SparkSession,
+    index_path: str,
+    values: DataFrame,
+    batch_id: int,
+) -> None:
+    """ATTR-SCHEMA EVOLUTION on the live filtered TEXT index — the
+    BM25 twin of ``ann_ingest.add_attr_column`` (VERDICT r11 item 4):
+    give the postings-layout attrs store a NEW filterable column
+    without re-running ``build_text_attr_store`` (a corpus-length
+    postings join).  ``values`` is ``(doc_id, <new column(s)...>)``;
+    the backfill joins the EXISTING attrs rows (already in postings
+    layout with their generations) against ``values`` on ``doc_id``
+    and swaps the widened store in by checked atomic renames.  Cost ∝
+    the attrs store; postings and documents are never read.
+
+    Same contracts as the ANN twin: fail-closed coverage (a live
+    attrs row without a value refuses BEFORE the swap, old store
+    stays servable; over-supplied doc_ids are ignored), additive only
+    (a colliding name refuses), marker FIRST — a ``(n_cols,
+    batch_id)`` row lands in ``{index}/attr_evolutions`` before the
+    stage, so FILTERED as-of probes below the evolve generation
+    refuse (the backfill writes the new column into every historical
+    generation; a pre-evolve as-of view filtered on it would be a
+    state that never existed — unfiltered as-of probes are untouched,
+    they never read attrs).  Crash windows heal by re-running the
+    SAME call (recovery preamble + deterministic stage + idempotent
+    marker overwrite).  Single-writer maintenance-window contract."""
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark._jsc.hadoopConfiguration()
+    live_p = jvm.Path(f"{index_path}/attrs")
+    stage = f"{index_path}/attrs.evolve_stage"
+    parked = f"{index_path}/attrs.pre_evolve"
+    stage_p, parked_p = jvm.Path(stage), jvm.Path(parked)
+    fs = live_p.getFileSystem(conf)
+
+    def _rename(src_p, dst_p, why: str) -> None:
+        if not fs.rename(src_p, dst_p):
+            raise RuntimeError(
+                f"add_doc_attr_column: rename {src_p} -> {dst_p} "
+                f"failed ({why}); re-run the same call to recover"
+            )
+
+    # recovery preamble FIRST (the refit/evolve crash contract)
+    if fs.exists(parked_p):
+        if not fs.exists(live_p):
+            _rename(parked_p, live_p, "restore parked attrs store")
+        else:
+            fs.delete(parked_p, True)
+    if fs.exists(stage_p):
+        fs.delete(stage_p, True)
+
+    attrs = _read_or_none(spark, f"{index_path}/attrs")
+    if attrs is None:
+        raise RuntimeError(
+            f"add_doc_attr_column: no attrs store at "
+            f"{index_path}/attrs — bootstrap one with "
+            "build_text_attr_store before evolving it"
+        )
+    new_cols = [c for c in values.columns if c != "doc_id"]
+    if not new_cols:
+        raise RuntimeError(
+            "add_doc_attr_column: values must carry (doc_id, <new "
+            "column(s)>) — got only doc_id"
+        )
+    clash = [c for c in new_cols if c in attrs.columns]
+    if clash:
+        raise RuntimeError(
+            f"add_doc_attr_column: column(s) {clash} already exist on "
+            f"the attrs store at {index_path} — evolution is "
+            "additive; update values through upsert_docs instead"
+        )
+
+    # marker FIRST (see docstring)
+    (
+        spark.createDataFrame(
+            [(len(new_cols), int(batch_id))],
+            "n_cols int, batch_id int",
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_path}/attr_evolutions")
+    )
+
+    tagged = values.withColumn("_present", F.lit(1))
+    joined = attrs.join(tagged, "doc_id", "left")
+    guarded_doc = F.when(
+        F.col("_present").isNull(),
+        F.assert_true(
+            F.col("_present").isNotNull(),
+            F.concat(
+                F.lit("add_doc_attr_column: live attrs row doc_id="),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    " has no value for the new column(s) — a "
+                    "filtered probe on them would silently drop it; "
+                    "supply a value for every indexed document"
+                ),
+            ),
+        ).cast("long"),
+    ).otherwise(F.col("doc_id"))
+    try:
+        (
+            joined.select(
+                "tok",
+                guarded_doc.alias("doc_id"),
+                "batch_id",
+                *[c for c in attrs.columns
+                  if c not in ("tok", "doc_id", "batch_id")],
+                *new_cols,
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(stage)
+        )
+    except Exception:
+        # a refused stage must not linger: the live store is
+        # untouched and still servable
+        if fs.exists(stage_p):
+            fs.delete(stage_p, True)
+        raise
+    _rename(live_p, parked_p, "park old attrs store")
+    _rename(stage_p, live_p, "install widened attrs store")
+    if not fs.exists(live_p):
+        raise RuntimeError(
+            f"add_doc_attr_column: widened attrs store did not land "
+            f"at {index_path}/attrs; parked copy kept at {parked}"
+        )
+    fs.delete(parked_p, True)

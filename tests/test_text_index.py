@@ -1768,3 +1768,111 @@ def test_idbloom_gates_uniqueness_check(spark, tmp_path, monkeypatch):
     assert _idbloom_maybe_ids(spark, path, fresh, 99) == []
     with pytest.raises(RuntimeError, match="re-sends doc_id"):
         sink(docs.where(F.col("doc_id") == 310), 99)
+
+
+def test_add_doc_attr_column_evolution_contracts(spark, tmp_path):
+    """add_doc_attr_column (text twin of the ANN attr evolution): (a)
+    the widened store serves composed old+new-column filtered probes
+    with no rebuild; (b) a colliding name refuses; (c) missing
+    coverage refuses BEFORE the swap, old store servable; (d)
+    filtered as-of probes below the evolve generation refuse while
+    unfiltered as-of probes stay untouched; (e) the crash window
+    between the swap renames heals on re-run."""
+    import os
+
+    import pytest
+
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_filtered,
+        build_text_attr_store,
+        build_text_index,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        add_doc_attr_column,
+        streaming_text_index_sink,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    path = str(tmp_path / "tidx")
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    build_text_index(spark, evens.select("doc_id", "text"), path)
+    build_text_attr_store(
+        spark, evens.select("doc_id", "lang"), path
+    )
+    streaming_text_index_sink(path)(
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "lang"
+        ),
+        1,
+    )
+    terms = ["spark", "window", "join"]
+    values = docs.select("doc_id", (F.col("doc_id") % 5).alias("mod5"))
+
+    # (c) coverage refusal pre-swap; old store still serves
+    with pytest.raises(Exception, match="has no value"):
+        add_doc_attr_column(
+            spark, path, values.where(F.col("doc_id") % 3 != 1),
+            batch_id=2,
+        )
+    assert not os.path.exists(f"{path}/attrs.evolve_stage")
+    still = bm25_topk_filtered(
+        spark, path, terms, 5, F.col("lang") == "en"
+    ).collect()
+    assert len(still) == 5
+
+    # (a) evolve, composed filter
+    add_doc_attr_column(spark, path, values, batch_id=2)
+    got = bm25_topk_filtered(
+        spark, path, terms, 10,
+        (F.col("lang") == "en") & F.col("mod5").isin(1, 2),
+    ).collect()
+    assert 0 < len(got) <= 10
+    ok_ids = {
+        r["doc_id"]
+        for r in docs.where(
+            (F.col("lang") == "en") & (F.col("doc_id") % 5).isin(1, 2)
+        ).select("doc_id").collect()
+    }
+    assert all(r["doc_id"] in ok_ids for r in got)
+
+    # (b) additive only
+    with pytest.raises(Exception, match="already exist"):
+        add_doc_attr_column(spark, path, values, batch_id=3)
+
+    # (d) filtered as-of below the evolve generation refuses;
+    # unfiltered as-of (never reads attrs) still serves
+    with pytest.raises(Exception, match="attr-evolution generation"):
+        bm25_topk_filtered(
+            spark, path, terms, 5, F.col("lang") == "en",
+            upto_batch_id=1,
+        ).collect()
+    asof_ok = bm25_topk_filtered(
+        spark, path, terms, 5,
+        (F.col("lang") == "en") & F.col("mod5").isin(1, 2),
+        upto_batch_id=2,
+    ).collect()
+    assert len(asof_ok) == 5
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_asof,
+    )
+    unfiltered = bm25_topk_asof(
+        spark, path, terms, 5, upto_batch_id=1
+    ).collect()
+    assert len(unfiltered) == 5
+
+    # (e) crash between the renames heals on re-run
+    os.rename(f"{path}/attrs", f"{path}/attrs.pre_evolve")
+    add_doc_attr_column(
+        spark, path,
+        docs.select("doc_id", (F.col("doc_id") % 3).alias("tri")),
+        batch_id=4,
+    )
+    assert not os.path.exists(f"{path}/attrs.pre_evolve")
+    healed = bm25_topk_filtered(
+        spark, path, terms, 10,
+        F.col("mod5").isin(1, 2) & (F.col("tri") == 0),
+    ).collect()
+    assert all(
+        r["doc_id"] % 5 in (1, 2) and r["doc_id"] % 3 == 0
+        for r in healed
+    )
