@@ -1764,3 +1764,72 @@ def test_split_list_membership_routing_and_replay(spark, tmp_path):
         pq_probe_topk(
             spark, path, _query(spark), 10, upto_batch_id=0
         ).collect()
+
+
+def test_split_then_ingest_then_compact_interplay(spark, tmp_path):
+    """The maintenance matrix composes: after a split, (a) the ingest
+    sink encodes new vectors against the SWAPPED centroids (9-list
+    manifest — new arrivals can land in the split children), and (b)
+    compact_index folds the multi-generation store while preserving
+    the new list layout; probes stay correct throughout."""
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        compact_index,
+        split_list,
+        streaming_ann_index_sink,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    evens = emb.where(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") != 0)
+    )
+    build_pq_index(spark, emb, path, corpus=evens)
+    counts = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("list_id").count().collect()
+    )
+    hot = int(max(counts, key=lambda r: (r["count"], -r["list_id"]))
+              ["list_id"])
+    got = split_list(spark, path, hot, emb, batch_id=1)
+    assert got is not None
+    c1, c2 = got
+
+    # (a) post-split ingest assigns against the swapped manifest
+    sink = streaming_ann_index_sink(path)
+    sink(emb.where(F.col("vec_id") % 2 == 1), 2)
+    stored_lists = {
+        int(r["list_id"])
+        for r in spark.read.parquet(f"{path}/codes")
+        .select("list_id").distinct().collect()
+    }
+    assert hot not in stored_lists
+    manifest = {
+        int(r["cid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    assert stored_lists <= manifest
+
+    before = [
+        (r["vec_id"], r["adc_dist"])
+        for r in pq_probe_topk(
+            spark, path, _query(spark), 10, nprobe=None
+        ).collect()
+    ]
+
+    # (b) compaction folds the generations (watermark is exclusive:
+    # upto=3 folds the frozen build and ingest generation 2), layout
+    # preserved
+    n = compact_index(spark, path, upto_batch_id=3)
+    assert n > 0
+    after = [
+        (r["vec_id"], r["adc_dist"])
+        for r in pq_probe_topk(
+            spark, path, _query(spark), 10, nprobe=None
+        ).collect()
+    ]
+    assert after == before
+    assert {
+        int(r["list_id"])
+        for r in spark.read.parquet(f"{path}/codes")
+        .select("list_id").distinct().collect()
+    } <= manifest
