@@ -203,6 +203,12 @@ HEADLINE = [
     "bm25_filtered_batch_search",
     "ann_filtered_asof_sim",
     "text_filtered_asof_probe",
+    # round 12 additions: attr-schema evolution on both live filtered
+    # indexes, the IVF list split, and the streaming filtered soak
+    "ann_attr_evolve_sim",
+    "text_attr_evolve_sim",
+    "ann_list_split_sim",
+    "ann_filtered_soak_sim",
 ]
 
 

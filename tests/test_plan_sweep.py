@@ -72,6 +72,7 @@ BNLJ_ALLOWED = {
     "ann_index_refit_sim",  # post-refit pruned probe
     "hybrid_filtered_search_rrf",  # 1-row stats + centroid sides
     "bm25_filtered_search",  # 1-row corpus-stats side
+    "text_attr_evolve_sim",  # same 1-row corpus-stats broadcast side
     "streaming_upsert_sim",  # 1-row stats side (post-upsert probe)
     "ann_pq_filtered_batch_topk",  # query batch x 8-row centroid ranking
     "bm25_filtered_batch_search",  # 1-row corpus-stats side
