@@ -208,6 +208,7 @@ HEADLINE = [
     "ann_attr_evolve_sim",
     "text_attr_evolve_sim",
     "ann_list_split_sim",
+    "ann_list_merge_sim",
     "ann_filtered_soak_sim",
 ]
 

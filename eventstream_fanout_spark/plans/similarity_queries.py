@@ -2528,6 +2528,56 @@ def ann_list_split_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_list_merge_sim",
+    "SELECT vec_id, label, adc_dist FROM ("
+    + _pq_persisted_oracle(probed=False)
+    + ") ORDER BY adc_dist ASC, vec_id ASC",
+    description="IVF LIST-COUNT MAINTENANCE — split_list's inverse: "
+    "the two COLDEST inverted lists (computed from the stored codes) "
+    "are folded into one by streaming/ann_ingest.merge_lists, "
+    "bounding the manifest size that every split grows (the coarse "
+    "ranking broadcasts the manifest, and nprobe-vs-list-count recall "
+    "semantics drift if it only ever grows).  Same LIST-length shape "
+    "and commit protocol as the split: deterministic quantized-mean "
+    "centroid, PQ codes copied unchanged, rows rewritten invisible "
+    "under the list-manifest invariant, the centroid-table rename as "
+    "the single atomic commit.  The exhaustive probe after the merge "
+    "must hash-equal the plain full-ADC oracle — any vector lost, "
+    "duplicated, or left in a retired list breaks the match; "
+    "all-or-nothing id validation and the split/merge round-trip are "
+    "pinned by pytest",
+    tags=("similarity", "ann", "pq", "ivf", "index", "maintenance",
+          "skew", "extension"),
+)
+def ann_list_merge_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import build_pq_index, pq_probe_topk
+    from ..streaming.ann_ingest import merge_lists
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_merge_")
+    build_pq_index(spark, emb, path)
+    counts = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("list_id")
+        .count()
+        .collect()
+    )
+    cold = sorted(counts, key=lambda r: (r["count"], r["list_id"]))[:2]
+    merge_lists(
+        spark, path, [int(r["list_id"]) for r in cold], emb, batch_id=1
+    )
+    q = emb.where(F.col("vec_id") == 0).select("embedding")
+    topk = pq_probe_topk(spark, path, q, 10, nprobe=None)
+    return (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "adc_dist")
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    )
+
+
 def _churned_emb(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(revised_slice, final_emb) under the shared churn
     (_VEC_UPSERT_SQL: vec_id % 10 = 4 and > 20, halved — seed rows and

@@ -667,6 +667,183 @@ def add_attr_column(
     fs.delete(parked_p, True)
 
 
+def _list_maint_ctx(spark: SparkSession, index_path: str, op: str):
+    """Shared filesystem context for the list-maintenance ops
+    (split_list / merge_lists): (jvm, fs, checked-rename closure),
+    plus the centroid-swap recovery preamble.  BOTH ops use the same
+    stage/park suffixes (``centroids.maint_stage`` /
+    ``centroids.pre_maint``), so either op's preamble heals a crash
+    left by the other — one crash contract for the whole maintenance
+    family."""
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.Path(index_path).getFileSystem(conf)
+
+    def _rename(src_p, dst_p, why: str) -> None:
+        if not fs.rename(src_p, dst_p):
+            raise RuntimeError(
+                f"{op}: rename {src_p} -> {dst_p} failed ({why}); "
+                "re-run the same call to recover"
+            )
+
+    live_p = jvm.Path(f"{index_path}/centroids")
+    stage_p = jvm.Path(f"{index_path}/centroids.maint_stage")
+    park_p = jvm.Path(f"{index_path}/centroids.pre_maint")
+    # recovery preamble: a crash between the centroid-swap renames
+    # leaves the live centroids missing and the old table parked
+    if fs.exists(park_p):
+        if not fs.exists(live_p):
+            _rename(park_p, live_p, "restore parked centroids")
+        else:
+            fs.delete(park_p, True)
+    if fs.exists(stage_p):
+        fs.delete(stage_p, True)
+    return jvm, fs, _rename
+
+
+def _commit_centroids(
+    spark: SparkSession,
+    jvm,
+    fs,
+    rename,
+    index_path: str,
+    new_centroids: DataFrame,
+    op: str,
+) -> None:
+    """THE commit point of a list-maintenance op: stage the
+    replacement centroids table and swap it in by checked atomic
+    renames — every probe shape flips from the old list topology to
+    the new one in one metadata move (the LIST MANIFEST invariant)."""
+    live = f"{index_path}/centroids"
+    stage = f"{index_path}/centroids.maint_stage"
+    park = f"{index_path}/centroids.pre_maint"
+    new_centroids.write.mode("overwrite").parquet(stage)
+    rename(jvm.Path(live), jvm.Path(park), "park old centroids")
+    rename(jvm.Path(stage), jvm.Path(live), "install new centroids")
+    if not fs.exists(jvm.Path(live)):
+        raise RuntimeError(
+            f"{op}: new centroids did not land at {live}; parked copy "
+            f"kept at {park}"
+        )
+    fs.delete(jvm.Path(park), True)
+
+
+def _cleanup_list_partitions(
+    spark: SparkSession, jvm, fs, index_path: str, list_ids: list[int]
+) -> None:
+    """Delete the (generation, list) directories of now-unreferenced
+    lists from codes and attrs — post-commit garbage collection; a
+    crash before this leaves manifest-invisible garbage only."""
+    for table in ("codes", "attrs"):
+        tpath = f"{index_path}/{table}"
+        if not fs.exists(jvm.Path(tpath)):
+            continue
+        gens = [
+            (r["batch_id"], r["list_id"])
+            for r in spark.read.parquet(tpath)
+            .where(F.col("list_id").isin([int(x) for x in list_ids]))
+            .select("batch_id", "list_id")
+            .distinct()
+            .collect()
+        ]
+        for g, li in gens:
+            fs.delete(
+                jvm.Path(f"{tpath}/batch_id={g}/list_id={li}"), True
+            )
+
+
+def _maint_marker(
+    spark: SparkSession, index_path: str, tag: int, batch_id: int
+) -> None:
+    """The as-of refusal marker, written FIRST by every history-
+    rewriting maintenance op (upsert -3=split, -4=merge; the guard
+    keys on max(batch_id), the tag is diagnostic)."""
+    (
+        spark.createDataFrame(
+            [(int(tag), int(batch_id))], "n_ids int, batch_id int"
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_path}/upserts")
+    )
+
+
+def _list_members(
+    spark: SparkSession,
+    index_path: str,
+    list_ids: list[int],
+    emb: DataFrame,
+    op: str,
+) -> tuple[DataFrame, DataFrame, int]:
+    """(member code rows, member embeddings, member count) for the
+    named lists, with the fail-closed embedding-coverage check both
+    maintenance ops share (the store keeps 8-byte codes only — the
+    caller supplies the authoritative vectors, and a missing one
+    refuses BEFORE any write)."""
+    codes = spark.read.parquet(f"{index_path}/codes")
+    members = codes.where(
+        F.col("list_id").isin([int(x) for x in list_ids])
+    ).select("vec_id", "batch_id", "codes")
+    mvecs = members.select("vec_id").distinct().join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    n_members = members.select("vec_id").distinct().count()
+    n_vecs = mvecs.count()
+    if n_vecs < n_members:
+        raise RuntimeError(
+            f"{op}: emb supplies embeddings for {n_vecs} of the "
+            f"lists' {n_members} members — supply every member's "
+            "vector (refusing before any write)"
+        )
+    return members, mvecs, n_members
+
+
+def _rewrite_members(
+    spark: SparkSession,
+    index_path: str,
+    members: DataFrame,
+    assign: DataFrame,
+    old_list_ids: list[int],
+) -> None:
+    """Write the member rows under their new list assignment — PQ
+    codes copy over unchanged (list-independent), generations
+    preserved, dynamic overwrite so replay converges; the attrs side
+    store (when present) rides the same reassignment."""
+    (
+        members.join(assign, "vec_id")
+        .select(
+            "vec_id",
+            F.col("_new_list").alias("list_id"),
+            "codes",
+            "batch_id",
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "list_id")
+        .parquet(f"{index_path}/codes")
+    )
+    from .compaction import read_store_or_none
+
+    attrs = read_store_or_none(spark, f"{index_path}/attrs")
+    if attrs is not None:
+        (
+            attrs.where(
+                F.col("list_id").isin([int(x) for x in old_list_ids])
+            )
+            .drop("list_id")
+            .join(assign.select("vec_id", "_new_list"), "vec_id")
+            .withColumnRenamed("_new_list", "list_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "list_id")
+            .parquet(f"{index_path}/attrs")
+        )
+
+
 def split_list(
     spark: SparkSession,
     index_path: str,
@@ -720,81 +897,20 @@ def split_list(
 
     Single-writer maintenance-window contract, like every
     store-rewriting op."""
-    from py4j.java_gateway import java_import
-
     from ..functions.vectors import cosine
     from ..operators.similarity import ivf_assign, ivf_fit_centroids
 
-    jvm = spark._jvm
-    java_import(jvm, "org.apache.hadoop.fs.Path")
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.Path(index_path).getFileSystem(conf)
-
-    def _rename(src_p, dst_p, why: str) -> None:
-        if not fs.rename(src_p, dst_p):
-            raise RuntimeError(
-                f"split_list: rename {src_p} -> {dst_p} failed "
-                f"({why}); re-run the same call to recover"
-            )
-
-    def _cleanup_old_list() -> None:
-        for table in ("codes", "attrs"):
-            tpath = f"{index_path}/{table}"
-            if not fs.exists(jvm.Path(tpath)):
-                continue
-            gens = [
-                r["batch_id"]
-                for r in spark.read.parquet(tpath)
-                .where(F.col("list_id") == int(list_id))
-                .select("batch_id")
-                .distinct()
-                .collect()
-            ]
-            for g in gens:
-                fs.delete(
-                    jvm.Path(f"{tpath}/batch_id={g}/list_id={list_id}"),
-                    True,
-                )
-
-    cent_live = f"{index_path}/centroids"
-    cent_stage = f"{index_path}/centroids.split_stage"
-    cent_park = f"{index_path}/centroids.pre_split"
-    live_p, stage_p, park_p = (
-        jvm.Path(cent_live), jvm.Path(cent_stage), jvm.Path(cent_park)
-    )
-    # recovery preamble: a crash between the centroid-swap renames
-    # leaves the live centroids missing and the old table parked
-    if fs.exists(park_p):
-        if not fs.exists(live_p):
-            _rename(park_p, live_p, "restore parked centroids")
-        else:
-            fs.delete(park_p, True)
-    if fs.exists(stage_p):
-        fs.delete(stage_p, True)
-
-    centroids = spark.read.parquet(cent_live)
+    jvm, fs, rename = _list_maint_ctx(spark, index_path, "split_list")
+    centroids = spark.read.parquet(f"{index_path}/centroids")
     cids = [int(r["cid"]) for r in centroids.select("cid").collect()]
     if int(list_id) not in cids:
         # replay after the commit point: finish the cleanup phase
-        _cleanup_old_list()
+        _cleanup_list_partitions(spark, jvm, fs, index_path, [list_id])
         return None
 
-    codes = spark.read.parquet(f"{index_path}/codes")
-    members = codes.where(F.col("list_id") == int(list_id)).select(
-        "vec_id", "batch_id", "codes"
+    members, mvecs, n_members = _list_members(
+        spark, index_path, [list_id], emb, "split_list"
     )
-    mvecs = members.select("vec_id").distinct().join(
-        emb.select("vec_id", "embedding"), "vec_id"
-    )
-    n_members = members.select("vec_id").distinct().count()
-    n_vecs = mvecs.count()
-    if n_vecs < n_members:
-        raise RuntimeError(
-            f"split_list: emb supplies embeddings for {n_vecs} of the "
-            f"list's {n_members} members — the fit would mis-place "
-            "the missing vectors; supply every member's vector "
-            "(refusing before any write)"
-        )
     if n_members < 2:
         raise RuntimeError(
             f"split_list: list {list_id} has {n_members} member(s) — "
@@ -825,66 +941,106 @@ def split_list(
         mvecs, n_iters=n_iters, init=seed1.unionByName(far)
     )
 
-    # 1. marker first (see protocol)
-    (
-        spark.createDataFrame(
-            [(-3, int(batch_id))], "n_ids int, batch_id int"
-        )
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{index_path}/upserts")
-    )
-
-    # 2. rewrite the list's rows under the new assignment — PQ codes
-    # copy over unchanged (list-independent); generations preserved
+    _maint_marker(spark, index_path, -3, batch_id)  # 1. marker first
+    # 2. rewrite the list's rows under the new 2-way assignment
     assign = ivf_assign(mvecs, fitted).withColumnRenamed(
         "list_id", "_new_list"
     )
-    (
-        members.join(assign, "vec_id")
-        .select(
-            "vec_id",
-            F.col("_new_list").alias("list_id"),
-            "codes",
-            "batch_id",
-        )
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "list_id")
-        .parquet(f"{index_path}/codes")
+    _rewrite_members(spark, index_path, members, assign, [list_id])
+    # 3. THE commit: swap the centroids table (old cid out, new in)
+    _commit_centroids(
+        spark, jvm, fs, rename, index_path,
+        centroids.where(F.col("cid") != int(list_id)).unionByName(
+            fitted.select("cid", "ce")
+        ),
+        "split_list",
     )
-    from .compaction import read_store_or_none
-
-    attrs = read_store_or_none(spark, f"{index_path}/attrs")
-    if attrs is not None:
-        (
-            attrs.where(F.col("list_id") == int(list_id))
-            .drop("list_id")
-            .join(assign.select("vec_id", "_new_list"), "vec_id")
-            .withColumnRenamed("_new_list", "list_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "list_id")
-            .parquet(f"{index_path}/attrs")
-        )
-
-    # 3. the commit: swap the centroids table (old cid out, new in)
-    (
-        centroids.where(F.col("cid") != int(list_id))
-        .unionByName(fitted.select("cid", "ce"))
-        .write.mode("overwrite")
-        .parquet(cent_stage)
-    )
-    _rename(live_p, park_p, "park old centroids")
-    _rename(stage_p, live_p, "install split centroids")
-    if not fs.exists(live_p):
-        raise RuntimeError(
-            f"split_list: split centroids did not land at {cent_live};"
-            f" parked copy kept at {cent_park}"
-        )
-    fs.delete(park_p, True)
-
     # 4. cleanup the now-unreferenced old-list partitions
-    _cleanup_old_list()
+    _cleanup_list_partitions(spark, jvm, fs, index_path, [list_id])
     return c1, c2
+
+
+def merge_lists(
+    spark: SparkSession,
+    index_path: str,
+    list_ids: list[int],
+    emb: DataFrame,
+    batch_id: int,
+) -> int | None:
+    """The inverse of :func:`split_list` — fold two or more COLD
+    inverted lists into one, completing the skew-maintenance pair:
+    splits bound the hottest list's scan cost, merges bound the LIST
+    COUNT (every split grows the manifest by one; the coarse ranking
+    is a broadcast over it, and nprobe-as-a-fraction-of-lists recall
+    semantics drift if the manifest only ever grows).  LIST-length
+    work, same commit protocol as the split (marker first, rows
+    rewritten invisible under the manifest invariant, the
+    centroid-table rename as the single commit, cleanup last).
+
+    The merged centroid is the deterministic quantized-integer mean
+    of the member embeddings (``ivf_fit_centroids(n_iters=1,
+    init=<any single seed>)`` degenerates to exactly this — one
+    assignment pass where every member lands on the only centroid,
+    then the mean), so the oracle-facing contract stays RNG-free.
+    PQ codes copy over unchanged; no re-encode.
+
+    Returns the new list id, or None when the call is a replay after
+    the commit point (cleanup re-run — decided by NONE of the ids
+    being in the manifest; the swap is atomic, so partial membership
+    means the commit never happened and the op re-runs whole).
+
+    Single-writer maintenance-window contract."""
+    from ..operators.similarity import ivf_fit_centroids
+
+    ids = sorted({int(x) for x in list_ids})
+    if len(ids) < 2:
+        raise RuntimeError(
+            f"merge_lists: got {ids} — merging needs at least two "
+            "distinct lists"
+        )
+    jvm, fs, rename = _list_maint_ctx(spark, index_path, "merge_lists")
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    cids = {int(r["cid"]) for r in centroids.select("cid").collect()}
+    present = [i for i in ids if i in cids]
+    if not present:
+        # replay after the commit point: finish the cleanup phase
+        _cleanup_list_partitions(spark, jvm, fs, index_path, ids)
+        return None
+    if len(present) < len(ids):
+        raise RuntimeError(
+            f"merge_lists: {sorted(set(ids) - set(present))} are not "
+            f"in the manifest while {present} are — a merge is "
+            "all-or-nothing by the atomic centroid swap; pass lists "
+            "that are all live"
+        )
+
+    members, mvecs, n_members = _list_members(
+        spark, index_path, ids, emb, "merge_lists"
+    )
+    if n_members < 1:
+        raise RuntimeError(
+            f"merge_lists: lists {ids} hold no members — nothing to "
+            "merge"
+        )
+    new_cid = max(cids) + 1
+    seed = mvecs.orderBy(F.asc("vec_id")).limit(1).select(
+        F.lit(new_cid).alias("cid"), F.col("embedding").alias("ce")
+    )
+    # one Lloyd pass over a single centroid = the deterministic
+    # quantized mean of all members
+    merged = ivf_fit_centroids(mvecs, n_iters=1, init=seed)
+
+    _maint_marker(spark, index_path, -4, batch_id)  # marker first
+    assign = mvecs.select(
+        "vec_id", F.lit(new_cid).cast("long").alias("_new_list")
+    )
+    _rewrite_members(spark, index_path, members, assign, ids)
+    _commit_centroids(
+        spark, jvm, fs, rename, index_path,
+        centroids.where(~F.col("cid").isin(ids)).unionByName(
+            merged.select("cid", "ce")
+        ),
+        "merge_lists",
+    )
+    _cleanup_list_partitions(spark, jvm, fs, index_path, ids)
+    return new_cid

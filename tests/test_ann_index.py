@@ -1833,3 +1833,78 @@ def test_split_then_ingest_then_compact_interplay(spark, tmp_path):
         for r in spark.read.parquet(f"{path}/codes")
         .select("list_id").distinct().collect()
     } <= manifest
+
+
+def test_merge_lists_membership_and_replay(spark, tmp_path):
+    """merge_lists (split_list's inverse): (a) membership exact
+    through the merge — exhaustive probe identical; (b) the merged
+    lists' members all land in the one new list, old cids leave the
+    manifest; (c) serving probes work across the merge; (d) a
+    partial-manifest id set refuses (all-or-nothing); (e) replay
+    after commit is cleanup-only; (f) split-then-merge round-trips
+    membership."""
+    import pytest
+
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        merge_lists,
+        split_list,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path)
+
+    def _vd(rows):
+        return [(r["vec_id"], r["adc_dist"]) for r in rows]
+
+    before = _vd(pq_probe_topk(
+        spark, path, _query(spark), 10, nprobe=None).collect())
+    counts = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("list_id").count().collect()
+    )
+    cold = sorted(counts, key=lambda r: (r["count"], r["list_id"]))[:2]
+    cold_ids = [int(r["list_id"]) for r in cold]
+    n_cold = sum(int(r["count"]) for r in cold)
+
+    # (d) partial-manifest refusal before anything destructive
+    with pytest.raises(Exception, match="all-or-nothing"):
+        merge_lists(spark, path, [cold_ids[0], 9999], emb, batch_id=1)
+
+    new_cid = merge_lists(spark, path, cold_ids, emb, batch_id=1)
+    assert new_cid is not None
+
+    # (a) exhaustive probe identical through the merge
+    after = _vd(pq_probe_topk(
+        spark, path, _query(spark), 10, nprobe=None).collect())
+    assert after == before
+
+    # (b) membership moved whole; manifest updated
+    manifest = {
+        int(r["cid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    assert new_cid in manifest
+    assert not (set(cold_ids) & manifest)
+    moved = spark.read.parquet(f"{path}/codes").where(
+        F.col("list_id") == new_cid
+    )
+    assert moved.count() == n_cold
+    assert spark.read.parquet(f"{path}/codes").where(
+        F.col("list_id").isin(cold_ids)
+    ).count() == 0
+
+    # (c) serving probe across the merge (7-list index)
+    assert len(pq_probe_topk(
+        spark, path, _query(spark), 10, nprobe=3).collect()) == 10
+
+    # (e) replay after commit: cleanup-only, state unchanged
+    assert merge_lists(spark, path, cold_ids, emb, batch_id=1) is None
+    assert _vd(pq_probe_topk(
+        spark, path, _query(spark), 10, nprobe=None).collect()) == before
+
+    # (f) split the merged list back apart: membership still exact
+    got = split_list(spark, path, new_cid, emb, batch_id=2)
+    assert got is not None
+    assert _vd(pq_probe_topk(
+        spark, path, _query(spark), 10, nprobe=None).collect()) == before
