@@ -210,6 +210,8 @@ HEADLINE = [
     "ann_list_split_sim",
     "ann_list_merge_sim",
     "ann_filtered_soak_sim",
+    "ann_attr_drop_sim",
+    "text_attr_drop_sim",
 ]
 
 

@@ -40,23 +40,26 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- ROUND-12 window.  Slots 1-5: this round's NEW queries
-    # (ANN + text attr-schema evolution, streaming filtered soak,
-    # IVF list split + merge — VERDICT r11 items 4, 8, 5).  Slots
-    # 6-14:
+    # --- ROUND-12 window.  Slots 1-7: this round's NEW queries
+    # (ANN + text attr-schema evolution add/drop, streaming filtered
+    # soak, IVF list split + merge — VERDICT r11 items 4, 8, 5).
+    # Slots 8-16:
     # CHANGED plans — the list-manifest semi-join entered every
     # exhaustive (nprobe=None) ANN probe (split_list's commit
     # invariant), so their old green rows no longer prove the
     # shipped plan.  Remaining slots: the oldest stale evidence per
     # the generated census — the 4 r4-only greens, then the r5-only
-    # block alphabetical; the 12 displaced r5 names
-    # (salted_join_counts, semantic_cluster_diversity_sample ..
+    # block alphabetical; the 14 displaced r5 names
+    # (q6_forecast_revenue, rollup_nation_segment,
+    # salted_join_counts, semantic_cluster_diversity_sample ..
     # weighted_systematic_sample) move to round 13's window. ---
     "ann_attr_evolve_sim",
     "ann_filtered_soak_sim",
     "ann_list_split_sim",
     "ann_list_merge_sim",
     "text_attr_evolve_sim",
+    "ann_attr_drop_sim",
+    "text_attr_drop_sim",
     "ann_pq_persisted_topk",
     "ann_index_delete_sim",
     "ann_index_upsert_sim",
@@ -100,16 +103,14 @@ FRONT: list[str] = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "rollup_nation_segment",
 ]
 
 # ROUND-13 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
 # bullet).  Assuming CORRECTNESS_r12 lands green, the remaining stale
-# evidence, oldest first: the 12 r5-only names this window displaced
-# (salted_join_counts, semantic_cluster_diversity_sample,
-# session_concurrency_sweep,
+# evidence, oldest first: the 14 r5-only names this window displaced
+# (q6_forecast_revenue, rollup_nation_segment, salted_join_counts,
+# semantic_cluster_diversity_sample, session_concurrency_sweep,
 # set_ops_purchasers_vs_errors,
 # simhash_near_pairs, sort_limit_latest, stratified_sample_20_per_type,
 # timestamp_parse, training_export_pipeline, trigram_novelty_score,

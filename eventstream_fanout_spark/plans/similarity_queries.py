@@ -2578,6 +2578,64 @@ def ann_list_merge_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_attr_drop_sim",
+    _pq_persisted_oracle(
+        probed=True,
+        corpus_pred="vec_id <> 0 AND vec_id IN "
+        "(SELECT vec_id FROM embeddings WHERE label IN (1, 3, 5))",
+    ),
+    description="ATTR-SCHEMA RETIREMENT on the live filtered index — "
+    "drop_attr_column, add_attr_column's inverse: the attr store is "
+    "built with (label, grp = vec_id % 7), the grp dimension is then "
+    "DROPPED (narrow-table stage + the shared checked atomic swap; "
+    "codes never read; no as-of marker needed — remaining columns' "
+    "history is untouched and a probe on the dropped column fails "
+    "loudly rather than silently), and the filtered probe on the "
+    "REMAINING label column must hash-equal the filtered oracle — "
+    "proving the drop rewrote the store without corrupting the "
+    "surviving dimension's values or coverage.  Replay/all-or-"
+    "nothing/last-column refusals pinned by pytest",
+    tags=("similarity", "ann", "pq", "ivf", "index", "filtered",
+          "maintenance", "evolution", "extension"),
+)
+def ann_attr_drop_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import (
+        build_attr_store,
+        build_pq_index,
+        pq_filtered_topk,
+    )
+    from ..streaming.ann_ingest import drop_attr_column
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_attr_drop_")
+    build_pq_index(spark, emb, path)
+    build_attr_store(
+        spark,
+        emb.where(F.col("vec_id") != 0).select(
+            "vec_id", "label", (F.col("vec_id") % 7).alias("grp")
+        ),
+        path,
+    )
+    drop_attr_column(spark, path, ["grp"], batch_id=1)
+    q = emb.where(F.col("vec_id") == 0).select("embedding")
+    topk = pq_filtered_topk(
+        spark, path, q, 10, F.col("label").isin(1, 3, 5), nprobe=2
+    )
+    return (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("list_id").cast("long").alias("list_id"),
+            "adc_dist",
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    )
+
+
 def _churned_emb(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(revised_slice, final_emb) under the shared churn
     (_VEC_UPSERT_SQL: vec_id % 10 = 4 and > 20, halved — seed rows and

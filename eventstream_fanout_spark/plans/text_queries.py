@@ -1240,6 +1240,44 @@ def text_attr_evolve_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_attr_drop_sim",
+    _bm25_oracle(cand_pred="lang = 'en'"),
+    description="ATTR-SCHEMA RETIREMENT on the live filtered text "
+    "index — drop_doc_attr_column, add_doc_attr_column's inverse: "
+    "the postings-layout attr store is built with (lang, source), "
+    "the source dimension is DROPPED (narrow-table stage + checked "
+    "atomic swap; postings never read; no marker — remaining "
+    "columns' history untouched, a probe on the dropped column fails "
+    "loudly), and the filtered probe on the REMAINING lang column "
+    "must hash-equal the filtered oracle — proving the drop did not "
+    "corrupt the surviving dimension.  Replay/all-or-nothing/"
+    "last-column refusals pinned by pytest",
+    tags=("text", "search", "bm25", "index", "filtered",
+          "maintenance", "evolution", "extension"),
+)
+def text_attr_drop_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.text_index import (
+        bm25_topk_filtered,
+        build_text_attr_store,
+        build_text_index,
+    )
+    from ..streaming.text_ingest import drop_doc_attr_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="text_index_attr_drop_")
+    build_text_index(spark, docs.select("doc_id", "text"), path)
+    build_text_attr_store(
+        spark, docs.select("doc_id", "lang", "source"), path
+    )
+    drop_doc_attr_column(spark, path, ["source"], batch_id=1)
+    return bm25_topk_filtered(
+        spark, path, list(_BM25_TERMS), 10, F.col("lang") == "en"
+    )
+
+
+@register(
     "text_index_ingest_sim",
     _bm25_oracle(),
     description="incremental inverted-index ingestion simulated as a "

@@ -551,36 +551,16 @@ def add_attr_column(
 
     Single-writer maintenance-window contract, like every
     store-rewriting op."""
-    from py4j.java_gateway import java_import
-
     from .compaction import read_store_or_none
 
-    jvm = spark._jvm
-    java_import(jvm, "org.apache.hadoop.fs.Path")
-    conf = spark._jsc.hadoopConfiguration()
-    live_p = jvm.Path(f"{index_path}/attrs")
+    # recovery preamble FIRST (the refit_index crash contract), via
+    # the shared evolve-swap context — add and drop use the same
+    # stage/park suffixes so either heals the other's crash
+    jvm, fs, _rename = _attrs_swap_ctx(
+        spark, index_path, "add_attr_column"
+    )
     stage = f"{index_path}/attrs.evolve_stage"
-    parked = f"{index_path}/attrs.pre_evolve"
-    stage_p, parked_p = jvm.Path(stage), jvm.Path(parked)
-    fs = live_p.getFileSystem(conf)
-
-    def _rename(src_p, dst_p, why: str) -> None:
-        if not fs.rename(src_p, dst_p):
-            raise RuntimeError(
-                f"add_attr_column: rename {src_p} -> {dst_p} failed "
-                f"({why}); re-run the same call to recover"
-            )
-
-    # recovery preamble FIRST (the refit_index crash contract): a
-    # crash between the swap renames leaves the live attrs path
-    # missing and the old store parked — restore it before any read
-    if fs.exists(parked_p):
-        if not fs.exists(live_p):
-            _rename(parked_p, live_p, "restore parked attrs store")
-        else:
-            fs.delete(parked_p, True)
-    if fs.exists(stage_p):
-        fs.delete(stage_p, True)
+    stage_p = jvm.Path(stage)
 
     attrs = read_store_or_none(spark, f"{index_path}/attrs")
     if attrs is None:
@@ -657,14 +637,8 @@ def add_attr_column(
         if fs.exists(stage_p):
             fs.delete(stage_p, True)
         raise
-    _rename(live_p, parked_p, "park old attrs store")
-    _rename(stage_p, live_p, "install widened attrs store")
-    if not fs.exists(live_p):
-        raise RuntimeError(
-            f"add_attr_column: widened attrs store did not land at "
-            f"{index_path}/attrs; parked copy kept at {parked}"
-        )
-    fs.delete(parked_p, True)
+    _attrs_swap_commit(spark, jvm, fs, _rename, index_path,
+                       "add_attr_column")
 
 
 def _list_maint_ctx(spark: SparkSession, index_path: str, op: str):
@@ -1044,3 +1018,122 @@ def merge_lists(
     )
     _cleanup_list_partitions(spark, jvm, fs, index_path, ids)
     return new_cid
+
+
+def drop_attr_column(
+    spark: SparkSession,
+    index_path: str,
+    cols: list[str],
+    batch_id: int,
+) -> bool:
+    """The inverse of :func:`add_attr_column` — retire filter
+    dimension(s) from the live attrs store without touching codes
+    (same narrow-table stage + checked atomic swap).  Returns False
+    when the call is a recognized replay (none of ``cols`` exist any
+    more — the previous run's swap committed).
+
+    No as-of marker, deliberately: dropping a column leaves every
+    REMAINING column's historical values untouched, so filtered as-of
+    probes on them stay exact at any watermark, and a probe on the
+    dropped column fails loudly (unresolved column) rather than
+    serving a never-existed state — the silent-history problem the
+    add-side marker exists for cannot occur here.
+
+    ``batch_id`` names the maintenance batch for logging symmetry
+    with the other ops; single-writer maintenance-window contract."""
+    jvm, fs, rename = _attrs_swap_ctx(
+        spark, index_path, "drop_attr_column"
+    )
+    from .compaction import read_store_or_none
+
+    attrs = read_store_or_none(spark, f"{index_path}/attrs")
+    if attrs is None:
+        raise RuntimeError(
+            f"drop_attr_column: no attrs store at {index_path}/attrs"
+        )
+    want = [str(c) for c in cols]
+    present = [c for c in want if c in attrs.columns]
+    if not present:
+        return False  # replay after the swap committed: converged
+    if len(present) < len(want):
+        raise RuntimeError(
+            f"drop_attr_column: {sorted(set(want) - set(present))} "
+            "are not on the attrs store — a drop is all-or-nothing "
+            "by the atomic swap; name columns that all exist"
+        )
+    reserved = [c for c in want if c in ("vec_id", "list_id", "batch_id")]
+    if reserved:
+        raise RuntimeError(
+            f"drop_attr_column: {reserved} are layout columns, not "
+            "attr metadata"
+        )
+    remaining = [
+        c for c in _attr_data_cols(attrs) if c not in set(want)
+    ]
+    if not remaining:
+        raise RuntimeError(
+            "drop_attr_column: dropping every metadata column would "
+            "leave a store no filtered probe can use — delete the "
+            f"{index_path}/attrs directory instead to retire "
+            "filterability entirely"
+        )
+    stage = f"{index_path}/attrs.evolve_stage"
+    (
+        attrs.select("vec_id", "list_id", "batch_id", *remaining)
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "list_id")
+        .parquet(stage)
+    )
+    _attrs_swap_commit(spark, jvm, fs, rename, index_path,
+                       "drop_attr_column")
+    return True
+
+
+def _attrs_swap_ctx(spark: SparkSession, index_path: str, op: str):
+    """(jvm, fs, checked-rename) + the attrs-swap recovery preamble —
+    shared by add_attr_column and drop_attr_column (same
+    ``attrs.evolve_stage`` / ``attrs.pre_evolve`` suffixes, so either
+    op's preamble heals a crash left by the other)."""
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.Path(index_path).getFileSystem(conf)
+
+    def _rename(src_p, dst_p, why: str) -> None:
+        if not fs.rename(src_p, dst_p):
+            raise RuntimeError(
+                f"{op}: rename {src_p} -> {dst_p} failed ({why}); "
+                "re-run the same call to recover"
+            )
+
+    live_p = jvm.Path(f"{index_path}/attrs")
+    stage_p = jvm.Path(f"{index_path}/attrs.evolve_stage")
+    park_p = jvm.Path(f"{index_path}/attrs.pre_evolve")
+    if fs.exists(park_p):
+        if not fs.exists(live_p):
+            _rename(park_p, live_p, "restore parked attrs store")
+        else:
+            fs.delete(park_p, True)
+    if fs.exists(stage_p):
+        fs.delete(stage_p, True)
+    return jvm, fs, _rename
+
+
+def _attrs_swap_commit(
+    spark: SparkSession, jvm, fs, rename, index_path: str, op: str
+) -> None:
+    """Install a staged attrs store by checked atomic renames (the
+    shared evolve commit)."""
+    live = f"{index_path}/attrs"
+    stage = f"{index_path}/attrs.evolve_stage"
+    park = f"{index_path}/attrs.pre_evolve"
+    rename(jvm.Path(live), jvm.Path(park), "park old attrs store")
+    rename(jvm.Path(stage), jvm.Path(live), "install new attrs store")
+    if not fs.exists(jvm.Path(live)):
+        raise RuntimeError(
+            f"{op}: new attrs store did not land at {live}; parked "
+            f"copy kept at {park}"
+        )
+    fs.delete(jvm.Path(park), True)

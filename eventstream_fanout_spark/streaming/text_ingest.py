@@ -1001,3 +1001,97 @@ def add_doc_attr_column(
             f"at {index_path}/attrs; parked copy kept at {parked}"
         )
     fs.delete(parked_p, True)
+
+
+def drop_doc_attr_column(
+    spark: SparkSession,
+    index_path: str,
+    cols: list[str],
+    batch_id: int,
+) -> bool:
+    """The inverse of :func:`add_doc_attr_column` — retire filter
+    dimension(s) from the text index's postings-layout attrs store
+    (same narrow-table stage + checked atomic swap; the ANN twin is
+    ``ann_ingest.drop_attr_column``).  Returns False when the call is
+    a recognized replay (none of ``cols`` exist — the previous run's
+    swap committed).  No marker, deliberately: remaining columns'
+    historical values are untouched, so filtered as-of probes on them
+    stay exact, and a probe on the dropped column fails loudly
+    (unresolved column) — the silent-history problem cannot occur.
+    Single-writer maintenance-window contract."""
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.Path(index_path).getFileSystem(conf)
+
+    def _rename(src_p, dst_p, why: str) -> None:
+        if not fs.rename(src_p, dst_p):
+            raise RuntimeError(
+                f"drop_doc_attr_column: rename {src_p} -> {dst_p} "
+                f"failed ({why}); re-run the same call to recover"
+            )
+
+    live_p = jvm.Path(f"{index_path}/attrs")
+    stage = f"{index_path}/attrs.evolve_stage"
+    parked = f"{index_path}/attrs.pre_evolve"
+    stage_p, park_p = jvm.Path(stage), jvm.Path(parked)
+    if fs.exists(park_p):
+        if not fs.exists(live_p):
+            _rename(park_p, live_p, "restore parked attrs store")
+        else:
+            fs.delete(park_p, True)
+    if fs.exists(stage_p):
+        fs.delete(stage_p, True)
+
+    attrs = _read_or_none(spark, f"{index_path}/attrs")
+    if attrs is None:
+        raise RuntimeError(
+            f"drop_doc_attr_column: no attrs store at "
+            f"{index_path}/attrs"
+        )
+    want = [str(c) for c in cols]
+    present = [c for c in want if c in attrs.columns]
+    if not present:
+        return False  # replay after the swap committed: converged
+    if len(present) < len(want):
+        raise RuntimeError(
+            f"drop_doc_attr_column: "
+            f"{sorted(set(want) - set(present))} are not on the "
+            "attrs store — a drop is all-or-nothing by the atomic "
+            "swap; name columns that all exist"
+        )
+    reserved = [c for c in want if c in ("tok", "doc_id", "batch_id")]
+    if reserved:
+        raise RuntimeError(
+            f"drop_doc_attr_column: {reserved} are layout columns, "
+            "not attr metadata"
+        )
+    remaining = [
+        c
+        for c in attrs.columns
+        if c not in ("tok", "doc_id", "batch_id") and c not in set(want)
+    ]
+    if not remaining:
+        raise RuntimeError(
+            "drop_doc_attr_column: dropping every metadata column "
+            "would leave a store no filtered probe can use — delete "
+            f"the {index_path}/attrs directory instead to retire "
+            "filterability entirely"
+        )
+    (
+        attrs.select("tok", "doc_id", "batch_id", *remaining)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(stage)
+    )
+    _rename(live_p, park_p, "park old attrs store")
+    _rename(stage_p, live_p, "install new attrs store")
+    if not fs.exists(live_p):
+        raise RuntimeError(
+            f"drop_doc_attr_column: new attrs store did not land at "
+            f"{index_path}/attrs; parked copy kept at {parked}"
+        )
+    fs.delete(park_p, True)
+    return True

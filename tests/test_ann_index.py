@@ -1908,3 +1908,72 @@ def test_merge_lists_membership_and_replay(spark, tmp_path):
     assert got is not None
     assert _vd(pq_probe_topk(
         spark, path, _query(spark), 10, nprobe=None).collect()) == before
+
+
+def test_drop_attr_column_contracts(spark, tmp_path):
+    """drop_attr_column: (a) remaining columns keep serving filtered
+    probes; (b) a probe on the dropped column fails loudly; (c)
+    replay after the swap is a recognized no-op; (d) dropping a
+    missing column alongside a present one refuses (all-or-nothing);
+    (e) dropping every metadata column refuses; (f) the add/drop
+    crash windows share one heal (crash mid-drop, then add heals)."""
+    import os
+
+    import pytest
+
+    from eventstream_fanout_spark.operators.ann_index import (
+        build_attr_store,
+        pq_filtered_topk,
+    )
+    from eventstream_fanout_spark.streaming.ann_ingest import (
+        add_attr_column,
+        drop_attr_column,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, path)
+    corpus = emb.where(F.col("vec_id") != 0)
+    build_attr_store(spark, corpus.select("vec_id", "label"), path)
+    add_attr_column(
+        spark, path,
+        emb.select("vec_id", (F.col("vec_id") % 7).alias("grp")),
+        batch_id=1,
+    )
+
+    # (e) refusing to drop the last metadata column set
+    with pytest.raises(Exception, match="delete the"):
+        drop_attr_column(spark, path, ["label", "grp"], batch_id=2)
+    # (d) all-or-nothing
+    with pytest.raises(Exception, match="all-or-nothing"):
+        drop_attr_column(spark, path, ["grp", "nope"], batch_id=2)
+
+    assert drop_attr_column(spark, path, ["grp"], batch_id=2) is True
+    # (a) remaining column serves
+    got = pq_filtered_topk(
+        spark, path, _query(spark), 5, F.col("label").isin(1, 3, 5),
+        nprobe=8,
+    ).collect()
+    assert len(got) == 5
+    # (b) dropped column fails loudly
+    with pytest.raises(Exception):
+        pq_filtered_topk(
+            spark, path, _query(spark), 5, F.col("grp") == 1, nprobe=8
+        ).collect()
+    # (c) replay converges as a no-op
+    assert drop_attr_column(spark, path, ["grp"], batch_id=2) is False
+
+    # (f) crash mid-drop (attrs parked, live missing) healed by the
+    # shared preamble on the next evolve op
+    os.rename(f"{path}/attrs", f"{path}/attrs.pre_evolve")
+    add_attr_column(
+        spark, path,
+        emb.select("vec_id", (F.col("vec_id") % 3).alias("tri")),
+        batch_id=3,
+    )
+    healed = pq_filtered_topk(
+        spark, path, _query(spark), 5,
+        F.col("label").isin(1, 3, 5) & (F.col("tri") == 0),
+        nprobe=8,
+    ).collect()
+    assert all(r["vec_id"] % 3 == 0 for r in healed)

@@ -28,6 +28,8 @@ BNLJ_ALLOWED = {
     "ann_pq_filtered_topk",  # same 1-row query x 8-row centroid ranking
     "ann_attr_evolve_sim",  # same filtered-probe centroid ranking
     "ann_list_merge_sim",  # 1-row query x manifest semi-join probe
+    "ann_attr_drop_sim",  # same filtered-probe centroid ranking
+    "text_attr_drop_sim",  # 1-row corpus-stats broadcast side
     "ann_filtered_soak_sim",  # same (streaming-tagged; listed for parity)
     "ann_pq_persisted_fitted_topk",  # 1-row query x fitted 8-row centroids
     "ann_pq_fully_fitted_topk",  # 1-row query x fitted 8-row centroids

@@ -1876,3 +1876,48 @@ def test_add_doc_attr_column_evolution_contracts(spark, tmp_path):
         r["doc_id"] % 5 in (1, 2) and r["doc_id"] % 3 == 0
         for r in healed
     )
+
+
+def test_drop_doc_attr_column_contracts(spark, tmp_path):
+    """drop_doc_attr_column (text twin): remaining column serves,
+    dropped column fails loudly, replay no-op, all-or-nothing and
+    last-column refusals."""
+    import pytest
+
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_filtered,
+        build_text_attr_store,
+        build_text_index,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        drop_doc_attr_column,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, docs.select("doc_id", "text"), path)
+    build_text_attr_store(
+        spark, docs.select("doc_id", "lang", "source"), path
+    )
+    terms = ["spark", "window", "join"]
+
+    with pytest.raises(Exception, match="delete the"):
+        drop_doc_attr_column(
+            spark, path, ["lang", "source"], batch_id=1
+        )
+    with pytest.raises(Exception, match="all-or-nothing"):
+        drop_doc_attr_column(spark, path, ["source", "nope"], batch_id=1)
+
+    assert drop_doc_attr_column(spark, path, ["source"], batch_id=1)
+    got = bm25_topk_filtered(
+        spark, path, terms, 5, F.col("lang") == "en"
+    ).collect()
+    assert len(got) == 5
+    with pytest.raises(Exception):
+        bm25_topk_filtered(
+            spark, path, terms, 5, F.col("source") == "x"
+        ).collect()
+    assert (
+        drop_doc_attr_column(spark, path, ["source"], batch_id=1)
+        is False
+    )
