@@ -1,0 +1,131 @@
+"""Scale-planning diagnostics + hypertable-style rollup cascade.
+
+Two operators a 100 TB deployment runs continuously:
+
+- :func:`key_skew_report` — the shuffle-planning diagnostic.  Every
+  ``groupBy``/``join`` key with a heavy hitter re-creates the straggler
+  problem (SCALE.md); this op measures it: per-key counts (two-level
+  aggregate, map-side combined), the top-K heavy hitters, and global
+  skew statistics (max/avg ratio, heavy-hitter share) in integer-exact
+  micro-units.  Its output is what decides between a plain shuffle
+  join, AQE skew handling, or explicit salting
+  (operators/dedup.py's salted join).
+
+- :func:`rollup_cascade` — multi-resolution continuous aggregates
+  (TimescaleDB-hypertable-shaped): minute buckets from raw events,
+  hour buckets **from the minute rollup**, day buckets **from the hour
+  rollup**.  Each level is sum/count-mergeable by construction
+  (measures are BIGINT counts and micro-unit-quantized value sums), so
+  the cascade is exactly equal to aggregating raw data directly — the
+  DuckDB oracle checks precisely that associativity.  At scale only
+  the minute level ever reads raw data; coarser levels read the level
+  below (cheap incremental maintenance, same delta shape as
+  incremental_mv_maintenance in plans/curation_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QVAL = 1_000_000.0  # micro-unit quantization for DOUBLE measures
+QPCT = 1_000_000.0  # micro-unit percentages in the skew report
+
+
+def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Heavy hitters + global skew stats for ``df`` grouped by ``key``.
+
+    Returns top_k rows (the heaviest keys, count desc / key asc) each
+    carrying the global columns so the report is one self-contained
+    relation:
+
+      key, cnt, pct_micro            -- this key's share (ppm)
+      n_keys, n_rows, max_cnt        -- global
+      skew_ratio_micro               -- max_cnt / (n_rows / n_keys), ppm
+
+    Integer-exact: shares are ``floor(cnt * 1e6 / n_rows)`` (exact
+    BIGINT product below 2^53, one correctly-rounded divide);
+    skew_ratio is ``floor(max_cnt * n_keys * 1e6 / n_rows)``.
+
+    Scale: per-key counts partial-aggregate map-side; the top-k is a
+    TakeOrdered (no global sort); the one-row stats side broadcasts.
+    """
+    per_key = df.groupBy(F.col(key)).agg(F.count("*").alias("cnt"))
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = per_key.orderBy(F.desc("cnt"), F.asc(key)).limit(top_k)
+    return top.crossJoin(F.broadcast(stats)).select(
+        F.col(key),
+        "cnt",
+        F.floor(F.col("cnt") * F.lit(QPCT) / F.col("n_rows"))
+        .cast("long")
+        .alias("pct_micro"),
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.floor(
+            F.col("max_cnt") * F.col("n_keys") * F.lit(QPCT) / F.col("n_rows")
+        )
+        .cast("long")
+        .alias("skew_ratio_micro"),
+    )
+
+
+def rollup_cascade(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Minute -> hour -> day cascade; returns the day level.
+
+    Output: (day, <group_col>, n_events, n_minutes, value_micro) where
+    value_micro is the BIGINT sum of per-event
+    ``floor(value * 1e6 + 0.5)`` — quantized *before* the first
+    aggregate so every cascade level sums integers and the cascade is
+    exactly associative (a float sum would drift per grouping order).
+    n_minutes counts distinct non-empty minute buckets, computed as
+    cascaded row counts (minute rows per hour, summed per day).
+    """
+    qv = F.floor(F.col(value_col) * F.lit(QVAL) + F.lit(0.5)).cast("long")
+    minute = (
+        events.select(
+            F.date_trunc("minute", F.col(ts_col)).alias("m"),
+            F.col(group_col),
+            qv.alias("qv"),
+        )
+        .groupBy("m", group_col)
+        .agg(F.count("*").alias("n_events"), F.sum("qv").alias("value_micro"))
+    )
+    hour = (
+        minute.select(
+            F.date_trunc("hour", F.col("m")).alias("h"),
+            group_col,
+            "n_events",
+            "value_micro",
+        )
+        .groupBy("h", group_col)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count("*").alias("n_minutes"),
+            F.sum("value_micro").alias("value_micro"),
+        )
+    )
+    return (
+        hour.select(
+            F.date_trunc("day", F.col("h")).alias("day"),
+            group_col,
+            "n_events",
+            "n_minutes",
+            "value_micro",
+        )
+        .groupBy("day", group_col)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_minutes").alias("n_minutes"),
+            F.sum("value_micro").alias("value_micro"),
+        )
+    )

@@ -49,10 +49,21 @@ FRONT: list[str] = [
     # invariant), so their old green rows no longer prove the
     # shipped plan.  Remaining slots: the oldest stale evidence per
     # the generated census — the 4 r4-only greens, then the r5-only
-    # block alphabetical; the 14 displaced r5 names
-    # (q6_forecast_revenue, rollup_nation_segment,
-    # salted_join_counts, semantic_cluster_diversity_sample ..
-    # weighted_systematic_sample) move to round 13's window. ---
+    # block alphabetical; the displaced r5 names
+    # (q14_promo_revenue_share .. q6_forecast_revenue,
+    # rollup_nation_segment, salted_join_counts,
+    # semantic_cluster_diversity_sample ..
+    # weighted_systematic_sample — 21 total) move to round 13's
+    # window.  Late round 12: the 7 classifier/graph/diagnostics
+    # queries take the first slots (never green, new-first policy),
+    # displacing the 7 newest r5 tail names. ---
+    "centroid_classifier_report",
+    "centroid_classifier_confusion",
+    "lang_classifier_report",
+    "lang_classifier_confusion",
+    "domain_pagerank",
+    "key_skew_report",
+    "rollup_cascade_daily",
     "ann_attr_evolve_sim",
     "ann_filtered_soak_sim",
     "ann_list_split_sim",
@@ -96,20 +107,16 @@ FRONT: list[str] = [
     "ngram_jaccard_dups",
     "null_reject_filter",
     "q10_returned_items",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
 ]
 
 # ROUND-13 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
 # bullet).  Assuming CORRECTNESS_r12 lands green, the remaining stale
-# evidence, oldest first: the 14 r5-only names this window displaced
-# (q6_forecast_revenue, rollup_nation_segment, salted_join_counts,
+# evidence, oldest first: the 21 r5-only names this window displaced
+# (q14_promo_revenue_share, q18_large_volume_orders,
+# q19_disjunctive_predicates, q1_pricing_summary,
+# q3_shipping_priority, q4_order_priority, q5_local_supplier_volume,
+# q6_forecast_revenue, rollup_nation_segment, salted_join_counts,
 # semantic_cluster_diversity_sample, session_concurrency_sweep,
 # set_ops_purchasers_vs_errors,
 # simhash_near_pairs, sort_limit_latest, stratified_sample_20_per_type,
@@ -182,6 +189,9 @@ def _load_all() -> None:
         "pipeline_queries",
         "streaming_queries",
         "dq_queries",
+        "classify_queries",
+        "graph_queries",
+        "diagnostics_queries",
     ):
         fq = f"{pkg}.{modname}"
         if importlib.util.find_spec(fq) is not None:

@@ -81,6 +81,11 @@ BNLJ_ALLOWED = {
     "bm25_filtered_batch_search",  # 1-row corpus-stats side
     "ann_filtered_asof_sim",  # 1-row query x 8-row centroid ranking
     "text_filtered_asof_probe",  # 1-row corpus-stats side
+    # round 12 late additions: constant-size model/stats sides
+    "lang_classifier_report",  # 1-row vocab + n-classes prior sides
+    "lang_classifier_confusion",  # same fitted-model sides
+    "domain_pagerank",  # 1-row node-count side per rank iteration
+    "key_skew_report",  # 1-row global-stats side
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
