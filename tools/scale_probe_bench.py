@@ -32,7 +32,14 @@ Round 11 (VERDICT r9 item 8) adds mode families, selected by
 * ``hotterm``  — the hot-term-bounded BM25 probe vs the unbounded
   merged probe on stop-word-shaped terms;
 * ``substr``   — the ExactSubstr duplicated-span chain (shingle
-  groupBy + hash equi-join) over the replicated corpus.
+  groupBy + hash equi-join) over the replicated corpus;
+* ``classify`` — round-12 fitted classifiers: token-weight lang-id
+  and nearest-centroid fit+score wall time at xMULT;
+* ``graph``    — round-12 domain PageRank: per-replica-salted corpus
+  (graph grows linearly with the corpus) edge-derivation + 5
+  integer rank iterations;
+* ``diag``     — round-12 diagnostics: key_skew_report and the
+  minute->hour->day rollup cascade at xMULT.
 
 Run detached (tmux) — the index builds dominate wall time:
     SCALE_MULT=100 SCALE_MODES=probe,filtered,maint,hotterm,substr \\
@@ -480,6 +487,123 @@ def main():
         vals2 = [int(r["count"]) for r in counts2]
         res["listskew_max_over_mean_after"] = round(
             max(vals2) * len(vals2) / sum(vals2), 3
+        )
+
+    if "classify" in MODES:
+        # round-12 fitted classifiers: fit + score at xMULT.  The fit
+        # is one partial-aggregated groupBy over the train split; the
+        # score is a broadcast join (centroid) / token-keyed shuffle
+        # join (lang weights) — both should scale ~linearly in corpus
+        # size with constant-size models.
+        from eventstream_fanout_spark.operators.classify import (
+            centroid_classify,
+            centroid_fit,
+            token_weight_classify,
+            token_weight_fit,
+        )
+
+        docs_l = load_table(spark, SF, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        big_docs_l = (
+            docs_l.crossJoin(rep)
+            .repartition(64)
+            .select(
+                (F.col("doc_id") + F.col("k") * OFFSET).alias("doc_id"),
+                "text",
+                "lang",
+            )
+        )
+        tr_d = big_docs_l.where(F.col("doc_id") % 5 != 0)
+        te_d = big_docs_l.where(F.col("doc_id") % 5 == 0)
+
+        def _lang_run():
+            w, p = token_weight_fit(tr_d, "lang")
+            return token_weight_classify(te_d, w, p, "lang").count()
+
+        res["classify_lang_fit_score_s"] = timed(_lang_run, runs=1)
+        big_emb_l = (
+            emb.crossJoin(rep)
+            .repartition(64)
+            .select(
+                (F.col("vec_id") + F.col("k") * OFFSET).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+        tr_e = big_emb_l.where(F.col("vec_id") % 5 != 0)
+        te_e = big_emb_l.where(F.col("vec_id") % 5 == 0)
+        res["classify_centroid_fit_score_s"] = timed(
+            lambda: centroid_classify(te_e, centroid_fit(tr_e)).count(),
+            runs=1,
+        )
+
+    if "graph" in MODES:
+        # round-12 domain PageRank.  Plain replication would multiply
+        # every shingle's df past the [DF_MIN, DF_MAX] bound and empty
+        # the graph, so each replica salts its tokens (tok_k) and
+        # namespaces its sources (src_k): the graph grows linearly
+        # (nodes = sources x MULT) — the realistic web shape where
+        # corpus and domain count grow together.
+        from eventstream_fanout_spark.operators.graph import (
+            cocitation_edges,
+            pagerank_integer,
+        )
+
+        docs_g = load_table(spark, SF, "documents").select(
+            "doc_id", "text", "source"
+        )
+        salted = (
+            docs_g.crossJoin(rep)
+            .repartition(64)
+            .select(
+                (F.col("doc_id") + F.col("k") * OFFSET).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                        lambda t: F.concat(
+                            t, F.lit("_"), F.col("k").cast("string")
+                        ),
+                    ),
+                    " ",
+                ).alias("text"),
+                F.concat(
+                    F.col("source"),
+                    F.lit("_"),
+                    F.col("k").cast("string"),
+                ).alias("source"),
+            )
+        )
+
+        def _pr_run():
+            nodes = salted.select("source").distinct()
+            return pagerank_integer(nodes, cocitation_edges(salted)).count()
+
+        res["pagerank_edges_rank_s"] = timed(_pr_run, runs=1)
+        res["pagerank_n_nodes"] = (
+            salted.select("source").distinct().count()
+        )
+
+    if "diag" in MODES:
+        from eventstream_fanout_spark.operators.diagnostics import (
+            key_skew_report,
+            rollup_cascade,
+        )
+
+        ev = load_table(spark, SF, "events").select(
+            "ts", "user_id", "event_type", "value"
+        )
+        big_ev = ev.crossJoin(rep).repartition(64).select(
+            "ts",
+            (F.col("user_id") + F.col("k") * OFFSET).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        res["skew_report_s"] = timed(
+            lambda: key_skew_report(big_ev, "user_id").count()
+        )
+        res["rollup_cascade_s"] = timed(
+            lambda: rollup_cascade(big_ev).count()
         )
 
     print(json.dumps(res))
