@@ -212,6 +212,16 @@ HEADLINE = [
     "ann_filtered_soak_sim",
     "ann_attr_drop_sim",
     "text_attr_drop_sim",
+    # round-12 late additions: fitted classifiers, graph authority,
+    # scale diagnostics, rollup cascade
+    "centroid_classifier_report",
+    "centroid_classifier_confusion",
+    "lang_classifier_report",
+    "lang_classifier_confusion",
+    "domain_pagerank",
+    "key_skew_report",
+    "rollup_cascade_daily",
+    "knn_classifier_report",
 ]
 
 

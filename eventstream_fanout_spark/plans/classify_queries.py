@@ -227,3 +227,124 @@ def lang_classifier_confusion(
     return confusion_matrix(
         _lang_preds(spark, sf_dir), "lang_true", "lang_pred"
     )
+
+
+# ---------------------------------------------------------------- #
+# kNN classifier (majority vote of quantized-cosine top-5)          #
+# ---------------------------------------------------------------- #
+
+# the kNN eval batch is CONSTANT by construction (vec_id < EVAL_CAP on
+# the test split — <=100 vectors at any sf), so broadcasting it is a
+# bounded map, not a corpus-fraction cross product; full-corpus kNN
+# classification at scale routes through the persisted IVF batch probe
+# (operators/ann_index.py pq_batch_probe_topk) with the same vote.
+EVAL_CAP = 500
+
+
+def _knn_oracle(k: int = 5) -> str:
+    from ..functions.vectors import QV
+
+    return f"""
+    WITH flat AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(FLOOR(x * x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS n2
+      FROM flat GROUP BY vec_id
+    ),
+    sums AS (
+      SELECT q.vec_id AS qid, q.label AS label_true, c.vec_id,
+             c.label AS nb_label,
+             CAST(SUM(CAST(FLOOR(c.x * q.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM flat c JOIN flat q ON c.i = q.i
+      WHERE c.vec_id % 5 <> 0
+        AND q.vec_id % 5 = 0 AND q.vec_id < {EVAL_CAP}
+      GROUP BY q.vec_id, q.label, c.vec_id, c.label
+    ),
+    topk AS (
+      SELECT qid, label_true, nb_label FROM (
+        SELECT s.*, ROW_NUMBER() OVER (
+          PARTITION BY s.qid
+          ORDER BY (s.dot / (sqrt(nc.n2) * sqrt(nq.n2))) DESC,
+                   s.vec_id ASC) AS rnk
+        FROM sums s
+        JOIN norms nc ON nc.vec_id = s.vec_id
+        JOIN norms nq ON nq.vec_id = s.qid
+      ) WHERE rnk <= {k}
+    ),
+    votes AS (
+      SELECT qid AS vec_id, label_true, nb_label AS label_pred,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM topk GROUP BY qid, label_true, nb_label
+    )
+    SELECT vec_id, label_true, label_pred, n_votes FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id
+        ORDER BY n_votes DESC, label_pred ASC) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """
+
+
+@register(
+    "knn_classifier_report",
+    _knn_oracle(),
+    description="kNN classifier: majority label of the quantized-cosine "
+    "top-5 train neighbors for a CONSTANT <=100-vector eval batch "
+    "(vec_id < 500 on the held-out split; vote ties to the smaller "
+    "label, distance ties to the smaller vec_id).  One corpus scan "
+    "serves the whole batch (ann_batch_topk shape); full-corpus kNN "
+    "classification at scale routes through the persisted IVF batch "
+    "probe (operators/ann_index.py pq_batch_probe_topk), same vote.",
+    tags=("classify", "similarity", "extension"),
+)
+def knn_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine as _cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 5 != 0).select(
+        "vec_id", F.col("label").alias("nb_label"), "embedding"
+    )
+    test = emb.where(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < EVAL_CAP)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("label_true"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = train.crossJoin(F.broadcast(test)).select(
+        "qid",
+        "label_true",
+        "vec_id",
+        "nb_label",
+        _cosine(F.col("embedding"), F.col("qe")).alias("cosine"),
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(wk)).where(
+        F.col("rnk") <= 5
+    )
+    votes = topk.groupBy("qid", "label_true", "nb_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("n_votes"), F.asc("nb_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "label_true",
+            F.col("nb_label").alias("label_pred"),
+            "n_votes",
+        )
+    )

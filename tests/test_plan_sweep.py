@@ -86,6 +86,7 @@ BNLJ_ALLOWED = {
     "lang_classifier_confusion",  # same fitted-model sides
     "domain_pagerank",  # 1-row node-count side per rank iteration
     "key_skew_report",  # 1-row global-stats side
+    "knn_classifier_report",  # <=100-row capped eval batch (EVAL_CAP)
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
