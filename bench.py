@@ -222,6 +222,7 @@ HEADLINE = [
     "key_skew_report",
     "rollup_cascade_daily",
     "knn_classifier_report",
+    "rollup_incremental_sim",
 ]
 
 

@@ -81,3 +81,152 @@ def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_cascade(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rollup_incremental_sim",
+    f"""
+    WITH q AS (
+      SELECT event_id, date_trunc('minute', ts) AS m, event_type,
+             CAST(FLOOR(value * {QVAL!r} + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    partials AS (
+      SELECT 0 AS batch_id, m, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qv) AS BIGINT) AS s
+      FROM q WHERE event_id % 3 = 0 GROUP BY m, event_type
+      UNION ALL
+      SELECT 1, m, event_type,
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(qv) AS BIGINT)
+      FROM q WHERE event_id % 3 = 1 GROUP BY m, event_type
+      UNION ALL
+      SELECT 2, m, event_type,
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(qv) AS BIGINT)
+      FROM q WHERE event_id % 3 = 2 GROUP BY m, event_type
+      UNION ALL
+      SELECT 1, m, event_type,
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(qv) AS BIGINT)
+      FROM q WHERE event_id % 3 = 1 GROUP BY m, event_type
+    ),
+    applied AS (SELECT DISTINCT * FROM partials),
+    mv_minute AS (
+      SELECT m, event_type, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS s
+      FROM applied GROUP BY m, event_type
+    ),
+    mv_hour AS (
+      SELECT date_trunc('hour', m) AS h, event_type,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_minutes,
+             CAST(SUM(s) AS BIGINT) AS s
+      FROM mv_minute GROUP BY date_trunc('hour', m), event_type
+    ),
+    mv_day AS (
+      SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(n_minutes) AS BIGINT) AS n_minutes,
+             CAST(SUM(s) AS BIGINT) AS value_micro
+      FROM mv_hour GROUP BY date_trunc('day', h), event_type
+    ),
+    direct AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT date_trunc('minute', ts)) AS BIGINT)
+               AS n_minutes,
+             CAST(SUM(CAST(FLOOR(value * {QVAL!r} + 0.5) AS BIGINT))
+                  AS BIGINT) AS value_micro
+      FROM events GROUP BY 1, 2
+    )
+    SELECT mv.day, mv.event_type, mv.n_events, mv.n_minutes,
+           mv.value_micro,
+           (mv.n_events = d.n_events AND mv.n_minutes = d.n_minutes
+            AND mv.value_micro = d.value_micro) AS matches_full
+    FROM mv_day mv
+    JOIN direct d ON d.day = mv.day AND d.event_type = mv.event_type
+    """,
+    description="incremental rollup-cascade maintenance with replay: "
+    "three ingest 'triggers' (event_id % 3) each land a batch-id-keyed "
+    "minute-level PARTIAL aggregate; trigger 1 is replayed (crash/"
+    "retry) and collapses against its original via the batch-id-keyed "
+    "DISTINCT — the same idempotence contract every store sink in this "
+    "repo uses; the maintained minute MV then cascades hour -> day and "
+    "the sandwich column proves the result equals a full recompute of "
+    "all events.  Maintenance cost scales with the delta (one "
+    "minute-partial per trigger), never the history",
+    tags=("diagnostics", "timeseries", "incremental", "extension"),
+)
+def rollup_incremental_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * F.lit(QVAL) + F.lit(0.5)).cast("long")
+    base = events.select(
+        "event_id",
+        F.date_trunc("minute", F.col("ts")).alias("m"),
+        "event_type",
+        qv.alias("qv"),
+    )
+
+    def partial(bid: int, replay_of: int | None = None) -> DataFrame:
+        src = base.where(
+            F.col("event_id") % 3 == (bid if replay_of is None else replay_of)
+        )
+        return src.groupBy("m", "event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("qv").cast("long").alias("s"),
+        ).select(
+            F.lit(bid if replay_of is None else replay_of)
+            .cast("int")
+            .alias("batch_id"),
+            "m",
+            "event_type",
+            "n",
+            "s",
+        )
+
+    partials = (
+        partial(0)
+        .unionByName(partial(1))
+        .unionByName(partial(2))
+        .unionByName(partial(1, replay_of=1))  # replayed trigger
+    )
+    applied = partials.distinct()
+    mv_minute = applied.groupBy("m", "event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+    )
+    mv_hour = mv_minute.groupBy(
+        F.date_trunc("hour", F.col("m")).alias("h"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_minutes"),
+        F.sum("s").cast("long").alias("s"),
+    )
+    mv_day = mv_hour.groupBy(
+        F.date_trunc("day", F.col("h")).alias("day"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("n_minutes").cast("long").alias("n_minutes"),
+        F.sum("s").cast("long").alias("value_micro"),
+    )
+    direct = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("d_n"),
+        F.countDistinct(F.date_trunc("minute", F.col("ts")))
+        .cast("long")
+        .alias("d_m"),
+        F.sum(qv).cast("long").alias("d_s"),
+    )
+    return mv_day.join(direct, ["day", "event_type"]).select(
+        "day",
+        "event_type",
+        "n_events",
+        "n_minutes",
+        "value_micro",
+        (
+            (F.col("n_events") == F.col("d_n"))
+            & (F.col("n_minutes") == F.col("d_m"))
+            & (F.col("value_micro") == F.col("d_s"))
+        ).alias("matches_full"),
+    )

@@ -163,3 +163,14 @@ def test_rollup_cascade_equals_direct_aggregation(spark):
         .collect()
     )
     assert cascade == direct
+
+
+def test_rollup_incremental_sim_sandwich_all_true(spark):
+    from eventstream_fanout_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["rollup_incremental_sim"].fn(spark, SF_SMOKE).collect()
+    assert rows, "sim produced no day-level rollup rows"
+    assert all(r.matches_full for r in rows), (
+        "maintained cascade diverged from full recompute"
+    )
