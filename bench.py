@@ -223,6 +223,7 @@ HEADLINE = [
     "rollup_cascade_daily",
     "knn_classifier_report",
     "rollup_incremental_sim",
+    "centroid_classifier_prf",
 ]
 
 

@@ -232,3 +232,68 @@ def confusion_matrix(
     return preds.groupBy(true_col, pred_col).agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+def prf_report(
+    preds: DataFrame, true_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 in exact ppm integers.
+
+    precision_ppm = floor(tp * 1e6 / n_pred)   (NULL when never predicted)
+    recall_ppm    = floor(tp * 1e6 / n_true)   (NULL when class absent)
+    f1_ppm        = floor(2 * tp * 1e6 / (2*tp + fp + fn))
+                    (NULL when the denominator is 0)
+
+    Every number derives from BIGINT counts with one correctly-rounded
+    divide, so a SQL oracle reproduces it exactly.  The input is the
+    per-row prediction relation; all aggregation is count-shaped
+    (map-side combined), so the report costs one pass at any corpus
+    size.
+    """
+    conf = preds.groupBy(
+        F.col(true_col), F.col(pred_col)
+    ).agg(F.count("*").cast("long").alias("n"))
+    tp = (
+        conf.where(F.col(true_col) == F.col(pred_col))
+        .select(F.col(true_col).alias("label"), F.col("n").alias("tp"))
+    )
+    n_true = conf.groupBy(F.col(true_col).alias("label")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    n_pred = conf.groupBy(F.col(pred_col).alias("label")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    base = (
+        n_true.join(n_pred, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0).cast("long")).alias("tp"),
+            F.coalesce("n_true", F.lit(0).cast("long")).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0).cast("long")).alias("n_pred"),
+        )
+    )
+    ppm = F.lit(1_000_000.0)
+    fp = F.col("n_pred") - F.col("tp")
+    fn = F.col("n_true") - F.col("tp")
+    return base.select(
+        "label",
+        "tp",
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.when(
+            F.col("n_pred") > 0,
+            F.floor(F.col("tp") * ppm / F.col("n_pred")).cast("long"),
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("n_true") > 0,
+            F.floor(F.col("tp") * ppm / F.col("n_true")).cast("long"),
+        ).alias("recall_ppm"),
+        F.when(
+            (F.lit(2) * F.col("tp") + fp + fn) > 0,
+            F.floor(
+                F.lit(2) * F.col("tp") * ppm
+                / (F.lit(2) * F.col("tp") + fp + fn)
+            ).cast("long"),
+        ).alias("f1_ppm"),
+    )

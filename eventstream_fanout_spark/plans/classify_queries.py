@@ -348,3 +348,62 @@ def knn_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+@register(
+    "centroid_classifier_prf",
+    f"""
+    WITH {_CENTROID_CTE},
+    conf AS (
+      SELECT label_true, label_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM preds GROUP BY label_true, label_pred
+    ),
+    tp AS (
+      SELECT label_true AS label, n AS tp FROM conf
+      WHERE label_true = label_pred
+    ),
+    n_true AS (
+      SELECT label_true AS label, CAST(SUM(n) AS BIGINT) AS n_true
+      FROM conf GROUP BY label_true
+    ),
+    n_pred AS (
+      SELECT label_pred AS label, CAST(SUM(n) AS BIGINT) AS n_pred
+      FROM conf GROUP BY label_pred
+    ),
+    base AS (
+      SELECT COALESCE(t.label, p.label) AS label,
+             CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+             CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+             CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred
+      FROM n_true t
+      FULL OUTER JOIN n_pred p ON p.label = t.label
+      LEFT JOIN tp ON tp.label = COALESCE(t.label, p.label)
+    )
+    SELECT label, tp,
+           CAST(n_pred - tp AS BIGINT) AS fp,
+           CAST(n_true - tp AS BIGINT) AS fn,
+           CASE WHEN n_pred > 0
+                THEN CAST(FLOOR(tp * 1000000.0 / n_pred) AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN n_true > 0
+                THEN CAST(FLOOR(tp * 1000000.0 / n_true) AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN (2 * tp + (n_pred - tp) + (n_true - tp)) > 0
+                THEN CAST(FLOOR(2 * tp * 1000000.0
+                           / (2 * tp + (n_pred - tp) + (n_true - tp)))
+                          AS BIGINT)
+           END AS f1_ppm
+    FROM base
+    """,
+    description="per-label precision/recall/F1 (exact ppm integers) for "
+    "the nearest-centroid classifier — the evaluation gate a curation "
+    "pipeline thresholds on before trusting a model-based filter; "
+    "NULL when a label is never predicted / absent from the split",
+    tags=("classify", "embedding", "extension"),
+)
+def centroid_classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import prf_report
+
+    return prf_report(
+        _centroid_preds(spark, sf_dir), "label_true", "label_pred"
+    )

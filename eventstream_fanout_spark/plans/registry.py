@@ -50,13 +50,13 @@ FRONT: list[str] = [
     # shipped plan.  Remaining slots: the oldest stale evidence per
     # the generated census — the 4 r4-only greens, then the r5-only
     # block alphabetical; the displaced r5 names
-    # (null_reject_filter .. q6_forecast_revenue,
+    # (ngram_jaccard_dups .. q6_forecast_revenue,
     # rollup_nation_segment, salted_join_counts,
     # semantic_cluster_diversity_sample ..
-    # weighted_systematic_sample — 23 total) move to round 13's
-    # window.  Late round 12: the 9 classifier/graph/diagnostics
+    # weighted_systematic_sample — 24 total) move to round 13's
+    # window.  Late round 12: the 10 classifier/graph/diagnostics
     # queries take the first slots (never green, new-first policy),
-    # displacing the 9 newest r5 tail names. ---
+    # displacing the 10 newest r5 tail names. ---
     "centroid_classifier_report",
     "centroid_classifier_confusion",
     "lang_classifier_report",
@@ -66,6 +66,7 @@ FRONT: list[str] = [
     "rollup_cascade_daily",
     "knn_classifier_report",
     "rollup_incremental_sim",
+    "centroid_classifier_prf",
     "ann_attr_evolve_sim",
     "ann_filtered_soak_sim",
     "ann_list_split_sim",
@@ -106,14 +107,13 @@ FRONT: list[str] = [
     "json_extract_props",
     "mad_outlier_report",
     "minhash_lsh_pairs",
-    "ngram_jaccard_dups",
 ]
 
 # ROUND-13 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
 # bullet).  Assuming CORRECTNESS_r12 lands green, the remaining stale
-# evidence, oldest first: the 23 r5-only names this window displaced
-# (null_reject_filter, q10_returned_items, q14_promo_revenue_share,
+# evidence, oldest first: the 24 r5-only names this window displaced
+# (ngram_jaccard_dups, null_reject_filter, q10_returned_items, q14_promo_revenue_share,
 # q18_large_volume_orders,
 # q19_disjunctive_predicates, q1_pricing_summary,
 # q3_shipping_priority, q4_order_priority, q5_local_supplier_volume,
