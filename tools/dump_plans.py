@@ -108,6 +108,15 @@ PICKS = {
     "whole fused plan touches exactly TWO index relations (one "
     "term-filtered postings scan, one DPP-pruned codes scan); "
     "rankings fuse by reciprocal-rank sums with a per-qid window",
+    "centroid_classifier_report": "round 12: fitted-model scoring — "
+    "the labels x dim centroid table broadcasts (BroadcastExchange on "
+    "the fit subtree); the corpus side is one exploded scan with "
+    "partial aggregation, so scoring cost is linear in the corpus "
+    "with a constant-size model",
+    "key_skew_report": "round 12: the skew diagnostic itself stays "
+    "skew-proof — per-key counts partial-aggregate map-side, the "
+    "top-k is TakeOrdered (no global sort), and the one-row global "
+    "stats side broadcasts",
 }
 
 
