@@ -224,6 +224,8 @@ HEADLINE = [
     "knn_classifier_report",
     "rollup_incremental_sim",
     "centroid_classifier_prf",
+    "lang_classifier_prf",
+    "classifier_stream_scoring_sim",
 ]
 
 

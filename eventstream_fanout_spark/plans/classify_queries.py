@@ -407,3 +407,98 @@ def centroid_classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prf_report(
         _centroid_preds(spark, sf_dir), "label_true", "label_pred"
     )
+
+
+@register(
+    "lang_classifier_prf",
+    f"""
+    WITH {_LANG_CTE},
+    conf AS (
+      SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lang_preds GROUP BY lang_true, lang_pred
+    ),
+    tp AS (
+      SELECT lang_true AS label, n AS tp FROM conf
+      WHERE lang_true = lang_pred
+    ),
+    n_true AS (
+      SELECT lang_true AS label, CAST(SUM(n) AS BIGINT) AS n_true
+      FROM conf GROUP BY lang_true
+    ),
+    n_pred AS (
+      SELECT lang_pred AS label, CAST(SUM(n) AS BIGINT) AS n_pred
+      FROM conf GROUP BY lang_pred
+    ),
+    base AS (
+      SELECT COALESCE(t.label, p.label) AS label,
+             CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+             CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+             CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred
+      FROM n_true t
+      FULL OUTER JOIN n_pred p ON p.label = t.label
+      LEFT JOIN tp ON tp.label = COALESCE(t.label, p.label)
+    )
+    SELECT label, tp,
+           CAST(n_pred - tp AS BIGINT) AS fp,
+           CAST(n_true - tp AS BIGINT) AS fn,
+           CASE WHEN n_pred > 0
+                THEN CAST(FLOOR(tp * 1000000.0 / n_pred) AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN n_true > 0
+                THEN CAST(FLOOR(tp * 1000000.0 / n_true) AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN (2 * tp + (n_pred - tp) + (n_true - tp)) > 0
+                THEN CAST(FLOOR(2 * tp * 1000000.0
+                           / (2 * tp + (n_pred - tp) + (n_true - tp)))
+                          AS BIGINT)
+           END AS f1_ppm
+    FROM base
+    """,
+    description="per-language precision/recall/F1 (exact ppm) for the "
+    "fitted lang-id classifier — same prf_report operator as the "
+    "centroid variant, over the token-weight model's predictions",
+    tags=("classify", "text", "extension"),
+)
+def lang_classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import prf_report
+
+    return prf_report(_lang_preds(spark, sf_dir), "lang_true", "lang_pred")
+
+
+@register(
+    "classifier_stream_scoring_sim",
+    f"WITH {_LANG_CTE} SELECT * FROM lang_preds",
+    description="streaming model serving sim: the token-weight model "
+    "is fit on the train split and PERSISTED as generation 1 "
+    "(streaming/model_store.py — generational store, priors written "
+    "last so a partial generation is invisible); the held-out split "
+    "streams through the scoring sink in two micro-batches and batch "
+    "1 is REPLAYED (batch-id-keyed dynamic partition overwrite — the "
+    "repo's effectively-once contract); the prediction store must "
+    "hash-equal the all-at-once classifier, proving batch-split "
+    "serving and crash-replay leave no trace in the scores",
+    tags=("classify", "text", "streaming", "extension"),
+)
+def classifier_stream_scoring_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..streaming.model_store import (
+        save_token_model,
+        streaming_scoring_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    weights, priors = token_weight_fit(train, "lang")
+    tmp = tempfile.mkdtemp(prefix="model_store_")
+    save_token_model(spark, f"{tmp}/model", weights, priors, 1)
+    sink = streaming_scoring_sink(f"{tmp}/model", f"{tmp}/preds")
+    sink(test.where(F.col("doc_id") % 10 == 0), 1)
+    sink(test.where(F.col("doc_id") % 10 == 5), 2)
+    sink(test.where(F.col("doc_id") % 10 == 0), 1)  # crash-replay
+    return spark.read.parquet(f"{tmp}/preds").select(
+        "doc_id", "lang_true", "lang_pred", "score_top"
+    )

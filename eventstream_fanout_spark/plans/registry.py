@@ -111,7 +111,10 @@ FRONT: list[str] = [
 
 # ROUND-13 ROTATION PLAN (generated census: tools/rotation_bullet.py —
 # paste its output into COVERAGE.md instead of hand-writing the
-# bullet).  Assuming CORRECTNESS_r12 lands green, the remaining stale
+# bullet).  Registered AFTER the r12 window froze (give these round
+# 13's first slots, new-first): lang_classifier_prf,
+# classifier_stream_scoring_sim (if shipped).
+# Assuming CORRECTNESS_r12 lands green, the remaining stale
 # evidence, oldest first: the 24 r5-only names this window displaced
 # (ngram_jaccard_dups, null_reject_filter, q10_returned_items, q14_promo_revenue_share,
 # q18_large_volume_orders,

@@ -174,3 +174,64 @@ def test_rollup_incremental_sim_sandwich_all_true(spark):
     assert all(r.matches_full for r in rows), (
         "maintained cascade diverged from full recompute"
     )
+
+
+def test_model_store_serves_latest_complete_generation(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.operators.classify import (
+        token_weight_fit,
+    )
+    from eventstream_fanout_spark.streaming.model_store import (
+        load_token_model,
+        save_token_model,
+    )
+
+    docs = _docs_df(spark)
+    path = str(tmp_path / "model")
+    w1, p1 = token_weight_fit(docs.where(F.col("doc_id") < 6), "lang")
+    save_token_model(spark, path, w1, p1, 1)
+    w2, p2 = token_weight_fit(docs, "lang")
+    save_token_model(spark, path, w2, p2, 2)
+    w, p = load_token_model(spark, path)
+    # generation 2 fit over ALL docs -> its priors differ from gen 1
+    assert sorted(p.collect()) == sorted(p2.collect())
+    assert sorted(w.collect()) == sorted(w2.collect())
+    # a partial generation (weights landed, priors did not) is
+    # invisible: latest-complete keys off the priors relation
+    (
+        w1.withColumn("gen", F.lit(3).cast("int"))
+        .write.mode("append")
+        .partitionBy("gen")
+        .parquet(f"{path}/weights")
+    )
+    w_after, p_after = load_token_model(spark, path)
+    assert sorted(p_after.collect()) == sorted(p2.collect())
+    assert sorted(w_after.collect()) == sorted(w2.collect())
+
+
+def test_scoring_sink_replay_is_byte_identical(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.operators.classify import (
+        token_weight_fit,
+    )
+    from eventstream_fanout_spark.streaming.model_store import (
+        save_token_model,
+        streaming_scoring_sink,
+    )
+
+    docs = _docs_df(spark)
+    mpath, opath = str(tmp_path / "m"), str(tmp_path / "o")
+    w, p = token_weight_fit(docs.where(F.col("doc_id") % 5 != 0), "lang")
+    save_token_model(spark, mpath, w, p, 1)
+    sink = streaming_scoring_sink(mpath, opath)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    sink(batch, 7)
+    first = sorted(spark.read.parquet(opath).collect())
+    sink(batch, 7)  # replay: dynamic overwrite of batch_id=7
+    second = sorted(spark.read.parquet(opath).collect())
+    assert first == second and first
+    # empty batches are a no-op (no partition churn)
+    sink(batch.where(F.lit(False)), 8)
+    assert sorted(spark.read.parquet(opath).collect()) == first

@@ -87,6 +87,7 @@ BNLJ_ALLOWED = {
     "domain_pagerank",  # 1-row node-count side per rank iteration
     "key_skew_report",  # 1-row global-stats side
     "knn_classifier_report",  # <=100-row capped eval batch (EVAL_CAP)
+    "lang_classifier_prf",  # same fitted-model sides as the reports
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
