@@ -226,6 +226,7 @@ HEADLINE = [
     "centroid_classifier_prf",
     "lang_classifier_prf",
     "classifier_stream_scoring_sim",
+    "model_asof_scoring_sim",
 ]
 
 

@@ -495,10 +495,132 @@ def classifier_stream_scoring_sim(
     weights, priors = token_weight_fit(train, "lang")
     tmp = tempfile.mkdtemp(prefix="model_store_")
     save_token_model(spark, f"{tmp}/model", weights, priors, 1)
-    sink = streaming_scoring_sink(f"{tmp}/model", f"{tmp}/preds")
+    sink = streaming_scoring_sink(f"{tmp}/model", f"{tmp}/out")
     sink(test.where(F.col("doc_id") % 10 == 0), 1)
     sink(test.where(F.col("doc_id") % 10 == 5), 2)
     sink(test.where(F.col("doc_id") % 10 == 0), 1)  # crash-replay
-    return spark.read.parquet(f"{tmp}/preds").select(
+    return spark.read.parquet(f"{tmp}/out/preds").select(
         "doc_id", "lang_true", "lang_pred", "score_top"
+    )
+
+
+def _model_branch_cte(pfx: str, train_where: str, test_where: str) -> str:
+    """One fitted-model branch (train -> weights/priors -> score a test
+    slice) with prefixed CTE names, so two model GENERATIONS coexist in
+    one oracle.  Shares the module-level ``occ`` CTE."""
+    return f"""
+  {pfx}train_occ AS (SELECT * FROM occ WHERE {train_where}),
+  {pfx}cnt AS (
+    SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM {pfx}train_occ GROUP BY lang, tok
+  ),
+  {pfx}tot AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot
+    FROM {pfx}train_occ GROUP BY lang
+  ),
+  {pfx}vocab AS (
+    SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM {pfx}train_occ
+  ),
+  {pfx}weights AS (
+    SELECT c.lang, c.tok,
+           CAST(FLOOR((c.cnt + 1.0) / (t.tot + v.v) * {QW!r}) AS BIGINT)
+             AS w
+    FROM {pfx}cnt c JOIN {pfx}tot t ON t.lang = c.lang
+    CROSS JOIN {pfx}vocab v
+  ),
+  {pfx}ndocs AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd
+    FROM documents WHERE {train_where} GROUP BY lang
+  ),
+  {pfx}totals AS (
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE {train_where})
+                AS BIGINT) AS ntot,
+           CAST((SELECT COUNT(*) FROM {pfx}ndocs) AS BIGINT) AS nclasses
+  ),
+  {pfx}priors AS (
+    SELECT lang,
+           CAST(FLOOR((nd + 1.0) / (ntot + nclasses) * {QP!r}) AS BIGINT)
+             AS prior_w
+    FROM {pfx}ndocs CROSS JOIN {pfx}totals
+  ),
+  {pfx}test_toks AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM occ WHERE {test_where} GROUP BY doc_id, tok
+  ),
+  {pfx}matched AS (
+    SELECT dt.doc_id, w.lang, CAST(SUM(w.w * dt.n_occ) AS BIGINT)
+             AS tok_score
+    FROM {pfx}test_toks dt JOIN {pfx}weights w ON w.tok = dt.tok
+    GROUP BY dt.doc_id, w.lang
+  ),
+  {pfx}skeleton AS (
+    SELECT d.doc_id, d.lang AS lang_true, p.lang, p.prior_w
+    FROM documents d CROSS JOIN {pfx}priors p
+    WHERE {test_where}
+  ),
+  {pfx}scored AS (
+    SELECT s.doc_id, s.lang_true, s.lang AS lang_pred,
+           CAST(s.prior_w + COALESCE(m.tok_score, 0) AS BIGINT) AS score
+    FROM {pfx}skeleton s
+    LEFT JOIN {pfx}matched m ON m.doc_id = s.doc_id AND m.lang = s.lang
+  ),
+  {pfx}preds AS (
+    SELECT doc_id, lang_true, lang_pred, score AS score_top
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, lang_pred ASC) AS rnk
+      FROM {pfx}scored
+    ) WHERE rnk = 1
+  )"""
+
+
+@register(
+    "model_asof_scoring_sim",
+    f"""
+    WITH occ AS (
+      SELECT doc_id, lang, unnest({sql_tokens('text')}) AS tok
+      FROM documents
+    ),{_model_branch_cte("g1", "doc_id % 5 <> 0 AND doc_id % 2 = 0",
+                         "doc_id % 10 = 0")},{
+        _model_branch_cte("g2", "doc_id % 5 <> 0", "doc_id % 10 = 5")}
+    SELECT doc_id, lang_true, lang_pred, score_top,
+           CAST(1 AS INT) AS gen FROM g1preds
+    UNION ALL
+    SELECT doc_id, lang_true, lang_pred, score_top,
+           CAST(2 AS INT) AS gen FROM g2preds
+    """,
+    description="model-version reproducibility under refresh: batch 1 "
+    "scores against generation 1 (fit on half the train split), the "
+    "model refreshes to generation 2 (full train split), batch 2 "
+    "scores against generation 2, and batch 1 is REPLAYED after the "
+    "refresh — the marker pin (written FIRST, streaming/model_store.py)"
+    " forces the replay back onto generation 1, so the prediction "
+    "store equals the per-generation oracle exactly.  Without the pin "
+    "a crash-replay racing a refit would silently rescore history "
+    "with the wrong model",
+    tags=("classify", "text", "streaming", "asof", "extension"),
+)
+def model_asof_scoring_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.model_store import (
+        save_token_model,
+        streaming_scoring_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_train = docs.where(F.col("doc_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="model_asof_")
+    w1, p1 = token_weight_fit(
+        base_train.where(F.col("doc_id") % 2 == 0), "lang"
+    )
+    save_token_model(spark, f"{tmp}/model", w1, p1, 1)
+    sink = streaming_scoring_sink(f"{tmp}/model", f"{tmp}/out")
+    sink(docs.where(F.col("doc_id") % 10 == 0), 1)
+    w2, p2 = token_weight_fit(base_train, "lang")
+    save_token_model(spark, f"{tmp}/model", w2, p2, 2)
+    sink(docs.where(F.col("doc_id") % 10 == 5), 2)
+    sink(docs.where(F.col("doc_id") % 10 == 0), 1)  # replay past refresh
+    return spark.read.parquet(f"{tmp}/out/preds").select(
+        "doc_id", "lang_true", "lang_pred", "score_top", "gen"
     )

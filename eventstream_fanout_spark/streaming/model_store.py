@@ -63,43 +63,92 @@ def save_token_model(
 
 
 def load_token_model(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, generation: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
-    """Load the latest COMPLETE generation (max gen in priors).
+    """Load one model generation — the latest COMPLETE one (max gen in
+    priors) by default, or a pinned ``generation``.
 
-    The one-row max-gen aggregate broadcasts into both reads; the
-    weights scan is partition-pruned to that generation.
+    The one-row gen selector broadcasts into both reads; the weights
+    scan is partition-pruned to that generation.
     """
     priors_all = spark.read.parquet(f"{path}/priors")
-    latest = priors_all.agg(F.max("gen").alias("gen"))
+    if generation is None:
+        sel = priors_all.agg(F.max("gen").alias("gen"))
+    else:
+        sel = spark.range(1).select(
+            F.lit(generation).cast("int").alias("gen")
+        )
     weights = (
         spark.read.parquet(f"{path}/weights")
-        .join(F.broadcast(latest), "gen")
+        .join(F.broadcast(sel), "gen")
         .drop("gen")
     )
-    priors = priors_all.join(F.broadcast(latest), "gen").drop("gen")
+    priors = priors_all.join(F.broadcast(sel), "gen").drop("gen")
     return weights, priors
+
+
+def _pinned_gen(
+    spark: SparkSession, out_path: str, batch_id: int
+) -> int | None:
+    from .compaction import read_store_or_none
+
+    markers = read_store_or_none(spark, f"{out_path}/markers")
+    if markers is None:
+        return None
+    rows = markers.where(F.col("batch_id") == batch_id).collect()
+    return int(rows[0]["gen"]) if rows else None
 
 
 def streaming_scoring_sink(
     model_path: str, out_path: str, class_col: str = "lang"
 ):
-    """foreachBatch sink: score each micro-batch against the latest
-    persisted model generation; predictions land batch-id-keyed
-    (replay rewrites the same partition — effectively-once)."""
+    """foreachBatch sink: score each micro-batch against ONE pinned
+    model generation.
+
+    ``out_path`` holds two relations: ``preds/`` (batch-id-keyed
+    predictions, each row carrying the generation that scored it) and
+    ``markers/`` (batch -> generation pins).  The marker is written
+    FIRST: a crash-replay — even one that races a model refresh —
+    re-reads the pin and rescores with the ORIGINAL generation, so
+    replay is byte-identical no matter what the model store did in
+    between (the marker-first contract of streaming/ann_ingest.py's
+    upsert path, applied to model serving).  Both writes are dynamic
+    partition overwrites on batch_id, so every crash window heals by
+    re-running the same call.  The pin lookup collects one
+    request-sized row (markers are one row per micro-batch)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        weights, priors = load_token_model(spark, model_path)
+        gen = _pinned_gen(spark, out_path, batch_id)
+        if gen is None:
+            latest = (
+                spark.read.parquet(f"{model_path}/priors")
+                .agg(F.max("gen"))
+                .collect()[0][0]
+            )
+            gen = int(latest)
+            (
+                spark.range(1)
+                .select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.lit(gen).cast("int").alias("gen"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{out_path}/markers")
+            )
+        weights, priors = load_token_model(spark, model_path, generation=gen)
         preds = token_weight_classify(batch_df, weights, priors, class_col)
         (
-            preds.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            preds.withColumn("gen", F.lit(gen).cast("int"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(out_path)
+            .parquet(f"{out_path}/preds")
         )
 
     return sink

@@ -228,10 +228,28 @@ def test_scoring_sink_replay_is_byte_identical(spark, tmp_path):
     sink = streaming_scoring_sink(mpath, opath)
     batch = docs.where(F.col("doc_id") % 5 == 0)
     sink(batch, 7)
-    first = sorted(spark.read.parquet(opath).collect())
+    first = sorted(spark.read.parquet(f"{opath}/preds").collect())
     sink(batch, 7)  # replay: dynamic overwrite of batch_id=7
-    second = sorted(spark.read.parquet(opath).collect())
+    second = sorted(spark.read.parquet(f"{opath}/preds").collect())
     assert first == second and first
     # empty batches are a no-op (no partition churn)
     sink(batch.where(F.lit(False)), 8)
-    assert sorted(spark.read.parquet(opath).collect()) == first
+    assert sorted(spark.read.parquet(f"{opath}/preds").collect()) == first
+    # the replay pin survives a model refresh: refit on ALL docs as
+    # generation 2, replay batch 7 -> still scored by generation 1
+    w2, p2 = token_weight_fit(docs, "lang")
+    save_token_model(spark, mpath, w2, p2, 2)
+    sink(batch, 7)
+    replayed = sorted(spark.read.parquet(f"{opath}/preds").collect())
+    assert replayed == first
+    assert all(r.gen == 1 for r in replayed)
+    # a NEW batch after the refresh scores with generation 2
+    sink(batch, 9)
+    gens = {
+        r.batch_id: r.gen
+        for r in spark.read.parquet(f"{opath}/preds")
+        .select("batch_id", "gen")
+        .distinct()
+        .collect()
+    }
+    assert gens == {7: 1, 9: 2}
