@@ -227,6 +227,7 @@ HEADLINE = [
     "lang_classifier_prf",
     "classifier_stream_scoring_sim",
     "model_asof_scoring_sim",
+    "authority_weighted_sample",
 ]
 
 

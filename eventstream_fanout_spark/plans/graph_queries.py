@@ -24,9 +24,11 @@ from ..sources.tables import load_table
 from .registry import register
 
 
-def _pagerank_oracle(n_iter: int = N_ITER) -> str:
+def _pagerank_ctes(n_iter: int = N_ITER) -> str:
+    """The shared CTE body (no WITH, no tail select): edge derivation
+    + n_iter unrolled integer rank steps, ending at rank{n_iter}."""
     head = f"""
-    WITH toks AS (
+    toks AS (
       SELECT doc_id, source, {sql_tokens('text')} AS t FROM documents
     ),
     sh0 AS (
@@ -79,7 +81,12 @@ def _pagerank_oracle(n_iter: int = N_ITER) -> str:
       FROM nodes n CROSS JOIN nn
       LEFT JOIN contrib{k} c ON c.source = n.source
     )""")
-    tail = f"""
+    return head + "," + ",".join(steps)
+
+
+def _pagerank_oracle(n_iter: int = N_ITER) -> str:
+    return f"""
+    WITH {_pagerank_ctes(n_iter)}
     SELECT r.source, CAST(r.r AS BIGINT) AS rank_micro,
            CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
            CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
@@ -87,7 +94,6 @@ def _pagerank_oracle(n_iter: int = N_ITER) -> str:
     LEFT JOIN outdeg o ON o.src = r.source
     LEFT JOIN indeg i ON i.dst = r.source
     """
-    return head + "," + ",".join(steps) + tail
 
 
 @register(
@@ -105,3 +111,73 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cocitation_edges(docs)
     nodes = docs.select("source").distinct()
     return pagerank_integer(nodes, edges)
+
+
+_SAMPLE_TARGET = 100
+
+
+@register(
+    "authority_weighted_sample",
+    f"""
+    WITH {{CTES}},
+    ranks AS (
+      SELECT source, CAST(r AS BIGINT) AS rank_micro
+      FROM rank{N_ITER}
+    ),
+    total AS (
+      SELECT CAST(SUM(rank_micro) AS BIGINT) AS total_rank FROM ranks
+    ),
+    quotas AS (
+      SELECT r.source, r.rank_micro,
+             CAST(FLOOR(r.rank_micro * {_SAMPLE_TARGET}.0
+                        / t.total_rank) AS BIGINT) AS quota
+      FROM ranks r CROSS JOIN total t
+    ),
+    picked AS (
+      SELECT d.doc_id, d.source, q.rank_micro, q.quota,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source ORDER BY d.doc_id ASC) AS rn
+      FROM documents d JOIN quotas q ON q.source = d.source
+    )
+    SELECT doc_id, source, rank_micro, quota
+    FROM picked WHERE rn <= quota
+    """.replace("{CTES}", _pagerank_ctes()),
+    description="authority-weighted curation sampling: each source's "
+    f"quota of a {_SAMPLE_TARGET}-doc sample is proportional to its "
+    "integer PageRank (floor(rank * N / total_rank)); the quota is "
+    "filled deterministically with the source's lowest doc_ids.  The "
+    "domain-mix stage of a crawl-curation pipeline, driven by the "
+    "measured authority signal instead of a hand-set mix",
+    tags=("graph", "curation", "sampling", "extension"),
+)
+def authority_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranks = pagerank_integer(
+        docs.select("source").distinct(), cocitation_edges(docs)
+    ).select("source", "rank_micro")
+    total = ranks.agg(
+        F.sum("rank_micro").cast("long").alias("total_rank")
+    )
+    quotas = ranks.crossJoin(F.broadcast(total)).select(
+        "source",
+        "rank_micro",
+        F.floor(
+            F.col("rank_micro") * F.lit(float(_SAMPLE_TARGET))
+            / F.col("total_rank")
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source")
+        .join(quotas, "source")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", "rank_micro", "quota")
+    )

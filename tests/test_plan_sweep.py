@@ -88,6 +88,7 @@ BNLJ_ALLOWED = {
     "key_skew_report",  # 1-row global-stats side
     "knn_classifier_report",  # <=100-row capped eval batch (EVAL_CAP)
     "lang_classifier_prf",  # same fitted-model sides as the reports
+    "authority_weighted_sample",  # pagerank 1-row sides + 1-row total
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
