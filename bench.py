@@ -228,6 +228,7 @@ HEADLINE = [
     "classifier_stream_scoring_sim",
     "model_asof_scoring_sim",
     "authority_weighted_sample",
+    "embedding_covariance_top",
 ]
 
 

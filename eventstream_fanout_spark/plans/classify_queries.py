@@ -624,3 +624,101 @@ def model_asof_scoring_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{tmp}/out/preds").select(
         "doc_id", "lang_true", "lang_pred", "score_top", "gen"
     )
+
+
+# ---------------------------------------------------------------- #
+# feature covariance (PCA / whitening prep)                         #
+# ---------------------------------------------------------------- #
+
+_COV_TOPK = 20
+
+
+@register(
+    "embedding_covariance_top",
+    f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, i, CAST(FLOOR(x * {QC!r} + 0.5) AS BIGINT) AS qx
+      FROM flat
+    ),
+    n_vecs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+    ),
+    s1 AS (SELECT i, CAST(SUM(qx) AS BIGINT) AS s FROM q GROUP BY i),
+    s2 AS (
+      SELECT a.i AS fi, b.i AS fj,
+             CAST(SUM(a.qx * b.qx) AS BIGINT) AS sij
+      FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i > a.i
+      GROUP BY a.i, b.i
+    ),
+    cov AS (
+      SELECT s2.fi, s2.fj,
+             CAST(n.n * s2.sij - sa.s * sb.s AS BIGINT) AS cov_num,
+             n.n
+      FROM s2
+      JOIN s1 sa ON sa.i = s2.fi
+      JOIN s1 sb ON sb.i = s2.fj
+      CROSS JOIN n_vecs n
+    )
+    SELECT (fi - 1) AS fi, (fj - 1) AS fj, cov_num, n
+    FROM cov
+    ORDER BY ABS(cov_num) DESC, fi ASC, fj ASC
+    LIMIT {_COV_TOPK}
+    """,
+    description="feature-covariance prep for PCA/whitening: the top-"
+    f"{_COV_TOPK} |covariance| off-diagonal feature pairs as EXACT "
+    "integers — cov_num = n*S_ij - S_i*S_j over micro-quantized "
+    "components (cov = cov_num / (n^2 * QC^2); the division is left "
+    "to the consumer so the relation stays BIGINT-exact).  One "
+    "exploded self-join per vector (d^2/2 pairs per row, map-side "
+    "combined) — the dense-but-bounded shape; at production dims the "
+    "same sums come from a mapInArrow outer-product kernel, but the "
+    "RELATION contract (i, j, cov_num, n) is identical",
+    tags=("classify", "embedding", "linalg", "extension"),
+)
+def embedding_covariance_top(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.classify import _qcomp
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", _qcomp(F.col("x")).alias("qx"))
+    n_vecs = emb.agg(F.count("*").cast("long").alias("n"))
+    s1 = flat.groupBy("i").agg(F.sum("qx").cast("long").alias("s"))
+    a = flat.alias("a")
+    b = flat.alias("b")
+    s2 = (
+        a.join(
+            b,
+            (F.col("b.vec_id") == F.col("a.vec_id"))
+            & (F.col("b.i") > F.col("a.i")),
+        )
+        .groupBy(F.col("a.i").alias("fi"), F.col("b.i").alias("fj"))
+        .agg(
+            F.sum(F.col("a.qx") * F.col("b.qx"))
+            .cast("long")
+            .alias("sij")
+        )
+    )
+    cov = (
+        s2.join(s1.select(F.col("i").alias("fi"), F.col("s").alias("sa")), "fi")
+        .join(s1.select(F.col("i").alias("fj"), F.col("s").alias("sb")), "fj")
+        .crossJoin(F.broadcast(n_vecs))
+        .select(
+            "fi",
+            "fj",
+            (F.col("n") * F.col("sij") - F.col("sa") * F.col("sb"))
+            .cast("long")
+            .alias("cov_num"),
+            "n",
+        )
+    )
+    return cov.orderBy(
+        F.abs(F.col("cov_num")).desc(), F.asc("fi"), F.asc("fj")
+    ).limit(_COV_TOPK)

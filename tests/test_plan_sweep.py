@@ -89,6 +89,7 @@ BNLJ_ALLOWED = {
     "knn_classifier_report",  # <=100-row capped eval batch (EVAL_CAP)
     "lang_classifier_prf",  # same fitted-model sides as the reports
     "authority_weighted_sample",  # pagerank 1-row sides + 1-row total
+    "embedding_covariance_top",  # 1-row n_vecs broadcast side
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
