@@ -229,6 +229,7 @@ HEADLINE = [
     "model_asof_scoring_sim",
     "authority_weighted_sample",
     "embedding_covariance_top",
+    "stream_rollup_cascade",
 ]
 
 

@@ -230,3 +230,71 @@ def rollup_incremental_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("value_micro") == F.col("d_s"))
         ).alias("matches_full"),
     )
+
+
+@register(
+    "stream_rollup_cascade",
+    f"""
+    WITH q AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             date_trunc('minute', ts) AS m,
+             event_type,
+             CAST(FLOOR(value * {QVAL!r} + 0.5) AS BIGINT) AS qv
+      FROM events
+    )
+    SELECT day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT m) AS BIGINT) AS n_minutes,
+           CAST(SUM(qv) AS BIGINT) AS value_micro
+    FROM q GROUP BY day, event_type
+    """,
+    description="REAL Structured Streaming rollup maintenance: events "
+    "split into 4 deterministic files (event_id%4), streamed with "
+    "maxFilesPerTrigger=1 through the foreachBatch minute-partial "
+    "sink (streaming/rollup_ingest.py — one batch-id-keyed partial "
+    "per trigger, dynamic overwrite), then the WHOLE stream is "
+    "re-processed from a fresh checkpoint (every trigger replays; "
+    "convergence does not depend on the batch->file assignment "
+    "because the merged rollup is split-agnostic).  The day-level "
+    "cascade over the stored partials must hash-equal the direct "
+    "batch aggregate of all events",
+    tags=("diagnostics", "timeseries", "streaming", "extension"),
+)
+def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.rollup_ingest import (
+        read_day_rollup,
+        rollup_minute_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_rollup_")
+    src = f"{tmp}/src"
+    (
+        events.withColumn("grp", F.col("event_id") % 4)
+        .coalesce(1)
+        .write.partitionBy("grp")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    sink = rollup_minute_sink(f"{tmp}/mv")
+    for run in (1, 2):  # run 2 = full reprocess from a fresh checkpoint
+        q = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, "
+                "value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt{run}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return read_day_rollup(spark, f"{tmp}/mv")
