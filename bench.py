@@ -230,6 +230,7 @@ HEADLINE = [
     "authority_weighted_sample",
     "embedding_covariance_top",
     "stream_rollup_cascade",
+    "rollup_anomaly_flags",
 ]
 
 

@@ -298,3 +298,69 @@ def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
     return read_day_rollup(spark, f"{tmp}/mv")
+
+
+@register(
+    "rollup_anomaly_flags",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT day, event_type, n,
+             COUNT(n) OVER w AS cnt_win,
+             CAST(SUM(n) OVER w AS BIGINT) AS s_win,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS sq_win
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, event_type, n,
+           CAST(7 * n - s_win AS BIGINT) AS dev_num,
+           CAST(7 * sq_win - s_win * s_win AS BIGINT) AS var_num,
+           ((7 * n - s_win) * (7 * n - s_win)
+            > 4 * (7 * sq_win - s_win * s_win)) AS is_anomaly
+    FROM stats WHERE cnt_win = 7
+    """,
+    description="anomaly detection on the day rollup with NO floats: "
+    "per (event_type, day), a trailing-7-day z-test computed entirely "
+    "in BIGINTs — z^2 = dev_num^2 / var_num with dev_num = 7n - S and "
+    "var_num = 7*SQ - S^2 (both exact), so |z| > 2 becomes the "
+    "integer comparison dev^2 > 4*var.  The monitoring op a "
+    "continuous-aggregate pipeline alerts on, exact at any scale "
+    "(bounds: daily counts < ~1.2e9 keep dev^2 inside BIGINT)",
+    tags=("diagnostics", "timeseries", "anomaly", "extension"),
+)
+def rollup_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("day"))
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.count("n").over(w).alias("cnt_win"),
+        F.sum("n").over(w).cast("long").alias("s_win"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("sq_win"),
+    ).where(F.col("cnt_win") == 7)
+    dev = F.lit(7) * F.col("n") - F.col("s_win")
+    var = F.lit(7) * F.col("sq_win") - F.col("s_win") * F.col("s_win")
+    return stats.select(
+        "day",
+        "event_type",
+        "n",
+        dev.cast("long").alias("dev_num"),
+        var.cast("long").alias("var_num"),
+        (dev * dev > F.lit(4) * var).alias("is_anomaly"),
+    )
