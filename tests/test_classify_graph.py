@@ -253,3 +253,41 @@ def test_scoring_sink_replay_is_byte_identical(spark, tmp_path):
         .collect()
     }
     assert gens == {7: 1, 9: 2}
+
+
+def test_scoring_sink_heals_crash_between_marker_and_preds(spark, tmp_path):
+    """Crash window: the marker landed but the predictions did not,
+    then a model refresh raced the replay — the replay must score
+    with the MARKED generation, not the latest."""
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.operators.classify import (
+        token_weight_fit,
+    )
+    from eventstream_fanout_spark.streaming.model_store import (
+        save_token_model,
+        streaming_scoring_sink,
+    )
+
+    docs = _docs_df(spark)
+    mpath, opath = str(tmp_path / "m"), str(tmp_path / "o")
+    w1, p1 = token_weight_fit(docs.where(F.col("doc_id") < 6), "lang")
+    save_token_model(spark, mpath, w1, p1, 1)
+    # simulate the crash: marker for batch 42 exists, preds do not
+    (
+        spark.range(1)
+        .select(
+            F.lit(42).cast("long").alias("batch_id"),
+            F.lit(1).cast("int").alias("gen"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{opath}/markers")
+    )
+    # a refresh lands before the replay
+    w2, p2 = token_weight_fit(docs, "lang")
+    save_token_model(spark, mpath, w2, p2, 2)
+    sink = streaming_scoring_sink(mpath, opath)
+    sink(docs.where(F.col("doc_id") % 5 == 0), 42)
+    rows = spark.read.parquet(f"{opath}/preds").collect()
+    assert rows and all(r.gen == 1 for r in rows)
