@@ -231,6 +231,7 @@ HEADLINE = [
     "embedding_covariance_top",
     "stream_rollup_cascade",
     "rollup_anomaly_flags",
+    "knn_classifier_ivf_report",
 ]
 
 

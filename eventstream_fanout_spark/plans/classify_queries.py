@@ -722,3 +722,179 @@ def embedding_covariance_top(
     return cov.orderBy(
         F.abs(F.col("cov_num")).desc(), F.asc("fi"), F.asc("fj")
     ).limit(_COV_TOPK)
+
+
+# ---------------------------------------------------------------- #
+# kNN classifier SERVED FROM the persisted IVF-PQ index             #
+# ---------------------------------------------------------------- #
+
+def _pq_batch_vote_oracle(query_pred: str, k: int = 5) -> str:
+    """The persisted-index batch ADC probe (the proven CTE chain of
+    ann_pq_persisted_batch_topk, predicates parametrized) + a majority
+    vote over the top-k neighbors' labels."""
+    from ..functions.vectors import QV
+    from .similarity_queries import _FLAT, _PQ_SUBDIM
+
+    return f"""
+    WITH {_FLAT},
+    psub AS (
+      SELECT vec_id, CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS s, i, x
+      FROM flat
+    ),
+    pcent AS (
+      SELECT vec_id AS cid, s, i, x FROM psub
+      WHERE vec_id BETWEEN 10 AND 17
+    ),
+    pcorp AS (SELECT vec_id, s, i, x FROM psub WHERE vec_id <> 0),
+    pdists AS (
+      SELECT pcorp.vec_id, pcorp.s, pcent.cid,
+             SUM(CAST(FLOOR((pcorp.x - pcent.x) * (pcorp.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS d
+      FROM pcorp JOIN pcent ON pcorp.i = pcent.i AND pcorp.s = pcent.s
+      GROUP BY 1, 2, 3
+    ),
+    pcodes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM pdists
+      ) WHERE rn = 1
+    ),
+    icent AS (SELECT vec_id AS cid, i, x FROM flat
+              WHERE vec_id BETWEEN 10 AND 17),
+    corp AS (SELECT vec_id, i, x FROM flat WHERE vec_id <> 0),
+    adots AS (
+      SELECT corp.vec_id, icent.cid,
+             CAST(SUM(CAST(FLOOR(corp.x * icent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM corp JOIN icent ON corp.i = icent.i
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT a.vec_id, a.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY (a.dot / (sqrt(nv.n2) * sqrt(nc.n2))) DESC,
+                          a.cid ASC) AS rn
+        FROM adots a
+        JOIN norms nv ON nv.vec_id = a.vec_id
+        JOIN norms nc ON nc.vec_id = a.cid
+      ) WHERE rn = 1
+    ),
+    qdots AS (
+      SELECT qf.vec_id AS qid, icent.cid,
+             CAST(SUM(CAST(FLOOR(qf.x * icent.x * {QV!r} + 0.5)
+                           AS BIGINT)) AS DOUBLE) / {QV!r} AS dot
+      FROM flat qf JOIN icent ON qf.i = icent.i
+      WHERE {query_pred.replace('vec_id', 'qf.vec_id')}
+      GROUP BY 1, 2
+    ),
+    qprobes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, q.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY (q.dot / (sqrt(nq.n2) * sqrt(nc.n2))) DESC,
+                          q.cid ASC) AS rn
+        FROM qdots q
+        JOIN norms nq ON nq.vec_id = q.qid
+        JOIN norms nc ON nc.vec_id = q.cid
+      ) WHERE rn <= 2
+    ),
+    qtables AS (
+      SELECT qf.vec_id AS qid, pcent.s, pcent.cid,
+             SUM(CAST(FLOOR((qf.x - pcent.x) * (qf.x - pcent.x)
+                            * {QV!r} + 0.5) AS BIGINT)) AS qd
+      FROM (SELECT vec_id, s, i, x FROM psub
+            WHERE {query_pred}) qf
+      JOIN pcent ON pcent.i = qf.i AND pcent.s = qf.s
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT t.qid, c.vec_id, CAST(SUM(t.qd) AS BIGINT) AS adc_dist
+      FROM pcodes c
+      JOIN assign g ON g.vec_id = c.vec_id
+      JOIN qtables t ON t.s = c.s AND t.cid = c.code
+      JOIN qprobes p ON p.qid = t.qid AND p.cid = g.list_id
+      WHERE c.vec_id <> t.qid
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist ASC, vec_id ASC)
+                 AS rank
+        FROM adc
+      ) WHERE rank <= {k}
+    ),
+    votes AS (
+      SELECT t.qid AS vec_id, e.label AS label_pred,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
+      GROUP BY t.qid, e.label
+    )
+    SELECT v.vec_id, q.label AS label_true, v.label_pred, v.n_votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id
+        ORDER BY n_votes DESC, label_pred ASC) AS vr
+      FROM votes
+    ) v JOIN embeddings q ON q.vec_id = v.vec_id
+    WHERE v.vr = 1
+    """
+
+
+@register(
+    "knn_classifier_ivf_report",
+    _pq_batch_vote_oracle(f"vec_id % 5 = 0 AND vec_id < {EVAL_CAP}"),
+    description="the kNN classifier's 100 TB SERVING shape made real: "
+    "the eval batch classifies by majority label of its top-5 ADC "
+    "neighbors from the PERSISTED IVF-PQ index — one dynamic-"
+    "partition-pruned codes scan serves the whole batch (nprobe=2), "
+    "so per-batch cost is the touched lists' codes, never the corpus; "
+    "the oracle replays encode + assignment + per-qid coarse ranking "
+    "+ ADC + vote bit-for-bit (vote ties to the smaller label, "
+    "distance ties to the smaller vec_id)",
+    tags=("classify", "similarity", "ann", "pq", "ivf", "index",
+          "extension"),
+)
+def knn_classifier_ivf_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.ann_index import pq_batch_probe_topk
+    from .similarity_queries import _ensure_pq_index
+
+    path = _ensure_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < EVAL_CAP)
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    topk = pq_batch_probe_topk(spark, path, queries, 5, nprobe=2)
+    labeled = topk.join(
+        emb.select("vec_id", F.col("label").alias("label_pred")), "vec_id"
+    )
+    votes = labeled.groupBy("qid", "label_pred").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("n_votes"), F.asc("label_pred")
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("label_true")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .join(truth, "qid")
+        .select(
+            F.col("qid").alias("vec_id"),
+            "label_true",
+            "label_pred",
+            "n_votes",
+        )
+    )

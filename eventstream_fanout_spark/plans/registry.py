@@ -115,7 +115,8 @@ FRONT: list[str] = [
 # 13's first slots, new-first): lang_classifier_prf,
 # classifier_stream_scoring_sim, model_asof_scoring_sim,
 # authority_weighted_sample, embedding_covariance_top,
-# stream_rollup_cascade, rollup_anomaly_flags.
+# stream_rollup_cascade, rollup_anomaly_flags,
+# knn_classifier_ivf_report.
 # Assuming CORRECTNESS_r12 lands green, the remaining stale
 # evidence, oldest first: the 24 r5-only names this window displaced
 # (ngram_jaccard_dups, null_reject_filter, q10_returned_items, q14_promo_revenue_share,

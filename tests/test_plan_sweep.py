@@ -90,6 +90,7 @@ BNLJ_ALLOWED = {
     "lang_classifier_prf",  # same fitted-model sides as the reports
     "authority_weighted_sample",  # pagerank 1-row sides + 1-row total
     "embedding_covariance_top",  # 1-row n_vecs broadcast side
+    "knn_classifier_ivf_report",  # the batch probe's qtable/centroid sides
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
