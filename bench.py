@@ -232,6 +232,7 @@ HEADLINE = [
     "stream_rollup_cascade",
     "rollup_anomaly_flags",
     "knn_classifier_ivf_report",
+    "curation_v2_pipeline",
 ]
 
 

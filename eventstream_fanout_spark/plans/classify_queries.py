@@ -898,3 +898,92 @@ def knn_classifier_ivf_report(
             "n_votes",
         )
     )
+
+
+# graph_queries has no import back into this module — no cycle.
+from .graph_queries import _pagerank_ctes  # noqa: E402
+
+
+@register(
+    "curation_v2_pipeline",
+    f"""
+    WITH occ AS (
+      SELECT doc_id, lang, unnest({sql_tokens('text')}) AS tok
+      FROM documents
+    ),{_model_branch_cte("m", "doc_id % 5 <> 0", "TRUE")},{_pagerank_ctes()},
+    ranks AS (
+      SELECT source, CAST(r AS BIGINT) AS rank_micro FROM rank5
+    ),
+    total AS (
+      SELECT CAST(SUM(rank_micro) AS BIGINT) AS total_rank FROM ranks
+    ),
+    quotas AS (
+      SELECT r.source, r.rank_micro,
+             CAST(FLOOR(r.rank_micro * 100.0 / t.total_rank) AS BIGINT)
+               AS quota
+      FROM ranks r CROSS JOIN total t
+    ),
+    picked AS (
+      SELECT d.doc_id, d.source, q.rank_micro, q.quota,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source ORDER BY d.doc_id ASC) AS rn
+      FROM documents d JOIN quotas q ON q.source = d.source
+    ),
+    sampled AS (
+      SELECT doc_id, source, rank_micro FROM picked WHERE rn <= quota
+    )
+    SELECT s.doc_id, s.source, s.rank_micro, p.lang_true, p.lang_pred
+    FROM sampled s JOIN mpreds p ON p.doc_id = s.doc_id
+    WHERE p.lang_pred = p.lang_true
+    """,
+    description="curation pipeline v2 — the round-12 families composed "
+    "into one plan: documents are sampled by PageRank-proportional "
+    "per-source quotas (the measured domain mix), then gated by "
+    "fitted-classifier SELF-AGREEMENT (keep docs whose token-weight "
+    "lang prediction matches their labeled lang — the model-based "
+    "quality filter applied corpus-wide, train split scored too).  "
+    "One declarative plan: graph edges, 5 rank iterations, model fit, "
+    "corpus scoring, quota sampling and the agreement gate all under "
+    "Catalyst, every number integer-exact",
+    tags=("classify", "graph", "curation", "pipeline", "extension"),
+)
+def curation_v2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import cocitation_edges, pagerank_integer
+
+    docs = load_table(spark, sf_dir, "documents")
+    # authority quotas (the authority_weighted_sample machinery)
+    ranks = pagerank_integer(
+        docs.select("source").distinct(), cocitation_edges(docs)
+    ).select("source", "rank_micro")
+    total = ranks.agg(
+        F.sum("rank_micro").cast("long").alias("total_rank")
+    )
+    quotas = ranks.crossJoin(F.broadcast(total)).select(
+        "source",
+        "rank_micro",
+        F.floor(
+            F.col("rank_micro") * F.lit(100.0) / F.col("total_rank")
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    sampled = (
+        docs.select("doc_id", "source")
+        .join(quotas, "source")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", "rank_micro")
+    )
+    # corpus-wide classifier scoring (train split scored too)
+    weights, priors = token_weight_fit(
+        docs.where(F.col("doc_id") % 5 != 0), "lang"
+    )
+    preds = token_weight_classify(docs, weights, priors, "lang")
+    return (
+        sampled.join(preds, "doc_id")
+        .where(F.col("lang_pred") == F.col("lang_true"))
+        .select("doc_id", "source", "rank_micro", "lang_true", "lang_pred")
+    )

@@ -116,7 +116,7 @@ FRONT: list[str] = [
 # classifier_stream_scoring_sim, model_asof_scoring_sim,
 # authority_weighted_sample, embedding_covariance_top,
 # stream_rollup_cascade, rollup_anomaly_flags,
-# knn_classifier_ivf_report.
+# knn_classifier_ivf_report, curation_v2_pipeline.
 # Assuming CORRECTNESS_r12 lands green, the remaining stale
 # evidence, oldest first: the 24 r5-only names this window displaced
 # (ngram_jaccard_dups, null_reject_filter, q10_returned_items, q14_promo_revenue_share,

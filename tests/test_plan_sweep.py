@@ -91,6 +91,7 @@ BNLJ_ALLOWED = {
     "authority_weighted_sample",  # pagerank 1-row sides + 1-row total
     "embedding_covariance_top",  # 1-row n_vecs broadcast side
     "knn_classifier_ivf_report",  # the batch probe's qtable/centroid sides
+    "curation_v2_pipeline",  # pagerank + fitted-model constant sides
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
