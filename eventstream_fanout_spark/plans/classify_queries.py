@@ -900,7 +900,6 @@ def knn_classifier_ivf_report(
     )
 
 
-# graph_queries has no import back into this module — no cycle.
 from .graph_queries import _pagerank_ctes  # noqa: E402
 
 
