@@ -949,12 +949,13 @@ from .graph_queries import _pagerank_ctes  # noqa: E402
 def curation_v2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.graph import cocitation_edges, pagerank_integer
+    from .graph_queries import _ensure_rank_store
 
     docs = load_table(spark, sf_dir, "documents")
-    # authority quotas (the authority_weighted_sample machinery)
-    ranks = pagerank_integer(
-        docs.select("source").distinct(), cocitation_edges(docs)
+    # authority quotas from the persisted rank store (built once per
+    # process — the scheduled-artifact shape; see graph_queries)
+    ranks = spark.read.parquet(
+        _ensure_rank_store(spark, sf_dir)
     ).select("source", "rank_micro")
     total = ranks.agg(
         F.sum("rank_micro").cast("long").alias("total_rank")
