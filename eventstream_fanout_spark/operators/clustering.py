@@ -1,0 +1,163 @@
+"""Lloyd's k-means over embeddings in EXACT scaled-integer arithmetic.
+
+The curation family already uses supervised one-shot centroids
+(operators/classify.py ``centroid_fit`` — per-label means) and
+hash-bucketed semantic grouping (similarity family).  This module adds
+the unsupervised ITERATIVE clusterer — the semantic-dedup /
+corpus-mix-discovery primitive a 100 TB pipeline runs when no labels
+exist: k seeds, then N rounds of (assign to nearest centroid,
+recompute centroid means).
+
+Determinism / oracle-exactness strategy (same playbook as
+functions/vectors.py and classify.py):
+  * coordinates quantize to integer micro-units
+    ``q = floor(x * 1e6 + 0.5)`` — BIGINT everywhere after that;
+  * distances are exact BIGINT sums of squared integer diffs
+    (64 dims x (2e6)^2 ~ 2.6e14 << 2^63, no overflow);
+  * new centroid components are ``floor(sum / n)`` with the sum and n
+    both < 2^53, so the one IEEE divide is correctly rounded and the
+    floor is engine-independent (the centroid_fit argument);
+  * seeds are the k vectors ranked by ``md5(vec_id)`` (engine-identical
+    hex) — deterministic pseudo-random initialization;
+  * assignment ties break to the smaller cluster_id.
+
+Scale shape: assignment is a broadcast of k centroid rows against the
+corpus — one scan, no shuffle on the big side; the update aggregates
+(cluster, dim) partial sums map-side, shuffling k x dims rows.  Each
+round is one corpus pass, the textbook distributed-k-means cost; the
+Python loop is over PLANS (localCheckpoint-truncated), never rows.
+
+The reference engine has no clustering surface; this is part of the
+training-data-pipeline extension surface (SURVEY.md north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K_CLUSTERS = 8
+N_ITER = 3
+QC = 1_000_000.0  # micro-unit coordinate quantization (classify.py QC)
+
+
+def quantize_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, q: array<bigint>) — micro-unit integer coordinates."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(QC) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q"),
+    )
+
+
+def seed_centroids(qv: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
+    """k deterministic seeds: the k vectors with the smallest
+    ``md5(vec_id)`` (vec_id tiebreak), cluster_id 0..k-1 in that
+    order.  Returns (cluster_id, c: array<bigint>)."""
+    h = F.md5(F.col("vec_id").cast("string"))
+    w = Window.orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        qv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            (F.col("rn") - 1).cast("long").alias("cluster_id"),
+            F.col("q").alias("c"),
+        )
+    )
+
+
+def _sq_dist(q, c) -> F.Column:
+    d = F.zip_with(q, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(d, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def assign_clusters(qv: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroid rows,
+    exact BIGINT distance, ties to the smaller cluster_id.
+    Returns (vec_id, q, cluster_id, dist)."""
+    scored = qv.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "q",
+        "cluster_id",
+        _sq_dist(F.col("q"), F.col("c")).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("dist"), F.asc("cluster_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "q", "cluster_id", "dist")
+    )
+
+
+def update_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-cluster integer means: ``c_i = floor(sum(q_i) / n)``;
+    clusters that lost all members drop out (documented Lloyd
+    behavior here — k can only shrink, deterministically)."""
+    flat = assigned.select(
+        "cluster_id", F.posexplode("q").alias("i", "x")
+    )
+    dims = flat.groupBy("cluster_id", "i").agg(
+        F.floor(
+            F.sum("x").cast("double") / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("cx"),
+    )
+    return dims.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cx"))),
+            lambda s: s.getField("cx"),
+        ).alias("c")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = K_CLUSTERS, n_iter: int = N_ITER
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``n_iter`` Lloyd rounds; returns (final_assignment,
+    final_centroids) — assignment against the LAST updated centroids."""
+    qv = quantize_vectors(emb).localCheckpoint(eager=True)
+    centroids = seed_centroids(qv, k).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        assigned = assign_clusters(qv, centroids)
+        centroids = update_centroids(assigned).localCheckpoint(
+            eager=True
+        )
+    return assign_clusters(qv, centroids), centroids
+
+
+def kmeans_report(emb: DataFrame, k: int = K_CLUSTERS,
+                  n_iter: int = N_ITER) -> DataFrame:
+    """Per-cluster fit report: size, exact integer inertia, and a
+    position-weighted centroid checksum (sum (i+1)*c_i — pins every
+    centroid component into the hash check)."""
+    assigned, centroids = kmeans_fit(emb, k, n_iter)
+    cksum = centroids.select(
+        "cluster_id",
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(1), F.size("c")).cast(
+                    "array<bigint>"
+                ),
+                F.col("c"),
+                lambda j, x: j * x,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("centroid_checksum"),
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+        .join(cksum, "cluster_id")
+        .orderBy("cluster_id")
+    )

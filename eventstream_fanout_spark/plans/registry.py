@@ -116,7 +116,8 @@ FRONT: list[str] = [
 # classifier_stream_scoring_sim, model_asof_scoring_sim,
 # authority_weighted_sample, embedding_covariance_top,
 # stream_rollup_cascade, rollup_anomaly_flags,
-# knn_classifier_ivf_report, curation_v2_pipeline.
+# knn_classifier_ivf_report, curation_v2_pipeline,
+# bpe_train_iterative, kmeans_lloyd_report, kmeans_label_purity.
 # Assuming CORRECTNESS_r12 lands green, the remaining stale
 # evidence, oldest first: the 24 r5-only names this window displaced
 # (ngram_jaccard_dups, null_reject_filter, q10_returned_items, q14_promo_revenue_share,
@@ -197,6 +198,7 @@ def _load_all() -> None:
         "streaming_queries",
         "dq_queries",
         "classify_queries",
+        "clustering_queries",
         "graph_queries",
         "diagnostics_queries",
     ):

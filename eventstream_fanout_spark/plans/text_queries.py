@@ -2266,3 +2266,111 @@ def text_index_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink(docs.where(F.col("doc_id") % 4 == 1), 1)
     sink(docs.where(F.col("doc_id") % 4 == 3), 2)
     return bm25_topk_asof(spark, path, list(_BM25_TERMS), 10, 1)
+
+
+def _bpe_train_ctes(n_merges: int) -> str:
+    """Unrolled trainer-loop CTEs (no WITH, no tail select): the same
+    N rounds as operators/tokenizer.bpe_train — pair count over the
+    current segmentation, argmax merge, leftmost-greedy application
+    via gaps-and-islands — ending at best1..best{n}."""
+    blocks = [
+        f"""
+    bwords AS (
+      SELECT unnest({sql_tokens('text')}) AS word FROM documents
+    ),
+    bwc AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM bwords WHERE length(word) >= 2 GROUP BY word
+    ),
+    syms0 AS MATERIALIZED (
+      SELECT word, wc,
+             CAST(unnest(generate_series(1, length(word))) AS BIGINT)
+               AS pos,
+             unnest(list_transform(
+               generate_series(1, length(word)),
+               i -> substr(word, CAST(i AS INTEGER), 1))) AS sym
+      FROM bwc
+    )"""
+    ]
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        blocks.append(f"""
+    pairs{t} AS MATERIALIZED (
+      SELECT word, wc, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym,
+             lead(pos) OVER (PARTITION BY word ORDER BY pos) AS npos
+      FROM syms{p}
+    ),
+    best{t} AS MATERIALIZED (
+      SELECT sym AS l, nsym AS r, CAST(SUM(wc) AS BIGINT) AS pair_freq
+      FROM pairs{t} WHERE nsym IS NOT NULL
+      GROUP BY sym, nsym
+      ORDER BY pair_freq DESC, l ASC, r ASC
+      LIMIT 1
+    ),
+    cand{t} AS MATERIALIZED (
+      SELECT p.word, p.pos, p.npos,
+             CASE WHEN lag(p.npos) OVER (
+                          PARTITION BY p.word ORDER BY p.pos) = p.pos
+                  THEN 0 ELSE 1 END AS new_isl
+      FROM pairs{t} p JOIN best{t} b ON p.sym = b.l AND p.nsym = b.r
+    ),
+    take{t} AS MATERIALIZED (
+      SELECT word, pos, npos FROM (
+        SELECT word, pos, npos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY word, isl ORDER BY pos) AS k
+        FROM (SELECT word, pos, npos,
+                     SUM(new_isl) OVER (
+                       PARTITION BY word ORDER BY pos) AS isl
+              FROM cand{t}))
+      WHERE k % 2 = 1
+    ),
+    syms{t} AS MATERIALIZED (
+      SELECT p.word, p.wc, p.pos,
+             CASE WHEN tk.pos IS NOT NULL THEN p.sym || p.nsym
+                  ELSE p.sym END AS sym
+      FROM pairs{t} p
+      LEFT JOIN take{t} tk ON tk.word = p.word AND tk.pos = p.pos
+      WHERE NOT EXISTS (
+        SELECT 1 FROM take{t} ab
+        WHERE ab.word = p.word AND ab.npos = p.pos)
+    )""")
+    return ",".join(blocks)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({t} AS INTEGER) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, pair_freq FROM best{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return (
+        f"WITH {_bpe_train_ctes(n_merges)}\n    {union}\n"
+        "    ORDER BY merge_rank ASC"
+    )
+
+
+@register(
+    "bpe_train_iterative",
+    _bpe_train_oracle(8),
+    description="the REAL BPE trainer loop (completing the tokenizer "
+    "family: bpe_merge_candidates fits one round's statistics, "
+    "bpe_apply_tokenize applies a static table — this FITS the table): "
+    "8 merge rounds where each round re-counts corpus-frequency-"
+    "weighted adjacent-symbol pairs over the segmentation produced by "
+    "all previous merges, picks the argmax (freq desc, pair asc — "
+    "deterministic), and applies it with exact leftmost-greedy "
+    "semantics via gaps-and-islands (chained candidates form islands; "
+    "odd ranks merge — the subword-nmt scan, relationally).  After one "
+    "corpus-sized word count every round is vocab-sized and corpus-"
+    "row-independent — the 100 TB shape of tokenizer training; rounds "
+    "are localCheckpoint-truncated so the plan stays constant-size.  "
+    "The oracle unrolls the identical 8 rounds as chained CTEs",
+    tags=("text", "tokenizer", "bpe", "iterative", "extension"),
+)
+def bpe_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenizer import bpe_train, word_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return bpe_train(word_counts(docs), 8)

@@ -92,6 +92,9 @@ BNLJ_ALLOWED = {
     "embedding_covariance_top",  # 1-row n_vecs broadcast side
     "knn_classifier_ivf_report",  # the batch probe's qtable/centroid sides
     "curation_v2_pipeline",  # pagerank + fitted-model constant sides
+    # round 12 continuation: k-row centroid broadcast per Lloyd round
+    "kmeans_lloyd_report",  # 8-row centroid set x corpus, per round
+    "kmeans_label_purity",  # same Lloyd chain + label join
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
