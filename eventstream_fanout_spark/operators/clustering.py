@@ -122,7 +122,17 @@ def kmeans_fit(
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``n_iter`` Lloyd rounds; returns (final_assignment,
     final_centroids) — assignment against the LAST updated centroids."""
-    qv = quantize_vectors(emb).localCheckpoint(eager=True)
+    return kmeans_fit_q(
+        quantize_vectors(emb).localCheckpoint(eager=True), k, n_iter
+    )
+
+
+def kmeans_fit_q(
+    qv: DataFrame, k: int = K_CLUSTERS, n_iter: int = N_ITER
+) -> tuple[DataFrame, DataFrame]:
+    """`kmeans_fit` over an already-quantized (vec_id, q) relation —
+    the entry point when the caller fits on a subset of a shared
+    quantized corpus (mini-batch maintenance)."""
     centroids = seed_centroids(qv, k).localCheckpoint(eager=True)
     for _ in range(n_iter):
         assigned = assign_clusters(qv, centroids)
@@ -130,6 +140,40 @@ def kmeans_fit(
             eager=True
         )
     return assign_clusters(qv, centroids), centroids
+
+
+def centroid_sums(assigned: DataFrame) -> DataFrame:
+    """Per-(cluster, dim) EXACT integer partial state: (cluster_id,
+    i, s, n) with i 0-based.  This is the mergeable representation a
+    mini-batch maintainer appends — sums and counts, never means, so
+    any later serve is floor(sum/count) of exact BIGINTs regardless of
+    how many deltas merged in between."""
+    return assigned.select(
+        "cluster_id", F.posexplode("q").alias("i", "x")
+    ).groupBy("cluster_id", "i").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+def serve_centroids(sums: DataFrame) -> DataFrame:
+    """Serve centroid arrays from (possibly merged) partial state:
+    c_i = floor(sum_s / sum_n) per (cluster, dim), rebuilt in dim
+    order.  Input may contain several rows per (cluster_id, i) —
+    one per applied delta."""
+    dims = sums.groupBy("cluster_id", "i").agg(
+        F.floor(
+            F.sum("s").cast("double") / F.sum("n")
+        )
+        .cast("long")
+        .alias("cx"),
+    )
+    return dims.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cx"))),
+            lambda st: st.getField("cx"),
+        ).alias("c")
+    )
 
 
 def kmeans_report(emb: DataFrame, k: int = K_CLUSTERS,

@@ -14,13 +14,11 @@ from ..sources.tables import load_table
 from .registry import register
 
 
-def _kmeans_ctes(k: int = K_CLUSTERS, n_iter: int = N_ITER) -> str:
-    """Quantize -> seed -> n_iter x (assign, update) -> final assign.
-    Ends at cent{n_iter} and asgF (assignment against the last
-    centroids).  No WITH, no tail select."""
-
-    def _asg(name: str, cent: str) -> str:
-        return f"""
+def _sql_asg(name: str, cent: str, src: str = "qv") -> str:
+    """One nearest-centroid assignment CTE: ``src`` (vec_id, q) x the
+    ``cent`` centroid set, exact BIGINT distance, ties to the smaller
+    cluster_id."""
+    return f"""
     {name} AS MATERIALIZED (
       SELECT vec_id, q, cluster_id, dist FROM (
         SELECT vec_id, q, cluster_id, dist,
@@ -32,18 +30,36 @@ def _kmeans_ctes(k: int = K_CLUSTERS, n_iter: int = N_ITER) -> str:
                    generate_series(1, len(v.q)),
                    j -> (v.q[j] - c.c[j]) * (v.q[j] - c.c[j])))
                    AS BIGINT) AS dist
-          FROM qv v CROSS JOIN {cent} c))
+          FROM {src} v CROSS JOIN {cent} c))
       WHERE rn = 1
     )"""
 
+
+def _kmeans_ctes(
+    k: int = K_CLUSTERS,
+    n_iter: int = N_ITER,
+    base_filter: str = "1 = 1",
+) -> str:
+    """Quantize -> seed -> n_iter x (assign, update) -> final assign.
+    Ends at cent{n_iter} and asgF (assignment against the last
+    centroids).  ``base_filter`` restricts the FIT corpus (``qv``);
+    ``qv_all`` stays unfiltered for downstream eval/batch stages.
+    No WITH, no tail select."""
+
+    def _asg(name: str, cent: str) -> str:
+        return _sql_asg(name, cent, "qv")
+
     blocks = [
         f"""
-    qv AS MATERIALIZED (
+    qv_all AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
                          AS BIGINT)) AS q
       FROM embeddings
+    ),
+    qv AS MATERIALIZED (
+      SELECT vec_id, q FROM qv_all WHERE {base_filter}
     ),
     cent0 AS MATERIALIZED (
       SELECT CAST(ROW_NUMBER() OVER (
@@ -190,6 +206,198 @@ def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("purity_ppm"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _sql_delta(name: str, asg: str, batch_id: int) -> str:
+    """Per-(cluster, dim) exact partial state of one assignment
+    relation, keyed by batch_id (1-based dims, DuckDB side)."""
+    return f"""
+    {name} AS MATERIALIZED (
+      SELECT CAST({batch_id} AS INTEGER) AS batch_id, cluster_id, i,
+             CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT cluster_id,
+                   unnest(generate_series(1, len(q))) AS i,
+                   unnest(q) AS x
+            FROM {asg})
+      GROUP BY cluster_id, i
+    )"""
+
+
+def _sql_serve(name: str, partials_sql: str) -> str:
+    """Serve centroid arrays from merged partial state:
+    c_i = floor(sum(s)/sum(n))."""
+    return f"""
+    {name} AS MATERIALIZED (
+      SELECT cluster_id, list(cx ORDER BY i) AS c FROM (
+        SELECT cluster_id, i,
+               CAST(FLOOR(CAST(SUM(s) AS DOUBLE) / SUM(n)) AS BIGINT)
+                 AS cx
+        FROM ({partials_sql}) GROUP BY cluster_id, i)
+      GROUP BY cluster_id
+    )"""
+
+
+_MINIBATCH_ORACLE = f"""
+    WITH {_kmeans_ctes(base_filter="vec_id % 2 = 0")},
+    {_sql_delta("state0", "asgF", 0)},
+    {_sql_serve("serve0", "SELECT * FROM state0")},
+    bq1 AS MATERIALIZED (
+      SELECT vec_id, q FROM qv_all WHERE vec_id % 4 = 1
+    ),
+    {_sql_asg("basg1", "serve0", "bq1")},
+    {_sql_delta("d1", "basg1", 1)},
+    {_sql_serve("serve1",
+                "SELECT * FROM state0 UNION ALL SELECT * FROM d1")},
+    bq2 AS MATERIALIZED (
+      SELECT vec_id, q FROM qv_all WHERE vec_id % 4 = 3
+    ),
+    {_sql_asg("basg2", "serve1", "bq2")},
+    {_sql_delta("d2", "basg2", 2)},
+    partials AS (
+      SELECT * FROM state0 UNION ALL SELECT * FROM d1
+      UNION ALL SELECT * FROM d2
+      UNION ALL SELECT * FROM d1
+    ),
+    applied AS (SELECT DISTINCT * FROM partials),
+    tot AS MATERIALIZED (
+      SELECT cluster_id, i, CAST(SUM(s) AS BIGINT) AS s,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM applied GROUP BY cluster_id, i
+    ),
+    {_sql_serve("served", "SELECT * FROM tot")},
+    {_sql_asg("easg", "served", "qv_all")},
+    ck AS (
+      SELECT cluster_id,
+             CAST(list_sum(list_transform(generate_series(1, len(c)),
+               j -> CAST(j AS BIGINT) * c[j])) AS BIGINT)
+               AS centroid_checksum
+      FROM served
+    ),
+    members AS (
+      SELECT cluster_id, CAST(MIN(n) AS BIGINT) AS n_members
+      FROM tot GROUP BY cluster_id
+    ),
+    evaln AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS eval_n
+      FROM easg GROUP BY cluster_id
+    )
+    SELECT m.cluster_id, m.n_members, ck.centroid_checksum,
+           COALESCE(e.eval_n, CAST(0 AS BIGINT)) AS eval_n
+    FROM members m
+    JOIN ck USING (cluster_id)
+    LEFT JOIN evaln e USING (cluster_id)
+    ORDER BY m.cluster_id ASC
+    """
+
+
+@register(
+    "kmeans_minibatch_sim",
+    _MINIBATCH_ORACLE,
+    description="MINI-BATCH k-means maintenance with replay (the "
+    "streaming shape of keeping a clustering current as a corpus "
+    "grows, without refitting): the model fits on the even half "
+    f"({N_ITER} integer Lloyd rounds), then persists per-(cluster, "
+    "dim) SUMS+COUNTS — the mergeable representation — as a batch-id-"
+    "keyed generation-0 state; two ingest 'triggers' assign their "
+    "vectors against the state AS IT STOOD when they ran (batch 1 vs "
+    "the fit state, batch 2 vs fit+batch-1 — order matters, the "
+    "as-of-generation pin every sink in this repo documents) and "
+    "append their deltas; trigger 1 is replayed (crash/retry) and "
+    "collapses against its original via the batch-id-keyed DISTINCT.  "
+    "Serving floor-means the merged BIGINT sums — exact at any number "
+    "of merged deltas — and the eval stage assigns the FULL corpus "
+    "against the maintained centroids.  Maintenance cost per trigger "
+    "is batch-sized + k x dims, never corpus-sized",
+    tags=("clustering", "streaming", "incremental", "iterative",
+          "extension"),
+)
+def kmeans_minibatch_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import (
+        assign_clusters,
+        centroid_sums,
+        kmeans_fit_q,
+        quantize_vectors,
+        serve_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qv_all = quantize_vectors(emb).localCheckpoint(eager=True)
+    base = qv_all.where(F.col("vec_id") % 2 == 0)
+    assigned, _ = kmeans_fit_q(base)
+
+    def delta(asg: DataFrame, bid: int) -> DataFrame:
+        return centroid_sums(asg).select(
+            F.lit(bid).cast("int").alias("batch_id"),
+            "cluster_id",
+            "i",
+            "s",
+            "n",
+        )
+
+    state0 = delta(assigned, 0).localCheckpoint(eager=True)
+    serve0 = serve_centroids(
+        state0.select("cluster_id", "i", "s", "n")
+    ).localCheckpoint(eager=True)
+
+    def make_d1() -> DataFrame:
+        b1 = qv_all.where(F.col("vec_id") % 4 == 1)
+        return delta(assign_clusters(b1, serve0), 1)
+
+    d1 = make_d1().localCheckpoint(eager=True)
+    serve1 = serve_centroids(
+        state0.unionByName(d1).select("cluster_id", "i", "s", "n")
+    ).localCheckpoint(eager=True)
+    b2 = qv_all.where(F.col("vec_id") % 4 == 3)
+    d2 = delta(assign_clusters(b2, serve1), 2).localCheckpoint(
+        eager=True
+    )
+
+    partials = (
+        state0.unionByName(d1)
+        .unionByName(d2)
+        .unionByName(make_d1())  # replayed trigger 1
+    )
+    applied = partials.distinct()
+    tot = applied.groupBy("cluster_id", "i").agg(
+        F.sum("s").cast("long").alias("s"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    served = serve_centroids(tot).localCheckpoint(eager=True)
+    evaln = (
+        assign_clusters(qv_all, served)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("eval_n"))
+    )
+    ck = served.select(
+        "cluster_id",
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(1), F.size("c")).cast("array<bigint>"),
+                F.col("c"),
+                lambda j, x: j * x,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("centroid_checksum"),
+    )
+    members = tot.groupBy("cluster_id").agg(
+        F.min("n").cast("bigint").alias("n_members")
+    )
+    return (
+        members.join(ck, "cluster_id")
+        .join(evaln, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            "centroid_checksum",
+            F.coalesce(F.col("eval_n"), F.lit(0).cast("bigint")).alias(
+                "eval_n"
+            ),
         )
         .orderBy("cluster_id")
     )

@@ -95,6 +95,7 @@ BNLJ_ALLOWED = {
     # round 12 continuation: k-row centroid broadcast per Lloyd round
     "kmeans_lloyd_report",  # 8-row centroid set x corpus, per round
     "kmeans_label_purity",  # same Lloyd chain + label join
+    "kmeans_minibatch_sim",  # served-centroid broadcasts per trigger
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
