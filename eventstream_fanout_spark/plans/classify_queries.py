@@ -987,3 +987,104 @@ def curation_v2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lang_pred") == F.col("lang_true"))
         .select("doc_id", "source", "rank_micro", "lang_true", "lang_pred")
     )
+
+
+def _pca_power_ctes(n_iter: int) -> str:
+    """Full integer covariance matrix -> scaled matrix -> n_iter
+    unrolled power steps (operators/linalg.py twin).  MATERIALIZED:
+    the matrix and each step vector are referenced twice (product +
+    max-abs rescale) and would inline exponentially otherwise."""
+    head = f"""
+    pflat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    pq AS MATERIALIZED (
+      SELECT vec_id, i, CAST(FLOOR(x * {QC!r} + 0.5) AS BIGINT) AS qx
+      FROM pflat
+    ),
+    pnv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    ps1 AS MATERIALIZED (
+      SELECT i, CAST(SUM(qx) AS BIGINT) AS s FROM pq GROUP BY i
+    ),
+    ps2 AS MATERIALIZED (
+      SELECT a.i AS fi, b.i AS fj,
+             CAST(SUM(a.qx * b.qx) AS BIGINT) AS sij
+      FROM pq a JOIN pq b ON b.vec_id = a.vec_id
+      GROUP BY a.i, b.i
+    ),
+    pcov AS MATERIALIZED (
+      SELECT s2.fi, s2.fj,
+             CAST(n.n * s2.sij - sa.s * sb.s AS BIGINT) AS cov_num
+      FROM ps2 s2
+      JOIN ps1 sa ON sa.i = s2.fi
+      JOIN ps1 sb ON sb.i = s2.fj
+      CROSS JOIN pnv n
+    ),
+    pm AS MATERIALIZED (
+      SELECT fi, fj,
+             CAST(FLOOR(CAST(cov_num AS DOUBLE) * 1000000.0
+                        / CAST(ma AS DOUBLE)) AS BIGINT) AS m
+      FROM pcov CROSS JOIN (
+        SELECT CAST(MAX(ABS(cov_num)) AS BIGINT) AS ma FROM pcov)
+    ),
+    pv0 AS MATERIALIZED (
+      SELECT DISTINCT fi AS j, CAST(1000000 AS BIGINT) AS v FROM pm
+    )"""
+    blocks = [head]
+    for t in range(1, n_iter + 1):
+        blocks.append(f"""
+    pu{t} AS MATERIALIZED (
+      SELECT m.fi, CAST(SUM(m.m * v.v) AS BIGINT) AS u
+      FROM pm m JOIN pv{t - 1} v ON v.j = m.fj
+      GROUP BY m.fi
+    ),
+    pv{t} AS MATERIALIZED (
+      SELECT fi AS j,
+             CAST(FLOOR(CAST(u AS DOUBLE) * 1000000.0
+                        / CAST(um AS DOUBLE)) AS BIGINT) AS v
+      FROM pu{t} CROSS JOIN (
+        SELECT CAST(MAX(ABS(u)) AS BIGINT) AS um FROM pu{t})
+    )""")
+    return ",".join(blocks)
+
+
+_N_POWER = 4
+
+
+@register(
+    "pca_power_loadings",
+    f"""
+    WITH {_pca_power_ctes(_N_POWER)}
+    SELECT CAST(j - 1 AS INTEGER) AS fi, v AS loading
+    FROM pv{_N_POWER}
+    ORDER BY fi ASC
+    """,
+    description="dominant principal component by POWER ITERATION "
+    f"({_N_POWER} fixed steps) over the full exact-integer covariance "
+    "matrix (the PCA/whitening/OPQ-rotation prep an embedding "
+    "pipeline runs after embedding_covariance_top's diagnostic): "
+    "v0 = all-ones, each step is u = Mv then a max-abs integer "
+    "rescale.  The normalization chain runs in IEEE doubles on "
+    "exact-integer-valued inputs (< 2^53), so both engines produce "
+    "bit-identical loadings even where the math rounds.  The matrix "
+    "build is one exploded self-join per vector (d^2 products, "
+    "map-side combined, d x d output regardless of corpus size); "
+    "each power step joins d^2 rows against a d-row vector",
+    tags=("classify", "embedding", "linalg", "iterative", "extension"),
+)
+def pca_power_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import (
+        covariance_matrix,
+        power_iteration,
+        scaled_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    m = scaled_matrix(covariance_matrix(emb))
+    return power_iteration(m, _N_POWER).select(
+        F.col("fi").cast("int").alias("fi"), "loading"
+    ).orderBy("fi")

@@ -96,6 +96,7 @@ BNLJ_ALLOWED = {
     "kmeans_lloyd_report",  # 8-row centroid set x corpus, per round
     "kmeans_label_purity",  # same Lloyd chain + label join
     "kmeans_minibatch_sim",  # served-centroid broadcasts per trigger
+    "pca_power_loadings",  # 1-row max-abs rescale side per power step
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the

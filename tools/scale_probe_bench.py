@@ -606,6 +606,53 @@ def main():
             lambda: rollup_cascade(big_ev).count()
         )
 
+    if "cluster" in MODES:
+        # round-12 continuation: full Lloyd k-means (seed + 3 rounds +
+        # final assign + report).  Each round is one broadcast-assign
+        # corpus pass + a k x dims shuffle — wall time should scale
+        # ~linearly in corpus size with k, dims, rounds constant.
+        from eventstream_fanout_spark.operators.clustering import (
+            kmeans_report,
+        )
+
+        res["kmeans_fit_report_s"] = timed(
+            lambda: kmeans_report(big_emb).count(), runs=1
+        )
+        res["kmeans_n_vecs"] = big_emb.count()
+
+    if "bpe" in MODES:
+        # round-12 continuation: the BPE trainer's two cost regimes.
+        # Plain replication multiplies the CORPUS but not the vocab —
+        # the corpus-sized word count should scale with MULT while the
+        # 8 merge rounds stay constant (the whole point of training on
+        # the aggregated vocabulary).  Salted replication namespaces
+        # each replica's words, growing the VOCAB by MULT — the merge
+        # rounds' own scaling, isolated.
+        from eventstream_fanout_spark.operators.tokenizer import (
+            bpe_train,
+            word_counts,
+        )
+
+        res["bpe_train_corpus_s"] = timed(
+            lambda: bpe_train(word_counts(big_docs)).count(), runs=1
+        )
+        wc_salted = (
+            word_counts(docs)
+            .crossJoin(rep)
+            .repartition(64)
+            .select(
+                F.concat(
+                    F.col("word"), F.lit("q"), F.col("k").cast("string")
+                ).alias("word"),
+                "wc",
+            )
+        )
+        res["bpe_train_salted_vocab_s"] = timed(
+            lambda: bpe_train(wc_salted).count(), runs=1
+        )
+        res["bpe_vocab_plain"] = word_counts(big_docs).count()
+        res["bpe_vocab_salted"] = wc_salted.count()
+
     print(json.dumps(res))
 
 
