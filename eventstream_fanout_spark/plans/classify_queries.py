@@ -1088,3 +1088,84 @@ def pca_power_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration(m, _N_POWER).select(
         F.col("fi").cast("int").alias("fi"), "loading"
     ).orderBy("fi")
+
+
+@register(
+    "pca_stratified_sample",
+    f"""
+    WITH {_pca_power_ctes(_N_POWER)},
+    pproj AS MATERIALIZED (
+      SELECT f.vec_id, CAST(SUM(f.qx * v.v) AS BIGINT) AS proj
+      FROM pq f JOIN pv{_N_POWER} v ON v.j = f.i
+      GROUP BY f.vec_id
+    ),
+    pdec AS (
+      SELECT vec_id, proj,
+             CAST(NTILE(10) OVER (ORDER BY proj ASC, vec_id ASC)
+                  AS INTEGER) AS decile
+      FROM pproj
+    )
+    SELECT vec_id, decile, proj FROM (
+      SELECT vec_id, decile, proj,
+             ROW_NUMBER() OVER (PARTITION BY decile
+               ORDER BY vec_id ASC) AS rn
+      FROM pdec)
+    WHERE rn <= 3
+    ORDER BY decile ASC, vec_id ASC
+    """,
+    description="PCA-stratified diversity sampling (the 1-d embedding-"
+    "space analogue of the cluster-quota samplers): every vector "
+    "projects onto the power-iterated dominant component (exact "
+    "BIGINT dot of micro-quantized coords x integer loadings), the "
+    "projection axis splits into NTILE(10) strata, and each stratum "
+    "contributes its 3 lowest vec_ids — coverage across the direction "
+    "of maximum variance instead of around cluster modes.  The global "
+    "ntile is a sort at corpus scale; production swaps in "
+    "approx-quantile cutpoints (kll_daily_merge_quantiles' sketch) "
+    "with the same stratum contract",
+    tags=("classify", "embedding", "linalg", "sampling", "extension"),
+)
+def pca_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.linalg import (
+        _qcomp,
+        covariance_matrix,
+        power_iteration,
+        scaled_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    loadings = power_iteration(
+        scaled_matrix(covariance_matrix(emb)), _N_POWER
+    )
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", _qcomp(F.col("x")).alias("qx"))
+    proj = (
+        flat.join(
+            F.broadcast(loadings.select(F.col("fi").alias("i"), "loading")),
+            "i",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qx") * F.col("loading"))
+            .cast("long")
+            .alias("proj")
+        )
+    )
+    dec = proj.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(Window.orderBy(F.asc("proj"), F.asc("vec_id")))
+        .cast("int"),
+    )
+    w = Window.partitionBy("decile").orderBy(F.asc("vec_id"))
+    return (
+        dec.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("vec_id", "decile", "proj")
+        .orderBy("decile", "vec_id")
+    )

@@ -97,6 +97,7 @@ BNLJ_ALLOWED = {
     "kmeans_label_purity",  # same Lloyd chain + label join
     "kmeans_minibatch_sim",  # served-centroid broadcasts per trigger
     "pca_power_loadings",  # 1-row max-abs rescale side per power step
+    "pca_stratified_sample",  # same power chain + 64-row loading side
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
