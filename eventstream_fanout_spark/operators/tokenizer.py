@@ -172,3 +172,85 @@ def bpe_train(wc: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+def _apply_one_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply ONE (left, right) merge to a (word, wc, pos, sym)
+    segmentation with the same leftmost-greedy islands logic as the
+    trainer loop.  Returns the new segmentation."""
+    w_word = Window.partitionBy("word").orderBy("pos")
+    w_run = w_word.rowsBetween(Window.unboundedPreceding, 0)
+    pairs = syms.select(
+        "word",
+        "wc",
+        "pos",
+        "sym",
+        F.lead("sym").over(w_word).alias("nsym"),
+        F.lead("pos").over(w_word).alias("npos"),
+    )
+    cand = pairs.where(
+        (F.col("sym") == F.lit(left)) & (F.col("nsym") == F.lit(right))
+    ).select("word", "pos", "npos")
+    take = (
+        cand.withColumn(
+            "new_isl",
+            F.when(
+                F.lag("npos").over(w_word) == F.col("pos"), F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("isl", F.sum("new_isl").over(w_run))
+        .withColumn(
+            "k",
+            F.row_number().over(
+                Window.partitionBy("word", "isl").orderBy("pos")
+            ),
+        )
+        .where(F.col("k") % 2 == 1)
+        .select(
+            F.col("word").alias("t_word"),
+            F.col("pos").alias("t_pos"),
+            F.col("npos").alias("t_npos"),
+        )
+    )
+    absorbed = take.select(
+        F.col("t_word").alias("word"), F.col("t_npos").alias("pos")
+    )
+    return (
+        pairs.join(
+            take,
+            (pairs["word"] == take["t_word"])
+            & (pairs["pos"] == take["t_pos"]),
+            "left",
+        )
+        .select(
+            "word",
+            "wc",
+            "pos",
+            F.when(
+                F.col("t_pos").isNotNull(),
+                F.concat(F.col("sym"), F.col("nsym")),
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        .join(absorbed, ["word", "pos"], "left_anti")
+    )
+
+
+def apply_merges(
+    wc: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenize the vocabulary with an ALREADY-TRAINED ordered merge
+    list (the serve path of a persisted tokenizer artifact): character
+    segmentation, then each merge applied in rank order with greedy
+    semantics identical to training.  The merge list is model-sized
+    (driver-held, like a broadcast codebook); the data stays
+    distributed — each merge application is vocab-sized window work,
+    localCheckpoint-truncated per step.  Returns the final
+    (word, wc, pos, sym) segmentation."""
+    syms = _initial_symbols(wc).localCheckpoint(eager=True)
+    for left, right in merges:
+        syms = _apply_one_merge(syms, left, right).localCheckpoint(
+            eager=True
+        )
+    return syms

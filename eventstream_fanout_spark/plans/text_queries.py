@@ -2374,3 +2374,104 @@ def bpe_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     return bpe_train(word_counts(docs), 8)
+
+
+# Trained-tokenizer store, built ONCE per (process, sf_dir) — the
+# production shape: a tokenizer is a scheduled training artifact the
+# corpus pipeline SERVES (apply-many), not something every consumer
+# refits (same amortization pattern as graph_queries._ensure_rank_store
+# / similarity_queries._ensure_pq_index).  bpe_train_iterative itself
+# stays a full fit so the trainer math keeps direct driver-gate
+# evidence.
+_BPE_STORE_CACHE: dict[str, str] = {}
+
+
+def _ensure_bpe_store(spark: SparkSession, sf_dir: str) -> str:
+    path = _BPE_STORE_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from ..operators.tokenizer import bpe_train, word_counts
+
+        docs = load_table(spark, sf_dir, "documents").select("text")
+        path = tempfile.mkdtemp(prefix="bpe_store_") + "/merges"
+        bpe_train(word_counts(docs), 8).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _BPE_STORE_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "bpe_store_token_stats",
+    f"""
+    WITH {_bpe_train_ctes(8)},
+    bstats AS (
+      SELECT word, wc, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM syms8 GROUP BY word, wc
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wc * length(word)) AS BIGINT) AS corpus_chars,
+           CAST(SUM(wc * n_tokens) AS BIGINT) AS corpus_tokens,
+           (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) FROM syms8)
+             AS vocab_symbols,
+           CAST(FLOOR(SUM(wc * n_tokens) * 1000000.0
+                      / SUM(wc * length(word))) AS BIGINT)
+             AS compression_ppm
+    FROM bstats
+    """,
+    description="SERVING the trained tokenizer (fit-once/apply-many — "
+    "the artifact contract: bpe_train_iterative is the scheduled FIT, "
+    "this reads the persisted 8-merge table and APPLIES it): the "
+    "stored merges replay in rank order over the vocabulary with the "
+    "same leftmost-greedy islands logic as training, then the corpus "
+    "compression report — weighted token/char totals, surviving "
+    "symbol-vocab size, tokens-per-char ppm.  The merge list is "
+    "model-sized (a broadcast codebook); each apply step is "
+    "vocab-sized window work.  The oracle refits the identical "
+    "deterministic 8 rounds and aggregates the same segmentation",
+    tags=("text", "tokenizer", "bpe", "store", "extension"),
+)
+def bpe_store_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenizer import apply_merges, word_counts
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in spark.read.parquet(_ensure_bpe_store(spark, sf_dir))
+        .orderBy("merge_rank")
+        .collect()  # model-sized: 8 rows, the tokenizer's codebook
+    ]
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    seg = apply_merges(word_counts(docs), merges)
+    bstats = seg.groupBy("word", "wc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    vocab = seg.agg(
+        F.countDistinct("sym").cast("bigint").alias("vocab_symbols")
+    )
+    return (
+        bstats.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.col("wc") * F.length("word"))
+            .cast("bigint")
+            .alias("corpus_chars"),
+            F.sum(F.col("wc") * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("corpus_tokens"),
+            F.floor(
+                F.sum(F.col("wc") * F.col("n_tokens"))
+                * F.lit(1_000_000.0)
+                / F.sum(F.col("wc") * F.length("word"))
+            )
+            .cast("bigint")
+            .alias("compression_ppm"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "n_words",
+            "corpus_chars",
+            "corpus_tokens",
+            "vocab_symbols",
+            "compression_ppm",
+        )
+    )

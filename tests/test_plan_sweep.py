@@ -98,6 +98,7 @@ BNLJ_ALLOWED = {
     "kmeans_minibatch_sim",  # served-centroid broadcasts per trigger
     "pca_power_loadings",  # 1-row max-abs rescale side per power step
     "pca_stratified_sample",  # same power chain + 64-row loading side
+    "bpe_store_token_stats",  # 1-row vocab-size broadcast side
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
