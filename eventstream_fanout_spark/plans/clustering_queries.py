@@ -401,3 +401,159 @@ def kmeans_minibatch_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_ERASE_PRED = "vec_id % 17 = 5"
+
+_KMEANS_ERASURE_ORACLE = f"""
+    WITH {_kmeans_ctes(base_filter="vec_id % 2 = 0")},
+    {_sql_delta("state0", "asgF", 0)},
+    {_sql_serve("serve0", "SELECT * FROM state0")},
+    bq1 AS MATERIALIZED (
+      SELECT vec_id, q FROM qv_all WHERE vec_id % 4 = 1
+    ),
+    {_sql_asg("basg1", "serve0", "bq1")},
+    {_sql_delta("d1", "basg1", 1)},
+    doomed AS MATERIALIZED (
+      SELECT vec_id, q, cluster_id FROM asgF WHERE {_ERASE_PRED}
+      UNION ALL
+      SELECT vec_id, q, cluster_id FROM basg1 WHERE {_ERASE_PRED}
+    ),
+    corr AS MATERIALIZED (
+      SELECT CAST(2 AS INTEGER) AS batch_id, cluster_id, i,
+             CAST(-SUM(x) AS BIGINT) AS s,
+             CAST(-COUNT(*) AS BIGINT) AS n
+      FROM (SELECT cluster_id,
+                   unnest(generate_series(1, len(q))) AS i,
+                   unnest(q) AS x
+            FROM doomed)
+      GROUP BY cluster_id, i
+    ),
+    partials AS (
+      SELECT * FROM state0 UNION ALL SELECT * FROM d1
+      UNION ALL SELECT * FROM corr
+      UNION ALL SELECT * FROM corr
+    ),
+    applied AS (SELECT DISTINCT * FROM partials),
+    tot AS MATERIALIZED (
+      SELECT cluster_id, i, CAST(SUM(s) AS BIGINT) AS s,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM applied GROUP BY cluster_id, i
+    ),
+    direct AS MATERIALIZED (
+      SELECT cluster_id, i, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT cluster_id,
+                   unnest(generate_series(1, len(q))) AS i,
+                   unnest(q) AS x
+            FROM (SELECT vec_id, q, cluster_id FROM asgF
+                  UNION ALL
+                  SELECT vec_id, q, cluster_id FROM basg1)
+            WHERE NOT ({_ERASE_PRED}))
+      GROUP BY cluster_id, i
+    )
+    SELECT t.cluster_id,
+           CAST(MIN(t.n) AS BIGINT) AS n_members,
+           CAST(SUM(t.s * t.i) AS BIGINT) AS state_checksum,
+           BOOL_AND(t.s = d.s AND t.n = d.n) AS matches_full
+    FROM tot t JOIN direct d ON d.cluster_id = t.cluster_id
+                            AND d.i = t.i
+    GROUP BY t.cluster_id
+    ORDER BY t.cluster_id ASC
+    """
+
+
+@register(
+    "kmeans_erasure_sim",
+    _KMEANS_ERASURE_ORACLE,
+    description="RIGHT-TO-ERASURE on the maintained clustering state "
+    "— the reason the store holds per-(cluster, dim) SUMS, not means: "
+    "erasing a training vector is one NEGATIVE delta (its quantized "
+    "coords subtracted under the assignment it got when it arrived — "
+    "base fit or trigger as-of), delta-shaped like every erasure in "
+    "this repo, never a refit.  The correction trigger is replayed "
+    "(crash/retry) and collapses via the batch-id-keyed DISTINCT; the "
+    "sandwich column proves the corrected state equals a from-scratch "
+    "recompute that never saw the erased vectors (exact BIGINT "
+    "equality per cluster x dim).  Erasure cost is |erased| x dims + "
+    "k x dims, independent of corpus size",
+    tags=("clustering", "streaming", "erasure", "incremental",
+          "extension"),
+)
+def kmeans_erasure_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import (
+        assign_clusters,
+        centroid_sums,
+        kmeans_fit_q,
+        quantize_vectors,
+        serve_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qv_all = quantize_vectors(emb).localCheckpoint(eager=True)
+    base = qv_all.where(F.col("vec_id") % 2 == 0)
+    assigned, _ = kmeans_fit_q(base)
+    assigned = assigned.localCheckpoint(eager=True)
+
+    def delta(rows: DataFrame, bid: int, negate: bool) -> DataFrame:
+        sums = centroid_sums(rows)
+        sign = -1 if negate else 1
+        return sums.select(
+            F.lit(bid).cast("int").alias("batch_id"),
+            "cluster_id",
+            "i",
+            (F.col("s") * sign).cast("long").alias("s"),
+            (F.col("n") * sign).cast("long").alias("n"),
+        )
+
+    state0 = delta(assigned, 0, False).localCheckpoint(eager=True)
+    serve0 = serve_centroids(
+        state0.select("cluster_id", "i", "s", "n")
+    ).localCheckpoint(eager=True)
+    b1 = qv_all.where(F.col("vec_id") % 4 == 1)
+    basg1 = assign_clusters(b1, serve0).localCheckpoint(eager=True)
+    d1 = delta(basg1, 1, False).localCheckpoint(eager=True)
+
+    erased = F.col("vec_id") % 17 == 5
+    doomed = assigned.where(erased).unionByName(basg1.where(erased))
+
+    def make_corr() -> DataFrame:
+        return delta(doomed, 2, True)
+
+    partials = (
+        state0.unionByName(d1)
+        .unionByName(make_corr())
+        .unionByName(make_corr())  # replayed correction trigger
+    )
+    applied = partials.distinct()
+    tot = applied.groupBy("cluster_id", "i").agg(
+        F.sum("s").cast("long").alias("s"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    direct = centroid_sums(
+        assigned.unionByName(basg1).where(~erased)
+    ).select("cluster_id", "i", "s", "n")
+    return (
+        tot.alias("t")
+        .join(
+            direct.alias("d"),
+            (F.col("t.cluster_id") == F.col("d.cluster_id"))
+            & (F.col("t.i") == F.col("d.i")),
+        )
+        .groupBy(F.col("t.cluster_id").alias("cluster_id"))
+        .agg(
+            F.min(F.col("t.n")).cast("bigint").alias("n_members"),
+            # weight by (i+1): Spark dims are 0-based, the oracle's
+            # generate_series dims are 1-based — (pos+1) == i
+            F.sum(F.col("t.s") * (F.col("t.i") + 1))
+            .cast("bigint")
+            .alias("state_checksum"),
+            F.min(
+                (F.col("t.s") == F.col("d.s"))
+                & (F.col("t.n") == F.col("d.n"))
+            ).alias("matches_full"),
+        )
+        .orderBy("cluster_id")
+    )

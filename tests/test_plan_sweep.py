@@ -96,6 +96,7 @@ BNLJ_ALLOWED = {
     "kmeans_lloyd_report",  # 8-row centroid set x corpus, per round
     "kmeans_label_purity",  # same Lloyd chain + label join
     "kmeans_minibatch_sim",  # served-centroid broadcasts per trigger
+    "kmeans_erasure_sim",  # same (streaming-tagged; listed for parity)
     "pca_power_loadings",  # 1-row max-abs rescale side per power step
     "pca_stratified_sample",  # same power chain + 64-row loading side
     "bpe_store_token_stats",  # 1-row vocab-size broadcast side
