@@ -557,3 +557,31 @@ def kmeans_erasure_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "kmeans_outlier_report",
+    f"""
+    WITH {_kmeans_ctes()}
+    SELECT vec_id, cluster_id, dist
+    FROM asgF
+    ORDER BY dist DESC, vec_id ASC
+    LIMIT 20
+    """,
+    description="embedding-space outlier filter: the 20 vectors "
+    "farthest (exact BIGINT distance) from their own k-means centroid "
+    "— the far-from-every-mode junk a curation pipeline drops or "
+    "routes to review before training.  One TakeOrdered head over the "
+    "final assignment; reuses the full integer Lloyd chain",
+    tags=("clustering", "embedding", "quality", "extension"),
+)
+def kmeans_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assigned, _ = kmeans_fit(emb)
+    return (
+        assigned.select("vec_id", "cluster_id", "dist")
+        .orderBy(F.desc("dist"), F.asc("vec_id"))
+        .limit(20)
+    )

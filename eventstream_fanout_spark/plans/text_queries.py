@@ -2475,3 +2475,84 @@ def bpe_store_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression_ppm",
         )
     )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    f"""
+    WITH {_bpe_train_ctes(8)},
+    seg AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM syms8 GROUP BY word
+    ),
+    lwords AS (
+      SELECT lang, unnest({sql_tokens('text')}) AS word
+      FROM documents
+    ),
+    lwc AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS wc
+      FROM lwords WHERE length(word) >= 2
+      GROUP BY lang, word
+    )
+    SELECT l.lang,
+           CAST(SUM(l.wc) AS BIGINT) AS n_words,
+           CAST(SUM(l.wc * s.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(SUM(l.wc * s.n_tokens) * 1000000.0
+                      / SUM(l.wc)) AS BIGINT) AS fertility_ppm
+    FROM lwc l JOIN seg s USING (word)
+    GROUP BY l.lang
+    ORDER BY l.lang ASC
+    """,
+    description="tokenizer FERTILITY by language (tokens-per-word ppm "
+    "— the standard equity metric for a multilingual tokenizer: a "
+    "language whose words fragment into many subwords pays more "
+    "sequence length per sentence): the trained 8-merge segmentation "
+    "sizes each vocab word once, then per-language corpus word "
+    "weights aggregate it — the vocab-sized tokenizer work never "
+    "re-runs per language.  Fit is the same deterministic trainer "
+    "chain; the lang dimension rides the corpus word count",
+    tags=("text", "tokenizer", "bpe", "evaluation", "extension"),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenizer import apply_merges, word_counts
+
+    from ..functions.hashing import tokens
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in spark.read.parquet(_ensure_bpe_store(spark, sf_dir))
+        .orderBy("merge_rank")
+        .collect()  # model-sized: 8 rows
+    ]
+    docs = load_table(spark, sf_dir, "documents").select("text", "lang")
+    seg = (
+        apply_merges(word_counts(docs.select("text")), merges)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    lwc = (
+        docs.select(
+            "lang", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .where(F.length("word") >= 2)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    return (
+        lwc.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("wc").cast("bigint").alias("n_words"),
+            F.sum(F.col("wc") * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.floor(
+                F.sum(F.col("wc") * F.col("n_tokens"))
+                * F.lit(1_000_000.0)
+                / F.sum("wc")
+            )
+            .cast("bigint")
+            .alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )

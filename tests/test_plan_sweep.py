@@ -100,6 +100,7 @@ BNLJ_ALLOWED = {
     "pca_power_loadings",  # 1-row max-abs rescale side per power step
     "pca_stratified_sample",  # same power chain + 64-row loading side
     "bpe_store_token_stats",  # 1-row vocab-size broadcast side
+    "kmeans_outlier_report",  # 8-row centroid broadcasts, Lloyd chain
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
