@@ -117,6 +117,15 @@ PICKS = {
     "skew-proof — per-key counts partial-aggregate map-side, the "
     "top-k is TakeOrdered (no global sort), and the one-row global "
     "stats side broadcasts",
+    "kmeans_lloyd_report": "round 12 continuation: each Lloyd round "
+    "broadcasts the 8 centroid rows against one corpus scan (BNLJ on "
+    "a constant side) and shuffles only k x dims partial sums for "
+    "the update — no corpus-side shuffle anywhere in the fit",
+    "bpe_train_iterative": "round 12 continuation: one corpus-sized "
+    "word count, then every merge round is vocab-partitioned window "
+    "work (lead/lag/row_number over word) + a vocab-sized join — "
+    "localCheckpoint truncation keeps the plan constant-size per "
+    "round",
 }
 
 
