@@ -585,3 +585,96 @@ def kmeans_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dist"), F.asc("vec_id"))
         .limit(20)
     )
+
+
+_STREAM_REFRESH_ORACLE = f"""
+    WITH {_kmeans_ctes(base_filter="vec_id % 2 = 0")},
+    {_sql_asg("asgAll", f"cent{N_ITER}", "qv_all")},
+    stot AS MATERIALIZED (
+      SELECT cluster_id, i, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT cluster_id,
+                   unnest(generate_series(1, len(q))) AS i,
+                   unnest(q) AS x
+            FROM asgAll)
+      GROUP BY cluster_id, i
+    ),
+    refr AS MATERIALIZED (
+      SELECT cluster_id, CAST(MIN(n) AS BIGINT) AS n_members,
+             list(cx ORDER BY i) AS rc
+      FROM (SELECT cluster_id, i, n,
+                   CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) AS cx
+            FROM stot)
+      GROUP BY cluster_id
+    )
+    SELECT r.cluster_id, r.n_members,
+           CAST(list_sum(list_transform(generate_series(1, len(r.rc)),
+             j -> CAST(j AS BIGINT) * r.rc[j])) AS BIGINT)
+             AS refreshed_checksum,
+           CAST(list_sum(list_transform(generate_series(1, len(r.rc)),
+             j -> ABS(r.rc[j] - f.c[j]))) AS BIGINT) AS drift_l1
+    FROM refr r JOIN cent{N_ITER} f USING (cluster_id)
+    ORDER BY r.cluster_id ASC
+    """
+
+
+@register(
+    "stream_kmeans_refresh",
+    _STREAM_REFRESH_ORACLE,
+    description="REAL Structured Streaming centroid refresh "
+    "(streaming/cluster_ingest.py): a scheduled fit FREEZES a "
+    "centroid generation (fit on the even half), then the FULL corpus "
+    "streams through 4 deterministic files (maxFilesPerTrigger=1, "
+    "availableNow) into a foreachBatch sink that assigns each "
+    "micro-batch against the frozen generation and lands mergeable "
+    "per-(cluster, dim) SUM+COUNT deltas under its batch_id partition "
+    "(dynamic overwrite); the WHOLE stream then re-processes from a "
+    "fresh checkpoint — convergence is trigger-order-independent "
+    "BECAUSE the generation is frozen (the reason production splits "
+    "the fit and refresh time scales).  Serving floor-means the "
+    "merged sums into the refreshed centroids and reports each "
+    "cluster's L1 drift — the refit-trigger signal.  The oracle is "
+    "one batch assignment of the whole corpus against the same "
+    "deterministic fit",
+    tags=("clustering", "streaming", "incremental", "extension"),
+)
+def stream_kmeans_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.cluster_ingest import (
+        build_cluster_fit_store,
+        cluster_sums_sink,
+        read_refreshed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_kmeans_")
+    src = f"{tmp}/src"
+    (
+        emb.withColumn("grp", F.col("vec_id") % 4)
+        .coalesce(1)
+        .write.partitionBy("grp")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    store = f"{tmp}/store"
+    build_cluster_fit_store(
+        spark, emb.where(F.col("vec_id") % 2 == 0), store
+    )
+    sink = cluster_sums_sink(store)
+    for run in (1, 2):  # run 2 = full reprocess from a fresh checkpoint
+        q = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt{run}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return read_refreshed_centroids(spark, store)
