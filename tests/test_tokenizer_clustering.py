@@ -137,3 +137,54 @@ class TestPowerIteration:
         }
         assert v[0] == 1_000_000
         assert v[1] == 125_000  # 1e6 / 2^3
+
+
+class TestClusterStorePhysical:
+    """Physical contracts of streaming/cluster_ingest.py that the
+    registered stream query exercises only end-to-end: trigger replay
+    idempotence via the batch-id partition overwrite, and the
+    empty-batch no-op."""
+
+    def _store(self, spark, tmp_path):
+        from eventstream_fanout_spark.streaming.cluster_ingest import (
+            build_cluster_fit_store,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i % 3) / 4.0, float(i % 5) / 8.0]) for i in range(24)],
+            "vec_id long, embedding array<float>",
+        )
+        path = str(tmp_path / "store")
+        build_cluster_fit_store(
+            spark, emb.where("vec_id % 2 = 0"), path
+        )
+        return emb, path
+
+    def test_replayed_trigger_is_idempotent(self, spark, tmp_path):
+        from eventstream_fanout_spark.streaming.cluster_ingest import (
+            cluster_sums_sink,
+            read_refreshed_centroids,
+        )
+
+        emb, path = self._store(spark, tmp_path)
+        sink = cluster_sums_sink(path)
+        sink(emb.where("vec_id % 4 = 1"), 1)
+        sink(emb.where("vec_id % 4 = 3"), 2)
+        before = read_refreshed_centroids(spark, path).collect()
+        sink(emb.where("vec_id % 4 = 1"), 1)  # crash/retry replay
+        after = read_refreshed_centroids(spark, path).collect()
+        assert before == after
+
+    def test_empty_batch_is_noop(self, spark, tmp_path):
+        from eventstream_fanout_spark.streaming.cluster_ingest import (
+            cluster_sums_sink,
+            read_refreshed_centroids,
+        )
+
+        emb, path = self._store(spark, tmp_path)
+        sink = cluster_sums_sink(path)
+        sink(emb.where("vec_id % 4 = 1"), 1)
+        before = read_refreshed_centroids(spark, path).collect()
+        sink(emb.where("vec_id < 0"), 2)  # empty micro-batch
+        after = read_refreshed_centroids(spark, path).collect()
+        assert before == after
