@@ -678,3 +678,101 @@ def stream_kmeans_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
     return read_refreshed_centroids(spark, store)
+
+
+_CURATION_N = 100
+_OUTLIER_K = 20
+
+_CLUSTER_CURATION_ORACLE = f"""
+    WITH {_kmeans_ctes()},
+    outl AS MATERIALIZED (
+      SELECT vec_id FROM asgF
+      ORDER BY dist DESC, vec_id ASC LIMIT {_OUTLIER_K}
+    ),
+    kept AS MATERIALIZED (
+      SELECT a.vec_id, a.cluster_id FROM asgF a
+      WHERE NOT EXISTS (SELECT 1 FROM outl o WHERE o.vec_id = a.vec_id)
+    ),
+    csz AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM kept GROUP BY cluster_id
+    ),
+    ctot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM csz),
+    quotas AS (
+      SELECT c.cluster_id, c.n,
+             CAST(FLOOR(c.n * {_CURATION_N}.0 / t.tot) AS BIGINT)
+               AS quota
+      FROM csz c CROSS JOIN ctot t
+    ),
+    picked AS (
+      SELECT d.doc_id, k.cluster_id, q.quota, d.source, d.lang,
+             ROW_NUMBER() OVER (PARTITION BY k.cluster_id
+               ORDER BY d.doc_id ASC) AS rn
+      FROM kept k
+      JOIN documents d ON d.doc_id = k.vec_id
+      JOIN quotas q ON q.cluster_id = k.cluster_id
+    )
+    SELECT doc_id, cluster_id, quota, source, lang
+    FROM picked WHERE rn <= quota
+    ORDER BY cluster_id ASC, doc_id ASC
+    """
+
+
+@register(
+    "cluster_quota_curation",
+    _CLUSTER_CURATION_ORACLE,
+    description="unsupervised-curation composition (the no-labels "
+    "twin of curation_v2_pipeline's authority quotas): k-means "
+    f"clusters the embedding space, the {_OUTLIER_K} "
+    "farthest-from-centroid vectors are excluded (the junk gate), and "
+    f"each cluster contributes floor(size * {_CURATION_N} / total) "
+    "docs to the sample — mode-proportional coverage of the corpus — "
+    "filled deterministically with the cluster's lowest doc_ids and "
+    "joined back to documents for the source/lang mix readout.  "
+    "Everything rides the integer Lloyd chain: one extra anti-join "
+    "(outliers), two cluster-sized aggregates, one broadcast quota "
+    "join",
+    tags=("clustering", "curation", "sampling", "extension"),
+)
+def cluster_quota_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    assigned, _ = kmeans_fit(emb)
+    assigned = assigned.localCheckpoint(eager=True)
+    outl = (
+        assigned.orderBy(F.desc("dist"), F.asc("vec_id"))
+        .limit(_OUTLIER_K)
+        .select("vec_id")
+    )
+    kept = assigned.select("vec_id", "cluster_id").join(
+        outl, "vec_id", "left_anti"
+    )
+    csz = kept.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ctot = csz.agg(F.sum("n").cast("bigint").alias("tot"))
+    quotas = csz.crossJoin(F.broadcast(ctot)).select(
+        "cluster_id",
+        F.floor(
+            F.col("n") * F.lit(float(_CURATION_N)) / F.col("tot")
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.asc("doc_id"))
+    return (
+        kept.join(
+            docs, kept["vec_id"] == docs["doc_id"]
+        )
+        .join(quotas, "cluster_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "cluster_id", "quota", "source", "lang")
+        .orderBy("cluster_id", "doc_id")
+    )

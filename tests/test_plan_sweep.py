@@ -101,6 +101,7 @@ BNLJ_ALLOWED = {
     "pca_stratified_sample",  # same power chain + 64-row loading side
     "bpe_store_token_stats",  # 1-row vocab-size broadcast side
     "kmeans_outlier_report",  # 8-row centroid broadcasts, Lloyd chain
+    "cluster_quota_curation",  # same Lloyd chain + 1-row total side
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
