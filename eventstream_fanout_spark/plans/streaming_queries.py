@@ -24,6 +24,7 @@ from ..operators.enrichment import enrich_events
 from ..sources.cdc import parse_cdc_envelope, to_cdc_json
 from ..sources.tables import load_table, load_table_stream
 from .reference_queries import _FLAGSHIP_ORACLE
+from ..streaming import await_or_raise
 from .registry import register
 
 
@@ -56,7 +57,7 @@ def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -148,7 +149,7 @@ def stream_leaderboard_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return leaderboard(spark.table(name), 10, "user_id")
 
 
@@ -315,7 +316,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     # latest emission per user = the final totals
     from pyspark.sql import Window
 
@@ -539,7 +540,7 @@ def stream_metrics_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         run_id = str(q.runId)
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
         # listener callbacks are async: flush + poll until this RUN's
         # rows cover the full input (other queries on the session are
         # filtered out by run_id)

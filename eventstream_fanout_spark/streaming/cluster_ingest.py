@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..operators.clustering import (
     assign_clusters,
+    centroid_checksum_col,
     centroid_sums,
     kmeans_fit_q,
     quantize_vectors,
@@ -130,17 +131,9 @@ def read_refreshed_centroids(
         .select(
             "cluster_id",
             "n_members",
-            F.aggregate(
-                F.zip_with(
-                    F.sequence(F.lit(1), F.size("rc")).cast(
-                        "array<bigint>"
-                    ),
-                    F.col("rc"),
-                    lambda j, x: j * x,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("refreshed_checksum"),
+            centroid_checksum_col(F.col("rc")).alias(
+                "refreshed_checksum"
+            ),
             F.aggregate(
                 F.zip_with(
                     F.col("rc"),
