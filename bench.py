@@ -233,6 +233,19 @@ HEADLINE = [
     "rollup_anomaly_flags",
     "knn_classifier_ivf_report",
     "curation_v2_pipeline",
+    # round-12 continuation: tokenizer training, clustering, linalg
+    "bpe_train_iterative",
+    "bpe_store_token_stats",
+    "bpe_fertility_by_lang",
+    "kmeans_lloyd_report",
+    "kmeans_label_purity",
+    "kmeans_outlier_report",
+    "kmeans_minibatch_sim",
+    "kmeans_erasure_sim",
+    "cluster_quota_curation",
+    "stream_kmeans_refresh",
+    "pca_power_loadings",
+    "pca_stratified_sample",
 ]
 
 
