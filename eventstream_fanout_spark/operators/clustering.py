@@ -125,13 +125,61 @@ def kmeans_fit(
     )
 
 
+def farthest_first_seeds(
+    qv: DataFrame, k: int = K_CLUSTERS
+) -> DataFrame:
+    """Deterministic k-means++ analogue: seed 1 is the md5-minimal
+    vector (same anchor as seed_centroids), each further seed is the
+    corpus vector FARTHEST from its nearest already-chosen seed
+    (exact BIGINT distances, ties to the smaller vec_id).  Farthest-
+    first traversal gives the 2x-OPT coverage guarantee of kmeans++
+    without its RNG — reproducible on any engine.  Each step is one
+    broadcast of <=k seed rows against a corpus scan + a TakeOrdered
+    head, so seeding costs k corpus passes."""
+    h = F.md5(F.col("vec_id").cast("string"))
+    w = Window.orderBy(h.asc(), F.col("vec_id").asc())
+    seeds = (
+        qv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.lit(0).cast("long").alias("cluster_id"),
+                F.col("q").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    for t in range(1, k):
+        mind = (
+            qv.crossJoin(F.broadcast(seeds))
+            .groupBy("vec_id", "q")
+            .agg(
+                F.min(_sq_dist(F.col("q"), F.col("c"))).alias("mind")
+            )
+        )
+        nxt = (
+            mind.orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(t).cast("long").alias("cluster_id"),
+                F.col("q").alias("c"),
+            )
+        )
+        seeds = seeds.unionByName(nxt).localCheckpoint(eager=True)
+    return seeds
+
+
 def kmeans_fit_q(
-    qv: DataFrame, k: int = K_CLUSTERS, n_iter: int = N_ITER
+    qv: DataFrame,
+    k: int = K_CLUSTERS,
+    n_iter: int = N_ITER,
+    init: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """`kmeans_fit` over an already-quantized (vec_id, q) relation —
     the entry point when the caller fits on a subset of a shared
-    quantized corpus (mini-batch maintenance)."""
-    centroids = seed_centroids(qv, k).localCheckpoint(eager=True)
+    quantized corpus (mini-batch maintenance) or supplies its own
+    initial centroids (``init``: (cluster_id, c))."""
+    centroids = (
+        init
+        if init is not None
+        else seed_centroids(qv, k).localCheckpoint(eager=True)
+    )
     for _ in range(n_iter):
         assigned = assign_clusters(qv, centroids)
         centroids = update_centroids(assigned).localCheckpoint(

@@ -72,10 +72,22 @@ def _kmeans_ctes(
       LIMIT {k}
     )"""
     ]
+    blocks.extend(_lloyd_blocks("", "cent0", n_iter))
+    return ",".join(blocks)
+
+
+def _lloyd_blocks(
+    prefix: str, cent0: str, n_iter: int = N_ITER
+) -> list[str]:
+    """n_iter Lloyd rounds from the ``cent0`` centroid relation over
+    ``qv``: {prefix}asg{t}/{prefix}cent{t} .. {prefix}asgF.  The
+    empty prefix keeps the historical CTE names stable."""
+    blocks: list[str] = []
+    prev = cent0
     for t in range(1, n_iter + 1):
-        blocks.append(_asg(f"asg{t}", f"cent{t - 1}"))
+        blocks.append(_sql_asg(f"{prefix}asg{t}", prev, "qv"))
         blocks.append(f"""
-    cent{t} AS MATERIALIZED (
+    {prefix}cent{t} AS MATERIALIZED (
       SELECT cluster_id, list(cx ORDER BY i) AS c FROM (
         SELECT cluster_id, i,
                CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*))
@@ -83,12 +95,13 @@ def _kmeans_ctes(
         FROM (SELECT cluster_id,
                      unnest(generate_series(1, len(q))) AS i,
                      unnest(q) AS x
-              FROM asg{t})
+              FROM {prefix}asg{t})
         GROUP BY cluster_id, i)
       GROUP BY cluster_id
     )""")
-    blocks.append(_asg("asgF", f"cent{n_iter}"))
-    return ",".join(blocks)
+        prev = f"{prefix}cent{t}"
+    blocks.append(_sql_asg(f"{prefix}asgF", prev, "qv"))
+    return blocks
 
 
 _KMEANS_REPORT_ORACLE = f"""
@@ -793,3 +806,101 @@ def cluster_quota_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id", "quota", "source", "lang")
         .orderBy("cluster_id", "doc_id")
     )
+
+
+def _ff_seed_ctes(k: int = K_CLUSTERS) -> str:
+    """Farthest-first seeding chain over ``qv`` (deterministic
+    k-means++ analogue): seed 1 = md5-minimal vector, each next seed
+    = argmax of min-distance-to-chosen (ties to smaller vec_id).
+    Ends at ffseeds{k-1}."""
+    blocks = ["""
+    ffseeds0 AS MATERIALIZED (
+      SELECT CAST(0 AS BIGINT) AS cluster_id, q AS c
+      FROM (SELECT vec_id, q FROM qv
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+            LIMIT 1)
+    )"""]
+    for t in range(1, k):
+        blocks.append(f"""
+    ffmind{t} AS MATERIALIZED (
+      SELECT v.vec_id, v.q,
+             MIN(CAST(list_sum(list_transform(
+               generate_series(1, len(v.q)),
+               j -> (v.q[j] - s.c[j]) * (v.q[j] - s.c[j])))
+               AS BIGINT)) AS mind
+      FROM qv v CROSS JOIN ffseeds{t - 1} s
+      GROUP BY v.vec_id, v.q
+    ),
+    ffseeds{t} AS MATERIALIZED (
+      SELECT * FROM ffseeds{t - 1}
+      UNION ALL
+      SELECT CAST({t} AS BIGINT) AS cluster_id, q AS c FROM (
+        SELECT q FROM ffmind{t}
+        ORDER BY mind DESC, vec_id ASC LIMIT 1)
+    )""")
+    return ",".join(blocks)
+
+
+_SEED_QUALITY_ORACLE = f"""
+    WITH {_kmeans_ctes()},
+    {_ff_seed_ctes()},
+    {",".join(_lloyd_blocks("ff", f"ffseeds{K_CLUSTERS - 1}"))},
+    md5i AS (
+      SELECT CAST(SUM(dist) AS BIGINT) AS inertia,
+             CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+      FROM asgF
+    ),
+    ffi AS (
+      SELECT CAST(SUM(dist) AS BIGINT) AS inertia,
+             CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+      FROM ffasgF
+    )
+    SELECT 'farthest_first' AS strategy, inertia, n_clusters FROM ffi
+    UNION ALL
+    SELECT 'md5_hash' AS strategy, inertia, n_clusters FROM md5i
+    ORDER BY strategy ASC
+    """
+
+
+@register(
+    "kmeans_seed_quality_report",
+    _SEED_QUALITY_ORACLE,
+    description="MEASURED seeding quality: the same integer Lloyd "
+    "rounds run from two deterministic initializations — md5-hash "
+    "seeds (cheap, one pass) vs FARTHEST-FIRST traversal (the "
+    "deterministic k-means++ analogue: each next seed is the corpus "
+    "vector farthest from its nearest chosen seed — the 2x-OPT "
+    "coverage construction, k broadcast passes, no RNG) — and the "
+    "final exact inertia + surviving-cluster count decide which "
+    "clustering the curation queries should consume.  The report that "
+    "justifies (or retires) a seeding strategy with numbers instead "
+    "of folklore",
+    tags=("clustering", "embedding", "evaluation", "iterative",
+          "extension"),
+)
+def kmeans_seed_quality_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.clustering import (
+        farthest_first_seeds,
+        kmeans_fit_q,
+        quantize_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qv = quantize_vectors(emb).localCheckpoint(eager=True)
+
+    def fit_stats(init, strategy: str) -> DataFrame:
+        assigned, _ = kmeans_fit_q(qv, init=init)
+        return assigned.agg(
+            F.sum("dist").cast("bigint").alias("inertia"),
+            F.countDistinct("cluster_id").cast("bigint").alias(
+                "n_clusters"
+            ),
+        ).select(F.lit(strategy).alias("strategy"), "inertia", "n_clusters")
+
+    ff = fit_stats(farthest_first_seeds(qv), "farthest_first")
+    md5 = fit_stats(None, "md5_hash")
+    return ff.unionByName(md5).orderBy("strategy")

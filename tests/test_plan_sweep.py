@@ -102,6 +102,7 @@ BNLJ_ALLOWED = {
     "bpe_store_token_stats",  # 1-row vocab-size broadcast side
     "kmeans_outlier_report",  # 8-row centroid broadcasts, Lloyd chain
     "cluster_quota_curation",  # same Lloyd chain + 1-row total side
+    "kmeans_seed_quality_report",  # <=k-row seed broadcasts per pass
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
