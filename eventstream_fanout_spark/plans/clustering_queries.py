@@ -77,15 +77,15 @@ def _kmeans_ctes(
 
 
 def _lloyd_blocks(
-    prefix: str, cent0: str, n_iter: int = N_ITER
+    prefix: str, cent0: str, n_iter: int = N_ITER, src: str = "qv"
 ) -> list[str]:
     """n_iter Lloyd rounds from the ``cent0`` centroid relation over
-    ``qv``: {prefix}asg{t}/{prefix}cent{t} .. {prefix}asgF.  The
+    ``src``: {prefix}asg{t}/{prefix}cent{t} .. {prefix}asgF.  The
     empty prefix keeps the historical CTE names stable."""
     blocks: list[str] = []
     prev = cent0
     for t in range(1, n_iter + 1):
-        blocks.append(_sql_asg(f"{prefix}asg{t}", prev, "qv"))
+        blocks.append(_sql_asg(f"{prefix}asg{t}", prev, src))
         blocks.append(f"""
     {prefix}cent{t} AS MATERIALIZED (
       SELECT cluster_id, list(cx ORDER BY i) AS c FROM (
@@ -100,7 +100,7 @@ def _lloyd_blocks(
       GROUP BY cluster_id
     )""")
         prev = f"{prefix}cent{t}"
-    blocks.append(_sql_asg(f"{prefix}asgF", prev, "qv"))
+    blocks.append(_sql_asg(f"{prefix}asgF", prev, src))
     return blocks
 
 
@@ -904,3 +904,94 @@ def kmeans_seed_quality_report(
     ff = fit_stats(farthest_first_seeds(qv), "farthest_first")
     md5 = fit_stats(None, "md5_hash")
     return ff.unionByName(md5).orderBy("strategy")
+
+
+_REFIT_ROUNDS = 2
+
+_KMEANS_REFIT_ORACLE = f"""
+    WITH {_kmeans_ctes(base_filter="vec_id % 2 = 0")},
+    {_sql_asg("asgAll", f"cent{N_ITER}", "qv_all")},
+    refreshedc AS MATERIALIZED (
+      SELECT cluster_id, list(cx ORDER BY i) AS c FROM (
+        SELECT cluster_id, i,
+               CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cx
+        FROM (SELECT cluster_id,
+                     unnest(generate_series(1, len(q))) AS i,
+                     unnest(q) AS x
+              FROM asgAll)
+        GROUP BY cluster_id, i)
+      GROUP BY cluster_id
+    ),
+    {",".join(_lloyd_blocks("rf", "refreshedc", _REFIT_ROUNDS,
+                            src="qv_all"))},
+    stale AS (
+      SELECT CAST(SUM(dist) AS BIGINT) AS inertia,
+             CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+      FROM asgAll
+    ),
+    fresh AS (
+      SELECT CAST(SUM(dist) AS BIGINT) AS inertia,
+             CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+      FROM rfasgF
+    )
+    SELECT 'frozen_serving' AS stage, inertia, n_clusters FROM stale
+    UNION ALL
+    SELECT 'post_refit' AS stage, inertia, n_clusters FROM fresh
+    ORDER BY stage ASC
+    """
+
+
+@register(
+    "kmeans_refit_sim",
+    _KMEANS_REFIT_ORACLE,
+    description="the clustering family's DRIFT -> REFIT loop closed "
+    "(mirroring refit_index for the ANN quantizer): the model fits on "
+    "the even half (the frozen generation a stream serves), the full "
+    "corpus assigns against it (the stale serving state whose L1 "
+    "drift stream_kmeans_refresh reports), and the scheduled refit "
+    f"warm-starts {_REFIT_ROUNDS} Lloyd rounds FROM the refreshed "
+    "floor-mean centroids instead of re-seeding — the exact inertia "
+    "before/after quantifies what the refit bought.  Warm-starting "
+    "from maintained state is the production answer to 'refit without "
+    "k fresh seeding passes'",
+    tags=("clustering", "incremental", "iterative", "evaluation",
+          "extension"),
+)
+def kmeans_refit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import (
+        assign_clusters,
+        centroid_sums,
+        kmeans_fit_q,
+        quantize_vectors,
+        serve_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qv_all = quantize_vectors(emb).localCheckpoint(eager=True)
+    _, frozen = kmeans_fit_q(qv_all.where(F.col("vec_id") % 2 == 0))
+    stale_asg = assign_clusters(qv_all, frozen).localCheckpoint(
+        eager=True
+    )
+    refreshed = serve_centroids(
+        centroid_sums(stale_asg)
+    ).localCheckpoint(eager=True)
+    refit_asg, _ = kmeans_fit_q(
+        qv_all, n_iter=_REFIT_ROUNDS, init=refreshed
+    )
+
+    def stats(asg: DataFrame, stage: str) -> DataFrame:
+        return asg.agg(
+            F.sum("dist").cast("bigint").alias("inertia"),
+            F.countDistinct("cluster_id").cast("bigint").alias(
+                "n_clusters"
+            ),
+        ).select(F.lit(stage).alias("stage"), "inertia", "n_clusters")
+
+    return (
+        stats(stale_asg, "frozen_serving")
+        .unionByName(stats(refit_asg, "post_refit"))
+        .orderBy("stage")
+    )

@@ -103,6 +103,7 @@ BNLJ_ALLOWED = {
     "kmeans_outlier_report",  # 8-row centroid broadcasts, Lloyd chain
     "cluster_quota_curation",  # same Lloyd chain + 1-row total side
     "kmeans_seed_quality_report",  # <=k-row seed broadcasts per pass
+    "kmeans_refit_sim",  # frozen/refreshed centroid broadcasts
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
