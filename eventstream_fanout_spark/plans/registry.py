@@ -122,7 +122,7 @@ FRONT: list[str] = [
 # bpe_store_token_stats, kmeans_erasure_sim,
 # kmeans_outlier_report, bpe_fertility_by_lang,
 # stream_kmeans_refresh, cluster_quota_curation,
-# kmeans_seed_quality_report, kmeans_refit_sim.
+# kmeans_seed_quality_report, kmeans_refit_sim, bpe_packed_export.
 # Assuming CORRECTNESS_r12 lands green, the remaining stale
 # evidence, oldest first: the 24 r5-only names this window displaced
 # (ngram_jaccard_dups, null_reject_filter, q10_returned_items, q14_promo_revenue_share,

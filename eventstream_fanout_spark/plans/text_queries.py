@@ -2556,3 +2556,121 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_BPE_PACK_BUDGET = 512.0
+
+
+@register(
+    "bpe_packed_export",
+    f"""
+    WITH {_bpe_train_ctes(8)},
+    bseg AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM syms8 GROUP BY word
+    ),
+    dwords AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS word
+      FROM documents
+    ),
+    dtok AS (
+      SELECT d.doc_id,
+             CAST(SUM(CASE WHEN length(d.word) >= 2 THEN s.n_tokens
+                           ELSE 1 END) AS BIGINT) AS n_tokens
+      FROM dwords d
+      LEFT JOIN bseg s ON s.word = d.word
+      GROUP BY d.doc_id
+    ),
+    ptoked AS (
+      SELECT doc_id, n_tokens,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM dtok
+    ),
+    pcum AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+                                      ORDER BY h ASC, doc_id ASC)
+                  AS BIGINT) AS cum_tokens
+      FROM ptoked
+    )
+    SELECT doc_id, bucket, n_tokens, cum_tokens,
+           bucket || '-' ||
+           CAST(CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE)
+                           / {_BPE_PACK_BUDGET!r}) AS BIGINT)
+                AS VARCHAR) AS pack_id
+    FROM pcum
+    """,
+    description="token-budget packing with the ACTUAL tokenizer "
+    "(completing sequence_packing, which budgets by whitespace-token "
+    "proxy): per-doc counts come from the trained 8-merge BPE "
+    "segmentation (vocab-sized tokenizer work joined back through "
+    "each doc's word multiset; 1-char words count 1), then the same "
+    "256-bucket hash-ordered window cumsum assigns ~512-token packs "
+    "— no global sort, no RNG, same doc always lands in the same "
+    "pack.  The context-window budgeting a real training export "
+    "needs, since whitespace counts misprice fragmenting languages "
+    "(see bpe_fertility_by_lang)",
+    tags=("text", "tokenizer", "bpe", "packing", "extension"),
+)
+def bpe_packed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import tokens
+    from ..operators.tokenizer import apply_merges, word_counts
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in spark.read.parquet(_ensure_bpe_store(spark, sf_dir))
+        .orderBy("merge_rank")
+        .collect()  # model-sized: 8 rows
+    ]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    seg = (
+        apply_merges(word_counts(docs.select("text")), merges)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    dtok = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .join(seg, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.length("word") >= 2, F.col("n_tokens")
+                ).otherwise(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    toked = dtok.select(
+        "doc_id",
+        "n_tokens",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
+            "bucket"
+        ),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.asc("h"), F.asc("doc_id"))
+    cum = toked.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+    )
+    pack = F.concat(
+        F.col("bucket"),
+        F.lit("-"),
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
+            / F.lit(_BPE_PACK_BUDGET)
+        )
+        .cast("bigint")
+        .cast("string"),
+    )
+    return cum.select(
+        "doc_id", "bucket", "n_tokens", "cum_tokens", pack.alias("pack_id")
+    )
