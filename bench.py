@@ -246,6 +246,9 @@ HEADLINE = [
     "stream_kmeans_refresh",
     "pca_power_loadings",
     "pca_stratified_sample",
+    "kmeans_seed_quality_report",
+    "kmeans_refit_sim",
+    "bpe_packed_export",
 ]
 
 
