@@ -40,105 +40,84 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- ROUND-12 window.  Slots 1-7: this round's NEW queries
-    # (ANN + text attr-schema evolution add/drop, streaming filtered
-    # soak, IVF list split + merge — VERDICT r11 items 4, 8, 5).
-    # Slots 8-16:
-    # CHANGED plans — the list-manifest semi-join entered every
-    # exhaustive (nprobe=None) ANN probe (split_list's commit
-    # invariant), so their old green rows no longer prove the
-    # shipped plan.  Remaining slots: the oldest stale evidence per
-    # the generated census — the 4 r4-only greens, then the r5-only
-    # block alphabetical; the displaced r5 names
-    # (ngram_jaccard_dups .. q6_forecast_revenue,
-    # rollup_nation_segment, salted_join_counts,
-    # semantic_cluster_diversity_sample ..
-    # weighted_systematic_sample — 24 total) move to round 13's
-    # window.  Late round 12: the 10 classifier/graph/diagnostics
-    # queries take the first slots (never green, new-first policy),
-    # displacing the 10 newest r5 tail names. ---
-    "centroid_classifier_report",
-    "centroid_classifier_confusion",
-    "lang_classifier_report",
-    "lang_classifier_confusion",
-    "domain_pagerank",
-    "key_skew_report",
-    "rollup_cascade_daily",
-    "knn_classifier_report",
-    "rollup_incremental_sim",
-    "centroid_classifier_prf",
+    # --- ROUND-13 window (the rotation plan written at r12 close,
+    # executed as this round's first commit).  CORRECTNESS_r12 never
+    # recorded (driver-side loss, second occurrence); the judge's own
+    # full 258/258 driver_sim run stands as the r12 evidence, so the
+    # plan proceeds unchanged.  Slots 1-24: the queries registered
+    # AFTER the r12 window froze (never had a driver slot;
+    # new-first policy — classifier/model-store, graph/covariance,
+    # rollup streaming, BPE trainer, k-means family, PCA).  Note the
+    # k-means and PCA entries also carry this round's CHANGED plans
+    # (seeding window -> TakeOrdered, ntile -> broadcast boundaries),
+    # so their window slot proves the fixed shape.  Slots 25-48: the
+    # 24 r5-stale names the r12 window displaced, oldest-evidence
+    # first.  Slots 49-50: two of the r12-window queries that lost
+    # their driver slot to the artifact loss (never driver-green;
+    # placeholders — swap for round-13 NEW queries as they register,
+    # new-first policy). ---
+    "lang_classifier_prf",
+    "classifier_stream_scoring_sim",
+    "model_asof_scoring_sim",
+    "authority_weighted_sample",
+    "embedding_covariance_top",
+    "stream_rollup_cascade",
+    "rollup_anomaly_flags",
+    "knn_classifier_ivf_report",
+    "curation_v2_pipeline",
+    "bpe_train_iterative",
+    "kmeans_lloyd_report",
+    "kmeans_label_purity",
+    "kmeans_minibatch_sim",
+    "pca_power_loadings",
+    "pca_stratified_sample",
+    "bpe_store_token_stats",
+    "kmeans_erasure_sim",
+    "kmeans_outlier_report",
+    "bpe_fertility_by_lang",
+    "stream_kmeans_refresh",
+    "cluster_quota_curation",
+    "kmeans_seed_quality_report",
+    "kmeans_refit_sim",
+    "bpe_packed_export",
+    "ngram_jaccard_dups",
+    "null_reject_filter",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "rollup_nation_segment",
+    "salted_join_counts",
+    "semantic_cluster_diversity_sample",
+    "session_concurrency_sweep",
+    "set_ops_purchasers_vs_errors",
+    "simhash_near_pairs",
+    "sort_limit_latest",
+    "stratified_sample_20_per_type",
+    "timestamp_parse",
+    "training_export_pipeline",
+    "trigram_novelty_score",
+    "union_intersect_users",
+    "weighted_systematic_sample",
     "ann_attr_evolve_sim",
-    "ann_filtered_soak_sim",
-    "ann_list_split_sim",
-    "ann_list_merge_sim",
-    "text_attr_evolve_sim",
     "ann_attr_drop_sim",
-    "text_attr_drop_sim",
-    "ann_pq_persisted_topk",
-    "ann_index_delete_sim",
-    "ann_index_upsert_sim",
-    "ann_index_ingest_sim",
-    "ann_recall_after_churn",
-    "ann_pq_fitted_codebook_topk",
-    "ann_index_compact_sim",
-    "ann_index_asof_sim",
-    "curated_multimodal_erasure_sim",
-    "vocab_coverage",
-    "wav_audio_decode",
-    "winsorized_values",
-    "zorder_layout_key",
-    "above_nation_avg_balance",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_multiprobe_topk",
-    "anti_join_customers_no_urgent_orders",
-    "approx_distinct_users",
-    "bigram_lift_top",
-    "bpe_merge_candidates",
-    "cdc_variant_props",
-    "corpus_clean_pipeline",
-    "count_star",
-    "deterministic_sample",
-    "dq_expectations_report",
-    "embedding_lsh_near_pairs",
-    "filter_pushdown_scan",
-    "flagship_enrich",
-    "incremental_mv_maintenance",
-    "json_extract_props",
-    "mad_outlier_report",
-    "minhash_lsh_pairs",
 ]
 
-# ROUND-13 ROTATION PLAN (generated census: tools/rotation_bullet.py —
-# paste its output into COVERAGE.md instead of hand-writing the
-# bullet).  Registered AFTER the r12 window froze (give these round
-# 13's first slots, new-first): lang_classifier_prf,
-# classifier_stream_scoring_sim, model_asof_scoring_sim,
-# authority_weighted_sample, embedding_covariance_top,
-# stream_rollup_cascade, rollup_anomaly_flags,
-# knn_classifier_ivf_report, curation_v2_pipeline,
-# bpe_train_iterative, kmeans_lloyd_report, kmeans_label_purity,
-# kmeans_minibatch_sim, pca_power_loadings, pca_stratified_sample,
-# bpe_store_token_stats, kmeans_erasure_sim,
-# kmeans_outlier_report, bpe_fertility_by_lang,
-# stream_kmeans_refresh, cluster_quota_curation,
-# kmeans_seed_quality_report, kmeans_refit_sim, bpe_packed_export.
-# Assuming CORRECTNESS_r12 lands green, the remaining stale
-# evidence, oldest first: the 24 r5-only names this window displaced
-# (ngram_jaccard_dups, null_reject_filter, q10_returned_items, q14_promo_revenue_share,
-# q18_large_volume_orders,
-# q19_disjunctive_predicates, q1_pricing_summary,
-# q3_shipping_priority, q4_order_priority, q5_local_supplier_volume,
-# q6_forecast_revenue, rollup_nation_segment, salted_join_counts,
-# semantic_cluster_diversity_sample, session_concurrency_sweep,
-# set_ops_purchasers_vs_errors,
-# simhash_near_pairs, sort_limit_latest, stratified_sample_20_per_type,
-# timestamp_parse, training_export_pipeline, trigram_novelty_score,
-# union_intersect_users, weighted_systematic_sample), then the 44
+# ROUND-14 ROTATION PLAN (regenerate the census with
+# tools/rotation_bullet.py at round close).  Assuming CORRECTNESS_r13
+# lands green, the remaining stale evidence, oldest first: the 44
 # round-6-only greens (alphabetical, ann_batch_topk ..
-# window_tumbling_10m).  Fill round 13's slots with any new/changed
-# queries first, then those blocks, keeping the list at <= 50.
-# VERIFY THE ARTIFACT RECORDS (round 10's window was silently lost).
+# window_tumbling_10m).  Fill round 14's slots with any new/changed
+# queries first, then that block, keeping the list at <= 50.
+# VERIFY THE ARTIFACT RECORDS (round 10's AND round 12's windows were
+# silently lost driver-side; if r13's is too, ship
+# tools/driver_sim.py output as substitute evidence and escalate in
+# ADVICE.md).
 
 
 def ordered_queries() -> dict[str, QuerySpec]:
