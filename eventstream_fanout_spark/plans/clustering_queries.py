@@ -271,14 +271,17 @@ def _sql_delta(name: str, asg: str, batch_id: int) -> str:
 
 def _sql_serve(name: str, partials_sql: str) -> str:
     """Serve centroid arrays from merged partial state:
-    c_i = floor(sum(s)/sum(n))."""
+    c_i = floor(sum(s)/sum(n)).  ``HAVING SUM(n) > 0`` mirrors
+    serve_centroids' guard — a fully-erased cluster drops on both
+    engines instead of forking on 0-division semantics."""
     return f"""
     {name} AS MATERIALIZED (
       SELECT cluster_id, list(cx ORDER BY i) AS c FROM (
         SELECT cluster_id, i,
                CAST(FLOOR(CAST(SUM(s) AS DOUBLE) / SUM(n)) AS BIGINT)
                  AS cx
-        FROM ({partials_sql}) GROUP BY cluster_id, i)
+        FROM ({partials_sql}) GROUP BY cluster_id, i
+        HAVING SUM(n) > 0)
       GROUP BY cluster_id
     )"""
 
