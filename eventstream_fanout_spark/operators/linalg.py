@@ -18,31 +18,49 @@ Scale notes: the matrix build is one exploded self-join per vector
 (d^2/2 products, map-side combined) — d x d output rows regardless of
 corpus size; each power step is a d^2-row join against a d-row vector
 (driver-trivial, broadcast).  The BIGINT numerator bound
-``n * S_ij <~ n^2 * 1e12`` caps exact-integer mode at ~3e3 corpus rows
-per 64-dim matrix; past that, production scales the quantization down
-(QC) or moves the sums to a mapInArrow outer-product kernel — the
-relation contract (i, j, cov_num, n) is unchanged.
+``n * S_ij <~ n^2 * QC_COV^2`` caps exact-integer mode at
+``n <= 2^31 / QC_COV`` rows per 64-dim matrix; past that, production
+scales the quantization down further or moves the sums to a
+mapInArrow outer-product kernel — the relation contract
+(i, j, cov_num, n) is unchanged.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .classify import _qcomp  # one quantization, one definition
+# Covariance-path quantization.  DELIBERATELY coarser than
+# classify.QC (1e6): the covariance numerators square the scale, so
+# QC drives the exact-int64 row ceiling linearly (n <= 2^31 / QC).
+# 1e5 trades one decimal digit of per-component precision for 10x
+# row headroom — the round-12 advice found the old 1e6 ceiling
+# (2146 rows) only ~7% above the sf0.1 embeddings corpus (2000).
+QC_COV = 100_000.0
 
 VSCALE = 1_000_000.0  # rescale target: |v_i| <= 1e6 after every step
 N_POWER_ITER = 4
 
 # Exact-integer ceiling for the covariance numerators: with |x| <= 1
-# so |qx| <= QC, |n*S_ij| and |S_i*S_j| are each <= n^2 * QC^2, and
-# the difference must stay inside int64.  2 * n^2 * 1e12 < 2^63
-# requires n <= 2146; past it Spark's long arithmetic would WRAP
-# silently while the DuckDB oracle (HUGEINT) errors on the BIGINT
-# cast — an asymmetric failure the in-plan guard below turns into a
-# loud, symmetric one.  Production at larger n scales QC down or
-# moves the sums to a mapInArrow kernel (same relation contract).
-N_EXACT_MAX = 2_146
+# so |qx| <= QC_COV, |n*S_ij| and |S_i*S_j| are each <= n^2*QC_COV^2,
+# and the difference must stay inside int64: 2 * n^2 * QC_COV^2 <
+# 2^63 requires n <= 2^31 / QC_COV (= 21,474 at 1e5, ~10x the sf0.1
+# corpus).  Past it Spark's long arithmetic would WRAP silently while
+# the DuckDB oracle (HUGEINT) errors on the BIGINT cast — an
+# asymmetric failure the in-plan guard below turns into a loud,
+# symmetric one.  DERIVED from QC_COV so retuning the scale moves the
+# guard with it.
+N_EXACT_MAX = int(2**31 // int(QC_COV))
+
+
+def _qcomp(x) -> F.Column:
+    """Micro-quantize one embedding component at the covariance
+    scale: floor(x * QC_COV + 0.5) as BIGINT (linalg-local twin of
+    classify._qcomp — same formula, coarser scale)."""
+    return (
+        F.floor(x.cast("double") * F.lit(QC_COV) + F.lit(0.5))
+        .cast("long")
+    )
 
 
 def covariance_matrix(emb: DataFrame) -> DataFrame:
@@ -88,8 +106,9 @@ def covariance_matrix(emb: DataFrame) -> DataFrame:
                 F.raise_error(
                     F.lit(
                         "covariance_matrix: corpus exceeds the "
-                        "exact-int64 ceiling (n > 2146) — scale QC "
-                        "down or use the mapInArrow kernel path"
+                        f"exact-int64 ceiling (n > {N_EXACT_MAX}) — "
+                        "scale QC_COV down or use the mapInArrow "
+                        "kernel path"
                     )
                 ).cast("long")
             )

@@ -26,6 +26,7 @@ from ..operators.classify import (
     token_weight_classify,
     token_weight_fit,
 )
+from ..operators.linalg import QC_COV
 from ..sources.tables import load_table
 from .registry import register
 
@@ -1001,7 +1002,8 @@ def _pca_power_ctes(n_iter: int) -> str:
       FROM embeddings
     ),
     pq AS MATERIALIZED (
-      SELECT vec_id, i, CAST(FLOOR(x * {QC!r} + 0.5) AS BIGINT) AS qx
+      SELECT vec_id, i,
+             CAST(FLOOR(x * {QC_COV!r} + 0.5) AS BIGINT) AS qx
       FROM pflat
     ),
     pnv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
@@ -1117,12 +1119,17 @@ def pca_power_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "space analogue of the cluster-quota samplers): every vector "
     "projects onto the power-iterated dominant component (exact "
     "BIGINT dot of micro-quantized coords x integer loadings), the "
-    "projection axis splits into NTILE(10) strata, and each stratum "
-    "contributes its 3 lowest vec_ids — coverage across the direction "
-    "of maximum variance instead of around cluster modes.  The global "
-    "ntile is a sort at corpus scale; production swaps in "
-    "approx-quantile cutpoints (kll_daily_merge_quantiles' sketch) "
-    "with the same stratum contract",
+    "projection axis splits into 10 exact-NTILE strata, and each "
+    "stratum contributes its 3 lowest vec_ids — coverage across the "
+    "direction of maximum variance instead of around cluster modes.  "
+    "Scale shape (r13, replacing a corpus-wide unpartitioned ntile "
+    "window): exact global ranks come from the two-level distributed "
+    "pattern — range-repartition on (proj, vec_id), per-partition "
+    "local row_number (window PARTITIONED by spark_partition_id, so "
+    "it distributes), plus broadcast per-partition offsets from a "
+    "partition-count triangle join (P^2 rows, P = shuffle "
+    "parallelism); the NTILE bucket is then pure integer arithmetic "
+    "on (rank, N), bit-identical to the oracle's NTILE(10)",
     tags=("classify", "embedding", "linalg", "sampling", "extension"),
 )
 def pca_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1156,10 +1163,57 @@ def pca_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("proj")
         )
     )
-    dec = proj.withColumn(
+    # Exact global rank by (proj, vec_id) WITHOUT a single-partition
+    # window: range-partition orders partitions globally, the local
+    # row_number windows per partition id (distributed), and each
+    # partition's offset is the summed count of the partitions before
+    # it (tiny triangle self-join, broadcast back).
+    # localCheckpoint pins ONE materialized pid assignment: the count
+    # branch and the rank branch below must see identical partitioning
+    # (range-partition boundary sampling may differ across plan
+    # re-evaluations).
+    parts = (
+        proj.repartitionByRange(F.asc("proj"), F.asc("vec_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    local = parts.withColumn(
+        "lrn",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(
+                F.asc("proj"), F.asc("vec_id")
+            )
+        ),
+    )
+    pc = parts.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("long").alias("pn")
+    )
+    off = (
+        pc.alias("a")
+        .join(pc.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.pn"), F.lit(0)).alias("poff"))
+    )
+    n_tot = proj.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    ranked = (
+        local.join(F.broadcast(off), "pid")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("rank", F.col("poff") + F.col("lrn"))
+    )
+    # NTILE(10) as exact integer arithmetic on (rank, N): the first
+    # N % 10 buckets hold floor(N/10)+1 rows, the rest floor(N/10).
+    base = F.floor(F.col("n_tot") / 10).cast("long")
+    rem = (F.col("n_tot") % 10).cast("long")
+    big = rem * (base + 1)  # rows covered by the size-(base+1) buckets
+    dec = ranked.withColumn(
         "decile",
-        F.ntile(10)
-        .over(Window.orderBy(F.asc("proj"), F.asc("vec_id")))
+        F.when(
+            F.col("rank") <= big,
+            F.floor((F.col("rank") - 1) / (base + 1)) + 1,
+        )
+        .otherwise(
+            rem + F.floor((F.col("rank") - 1 - big) / base) + 1
+        )
         .cast("int"),
     )
     w = Window.partitionBy("decile").orderBy(F.asc("vec_id"))
