@@ -365,3 +365,68 @@ def rollup_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.cast("long").alias("var_num"),
         (dev * dev > F.lit(4) * var).alias("is_anomaly"),
     )
+
+
+def _skew_adaptive_oracle() -> str:
+    # shares dedup_queries' signature/band CTEs so the pair semantics
+    # cannot drift from minhash_lsh_pairs'
+    from ..operators.dedup import HOT_BUCKET_CAP
+    from .dedup_queries import _BANDS_SQL, _SIG_CTES
+
+    return f"""
+    WITH {_SIG_CTES},
+    bands AS ({_BANDS_SQL}),
+    sizes AS (
+      SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bands GROUP BY band, bh
+    ),
+    posture AS (
+      SELECT (MAX(n) > {HOT_BUCKET_CAP}) AS salted FROM sizes
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, p.salted
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    CROSS JOIN posture p
+    """
+
+
+@register(
+    "skew_adaptive_band_join",
+    _skew_adaptive_oracle(),
+    description="the skew diagnostic WIRED INTO a plan decision "
+    "(round-12 verdict item 8): the LSH band relation is materialized "
+    "once, its largest bucket measured (the key_skew_report "
+    "measurement, one 1-row planning collect), and the measurement "
+    "picks the join posture — plain equi-join below HOT_BUCKET_CAP, "
+    "the lossless 8-way salt split above it (the salt explode is "
+    "visible in the physical plan only on the salted branch, "
+    "pytest-pinned on both).  The pair set is posture-independent, so "
+    "the oracle checks pairs + the decision itself (MAX bucket vs "
+    "cap, same integers both engines)",
+    tags=("diagnostics", "dedup", "lsh", "skew", "extension"),
+)
+def skew_adaptive_band_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import banded_signatures, minhash_signatures
+    from ..operators.diagnostics import adaptive_bucket_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    bands = banded_signatures(
+        minhash_signatures(docs)
+    ).localCheckpoint(eager=True)
+    pairs, salted, _max_cnt = adaptive_bucket_pairs(
+        bands, ["band", "bh"], "doc_id"
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("salted", F.lit(bool(salted)))
+    )

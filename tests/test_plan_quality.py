@@ -196,3 +196,35 @@ def test_runtime_bloom_filter_join_pruning(spark):
         .count()
     )
     assert with_bloom == plain
+
+
+def test_skew_measurement_picks_join_posture(spark):
+    """adaptive_bucket_pairs (round-13): the measured max bucket size
+    must CHANGE the physical plan — plain equi-join (no salt explode)
+    on uniform keys, the lossless salt split (explode visible) on a
+    hot key — and both postures must produce the identical pair set."""
+    from pyspark.sql import functions as F
+
+    from eventstream_fanout_spark.operators.diagnostics import (
+        adaptive_bucket_pairs,
+    )
+
+    uniform = spark.range(100).select(
+        (F.col("id") % 50).alias("k"), F.col("id")
+    )
+    pu, salted_u, mu = adaptive_bucket_pairs(
+        uniform, ["k"], "id", hot_cap=10
+    )
+    assert not salted_u and mu == 2
+    plan_u = pu._jdf.queryExecution().executedPlan().toString()
+    assert "explode" not in plan_u.lower()
+
+    hot = spark.range(100).select(F.lit(0).alias("k"), F.col("id"))
+    ph, salted_h, mh = adaptive_bucket_pairs(hot, ["k"], "id", hot_cap=10)
+    assert salted_h and mh == 100
+    plan_h = ph._jdf.queryExecution().executedPlan().toString()
+    assert "explode" in plan_h.lower(), "salt fan-out missing from plan"
+
+    # losslessness: the salted plan returns every one of the
+    # C(100,2) pairs the plain join would
+    assert ph.count() == 100 * 99 // 2

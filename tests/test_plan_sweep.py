@@ -104,6 +104,8 @@ BNLJ_ALLOWED = {
     "cluster_quota_curation",  # same Lloyd chain + 1-row total side
     "kmeans_seed_quality_report",  # <=k-row seed broadcasts per pass
     "kmeans_refit_sim",  # frozen/refreshed centroid broadcasts
+    # round 13: drift monitor's 1-row stage-accuracy + decision sides
+    "classifier_drift_report",
 }
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
