@@ -51,11 +51,14 @@ FRONT: list[str] = [
     # k-means and PCA entries also carry this round's CHANGED plans
     # (seeding window -> TakeOrdered, ntile -> broadcast boundaries),
     # so their window slot proves the fixed shape.  Slots 25-48: the
-    # 24 r5-stale names the r12 window displaced, oldest-evidence
-    # first.  Slots 49-50: two of the r12-window queries that lost
-    # their driver slot to the artifact loss (never driver-green;
-    # placeholders — swap for round-13 NEW queries as they register,
-    # new-first policy). ---
+    # r5-stale names the r12 window displaced, oldest-evidence
+    # first (22 of 24 — union_intersect_users and
+    # weighted_systematic_sample move to round 14, displaced by the
+    # four round-13 NEW queries that open the list). ---
+    "pagerank_incremental_sim",
+    "classifier_drift_report",
+    "classifier_refit_sim",
+    "skew_adaptive_band_join",
     "lang_classifier_prf",
     "classifier_stream_scoring_sim",
     "model_asof_scoring_sim",
@@ -102,10 +105,6 @@ FRONT: list[str] = [
     "timestamp_parse",
     "training_export_pipeline",
     "trigram_novelty_score",
-    "union_intersect_users",
-    "weighted_systematic_sample",
-    "ann_attr_evolve_sim",
-    "ann_attr_drop_sim",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
