@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
-"""Benchmark harness: runs the engine's headline queries at
+"""Benchmark harness: runs the engine's registered queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``.
+
+The bench set is DERIVED from the registry (``ordered_queries()``
+minus the explicit, justified ``SKIP`` set below) — round-12 verdict
+item 4: the old hand-maintained HEADLINE list had drifted to 180 of
+258 registered queries; a derived set makes bench coverage a property
+instead of a promise.
 
 Output contract (the driver captures the LAST 2000 characters of
 stdout and parses the JSON line it finds there — round 4's single
@@ -22,12 +28,21 @@ stdout and parses the JSON line it finds there — round 4's single
 
 Execution is forced with the noop sink (full computation, no driver
 materialization) so timings measure the engine, not collect().
+
+Calibration (round-12 verdict item 5): the three fixed pure-compute
+box probes run INTERLEAVED — once before the suite and again after
+every ``CAL_EVERY`` queries — so sustained co-tenant load shows up in
+the calibration signal it is supposed to normalize (the r12
+artifact's end-only probes stayed flat while the suite inflated
+mid-run).  ``bench_full.json`` records every segment sample plus the
+per-probe median.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -36,220 +51,20 @@ sys.path.insert(0, REPO_ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the reference surface (flagship + windows + leaderboard),
-# warehouse breadth (TPC-H analogues), and the north-star extension ops.
-HEADLINE = [
-    "flagship_enrich",
-    "cdc_parse_roundtrip",
-    "window_tumbling_10m",
-    "window_sliding_10m_5m",
-    "rolling_10m_user_count",
-    "topk_leaderboard_daily",
-    "global_leaderboard_top10",
-    "hourly_distinct_users",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_predicates",
-    "rollup_nation_segment",
-    "salted_join_counts",
-    "sessionize_events",
-    "conversion_funnel",
-    "rank_family",
-    "lag_lead_deltas",
-    "pivot_event_types",
-    "percentile_disc_manual",
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_dups",
-    "simhash_docs",
-    "ann_cosine_topk",
-    "ann_lsh_bucket_topk",
-    "text_quality_profile",
-    "doc_fingerprint_winnow",
-    "multimodal_decode_stub",
-    "corpus_clean_pipeline",
-    "asof_click_before_purchase",
-    "range_join_click_purchase_1h",
-    "cdc_apply_merge",
-    "gap_filled_hourly_counts",
-    # real Structured Streaming executions (availableNow -> memory);
-    # the reference's latency envelope is "enrichment inside a 5 s
-    # micro-batch" (README.md:99) — these time a full drain
-    "stream_enrich_availablenow",
-    "stream_window_counts_watermark",
-    # round 2 additions (wall total is NOT comparable to round 1's
-    # 40-query suite — compare per-query timings across rounds)
-    "simhash_near_pairs",
-    "embedding_lsh_near_pairs",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q13_customer_order_distribution",
-    "q16_part_supplier_counts",
-    "q21_waiting_suppliers",
-    # round 3 additions
-    "ann_ivf_topk",
-    "boilerplate_block_removal",
-    "embedding_random_projection",
-    "corpus_shuffle_order",
-    "bitmap_distinct_users",
-    "variant_props_extract",
-    "training_export_pipeline",
-    # round 4 additions: sandwich-checked sketch rollups (estimate +
-    # exact + bound in one plan) and the LSH skew report
-    "approx_quantiles_value",
-    "theta_sketch_user_sets",
-    "hll_daily_merge_distinct",
-    "kll_daily_merge_quantiles",
-    "lsh_bucket_stats",
-    "vocab_coverage",
-    # round-4 late additions: incremental dedup sim, real media
-    # decode (Arrow seams), crawl normalization
-    "incremental_dedup_sim",
-    "wav_audio_decode",
-    "png_image_decode",
-    "html_text_extract",
-    "url_canonical_dedup",
-    "fuzzy_entity_match",
-    "scd2_point_in_time_join",
-    "ann_multiprobe_topk",
-    # round 5 additions: fitted IVF, VARIANT CDC decode, LM novelty,
-    # BPE merge fit, two-level sweep-line concurrency
-    "ann_ivf_fitted_topk",
-    "cdc_variant_props",
-    "trigram_novelty_score",
-    "bpe_merge_candidates",
-    "session_concurrency_sweep",
-    "weighted_systematic_sample",
-    "ann_pq_adc_topk",
-    "ann_pq_rerank_topk",
-    "ann_pq_recall_report",
-    "incremental_dedup_verified_sim",
-    "dq_expectations_report",
-    "incremental_mv_maintenance",
-    "mad_outlier_report",
-    "bigram_lift_top",
-    "semantic_cluster_diversity_sample",
-    # round 6 additions: persisted PQ/IVF index probes (first run
-    # builds the index artifact, min-of-N then measures the pure probe
-    # — the amortized-build claim made measurable), the incremental
-    # index-ingest sim, and the oracle-checked metrics-table profile
-    "ann_pq_persisted_topk",
-    "ann_ivfpq_persisted_topk",
-    "ann_pq_persisted_batch_topk",
-    "ann_index_ingest_sim",
-    "stream_metrics_profile",
-    "bm25_keyword_search",
-    "text_index_ingest_sim",
-    "curated_ingest_pipeline",
-    "hybrid_search_rrf",
-    "png_resize_nearest",
-    "video_frame_sample",
-    "cdc_custom_source_roundtrip",
-    "bpe_apply_tokenize",
-    "incremental_vector_dedup_sim",
-    "bloom_decontamination_prefilter",
-    "cms_token_counts",
-    "phrase_search_positional",
-    "proximity_search_within_k",
-    # round 7 additions: fitted persisted indexes (both quantizers),
-    # the batch serving probes (BM25 / hybrid RRF), the vector-dedup
-    # recall report, and the full multimodal curated ingest
-    "ann_pq_persisted_fitted_topk",
-    "ann_pq_fitted_codebook_topk",
-    "ann_pq_fully_fitted_topk",
-    "bm25_batch_search",
-    "hybrid_batch_search_rrf",
-    "vector_dedup_recall_report",
-    "curated_multimodal_ingest",
-    "stream_stateful_user_totals",
-    "text_index_delete_sim",
-    "ann_index_delete_sim",
-    "curated_erasure_sim",
-    # round 8 additions: the multimodal erasure sim (all four stores +
-    # both serving probes), the hot-term-bounded BM25 probe, and the
-    # full maintenance-cycle (erase -> compact) sims
-    "curated_multimodal_erasure_sim",
-    "bm25_hot_term_bound",
-    "text_index_compact_sim",
-    "ann_index_compact_sim",
-    "ann_binary_hamming_topk",
-    "ann_binary_rerank_topk",
-    "streaming_erasure_sim",
-    "text_index_layout_census",
-    "text_index_asof_probe",
-    "ann_index_asof_sim",
-    "exact_substring_spans",
-    "exact_substring_dedup_cut",
-    "ann_pq_filtered_topk",
-    "text_index_upsert_sim",
-    "ann_index_upsert_sim",
-    # round 11 additions: live filtered search (delta-maintained attr
-    # stores on both indexes), filtered hybrid fusion, the update-queue
-    # stream sim
-    "ann_filtered_live_sim",
-    "bm25_filtered_search",
-    "hybrid_filtered_search_rrf",
-    "streaming_upsert_sim",
-    "ann_recall_after_churn",
-    "ann_index_refit_sim",
-    "ann_pq_filtered_batch_topk",
-    "bm25_filtered_batch_search",
-    "ann_filtered_asof_sim",
-    "text_filtered_asof_probe",
-    # round 12 additions: attr-schema evolution on both live filtered
-    # indexes, the IVF list split, and the streaming filtered soak
-    "ann_attr_evolve_sim",
-    "text_attr_evolve_sim",
-    "ann_list_split_sim",
-    "ann_list_merge_sim",
-    "ann_filtered_soak_sim",
-    "ann_attr_drop_sim",
-    "text_attr_drop_sim",
-    # round-12 late additions: fitted classifiers, graph authority,
-    # scale diagnostics, rollup cascade
-    "centroid_classifier_report",
-    "centroid_classifier_confusion",
-    "lang_classifier_report",
-    "lang_classifier_confusion",
-    "domain_pagerank",
-    "key_skew_report",
-    "rollup_cascade_daily",
-    "knn_classifier_report",
-    "rollup_incremental_sim",
-    "centroid_classifier_prf",
-    "lang_classifier_prf",
-    "classifier_stream_scoring_sim",
-    "model_asof_scoring_sim",
-    "authority_weighted_sample",
-    "embedding_covariance_top",
-    "stream_rollup_cascade",
-    "rollup_anomaly_flags",
-    "knn_classifier_ivf_report",
-    "curation_v2_pipeline",
-    # round-12 continuation: tokenizer training, clustering, linalg
-    "bpe_train_iterative",
-    "bpe_store_token_stats",
-    "bpe_fertility_by_lang",
-    "kmeans_lloyd_report",
-    "kmeans_label_purity",
-    "kmeans_outlier_report",
-    "kmeans_minibatch_sim",
-    "kmeans_erasure_sim",
-    "cluster_quota_curation",
-    "stream_kmeans_refresh",
-    "pca_power_loadings",
-    "pca_stratified_sample",
-    "kmeans_seed_quality_report",
-    "kmeans_refit_sim",
-    "bpe_packed_export",
-]
+# Queries excluded from the derived bench set.  Every entry needs a
+# reason — an empty set is the goal state.
+SKIP: dict[str, str] = {}
+
+# Interleave the calibration probes after every this-many queries.
+CAL_EVERY = 30
+
+
+def bench_names() -> list[str]:
+    """The bench set: every registered query in evidence-priority
+    order, minus the justified SKIP entries."""
+    from eventstream_fanout_spark.plans.registry import ordered_queries
+
+    return [n for n in ordered_queries() if n not in SKIP]
 
 
 def _calibration_queries(spark):
@@ -276,6 +91,21 @@ def _calibration_queries(spark):
     }
 
 
+def _run_calibration(spark, runs: int, segment: int,
+                     samples: dict[str, list[float]]) -> None:
+    """One calibration segment: min-of-N for each probe, appended to
+    the per-probe sample list (one entry per segment)."""
+    for cname, make in _calibration_queries(spark).items():
+        cbest = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            make().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            cbest = dt if cbest is None else min(cbest, dt)
+        samples.setdefault(cname, []).append(round(cbest, 3))
+        print(f"#cal seg{segment} {cname}={round(cbest, 3)}", flush=True)
+
+
 def main() -> None:
     from eventstream_fanout_spark.plans.registry import QUERIES
     from eventstream_fanout_spark.session import get_spark
@@ -288,17 +118,11 @@ def main() -> None:
         # warm the JVM/scan path once (not timed)
         QUERIES["count_star"].fn(spark, SF_DIR).collect()
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-        calibration: dict[str, float] = {}
-        for cname, make in _calibration_queries(spark).items():
-            cbest = None
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                make().write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                cbest = dt if cbest is None else min(cbest, dt)
-            calibration[cname] = round(cbest, 3)
-            print(f"#cal {cname}={calibration[cname]}", flush=True)
-        for name in HEADLINE:
+        cal_samples: dict[str, list[float]] = {}
+        segment = 0
+        _run_calibration(spark, runs, segment, cal_samples)
+        names = bench_names()
+        for qi, name in enumerate(names, start=1):
             spec = QUERIES[name]
             best = None
             for _ in range(runs):  # min-of-N damps shared-box noise
@@ -310,12 +134,26 @@ def main() -> None:
             timings[name] = round(best, 3)
             # prefixed so only the final summary line is JSON-parseable
             print(f"#q {name}={timings[name]}", flush=True)
+            if qi % CAL_EVERY == 0 and qi < len(names):
+                segment += 1
+                _run_calibration(spark, runs, segment, cal_samples)
+        segment += 1
+        _run_calibration(spark, runs, segment, cal_samples)
         total = round(sum(timings.values()), 3)
         sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
         metric = (
-            "headline-suite wall seconds (noop sink, "
+            "registry-suite wall seconds (noop sink, "
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}])"
         )
+        calibration = {
+            "samples_per_segment": cal_samples,
+            "median": {
+                c: round(statistics.median(v), 3)
+                for c, v in cal_samples.items()
+            },
+            "segments": segment + 1,
+            "interleave_every": CAL_EVERY,
+        }
         full = {
             "metric": metric,
             "value": total,
@@ -329,10 +167,13 @@ def main() -> None:
             "run_meta": {
                 "runs_per_query": runs,
                 "aggregation": "min-of-N per query",
+                "bench_set": "ordered_queries() minus SKIP "
+                f"({len(SKIP)} skipped)",
+                "skipped": SKIP,
                 # box-speed probes (identical pure-compute work every
-                # round): divide a cross-round suite ratio by the
-                # calibration ratio to split machine drift from engine
-                # change
+                # round), interleaved through the suite: a co-tenant
+                # load burst that inflates a query segment now also
+                # inflates the calibration sample taken next to it
                 "calibration_sec": calibration,
                 "cpus": os.cpu_count(),
                 "load_avg_start_1m_5m_15m": [round(x, 2) for x in load_start],
