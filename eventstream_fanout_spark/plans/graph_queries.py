@@ -272,7 +272,10 @@ def _rank_steps(pfx: str, nodes: str, edges: str,
     return head + "," + ",".join(steps) + tail
 
 
-def _incremental_oracle() -> str:
+def _incremental_ctes() -> str:
+    """The incremental edge/rank CTE body (no WITH, no tail selects),
+    generations 0-2 — shared by the sim's oracle and the staleness
+    report's."""
     gens = []
     for k in range(3):
         prev = f"ed{k - 1}"
@@ -306,13 +309,8 @@ def _incremental_oracle() -> str:
       SELECT DISTINCT source FROM itoks WHERE b <= {k}
     ),
     {_rank_steps(f"g{k}", f"nd{k}", f"ed{k}")}""")
-    selects = "\n    UNION ALL\n    ".join(
-        f"SELECT CAST({k} AS INT) AS gen, source, rank_micro, "
-        f"out_deg, in_deg FROM g{k}out"
-        for k in range(3)
-    )
     return f"""
-    WITH itoks AS (
+    itoks AS (
       SELECT doc_id, source, {sql_tokens('text')} AS t,
              {_BATCH_CASE} AS b
       FROM documents
@@ -321,7 +319,17 @@ def _incremental_oracle() -> str:
       SELECT DISTINCT doc_id, source, b,
              unnest({sql_shingles('t', SHINGLE_N)}) AS g
       FROM itoks
-    ),{",".join(gens)}
+    ),{",".join(gens)}"""
+
+
+def _incremental_oracle() -> str:
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS INT) AS gen, source, rank_micro, "
+        f"out_deg, in_deg FROM g{k}out"
+        for k in range(3)
+    )
+    return f"""
+    WITH {_incremental_ctes()}
     {selects}
     """
 
@@ -367,3 +375,105 @@ def pagerank_incremental_sim(
     # pin its inputs, so every partition rewrites byte-for-byte
     ingest_graph_batch(spark, tmp, docs.where(F.col("doc_id") % 8 == 3), 1)
     return read_rank_generations(spark, tmp)
+
+
+# Incremental store, built ONCE per (process, sf_dir) for the
+# consumers below (the sim builds its own store so its replay stays
+# inside the hashed state; the report reads the amortized artifact —
+# the rank-store pattern of _ensure_rank_store).
+_INC_STORE_CACHE: dict[str, str] = {}
+
+
+def _ensure_inc_store(spark: SparkSession, sf_dir: str) -> str:
+    path = _INC_STORE_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from ..streaming.graph_ingest import ingest_graph_batch
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        path = tempfile.mkdtemp(prefix="graph_inc_")
+        ingest_graph_batch(
+            spark, path, docs.where(F.col("doc_id") % 4 != 3), 0
+        )
+        ingest_graph_batch(
+            spark, path, docs.where(F.col("doc_id") % 8 == 3), 1
+        )
+        ingest_graph_batch(
+            spark, path, docs.where(F.col("doc_id") % 8 == 7), 2
+        )
+        _INC_STORE_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "pagerank_staleness_report",
+    f"""
+    WITH {_incremental_ctes()},
+    {_pagerank_ctes()},
+    exact_out AS (
+      SELECT r.source, CAST(r.r AS BIGINT) AS rank_exact
+      FROM rank{N_ITER} r
+    ),
+    counts AS (
+      SELECT CAST((SELECT COUNT(*) FROM ed2) AS BIGINT) AS n_edges_incr,
+             CAST((SELECT COUNT(*) FROM edges) AS BIGINT)
+               AS n_edges_exact
+    )
+    SELECT i.source,
+           i.rank_micro AS rank_incr,
+           e.rank_exact,
+           (i.rank_micro = e.rank_exact) AS ranks_equal,
+           c.n_edges_incr, c.n_edges_exact
+    FROM g2out i
+    JOIN exact_out e ON e.source = i.source
+    CROSS JOIN counts c
+    """,
+    description="the add-only contract's staleness MEASURED (the "
+    "drift report of the graph family, mirroring "
+    "ann_recall_after_churn): the incrementally-maintained generation "
+    "2 ranks vs an exact full rebuild over the same corpus — "
+    "per-source rank pair + equality flag + both edge-set sizes.  The "
+    "divergence (edges kept after their shingle's df left [2,6], "
+    "pairs never re-derived for untouched shingles) is exactly what a "
+    "scheduled full rebuild repairs; this report is the gauge that "
+    "schedules it.  Hash-stable because both engines replay both "
+    "contracts exactly",
+    tags=("graph", "evaluation", "incremental", "extension"),
+)
+def pagerank_staleness_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = _ensure_inc_store(spark, sf_dir)
+    incr = (
+        spark.read.parquet(f"{store}/ranks")
+        .where(F.col("gen") == 2)
+        .select("source", F.col("rank_micro").alias("rank_incr"))
+    )
+    exact = pagerank_integer(
+        docs.select("source").distinct(), cocitation_edges(docs)
+    ).select("source", F.col("rank_micro").alias("rank_exact"))
+    n_incr = (
+        spark.read.parquet(f"{store}/edges")
+        .select("src", "dst")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges_incr"))
+    )
+    n_exact = cocitation_edges(docs).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges_exact")
+    )
+    return (
+        incr.join(exact, "source")
+        .withColumn(
+            "ranks_equal", F.col("rank_incr") == F.col("rank_exact")
+        )
+        .crossJoin(F.broadcast(n_incr))
+        .crossJoin(F.broadcast(n_exact))
+    )

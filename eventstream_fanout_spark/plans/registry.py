@@ -52,10 +52,11 @@ FRONT: list[str] = [
     # (seeding window -> TakeOrdered, ntile -> broadcast boundaries),
     # so their window slot proves the fixed shape.  Slots 25-48: the
     # r5-stale names the r12 window displaced, oldest-evidence
-    # first (22 of 24 — union_intersect_users and
-    # weighted_systematic_sample move to round 14, displaced by the
-    # four round-13 NEW queries that open the list). ---
+    # first (21 of 24 — trigram_novelty_score, union_intersect_users
+    # and weighted_systematic_sample move to round 14, displaced by
+    # the five round-13 NEW queries that open the list). ---
     "pagerank_incremental_sim",
+    "pagerank_staleness_report",
     "classifier_drift_report",
     "classifier_refit_sim",
     "skew_adaptive_band_join",
@@ -104,7 +105,6 @@ FRONT: list[str] = [
     "stratified_sample_20_per_type",
     "timestamp_parse",
     "training_export_pipeline",
-    "trigram_novelty_score",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with

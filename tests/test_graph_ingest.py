@@ -1,0 +1,118 @@
+"""Physical contracts of streaming/graph_ingest.py that the registered
+pagerank_incremental_sim exercises only end-to-end: replay
+byte-identity under the as-of read discipline, the add-only edge
+contract (documented staleness), and delta-bounded touched sets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+TXT = "alpha beta gamma delta epsilon zeta"  # one 5-shingle window x2
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    from eventstream_fanout_spark.streaming.graph_ingest import (
+        ingest_graph_batch,
+    )
+
+    path = str(tmp_path_factory.mktemp("graph") / "store")
+    # batch 0: two sources sharing the rare shingle -> one edge pair
+    ingest_graph_batch(
+        spark,
+        path,
+        _docs(spark, [(1, "srcA", TXT), (2, "srcB", TXT)]),
+        0,
+        n_iter=2,
+    )
+    # batch 1: a third source joins the same shingle (df 2 -> 3, still
+    # inside [2,6]) -> pairs among all three
+    ingest_graph_batch(
+        spark, path, _docs(spark, [(3, "srcC", TXT)]), 1, n_iter=2
+    )
+    return path
+
+
+def test_replay_is_byte_identical_after_later_batches(spark, store):
+    from eventstream_fanout_spark.streaming.graph_ingest import (
+        ingest_graph_batch,
+        read_rank_generations,
+    )
+
+    before_edges = sorted(
+        (r["batch_id"], r["src"], r["dst"])
+        for r in spark.read.parquet(f"{store}/edges").collect()
+    )
+    before_ranks = sorted(
+        tuple(r) for r in read_rank_generations(spark, store).collect()
+    )
+    # replay batch 0 AFTER batch 1 landed: as-of reads (batch_id <= 0)
+    # must keep every partition identical
+    ingest_graph_batch(
+        spark,
+        store,
+        _docs(spark, [(1, "srcA", TXT), (2, "srcB", TXT)]),
+        0,
+        n_iter=2,
+    )
+    after_edges = sorted(
+        (r["batch_id"], r["src"], r["dst"])
+        for r in spark.read.parquet(f"{store}/edges").collect()
+    )
+    after_ranks = sorted(
+        tuple(r) for r in read_rank_generations(spark, store).collect()
+    )
+    assert before_edges == after_edges
+    assert before_ranks == after_ranks
+
+
+def test_delta_refresh_adds_new_pairs(spark, store):
+    e0 = spark.read.parquet(f"{store}/edges").where("batch_id = 0")
+    e1 = spark.read.parquet(f"{store}/edges").where("batch_id = 1")
+    assert sorted(
+        (r["src"], r["dst"]) for r in e0.collect()
+    ) == [("srcA", "srcB"), ("srcB", "srcA")]
+    # batch 1 re-emits the touched shingle's FULL pair set (df now 3)
+    assert ("srcC", "srcA") in {
+        (r["src"], r["dst"]) for r in e1.collect()
+    }
+
+
+def test_add_only_contract_keeps_stale_edges(spark, tmp_path):
+    """A shingle whose df leaves [2,6] stops emitting NEW pairs, but
+    pairs it already contributed stay until a full rebuild — the
+    documented staleness the oracle replays."""
+    from eventstream_fanout_spark.streaming.graph_ingest import (
+        ingest_graph_batch,
+    )
+
+    path = str(tmp_path / "store")
+    base = _docs(
+        spark, [(i, f"s{i}", TXT) for i in range(1, 7)]  # df = 6
+    )
+    ingest_graph_batch(spark, path, base, 0, n_iter=1)
+    n_edges_0 = (
+        spark.read.parquet(f"{path}/edges").select("src", "dst")
+        .distinct().count()
+    )
+    assert n_edges_0 == 6 * 5  # all ordered pairs at df = 6
+    # batch 1 pushes df to 7 (> DF_MAX): no new pairs from this
+    # shingle, but the 30 stale edges remain serving
+    ingest_graph_batch(
+        spark, path, _docs(spark, [(7, "s7", TXT)]), 1, n_iter=1
+    )
+    e1 = spark.read.parquet(f"{path}/edges").where("batch_id = 1")
+    assert e1.count() == 0
+    merged = (
+        spark.read.parquet(f"{path}/edges").select("src", "dst")
+        .distinct().count()
+    )
+    assert merged == 30

@@ -106,7 +106,50 @@ BNLJ_ALLOWED = {
     "kmeans_refit_sim",  # frozen/refreshed centroid broadcasts
     # round 13: drift monitor's 1-row stage-accuracy + decision sides
     "classifier_drift_report",
+    # round 13: pagerank 1-row node-count sides + 1-row edge counts
+    "pagerank_staleness_report",
 }
+
+# Queries whose plan legitimately contains an UNPARTITIONED Window
+# (WindowExec with no PARTITION BY moves its whole input to ONE task —
+# the corpus-wide variants were round-12's two scale-killers, both
+# fixed in round 13).  Every entry here windows a BOUNDED relation:
+# a bucket-level cumulative (two-level decomposition, input = bucket
+# count), a post-aggregation top-k (input <= the two-level 51,200-row
+# cap), or a request-sized candidate set.  A new query that windows
+# an unbounded relation fails the sweep instead of shipping a
+# single-partition sort.
+GLOBAL_WINDOW_ALLOWED = {
+    "session_concurrency_sweep",  # cumulative over HOURLY buckets
+    "kll_daily_merge_quantiles",  # cumulative over the value histogram
+    "bpe_merge_candidates",  # row_number over aggregated pair freqs
+    "vocab_coverage",  # second level of the two-level rank (<=51,200)
+    "corpus_shuffle_order",  # cumulative over shuffle buckets
+    "weighted_systematic_sample",  # cumulative over token-sum buckets
+    "training_export_pipeline",  # same bucket cumulative, composed
+    "hybrid_search_rrf",  # row_number over fused top-k candidates
+    "hybrid_filtered_search_rrf",  # same, filtered probe
+}
+
+
+def _global_windows(plan: str) -> list[str]:
+    """Window nodes with no partition spec.  Node format:
+    ``Window [exprs], [partition], [order]`` — 3 bracket groups when
+    partitioned; 2 groups whose second holds sort specs (ASC/DESC)
+    when global-ordered; 1 group when global-unordered."""
+    out = []
+    for line in plan.splitlines():
+        ls = line.strip()
+        i = ls.find("Window [")
+        if i < 0 or ls[:i].strip(" +-*:("):
+            continue
+        groups = ls[i + len("Window "):].split("], [")
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 1 or " ASC" in groups[1] or " DESC" in groups[1]:
+            out.append(ls[:140])
+    return out
+
 
 # Queries allowed to show ArrowEvalPython / pandas-iterator nodes (the
 # declared Python seams: Arrow-batched, never row-at-a-time).
@@ -161,4 +204,10 @@ def test_plan_hygiene(spark, spec):
     ):
         assert spec.name in ARROW_ALLOWED, (
             f"{spec.name}: undeclared Python seam"
+        )
+    gw = _global_windows(plan)
+    if gw:
+        assert spec.name in GLOBAL_WINDOW_ALLOWED, (
+            f"{spec.name}: unpartitioned Window outside the "
+            f"bounded-relation allowlist: {gw[0]}"
         )

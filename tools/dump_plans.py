@@ -117,10 +117,21 @@ PICKS = {
     "skew-proof — per-key counts partial-aggregate map-side, the "
     "top-k is TakeOrdered (no global sort), and the one-row global "
     "stats side broadcasts",
-    "kmeans_lloyd_report": "round 12 continuation: each Lloyd round "
-    "broadcasts the 8 centroid rows against one corpus scan (BNLJ on "
-    "a constant side) and shuffles only k x dims partial sums for "
-    "the update — no corpus-side shuffle anywhere in the fit",
+    "kmeans_lloyd_report": "round 13: seeding is a distributed "
+    "TakeOrderedAndProject (the r12 corpus-wide window sort is gone); "
+    "each Lloyd round broadcasts ONE packed row of k centroids "
+    "against one corpus scan (array_min argmin — a pure projection, "
+    "no per-vector window) and shuffles only k x dims partial sums "
+    "for the update — no corpus-side shuffle anywhere in the fit",
+    "pca_stratified_sample": "round 13: exact deciles with no global "
+    "window — range repartition + per-partition-id row_number "
+    "(distributed window) + broadcast partition offsets; the NTILE "
+    "bucket is integer arithmetic on (rank, N)",
+    "skew_adaptive_band_join": "round 13: the measured max bucket "
+    "picks the join posture — this plan is the UNSALTED branch "
+    "(sf0.1 buckets sit under HOT_BUCKET_CAP); on skewed input the "
+    "same query plans the lossless salt explode "
+    "(test_skew_measurement_picks_join_posture pins both)",
     "bpe_train_iterative": "round 12 continuation: one corpus-sized "
     "word count, then every merge round is vocab-partitioned window "
     "work (lead/lag/row_number over word) + a vocab-sized join — "

@@ -38,6 +38,10 @@ Round 11 (VERDICT r9 item 8) adds mode families, selected by
 * ``graph``    — round-12 domain PageRank: per-replica-salted corpus
   (graph grows linearly with the corpus) edge-derivation + 5
   integer rank iterations;
+* ``graphinc`` — round-13 incremental PageRank maintenance (requires
+  ``graph`` in MODES too): fixed 1x/8 delta refreshed through
+  streaming/graph_ingest.py against the xMULT base store, vs the
+  full rebuild — the refresh-∝-delta claim measured;
 * ``diag``     — round-12 diagnostics: key_skew_report and the
   minute->hour->day rollup cascade at xMULT.
 
@@ -583,6 +587,40 @@ def main():
         res["pagerank_n_nodes"] = (
             salted.select("source").distinct().count()
         )
+
+        if "graphinc" in MODES:
+            # round-13 incremental maintenance: a FIXED 1x/8 delta
+            # (new docs in replica 0's token/source namespace, so the
+            # touched-shingle set is delta-bounded) refreshed against
+            # the xMULT base store, vs the full rebuild above.  The
+            # claim under test: refresh cost ∝ delta, rebuild ∝ corpus.
+            from eventstream_fanout_spark.streaming.graph_ingest import (
+                ingest_graph_batch,
+            )
+
+            delta = salted.where(
+                (F.col("doc_id") < OFFSET)  # replica 0 rows
+                & (F.col("doc_id") % 8 == 3)
+            ).select(
+                (F.col("doc_id") + F.lit((MULT + 1) * OFFSET)).alias(
+                    "doc_id"
+                ),
+                "text",
+                "source",
+            )
+            base = salted  # the delta's ids are disjoint by offset
+            gtmp = f"{tmp}/graphstore"
+            t0 = time.perf_counter()
+            ingest_graph_batch(spark, gtmp, base, 0)
+            res["graphinc_base_build_s"] = round(
+                time.perf_counter() - t0, 1
+            )
+            t0 = time.perf_counter()
+            ingest_graph_batch(spark, gtmp, delta, 1)
+            res["graphinc_refresh_s"] = round(
+                time.perf_counter() - t0, 1
+            )
+            res["graphinc_delta_docs"] = delta.count()
 
     if "diag" in MODES:
         from eventstream_fanout_spark.operators.diagnostics import (
