@@ -477,3 +477,73 @@ def pagerank_staleness_report(
         .crossJoin(F.broadcast(n_incr))
         .crossJoin(F.broadcast(n_exact))
     )
+
+
+@register(
+    "pagerank_rebuild_sim",
+    f"""
+    WITH {_incremental_ctes()},
+    exsh AS (
+      SELECT DISTINCT doc_id, source, g FROM ish WHERE b <= 1
+    ),
+    exrare AS (
+      SELECT g FROM exsh GROUP BY g
+      HAVING COUNT(*) BETWEEN {DF_MIN} AND {DF_MAX}
+    ),
+    expairs AS (
+      SELECT DISTINCT a.source AS src, b2.source AS dst
+      FROM exsh a JOIN exrare r ON r.g = a.g
+      JOIN exsh b2 ON b2.g = a.g
+      WHERE a.source <> b2.source
+    ),
+    ed2r AS (
+      SELECT src, dst FROM expairs
+      UNION
+      SELECT src, dst FROM pr2
+    ),
+    {_rank_steps("g2r", "nd2", "ed2r")}
+    SELECT CAST(0 AS INT) AS gen, source, rank_micro, out_deg, in_deg
+    FROM g0out
+    UNION ALL
+    SELECT CAST(1 AS INT) AS gen, source, rank_micro, out_deg, in_deg
+    FROM g1out
+    UNION ALL
+    SELECT CAST(2 AS INT) AS gen, source, rank_micro, out_deg, in_deg
+    FROM g2rout
+    """,
+    description="the full-rebuild REPAIR composed with continued "
+    "incremental serving (the graph family's refit_index, closing the "
+    "loop pagerank_staleness_report's gauge schedules): base + one "
+    "delta ingest incrementally (generations 0-1), a scheduled "
+    "rebuild commits the EXACT as-of edge set under an immutable "
+    "epoch (both add-only staleness modes corrected), the next delta "
+    "ingests ON TOP of the epoch (serving = rebuilt ∪ later batches; "
+    "its rank generation PINS the epoch via a marker written first), "
+    "and that post-rebuild batch is REPLAYED — marker + as-of reads "
+    "keep every partition byte-identical.  All three generations "
+    "hash-checked against an oracle replaying exact-then-incremental "
+    "composition",
+    tags=("graph", "incremental", "streaming", "extension"),
+)
+def pagerank_rebuild_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.graph_ingest import (
+        ingest_graph_batch,
+        read_rank_generations,
+        rebuild_graph_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="graph_rebuild_")
+    ingest_graph_batch(spark, tmp, docs.where(F.col("doc_id") % 4 != 3), 0)
+    ingest_graph_batch(spark, tmp, docs.where(F.col("doc_id") % 8 == 3), 1)
+    rebuild_graph_store(spark, tmp, epoch=1)
+    d2 = docs.where(F.col("doc_id") % 8 == 7)
+    ingest_graph_batch(spark, tmp, d2, 2)
+    ingest_graph_batch(spark, tmp, d2, 2)  # replay past the rebuild
+    return read_rank_generations(spark, tmp)

@@ -20,8 +20,11 @@ repo's effectively-once replay contract):
   batch created — pairs of every shingle the batch TOUCHED whose
   merged document frequency is now inside [DF_MIN, DF_MAX];
 - ``ranks/``     (gen, source, rank_micro, out_deg, in_deg): one
-  PageRank generation per ingested batch, computed over the DISTINCT
-  union of all edge partitions as-of that batch.
+  PageRank generation per ingested batch, computed over the serving
+  edge set as-of that batch (``edges_asof``);
+- ``edges_rebuilt/`` (epoch, src, dst): scheduled FULL-rebuild
+  epochs (``rebuild_graph_store``) — the exact edge set as-of the
+  epoch, superseding the per-batch partitions at and before it.
 
 Documented incremental contract (the production compromise, stated
 rather than hidden): edges are ADD-ONLY between full rebuilds.  A
@@ -73,13 +76,16 @@ def _batch_postings(docs: DataFrame) -> DataFrame:
 
 def _write_partition(df: DataFrame, path: str, batch_id: int,
                      key: str = "batch_id") -> None:
-    (
-        df.withColumn(key, F.lit(batch_id).cast("int"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(key)
-        .parquet(path)
-    )
+    """Overwrite exactly one ``key=<v>`` partition directory.
+
+    Written as a STATIC overwrite of the subdir (same idempotence as
+    a batch-id-keyed dynamic overwrite) rather than
+    partitionBy+dynamic: an EMPTY relation still commits a
+    schema-bearing zero-row file (SPARK-23271), so a legitimate empty
+    partition — a delta with no new pairs, a rebuild that empties the
+    edge set — never leaves the store unreadable
+    (UNABLE_TO_INFER_SCHEMA on the next partition-discovery read)."""
+    df.write.mode("overwrite").parquet(f"{path}/{key}={batch_id}")
 
 
 def ingest_graph_batch(
@@ -95,14 +101,26 @@ def ingest_graph_batch(
     writes are partition overwrites keyed by this batch, so a replay
     (even after later batches committed) rewrites identical bytes.
     """
-    sh_b = _batch_postings(docs_batch).localCheckpoint(eager=True)
+    # sh_b is read twice (postings write + touched-set derivation) but
+    # deliberately NOT heap-cached: at x100 replication the eager
+    # localCheckpoint OOMed an 8g driver; the relation is
+    # deterministic, and the second use reads the just-written
+    # parquet partition instead of recomputing the tokenize.
+    sh_b = _batch_postings(docs_batch)
     _write_partition(sh_b, f"{store}/postings", batch_id)
     _write_partition(
         docs_batch.select("source").distinct(), f"{store}/nodes", batch_id
     )
 
     # --- delta edge derivation: only shingles this batch touched ---
-    touched = sh_b.select("g").distinct()
+    # (read back from the partition just written — no recompute, no
+    # heap cache)
+    touched = (
+        spark.read.parquet(f"{store}/postings")
+        .where(F.col("batch_id") == batch_id)
+        .select("g")
+        .distinct()
+    )
     postings_asof = spark.read.parquet(f"{store}/postings").where(
         F.col("batch_id") <= batch_id
     )
@@ -127,23 +145,165 @@ def ingest_graph_batch(
     _write_partition(pairs, f"{store}/edges", batch_id)
 
     # --- rank refresh: iterations over merged aggregates only ---
+    # The rebuild epoch this generation ranks against is PINNED by a
+    # marker written FIRST (model_store's marker-first contract): a
+    # replay that races a later rebuild_graph_store re-reads the pin
+    # and reproduces the ORIGINAL generation byte-for-byte instead of
+    # silently re-ranking history against the rebuilt edge set.
+    pinned = _pinned_epoch(spark, store, batch_id)
+    if pinned is _NO_MARKER:
+        epoch = _rebuild_epoch_asof(spark, store, batch_id)
+        _write_partition(
+            spark.range(1).select(
+                F.lit(-1 if epoch is None else epoch)
+                .cast("int")
+                .alias("epoch")
+            ),
+            f"{store}/rank_markers",
+            batch_id,
+        )
+    else:
+        epoch = pinned
     nodes_asof = (
         spark.read.parquet(f"{store}/nodes")
         .where(F.col("batch_id") <= batch_id)
         .select("source")
         .distinct()
     )
-    edges_asof = (
-        spark.read.parquet(f"{store}/edges")
-        .where(F.col("batch_id") <= batch_id)
-        .select("src", "dst")
-        .distinct()
-    )
     _write_partition(
-        pagerank_integer(nodes_asof, edges_asof, n_iter),
+        pagerank_integer(
+            nodes_asof,
+            _edges_with_epoch(spark, store, batch_id, epoch),
+            n_iter,
+        ),
         f"{store}/ranks",
         batch_id,
         key="gen",
+    )
+
+
+_NO_MARKER = object()
+
+
+def _pinned_epoch(spark: SparkSession, store: str, batch_id: int):
+    """The epoch this batch's rank generation was pinned to: _NO_MARKER
+    if the batch never ran, else the pinned epoch (None = no rebuild
+    was visible).  One request-sized collect (one row per batch)."""
+    from .compaction import read_store_or_none
+
+    markers = read_store_or_none(spark, f"{store}/rank_markers")
+    if markers is None:
+        return _NO_MARKER
+    rows = markers.where(F.col("batch_id") == batch_id).collect()
+    if not rows:
+        return _NO_MARKER
+    e = int(rows[0]["epoch"])
+    return None if e < 0 else e
+
+
+def _rebuild_epoch_asof(
+    spark: SparkSession, store: str, batch_id: int
+) -> int | None:
+    """Latest full-rebuild epoch <= batch_id, or None.  Resolved from
+    the 1-row-per-epoch MANIFEST, not the rebuilt rows themselves: a
+    legitimate rebuild can produce an EMPTY edge set (every shingle's
+    df out of band), and an epoch must stay visible with zero rows.
+    One tiny aggregate collect (maintenance-cadence-sized)."""
+    from .compaction import read_store_or_none
+
+    man = read_store_or_none(spark, f"{store}/rebuild_manifest")
+    if man is None:
+        return None
+    row = (
+        man.where(F.col("epoch") <= batch_id)
+        .agg(F.max("epoch"))
+        .collect()[0][0]
+    )
+    return None if row is None else int(row)
+
+
+def _edges_with_epoch(
+    spark: SparkSession, store: str, batch_id: int, epoch: int | None
+) -> DataFrame:
+    per = spark.read.parquet(f"{store}/edges").where(
+        F.col("batch_id") <= batch_id
+    )
+    if epoch is None:
+        return per.select("src", "dst").distinct()
+    rebuilt = (
+        spark.read.parquet(f"{store}/edges_rebuilt")
+        .where(F.col("epoch") == epoch)
+        .select("src", "dst")
+    )
+    return (
+        rebuilt.unionByName(
+            per.where(F.col("batch_id") > epoch).select("src", "dst")
+        ).distinct()
+    )
+
+
+def edges_asof(
+    spark: SparkSession, store: str, batch_id: int
+) -> DataFrame:
+    """The serving edge set as-of ``batch_id``: the latest rebuild
+    epoch <= batch_id (if any) plus the per-batch incremental
+    partitions AFTER it.  Epochs are immutable once written, and the
+    per-batch partitions an epoch supersedes are simply ignored — a
+    replayed pre-rebuild batch can rewrite its partition without
+    touching what serving reads."""
+    return _edges_with_epoch(
+        spark, store, batch_id,
+        _rebuild_epoch_asof(spark, store, batch_id),
+    )
+
+
+def rebuild_graph_store(
+    spark: SparkSession, store: str, epoch: int
+) -> None:
+    """Scheduled FULL rebuild — the repair pagerank_staleness_report's
+    gauge schedules (the graph family's refit_index).
+
+    Re-derives the EXACT edge set from the postings store as-of
+    ``epoch`` (every shingle's df re-checked against [DF_MIN,
+    DF_MAX] over the full as-of corpus — both staleness modes of the
+    add-only contract corrected: pairs whose shingle's df left the
+    band drop, pairs of never-touched shingle combinations appear)
+    and commits it under ``edges_rebuilt/epoch=<epoch>`` via dynamic
+    partition overwrite — the rebuild itself is replay-idempotent,
+    and it becomes visible to ``edges_asof`` atomically when the
+    epoch partition commits.  Subsequent delta ingests compose on top
+    (rebuilt epoch ∪ later per-batch partitions)."""
+    postings = (
+        spark.read.parquet(f"{store}/postings")
+        .where(F.col("batch_id") <= epoch)
+        .select("g", "source", "doc_id")
+        .distinct()
+    )
+    rare = (
+        postings.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df").between(DF_MIN, DF_MAX))
+        .select("g")
+    )
+    bounded = postings.join(rare, "g")
+    a = bounded.select("g", F.col("source").alias("src"))
+    b = bounded.select("g", F.col("source").alias("dst"))
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    _write_partition(pairs, f"{store}/edges_rebuilt", epoch, key="epoch")
+    # manifest row written LAST — the commit point: the epoch becomes
+    # visible to edges_asof only once its edge set is fully on disk
+    # (and stays visible even when that set is legitimately empty —
+    # partition rows cannot witness an empty epoch, a manifest can)
+    _write_partition(
+        spark.range(1).select(F.lit(epoch).cast("int").alias("e")),
+        f"{store}/rebuild_manifest",
+        epoch,
+        key="epoch",
     )
 
 

@@ -116,3 +116,61 @@ def test_add_only_contract_keeps_stale_edges(spark, tmp_path):
         .distinct().count()
     )
     assert merged == 30
+
+
+def test_rebuild_epoch_and_marker_pins(spark, tmp_path):
+    """rebuild_graph_store: (a) drops stale pairs the add-only
+    contract kept; (b) a replayed PRE-rebuild batch reproduces its
+    original generation via the marker pin even though a newer epoch
+    now exists; (c) a post-rebuild ingest serves rebuilt ∪ later."""
+    from eventstream_fanout_spark.streaming.graph_ingest import (
+        edges_asof,
+        ingest_graph_batch,
+        read_rank_generations,
+        rebuild_graph_store,
+    )
+
+    path = str(tmp_path / "store")
+    base = _docs(
+        spark, [(i, f"s{i}", TXT) for i in range(1, 7)]  # df = 6
+    )
+    ingest_graph_batch(spark, path, base, 0, n_iter=1)
+    # batch 1: df -> 7, add-only keeps the 30 stale pairs
+    ingest_graph_batch(
+        spark, path, _docs(spark, [(7, "s7", TXT)]), 1, n_iter=1
+    )
+    g1_before = sorted(
+        tuple(r)
+        for r in read_rank_generations(spark, path)
+        .where("gen = 1")
+        .collect()
+    )
+    # rebuild as-of batch 1: exact df = 7 > DF_MAX -> edge set empties
+    rebuild_graph_store(spark, path, epoch=1)
+    assert edges_asof(spark, path, 1).count() == 0
+    # replay batch 1 AFTER the rebuild: the marker pin (no epoch was
+    # visible when it first ran) keeps its generation byte-identical
+    ingest_graph_batch(
+        spark, path, _docs(spark, [(7, "s7", TXT)]), 1, n_iter=1
+    )
+    g1_after = sorted(
+        tuple(r)
+        for r in read_rank_generations(spark, path)
+        .where("gen = 1")
+        .collect()
+    )
+    assert g1_before == g1_after
+    # batch 2: a second shingle text shared by two NEW sources —
+    # serving as-of 2 = rebuilt(1) [empty] ∪ batch-2 pairs only
+    other = "one two three four five six"
+    ingest_graph_batch(
+        spark,
+        path,
+        _docs(spark, [(8, "sX", other), (9, "sY", other)]),
+        2,
+        n_iter=1,
+    )
+    served = {
+        (r["src"], r["dst"]) for r in edges_asof(spark, path, 2).collect()
+    }
+    assert served == {("sX", "sY"), ("sY", "sX")}
