@@ -52,10 +52,12 @@ FRONT: list[str] = [
     # (seeding window -> TakeOrdered, ntile -> broadcast boundaries),
     # so their window slot proves the fixed shape.  Slots 25-48: the
     # r5-stale names the r12 window displaced, oldest-evidence
-    # first (21 of 24 — trigram_novelty_score, union_intersect_users
-    # and weighted_systematic_sample move to round 14, displaced by
-    # the five round-13 NEW queries that open the list). ---
+    # first (20 of 24 — training_export_pipeline,
+    # trigram_novelty_score, union_intersect_users and
+    # weighted_systematic_sample move to round 14, displaced by the
+    # six round-13 NEW queries that open the list). ---
     "pagerank_incremental_sim",
+    "pagerank_rebuild_sim",
     "pagerank_staleness_report",
     "classifier_drift_report",
     "classifier_refit_sim",
@@ -104,7 +106,6 @@ FRONT: list[str] = [
     "sort_limit_latest",
     "stratified_sample_20_per_type",
     "timestamp_parse",
-    "training_export_pipeline",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
