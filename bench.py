@@ -58,6 +58,17 @@ SKIP: dict[str, str] = {}
 # Interleave the calibration probes after every this-many queries.
 CAL_EVERY = 30
 
+# Recycle the SparkSession after every this-many queries.  A 264-query
+# suite in ONE driver session ages it (listener/UI/SQL-execution state
+# accumulates across ~15k stages) and the aging lands asymmetrically:
+# pure-compute plans and the calibration probes stay flat while
+# store-building sims — hundreds of tiny jobs each — inflated 2-3x by
+# the suite tail (fresh-session controls at the same commit reproduce
+# the previous round's numbers exactly; PERF.md round 13).  Recycling
+# bounds the age any query can see, the same way a real deployment
+# bounds driver uptime per job.
+RECYCLE_EVERY = 60
+
 
 def bench_names() -> list[str]:
     """The bench set: every registered query in evidence-priority
@@ -134,6 +145,11 @@ def main() -> None:
             timings[name] = round(best, 3)
             # prefixed so only the final summary line is JSON-parseable
             print(f"#q {name}={timings[name]}", flush=True)
+            if qi % RECYCLE_EVERY == 0 and qi < len(names):
+                spark.stop()
+                spark = get_spark(app_name="eventstream-fanout-bench")
+                # re-warm the fresh context (not timed)
+                QUERIES["count_star"].fn(spark, SF_DIR).collect()
             if qi % CAL_EVERY == 0 and qi < len(names):
                 segment += 1
                 _run_calibration(spark, runs, segment, cal_samples)
