@@ -430,3 +430,114 @@ def skew_adaptive_band_join(
         .distinct()
         .withColumn("salted", F.lit(bool(salted)))
     )
+
+
+_HOT_CAP_DEMO = 8
+_HOT_REPLICAS = 12  # 12 replicas + the original = a 13-row band bucket
+
+
+def _skew_adaptive_hot_oracle() -> str:
+    from ..functions.hashing import (
+        sql_minhash_hash_cols,
+        sql_minhash_min_aggs,
+        sql_shingles,
+        sql_tokens,
+    )
+    from .dedup_queries import _BANDS_SQL
+
+    # the dedup-family signature chain over an injected-hot-bucket
+    # corpus: the lowest doc_id's text replicated _HOT_REPLICAS times
+    # under fresh ids, so one band bucket deterministically exceeds
+    # the demo cap
+    sig_ctes = f"""
+  injected AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT 200000 + r.range AS doc_id, h.text
+    FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1) h
+    CROSS JOIN range({_HOT_REPLICAS}) r
+  ),
+  toks AS (
+    SELECT doc_id, {sql_tokens('text')} AS toks FROM injected
+  ),
+  shingled AS (
+    SELECT DISTINCT doc_id, unnest({sql_shingles('toks')}) AS shingle
+    FROM toks
+  ),
+  hashed AS (
+    SELECT doc_id, {sql_minhash_hash_cols('shingle')} FROM shingled
+  ),
+  sig AS (
+    SELECT doc_id, {sql_minhash_min_aggs()} FROM hashed GROUP BY doc_id
+  )"""
+    return f"""
+    WITH {sig_ctes},
+    bands AS ({_BANDS_SQL}),
+    sizes AS (
+      SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bands GROUP BY band, bh
+    ),
+    posture AS (
+      SELECT (MAX(n) > {_HOT_CAP_DEMO}) AS salted,
+             CAST(MAX(n) AS BIGINT) AS max_bucket
+      FROM sizes
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           p.salted, p.max_bucket
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    CROSS JOIN posture p
+    """
+
+
+@register(
+    "skew_adaptive_band_join_hot",
+    _skew_adaptive_hot_oracle(),
+    description="the SALTED branch of the measure-then-plan band join "
+    "under driver-grade evidence (skew_adaptive_band_join exercises "
+    "the plain branch at the production cap): the lowest doc_id's "
+    f"text is replicated {_HOT_REPLICAS}x under fresh ids — a "
+    f"{_HOT_REPLICAS + 1}-row band bucket against hot_cap="
+    f"{_HOT_CAP_DEMO} — so the measurement picks the lossless salt "
+    "split, and the oracle proves the salted plan's pair set equals "
+    "the plain join's (salt-invariance as a hash fact, not just a "
+    "pytest) plus the decision integers themselves.  Together the two "
+    "queries give both postures same-grade evidence",
+    tags=("diagnostics", "dedup", "lsh", "skew", "extension"),
+)
+def skew_adaptive_band_join_hot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import banded_signatures, minhash_signatures
+    from ..operators.diagnostics import adaptive_bucket_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    hot = (
+        docs.orderBy(F.asc("doc_id"))
+        .limit(1)
+        .crossJoin(
+            spark.range(_HOT_REPLICAS).select(F.col("id").alias("r"))
+        )
+        .select(
+            (F.lit(200000) + F.col("r")).alias("doc_id"), "text"
+        )
+    )
+    bands = banded_signatures(
+        minhash_signatures(docs.unionByName(hot))
+    ).localCheckpoint(eager=True)
+    pairs, salted, max_cnt = adaptive_bucket_pairs(
+        bands, ["band", "bh"], "doc_id", hot_cap=_HOT_CAP_DEMO
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("salted", F.lit(bool(salted)))
+        .withColumn("max_bucket", F.lit(int(max_cnt)).cast("long"))
+    )

@@ -52,16 +52,17 @@ FRONT: list[str] = [
     # (seeding window -> TakeOrdered, ntile -> broadcast boundaries),
     # so their window slot proves the fixed shape.  Slots 25-48: the
     # r5-stale names the r12 window displaced, oldest-evidence
-    # first (20 of 24 — training_export_pipeline,
+    # first (19 of 24 — timestamp_parse, training_export_pipeline,
     # trigram_novelty_score, union_intersect_users and
     # weighted_systematic_sample move to round 14, displaced by the
-    # six round-13 NEW queries that open the list). ---
+    # seven round-13 NEW queries that open the list). ---
     "pagerank_incremental_sim",
     "pagerank_rebuild_sim",
     "pagerank_staleness_report",
     "classifier_drift_report",
     "classifier_refit_sim",
     "skew_adaptive_band_join",
+    "skew_adaptive_band_join_hot",
     "lang_classifier_prf",
     "classifier_stream_scoring_sim",
     "model_asof_scoring_sim",
@@ -105,7 +106,6 @@ FRONT: list[str] = [
     "simhash_near_pairs",
     "sort_limit_latest",
     "stratified_sample_20_per_type",
-    "timestamp_parse",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
