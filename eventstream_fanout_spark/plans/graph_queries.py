@@ -547,3 +547,77 @@ def pagerank_rebuild_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest_graph_batch(spark, tmp, d2, 2)
     ingest_graph_batch(spark, tmp, d2, 2)  # replay past the rebuild
     return read_rank_generations(spark, tmp)
+
+
+@register(
+    "stream_graph_ingest",
+    _incremental_oracle(),
+    description="REAL Structured Streaming proof for the incremental "
+    "graph family (the stream_rollup_cascade pattern applied to "
+    "PageRank maintenance): the base/delta/delta document groups land "
+    "as three files with ascending modification times, stream through "
+    "maxFilesPerTrigger=1 into the foreachBatch graph sink — which "
+    "keys every store write off the DATA's group id, not the "
+    "trigger counter, because edge derivation is path-dependent and "
+    "must not inherit the source's file-to-trigger accidents — and "
+    "then the WHOLE stream reprocesses from a fresh checkpoint "
+    "(every trigger replays; as-of reads + epoch markers keep each "
+    "ingest byte-identical).  The three persisted rank generations "
+    "must hash-equal the same incremental-contract oracle "
+    "pagerank_incremental_sim replays",
+    tags=("graph", "incremental", "streaming", "extension"),
+)
+def stream_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming import await_or_raise
+    from ..streaming.graph_ingest import (
+        graph_ingest_sink,
+        read_rank_generations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    grp = (
+        F.when(F.col("doc_id") % 4 != 3, F.lit(0))
+        .when(F.col("doc_id") % 8 == 3, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_graph_")
+    src = f"{tmp}/src"
+    (
+        docs.withColumn("grp", grp)
+        .coalesce(1)
+        .write.partitionBy("grp")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    # pin the trigger ORDER: FileStreamSource batches by modification
+    # time, so give each group's file an explicitly ascending mtime
+    # (base must stay in the past so a reprocess sees them all at once
+    # in the same order)
+    base = os.path.getmtime(src) - 3600
+    for g in (0, 1, 2):
+        for f in glob.glob(f"{src}/grp={g}/*.parquet"):
+            os.utime(f, (base + g, base + g))
+    sink = graph_ingest_sink(f"{tmp}/store")
+    for run in (1, 2):  # run 2 = full reprocess from a fresh checkpoint
+        q = (
+            spark.readStream.schema(
+                "doc_id long, source string, text string, grp int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt{run}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 600)
+    return read_rank_generations(spark, f"{tmp}/store")

@@ -52,11 +52,13 @@ FRONT: list[str] = [
     # (seeding window -> TakeOrdered, ntile -> broadcast boundaries),
     # so their window slot proves the fixed shape.  Slots 25-48: the
     # r5-stale names the r12 window displaced, oldest-evidence
-    # first (19 of 24 — timestamp_parse, training_export_pipeline,
+    # first (18 of 24 — stratified_sample_20_per_type,
+    # timestamp_parse, training_export_pipeline,
     # trigram_novelty_score, union_intersect_users and
     # weighted_systematic_sample move to round 14, displaced by the
-    # seven round-13 NEW queries that open the list). ---
+    # eight round-13 NEW queries that open the list). ---
     "pagerank_incremental_sim",
+    "stream_graph_ingest",
     "pagerank_rebuild_sim",
     "pagerank_staleness_report",
     "classifier_drift_report",
@@ -105,7 +107,6 @@ FRONT: list[str] = [
     "set_ops_purchasers_vs_errors",
     "simhash_near_pairs",
     "sort_limit_latest",
-    "stratified_sample_20_per_type",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with

@@ -317,3 +317,38 @@ def read_rank_generations(spark: SparkSession, store: str) -> DataFrame:
         "out_deg",
         "in_deg",
     )
+
+
+def graph_ingest_sink(store: str):
+    """foreachBatch sink driving the incremental graph refresh from a
+    real stream.
+
+    The store batch id is derived from the DATA (the ``grp`` column),
+    not from the stream's trigger counter: the edge derivation is
+    path-dependent (touched-shingle sets depend on batch boundaries),
+    so pinning the mapping to the data makes the final store
+    independent of how the source happened to split files into
+    triggers — a trigger carrying several groups ingests each in
+    ascending order, and a whole-stream reprocess from a fresh
+    checkpoint replays the identical ingest sequence.  The per-trigger
+    group list is a <=|groups|-row collect (request-bounded)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        grps = sorted(
+            int(r["grp"])
+            for r in batch_df.select("grp").distinct().collect()
+        )
+        for g in grps:
+            ingest_graph_batch(
+                spark,
+                store,
+                batch_df.where(F.col("grp") == g).select(
+                    "doc_id", "source", "text"
+                ),
+                g,
+            )
+
+    return sink
