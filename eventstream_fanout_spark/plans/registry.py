@@ -111,14 +111,21 @@ FRONT: list[str] = [
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
 # tools/rotation_bullet.py at round close).  Assuming CORRECTNESS_r13
-# lands green, the remaining stale evidence, oldest first: the 44
+# lands green, the remaining stale evidence, oldest first: the 6
+# r5-stale names the round-13 additions displaced
+# (stratified_sample_20_per_type, timestamp_parse,
+# training_export_pipeline, trigram_novelty_score,
+# union_intersect_users, weighted_systematic_sample), then the ~42
 # round-6-only greens (alphabetical, ann_batch_topk ..
 # window_tumbling_10m).  Fill round 14's slots with any new/changed
-# queries first, then that block, keeping the list at <= 50.
+# queries first, then those blocks, keeping the list at <= 50.
 # VERIFY THE ARTIFACT RECORDS (round 10's AND round 12's windows were
 # silently lost driver-side; if r13's is too, ship
 # tools/driver_sim.py output as substitute evidence and escalate in
-# ADVICE.md).
+# ADVICE.md — round 13's substitute evidence lives in COVERAGE.md's
+# closing-gates paragraphs: driver_sim 265/265 ALL MATCH at the
+# pre-addendum HEAD plus spot-check MATCH rows for the two late
+# additions).
 
 
 def ordered_queries() -> dict[str, QuerySpec]:
