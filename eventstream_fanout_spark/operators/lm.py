@@ -1,0 +1,237 @@
+"""Per-language n-gram language model: fit, scoring, CCNet-style
+perplexity bucketing, and DSIR-style importance weighting.
+
+The corpus-quality family so far scores documents with model-free
+signals (token rarity, Gopher repetition rules, stopword ratios).
+This module adds the model-BASED pass a production pipeline runs next
+(CCNet; Wenzek et al. 2020): fit an n-gram LM per language on a
+reference slice, score every document's fluency under it, and bucket
+the corpus into head/middle/tail by per-language thresholds.  On top
+of the same machinery, DSIR-style data selection (Xie et al. 2023)
+weighs each document by how target-like its hashed n-gram features
+are and keeps the top of the ranking.
+
+Cross-engine determinism (the repo's oracle contract) rules out
+transcendental log-probabilities: Spark's and DuckDB's ``ln`` need
+not agree in the last ulp.  Both scores are therefore built from
+ratios of exact BIGINT counts — each term is ONE IEEE double division
+of two exactly-representable integers, bit-identical in both engines
+— and per-document means go through :func:`functions.core.davg`
+(micro-quantized, order-independent).  Concretely:
+
+* fluency score  = mean over a doc's bigrams of the INVERSE smoothed
+  conditional probability ``(c(ctx) + V) / (c(ctx,tok) + 1)``
+  (add-one smoothing).  Monotone with perplexity's intent — common
+  continuations score low, surprising ones high — while staying
+  log-free and exact.
+* importance weight = mean over a doc's hashed bigram features of the
+  target/source probability ratio (DSIR's likelihood ratio with the
+  log-sum replaced by a deterministic mean of ratios).
+
+Scale shape: fitting is one corpus pass into vocabulary-sized partial
+aggregates (map-side combinable ``groupBy(lang, bigram)``); scoring
+is one corpus pass joined against the LM on ``(lang, bigram)`` — the
+LM side is vocabulary-squared-bounded, NOT corpus-bounded, and in
+production is pruned to counts >= k (documented knob; the registered
+demos keep full counts so the oracle replays exactly).  No global
+windows anywhere: top-k picks are ``orderBy().limit()``
+(TakeOrderedAndProject) and bucket thresholds are per-language means
+broadcast back (|langs| rows).
+
+Reference parity: the reference engine (pipeline/app.py:39-113) has
+no LM surface; this is training-data-pipeline extension surface
+(SURVEY.md north star), same footing as the BPE trainer and the
+classifier family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import davg
+from ..functions.hashing import shingles, sql_shingles, sql_tokens, tokens
+
+# Hashed-feature space for DSIR-style weighting: two md5 hex chars
+# fold every bigram into 64 buckets (deterministic and identical in
+# both engines — the simhash_bit trick widened to a bucket id).
+N_FEATURE_BUCKETS = 64
+
+# DSIR target slice for the registered demo: English documents (the
+# "looks like my target corpus" side; the source distribution is the
+# whole corpus).
+DSIR_TARGET_LANG = "en"
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, toks) — the shared tokenization of this family."""
+    return docs.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    )
+
+
+def doc_bigrams(docs: DataFrame) -> DataFrame:
+    """One row per bigram OCCURRENCE: (doc_id, lang, bg) where ``bg``
+    is the space-joined adjacent pair (tokens are whitespace-split so
+    the join is unambiguous).  Docs with fewer than two tokens
+    contribute nothing."""
+    return doc_tokens(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(shingles(F.col("toks"), 2)).alias("bg"),
+    )
+
+
+def train_slice(docs: DataFrame) -> DataFrame:
+    """The reference slice the LM is fitted on: even doc_ids (a
+    deterministic half; production would point this at a curated
+    reference corpus, e.g. Wikipedia — CCNet's choice)."""
+    return docs.where(F.col("doc_id") % 2 == 0)
+
+
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    """Per-language bigram counts of a corpus slice:
+    (lang, bg, c_uw).  One corpus pass, map-side combinable."""
+    return (
+        doc_bigrams(docs)
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_uw"))
+    )
+
+
+def context_counts(big: DataFrame) -> DataFrame:
+    """Context totals derived from bigram counts (vocabulary-sized
+    input, never the corpus): (lang, ctx, c_u) where
+    c_u = sum over continuations — the smoothing denominator base."""
+    return (
+        big.select(
+            "lang",
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("ctx"),
+            "c_uw",
+        )
+        .groupBy("lang", "ctx")
+        .agg(F.sum("c_uw").cast("bigint").alias("c_u"))
+    )
+
+
+def vocab_sizes(docs: DataFrame) -> DataFrame:
+    """Per-language vocabulary size of a corpus slice:
+    (lang, vocab_v).  |langs| rows — always broadcastable."""
+    return (
+        doc_tokens(docs)
+        .select("lang", F.explode(F.col("toks")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.count_distinct(F.col("tok")).cast("bigint").alias("vocab_v"))
+    )
+
+
+def doc_fluency_scores(
+    docs: DataFrame,
+    big: DataFrame,
+    ctx: DataFrame,
+    vocab: DataFrame,
+) -> DataFrame:
+    """Score every document of ``docs`` under the LM given by
+    (``big``, ``ctx``, ``vocab``): (doc_id, lang, score) where score
+    is the mean inverse smoothed conditional probability
+    ``(c_u + V) / (c_uw + 1)`` over the doc's bigram occurrences.
+
+    Unseen bigrams/contexts coalesce to 0 (pure smoothing mass);
+    documents of a language absent from the vocabulary table drop
+    (inner join — mirrored in the oracle).  Docs with < 2 tokens have
+    no bigrams and drop likewise."""
+    pairs = doc_bigrams(docs)
+    term = (
+        (F.coalesce(F.col("c_u"), F.lit(0)) + F.col("vocab_v")).cast(
+            "double"
+        )
+        / (F.coalesce(F.col("c_uw"), F.lit(0)) + F.lit(1)).cast("double")
+    )
+    return (
+        pairs.join(big, ["lang", "bg"], "left")
+        .withColumn(
+            "ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .join(ctx, ["lang", "ctx"], "left")
+        .join(F.broadcast(vocab), "lang")
+        .select("doc_id", "lang", term.alias("term"))
+        .groupBy("doc_id", "lang")
+        .agg(davg(F.col("term"), "score"))
+    )
+
+
+def feature_bucket(col: Column) -> Column:
+    """Fold a string into one of N_FEATURE_BUCKETS hash buckets via
+    the first two md5 hex chars — deterministic in both engines."""
+    h = F.md5(col)
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
+    ) % N_FEATURE_BUCKETS
+
+
+def sql_feature_bucket(expr: str) -> str:
+    return (
+        f"((ascii(substr(md5({expr}), 1, 1)) * 16 + "
+        f"ascii(substr(md5({expr}), 2, 1))) % {N_FEATURE_BUCKETS})"
+    )
+
+
+# --- shared oracle CTE fragments (DuckDB twins of the above) --------
+
+
+def sql_lm_ctes() -> str:
+    """The fitted-LM CTEs: train slice, per-lang vocab sizes, bigram
+    counts, context totals.  Twin of train_slice + bigram_counts +
+    context_counts + vocab_sizes."""
+    return f"""
+    lm_train AS (
+      SELECT doc_id, lang, {sql_tokens('text')} AS toks
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    lm_vocab AS (
+      SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_v
+      FROM (SELECT lang, unnest(toks) AS tok FROM lm_train)
+      GROUP BY lang
+    ),
+    lm_pairs AS (
+      SELECT lang, unnest({sql_shingles('toks', 2)}) AS bg FROM lm_train
+    ),
+    lm_big AS (
+      SELECT lang, bg, CAST(COUNT(*) AS BIGINT) AS c_uw
+      FROM lm_pairs GROUP BY lang, bg
+    ),
+    lm_ctx AS (
+      SELECT lang, split_part(bg, ' ', 1) AS ctx,
+             CAST(SUM(c_uw) AS BIGINT) AS c_u
+      FROM lm_big GROUP BY lang, split_part(bg, ' ', 1)
+    )"""
+
+
+def sql_doc_scores_ctes() -> str:
+    """Scoring CTEs on top of :func:`sql_lm_ctes`: every document's
+    bigram occurrences, smoothed inverse-probability terms, and the
+    per-doc davg score.  Twin of doc_fluency_scores."""
+    from ..functions.core import sql_davg
+
+    return f"""
+    lm_sdocs AS (
+      SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+    ),
+    lm_spairs AS (
+      SELECT doc_id, lang, unnest({sql_shingles('toks', 2)}) AS bg
+      FROM lm_sdocs
+    ),
+    lm_terms AS (
+      SELECT p.doc_id, p.lang,
+             (CAST(COALESCE(c.c_u, 0) + v.vocab_v AS DOUBLE)
+              / CAST(COALESCE(b.c_uw, 0) + 1 AS DOUBLE)) AS term
+      FROM lm_spairs p
+      LEFT JOIN lm_big b ON b.lang = p.lang AND b.bg = p.bg
+      LEFT JOIN lm_ctx c ON c.lang = p.lang
+                        AND c.ctx = split_part(p.bg, ' ', 1)
+      JOIN lm_vocab v ON v.lang = p.lang
+    ),
+    lm_scores AS (
+      SELECT doc_id, lang, {sql_davg('term')} AS score
+      FROM lm_terms GROUP BY doc_id, lang
+    )"""

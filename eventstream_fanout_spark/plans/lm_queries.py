@@ -1,0 +1,423 @@
+"""n-gram LM family queries: fit, CCNet-style perplexity bucketing,
+OOV diagnostics, exact incremental count maintenance, DSIR-style
+importance selection.
+
+Every oracle replays the identical integer-count / single-division /
+davg arithmetic (operators/lm.py's determinism contract), so hashes
+pin the semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import davg, sql_davg
+from ..operators.lm import (
+    DSIR_TARGET_LANG,
+    N_FEATURE_BUCKETS,
+    bigram_counts,
+    context_counts,
+    doc_bigrams,
+    doc_fluency_scores,
+    feature_bucket,
+    sql_doc_scores_ctes,
+    sql_feature_bucket,
+    sql_lm_ctes,
+    sql_shingles,
+    sql_tokens,
+    train_slice,
+    vocab_sizes,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+# CCNet bucket thresholds relative to the per-language mean fluency
+# score: head = clearly more fluent than average, tail = clearly
+# less.  CCNet's percentile cutoffs become mean-relative cutoffs here
+# (one broadcastable |langs|-row threshold table instead of an exact
+# global quantile; both are "fixed per-language thresholds computed
+# once from the distribution" — CCNet §4.3).
+HEAD_BELOW = 0.75
+TAIL_ABOVE = 1.25
+
+
+@register(
+    "ngram_lm_fit",
+    f"""
+    WITH {sql_lm_ctes()}
+    SELECT b.lang, split_part(b.bg, ' ', 1) AS ctx,
+           split_part(b.bg, ' ', 2) AS tok,
+           b.c_uw, c.c_u, v.vocab_v,
+           (CAST(b.c_uw + 1 AS DOUBLE)
+            / CAST(c.c_u + v.vocab_v AS DOUBLE)) AS p_smooth
+    FROM lm_big b
+    JOIN lm_ctx c ON c.lang = b.lang
+                 AND c.ctx = split_part(b.bg, ' ', 1)
+    JOIN lm_vocab v ON v.lang = b.lang
+    ORDER BY b.c_uw DESC, b.lang ASC, ctx ASC, tok ASC
+    LIMIT 30
+    """,
+    description="per-language bigram LM fit on the even-doc_id "
+    "reference slice (CCNet's per-language KenLM, re-expressed as "
+    "exact counts): top-30 bigrams with raw count, context total, "
+    "vocabulary size, and the add-one-smoothed conditional "
+    "probability (c_uw+1)/(c_u+V) — one exact int division, so the "
+    "double is bit-identical cross-engine.  One corpus pass into "
+    "map-side-combinable (lang, bigram) partials; context totals and "
+    "vocab derive from vocabulary-sized tables; the top-30 is "
+    "orderBy().limit() = distributed TakeOrderedAndProject",
+    tags=("lm", "text", "extension"),
+)
+def ngram_lm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = train_slice(docs)
+    big = bigram_counts(train)
+    ctx = context_counts(big)
+    vocab = vocab_sizes(train)
+    p = (F.col("c_uw") + 1).cast("double") / (
+        F.col("c_u") + F.col("vocab_v")
+    ).cast("double")
+    return (
+        big.withColumn(
+            "ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .withColumn(
+            "tok", F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+        )
+        .join(ctx, ["lang", "ctx"])
+        .join(F.broadcast(vocab), "lang")
+        .select(
+            "lang", "ctx", "tok", "c_uw", "c_u", "vocab_v",
+            p.alias("p_smooth"),
+        )
+        .orderBy(
+            F.desc("c_uw"), F.asc("lang"), F.asc("ctx"), F.asc("tok")
+        )
+        .limit(30)
+    )
+
+
+@register(
+    "lm_perplexity_bucket",
+    f"""
+    WITH {sql_lm_ctes()},
+    {sql_doc_scores_ctes()},
+    lm_means AS (
+      SELECT lang, {sql_davg('score')} AS mean_score
+      FROM lm_scores GROUP BY lang
+    ),
+    lm_bucketed AS (
+      SELECT s.lang, s.score,
+             CASE WHEN s.score < {HEAD_BELOW!r} * m.mean_score
+                    THEN 'head'
+                  WHEN s.score > {TAIL_ABOVE!r} * m.mean_score
+                    THEN 'tail'
+                  ELSE 'middle' END AS bucket
+      FROM lm_scores s JOIN lm_means m ON m.lang = s.lang
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_davg('score')} AS mean_bucket_score
+    FROM lm_bucketed GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+    description="CCNet-style corpus partition into head/middle/tail "
+    "fluency buckets per language: every document scored under the "
+    "fitted per-language LM (mean inverse smoothed probability over "
+    "its bigrams — log-free perplexity stand-in, davg-exact), "
+    "bucketed against mean-relative per-language thresholds "
+    "(0.75x/1.25x), reported as per-(lang, bucket) counts + mean "
+    "score.  Scale shape: scoring is one corpus pass shuffle-joined "
+    "to the vocabulary-bounded LM on (lang, bigram); thresholds are "
+    "a |langs|-row broadcast — no global window, no quantile sort; "
+    "production prunes the LM to counts >= k before the join "
+    "(documented knob)",
+    tags=("lm", "text", "quality", "extension"),
+)
+def lm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = train_slice(docs)
+    big = bigram_counts(train)
+    ctx = context_counts(big)
+    vocab = vocab_sizes(train)
+    scores = doc_fluency_scores(docs, big, ctx, vocab)
+    means = scores.groupBy("lang").agg(davg(F.col("score"), "mean_score"))
+    bucket = (
+        F.when(
+            F.col("score") < F.lit(HEAD_BELOW) * F.col("mean_score"),
+            F.lit("head"),
+        )
+        .when(
+            F.col("score") > F.lit(TAIL_ABOVE) * F.col("mean_score"),
+            F.lit("tail"),
+        )
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        scores.join(F.broadcast(means), "lang")
+        .select("lang", bucket.alias("bucket"), "score")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            davg(F.col("score"), "mean_bucket_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@register(
+    "lm_oov_rate",
+    f"""
+    WITH {sql_lm_ctes()},
+    oov_sdocs AS (
+      SELECT doc_id, lang, {sql_tokens('text')} AS toks
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    oov_pairs AS (
+      SELECT lang, unnest({sql_shingles('toks', 2)}) AS bg
+      FROM oov_sdocs
+    )
+    SELECT p.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN b.bg IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           (CAST(SUM(CASE WHEN b.bg IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS oov_frac
+    FROM oov_pairs p
+    LEFT JOIN lm_big b ON b.lang = p.lang AND b.bg = p.bg
+    GROUP BY p.lang
+    ORDER BY p.lang
+    """,
+    description="held-out OOV diagnostic of the fitted LM: fraction "
+    "of the odd-doc_id half's bigram occurrences never seen in "
+    "training, per language — the coverage gauge that decides "
+    "whether the reference slice is big enough (CCNet fits on "
+    "Wikipedia precisely because its coverage is high).  One "
+    "held-out-corpus pass left-joined to the vocabulary-bounded LM; "
+    "the ratio is one exact int division",
+    tags=("lm", "text", "evaluation", "extension"),
+)
+def lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    big = bigram_counts(train_slice(docs))
+    held = doc_bigrams(docs.where(F.col("doc_id") % 2 == 1))
+    n_oov = F.sum(
+        F.when(F.col("c_uw").isNull(), 1).otherwise(0)
+    ).cast("bigint")
+    n_pairs = F.count(F.lit(1)).cast("bigint")
+    return (
+        held.join(big, ["lang", "bg"], "left")
+        .groupBy("lang")
+        .agg(
+            n_pairs.alias("n_pairs"),
+            n_oov.alias("n_oov"),
+            (n_oov.cast("double") / n_pairs.cast("double")).alias(
+                "oov_frac"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "lm_incremental_update_sim",
+    f"""
+    WITH {sql_lm_ctes()},
+    lm_top AS (
+      SELECT lang, split_part(bg, ' ', 1) AS ctx,
+             split_part(bg, ' ', 2) AS tok, c_uw
+      FROM lm_big
+      ORDER BY c_uw DESC, lang ASC, bg ASC
+      LIMIT 20
+    ),
+    lm_vtot AS (
+      SELECT CAST(SUM(vocab_v) AS BIGINT) AS vocab_total FROM lm_vocab
+    )
+    SELECT t.lang, t.ctx, t.tok, t.c_uw,
+           TRUE AS refit_match,
+           CAST(2 AS BIGINT) AS n_batches,
+           v.vocab_total
+    FROM lm_top t CROSS JOIN lm_vtot v
+    ORDER BY t.c_uw DESC, t.lang ASC, t.ctx ASC, t.tok ASC
+    """,
+    description="EXACT incremental LM maintenance under the "
+    "generational count store: the reference slice lands as two "
+    "delta batches (doc_id%4==0 then %4==2), batch 1 crash-replays "
+    "AFTER batch 2 landed (byte-identical rewrite — a delta depends "
+    "only on its own documents), and serving merges per-batch counts "
+    "by association.  The sim verifies merged-counts == full-refit "
+    "by anti-join in BOTH directions and merged-vocab-total == "
+    "refit-vocab-total, folds the verdict into refit_match, and "
+    "returns the top-20 merged bigrams; the oracle replays the "
+    "refit directly with refit_match=TRUE, so any store-path "
+    "divergence hash-fails.  Unlike the graph store's add-only "
+    "compromise, counts make the incremental contract exact — no "
+    "rebuild cadence needed",
+    tags=("lm", "incremental", "store", "extension"),
+)
+def lm_incremental_update_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..streaming.lm_store import (
+        ingest_lm_batch,
+        serve_bigram_counts,
+        serve_vocab_sizes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="lm_store_")
+    ingest_lm_batch(spark, root, docs.where(F.col("doc_id") % 4 == 0), 0)
+    ingest_lm_batch(spark, root, docs.where(F.col("doc_id") % 4 == 2), 1)
+    # crash-replay of batch 1 after both batches landed: the delta is
+    # derived only from batch-1 documents, so the partition rewrites
+    # byte-for-byte (effectively-once without markers).
+    ingest_lm_batch(spark, root, docs.where(F.col("doc_id") % 4 == 2), 1)
+
+    served = serve_bigram_counts(spark, root, 1)
+    refit = bigram_counts(train_slice(docs))
+    # associativity check, both directions (a one-sided anti-join
+    # would miss counts present only in the refit)
+    diff_a = served.join(
+        refit, ["lang", "bg", "c_uw"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    diff_b = refit.join(
+        served, ["lang", "bg", "c_uw"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    vocab_served = serve_vocab_sizes(spark, root, 1).agg(
+        F.sum("vocab_v").cast("bigint").alias("vocab_total")
+    )
+    vocab_refit = vocab_sizes(train_slice(docs)).agg(
+        F.sum("vocab_v").cast("bigint").alias("vt_refit")
+    )
+    verdict = (
+        diff_a.crossJoin(diff_b.withColumnRenamed("n", "n_b"))
+        .crossJoin(vocab_served)
+        .crossJoin(vocab_refit)
+        .select(
+            (
+                (F.col("n") == 0)
+                & (F.col("n_b") == 0)
+                & (F.col("vocab_total") == F.col("vt_refit"))
+            ).alias("refit_match"),
+            F.lit(2).cast("bigint").alias("n_batches"),
+            "vocab_total",
+        )
+    )
+    top = (
+        served.withColumn(
+            "ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .withColumn(
+            "tok", F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+        )
+        .orderBy(F.desc("c_uw"), F.asc("lang"), F.asc("bg"))
+        .limit(20)
+    )
+    return (
+        top.crossJoin(F.broadcast(verdict))
+        .select(
+            "lang", "ctx", "tok", "c_uw",
+            "refit_match", "n_batches", "vocab_total",
+        )
+        .orderBy(F.desc("c_uw"), F.asc("lang"), F.asc("ctx"), F.asc("tok"))
+    )
+
+
+@register(
+    "dsir_importance_select",
+    f"""
+    WITH dsir_docs AS (
+      SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+    ),
+    dsir_feats AS (
+      SELECT doc_id, lang, {sql_feature_bucket('bg')} AS fb
+      FROM (SELECT doc_id, lang, unnest({sql_shingles('toks', 2)}) AS bg
+            FROM dsir_docs)
+    ),
+    dsir_tgt AS (
+      SELECT fb, CAST(COUNT(*) AS BIGINT) AS c_t
+      FROM dsir_feats WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY fb
+    ),
+    dsir_src AS (
+      SELECT fb, CAST(COUNT(*) AS BIGINT) AS c_s
+      FROM dsir_feats GROUP BY fb
+    ),
+    dsir_tots AS (
+      SELECT CAST((SELECT COUNT(*) FROM dsir_feats
+                   WHERE lang = '{DSIR_TARGET_LANG}') AS BIGINT) AS t_tot,
+             CAST((SELECT COUNT(*) FROM dsir_feats) AS BIGINT) AS s_tot
+    ),
+    dsir_terms AS (
+      SELECT f.doc_id, f.lang,
+             (CAST((COALESCE(t.c_t, 0) + 1)
+                   * (o.s_tot + {N_FEATURE_BUCKETS}) AS DOUBLE)
+              / CAST((s.c_s + 1)
+                     * (o.t_tot + {N_FEATURE_BUCKETS}) AS DOUBLE))
+               AS ratio
+      FROM dsir_feats f
+      LEFT JOIN dsir_tgt t ON t.fb = f.fb
+      JOIN dsir_src s ON s.fb = f.fb
+      CROSS JOIN dsir_tots o
+    ),
+    dsir_wts AS (
+      SELECT doc_id, lang, {sql_davg('ratio')} AS weight
+      FROM dsir_terms GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, weight FROM dsir_wts
+    ORDER BY weight DESC, doc_id ASC
+    LIMIT 50
+    """,
+    description="DSIR-style importance selection (Xie et al. 2023): "
+    "every document's bigrams fold into 64 hashed feature buckets "
+    "(two md5 hex chars — cross-engine identical), target (lang=en) "
+    "and source (whole corpus) bucket distributions fit with add-one "
+    "smoothing, and each doc is weighted by its mean "
+    "target/source probability ratio (the log-free deterministic "
+    "variant of DSIR's log-likelihood ratio — each term is one "
+    "division of exact BIGINT products).  Top-50 by weight via "
+    "TakeOrderedAndProject.  Scale shape: the feature distributions "
+    "are CONSTANT-size (64 rows, broadcast); the corpus is touched "
+    "twice (fit pass, weight pass), both map-side-combinable",
+    tags=("lm", "curation", "sampling", "extension"),
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = doc_bigrams(docs).select(
+        "doc_id", "lang", feature_bucket(F.col("bg")).alias("fb")
+    )
+    tgt = (
+        feats.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+    )
+    src = feats.groupBy("fb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_s")
+    )
+    tots = (
+        feats.agg(
+            F.count(F.lit(1)).cast("bigint").alias("s_tot"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("t_tot"),
+        )
+    )
+    ratio = (
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+        * (F.col("s_tot") + F.lit(N_FEATURE_BUCKETS))
+    ).cast("double") / (
+        (F.col("c_s") + 1) * (F.col("t_tot") + F.lit(N_FEATURE_BUCKETS))
+    ).cast("double")
+    return (
+        feats.join(F.broadcast(tgt), "fb", "left")
+        .join(F.broadcast(src), "fb")
+        .crossJoin(F.broadcast(tots))
+        .select("doc_id", "lang", ratio.alias("ratio"))
+        .groupBy("doc_id", "lang")
+        .agg(davg(F.col("ratio"), "weight"))
+        .orderBy(F.desc("weight"), F.asc("doc_id"))
+        .limit(50)
+    )

@@ -57,6 +57,15 @@ FRONT: list[str] = [
     # trigram_novelty_score, union_intersect_users and
     # weighted_systematic_sample move to round 14, displaced by the
     # eight round-13 NEW queries that open the list). ---
+    # --- round-13 continuation: the LM family registered after the
+    # first round-13 gate run (new-first; displaces the five r5-stale
+    # tail names semantic_cluster_diversity_sample ..
+    # sort_limit_latest to round 14). ---
+    "ngram_lm_fit",
+    "lm_perplexity_bucket",
+    "lm_oov_rate",
+    "lm_incremental_update_sim",
+    "dsir_importance_select",
     "pagerank_incremental_sim",
     "stream_graph_ingest",
     "pagerank_rebuild_sim",
@@ -102,11 +111,6 @@ FRONT: list[str] = [
     "q6_forecast_revenue",
     "rollup_nation_segment",
     "salted_join_counts",
-    "semantic_cluster_diversity_sample",
-    "session_concurrency_sweep",
-    "set_ops_purchasers_vs_errors",
-    "simhash_near_pairs",
-    "sort_limit_latest",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
@@ -119,6 +123,10 @@ FRONT: list[str] = [
 # round-6-only greens (alphabetical, ann_batch_topk ..
 # window_tumbling_10m).  Fill round 14's slots with any new/changed
 # queries first, then those blocks, keeping the list at <= 50.
+# The round-13 continuation session displaced five more r5-stale
+# names (semantic_cluster_diversity_sample, session_concurrency_sweep,
+# set_ops_purchasers_vs_errors, simhash_near_pairs, sort_limit_latest)
+# with the LM family — add them to round 14's stale block.
 # VERIFY THE ARTIFACT RECORDS (round 10's AND round 12's windows were
 # silently lost driver-side; if r13's is too, ship
 # tools/driver_sim.py output as substitute evidence and escalate in
@@ -191,6 +199,7 @@ def _load_all() -> None:
         "dq_queries",
         "classify_queries",
         "clustering_queries",
+        "lm_queries",
         "graph_queries",
         "diagnostics_queries",
     ):

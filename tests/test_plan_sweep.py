@@ -58,6 +58,8 @@ BNLJ_ALLOWED = {
     "text_index_asof_probe",  # same 1-row stats side (watermark-filtered)
     "hybrid_search_rrf",  # 1-row query vector + 1-row stats sides
     "bloom_decontamination_prefilter",  # 1-row broadcast bitmap side
+    "dsir_importance_select",  # 1-row corpus-total side (t_tot, s_tot)
+    "lm_incremental_update_sim",  # 1-row store-vs-refit verdict side
     "q11_important_balance",
     "q22_global_sales_opportunity",
     "tfidf_top_terms",
