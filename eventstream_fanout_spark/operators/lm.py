@@ -179,14 +179,15 @@ def sql_feature_bucket(expr: str) -> str:
 # --- shared oracle CTE fragments (DuckDB twins of the above) --------
 
 
-def sql_lm_ctes() -> str:
+def sql_lm_ctes(where_clause: str = "doc_id % 2 = 0") -> str:
     """The fitted-LM CTEs: train slice, per-lang vocab sizes, bigram
     counts, context totals.  Twin of train_slice + bigram_counts +
-    context_counts + vocab_sizes."""
+    context_counts + vocab_sizes.  ``where_clause`` picks the slice
+    (the erasure sim fits on the survivors)."""
     return f"""
     lm_train AS (
       SELECT doc_id, lang, {sql_tokens('text')} AS toks
-      FROM documents WHERE doc_id % 2 = 0
+      FROM documents WHERE {where_clause}
     ),
     lm_vocab AS (
       SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_v

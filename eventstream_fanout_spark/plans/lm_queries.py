@@ -421,3 +421,216 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+@register(
+    "lm_erasure_sim",
+    f"""
+    WITH {sql_lm_ctes("doc_id % 2 = 0 AND doc_id % 8 <> 2")},
+    lm_top AS (
+      SELECT lang, split_part(bg, ' ', 1) AS ctx,
+             split_part(bg, ' ', 2) AS tok, c_uw
+      FROM lm_big
+      ORDER BY c_uw DESC, lang ASC, bg ASC
+      LIMIT 20
+    ),
+    lm_vtot AS (
+      SELECT CAST(SUM(vocab_v) AS BIGINT) AS vocab_total FROM lm_vocab
+    ),
+    lm_doomed AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_erased
+      FROM documents WHERE doc_id % 8 = 2
+    )
+    SELECT t.lang, t.ctx, t.tok, t.c_uw,
+           TRUE AS erase_match,
+           d.n_docs_erased,
+           v.vocab_total
+    FROM lm_top t CROSS JOIN lm_vtot v CROSS JOIN lm_doomed d
+    ORDER BY t.c_uw DESC, t.lang ASC, t.ctx ASC, t.tok ASC
+    """,
+    description="EXACT right-to-erasure on the LM count store: the "
+    "reference slice lands as two delta batches, then the doomed "
+    "documents (doc_id%8==2) erase as a NEGATIVE delta batch whose "
+    "crash-replay rewrites byte-identically; serving's positivity "
+    "filter drops every bigram/token the doomed docs solely carried.  "
+    "The sim verifies merged state == full refit over the SURVIVORS "
+    "(anti-joins both directions + vocabulary totals), folds the "
+    "verdict into erase_match, and returns the post-erasure top-20; "
+    "the oracle refits on the survivors directly with "
+    "erase_match=TRUE.  Counts make erasure exact and delta-shaped — "
+    "cost proportional to the doomed docs, no store rewrite, unlike "
+    "tombstone-scan designs",
+    tags=("lm", "erasure", "store", "extension"),
+)
+def lm_erasure_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.lm import bigram_counts, train_slice, vocab_sizes
+    from ..streaming.lm_store import (
+        erase_lm_docs,
+        ingest_lm_batch,
+        serve_bigram_counts,
+        serve_vocab_sizes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="lm_erase_")
+    ingest_lm_batch(spark, root, docs.where(F.col("doc_id") % 4 == 0), 0)
+    ingest_lm_batch(spark, root, docs.where(F.col("doc_id") % 4 == 2), 1)
+    doomed = docs.where(F.col("doc_id") % 8 == 2)
+    erase_lm_docs(spark, root, doomed, 2)
+    # crash-replay of the erasure batch: negative delta depends only
+    # on the doomed docs, so the partition rewrites byte-for-byte
+    erase_lm_docs(spark, root, doomed, 2)
+
+    served = serve_bigram_counts(spark, root, 2)
+    survivors = train_slice(docs).where(F.col("doc_id") % 8 != 2)
+    refit = bigram_counts(survivors)
+    diff_a = served.join(
+        refit, ["lang", "bg", "c_uw"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    diff_b = refit.join(
+        served, ["lang", "bg", "c_uw"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    vocab_served = serve_vocab_sizes(spark, root, 2).agg(
+        F.sum("vocab_v").cast("bigint").alias("vocab_total")
+    )
+    vocab_refit = vocab_sizes(survivors).agg(
+        F.sum("vocab_v").cast("bigint").alias("vt_refit")
+    )
+    n_doomed = doomed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_erased")
+    )
+    verdict = (
+        diff_a.crossJoin(diff_b.withColumnRenamed("n", "n_b"))
+        .crossJoin(vocab_served)
+        .crossJoin(vocab_refit)
+        .crossJoin(n_doomed)
+        .select(
+            (
+                (F.col("n") == 0)
+                & (F.col("n_b") == 0)
+                & (F.col("vocab_total") == F.col("vt_refit"))
+            ).alias("erase_match"),
+            "n_docs_erased",
+            "vocab_total",
+        )
+    )
+    top = (
+        served.withColumn(
+            "ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .withColumn(
+            "tok", F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+        )
+        .orderBy(F.desc("c_uw"), F.asc("lang"), F.asc("bg"))
+        .limit(20)
+    )
+    return (
+        top.crossJoin(F.broadcast(verdict))
+        .select(
+            "lang", "ctx", "tok", "c_uw",
+            "erase_match", "n_docs_erased", "vocab_total",
+        )
+        .orderBy(F.desc("c_uw"), F.asc("lang"), F.asc("ctx"), F.asc("tok"))
+    )
+
+
+@register(
+    "stream_lm_ingest",
+    f"""
+    WITH {sql_lm_ctes()},
+    lm_top AS (
+      SELECT lang, split_part(bg, ' ', 1) AS ctx,
+             split_part(bg, ' ', 2) AS tok, c_uw
+      FROM lm_big
+      ORDER BY c_uw DESC, lang ASC, bg ASC
+      LIMIT 20
+    ),
+    lm_vtot AS (
+      SELECT CAST(SUM(vocab_v) AS BIGINT) AS vocab_total FROM lm_vocab
+    )
+    SELECT t.lang, t.ctx, t.tok, t.c_uw, v.vocab_total
+    FROM lm_top t CROSS JOIN lm_vtot v
+    ORDER BY t.c_uw DESC, t.lang ASC, t.ctx ASC, t.tok ASC
+    """,
+    description="REAL Structured Streaming proof for the LM count "
+    "store: the reference slice's two delta batches arrive as "
+    "mtime-ordered files through maxFilesPerTrigger=1 into the "
+    "foreachBatch LM sink (store batch ids keyed off the data's "
+    "group id, not the trigger counter), then the WHOLE stream "
+    "reprocesses from a fresh checkpoint — every ingest rewrites "
+    "byte-identically because an LM delta depends only on its own "
+    "batch's documents.  The served merged counts must hash-equal "
+    "the same full-refit oracle lm_incremental_update_sim replays",
+    tags=("lm", "incremental", "streaming", "store", "extension"),
+)
+def stream_lm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import tempfile
+
+    from ..streaming import await_or_raise
+    from ..streaming.lm_store import (
+        lm_ingest_sink,
+        serve_bigram_counts,
+        serve_vocab_sizes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    grp = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_lm_")
+    src = f"{tmp}/src"
+    (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .withColumn("grp", grp)
+        .coalesce(1)
+        .write.partitionBy("grp")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    # pin trigger order: ascending mtimes per group, kept in the past
+    # so a full reprocess sees the same order (stream_graph_ingest's
+    # discipline)
+    base = os.path.getmtime(src) - 3600
+    for g in (0, 1):
+        for f in glob.glob(f"{src}/grp={g}/*.parquet"):
+            os.utime(f, (base + g, base + g))
+    sink = lm_ingest_sink(f"{tmp}/store")
+    for run in (1, 2):  # run 2 = full reprocess, fresh checkpoint
+        q = (
+            spark.readStream.schema(
+                "doc_id long, lang string, text string, grp int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt{run}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 600)
+
+    served = serve_bigram_counts(spark, f"{tmp}/store", 1)
+    vtot = serve_vocab_sizes(spark, f"{tmp}/store", 1).agg(
+        F.sum("vocab_v").cast("bigint").alias("vocab_total")
+    )
+    return (
+        served.withColumn(
+            "ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .withColumn(
+            "tok", F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+        )
+        .orderBy(F.desc("c_uw"), F.asc("lang"), F.asc("bg"))
+        .limit(20)
+        .crossJoin(F.broadcast(vtot))
+        .select("lang", "ctx", "tok", "c_uw", "vocab_total")
+        .orderBy(F.desc("c_uw"), F.asc("lang"), F.asc("ctx"), F.asc("tok"))
+    )

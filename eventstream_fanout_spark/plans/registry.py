@@ -65,6 +65,8 @@ FRONT: list[str] = [
     "lm_perplexity_bucket",
     "lm_oov_rate",
     "lm_incremental_update_sim",
+    "lm_erasure_sim",
+    "stream_lm_ingest",
     "dsir_importance_select",
     "pagerank_incremental_sim",
     "stream_graph_ingest",
@@ -109,8 +111,6 @@ FRONT: list[str] = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "rollup_nation_segment",
-    "salted_join_counts",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
@@ -123,10 +123,11 @@ FRONT: list[str] = [
 # round-6-only greens (alphabetical, ann_batch_topk ..
 # window_tumbling_10m).  Fill round 14's slots with any new/changed
 # queries first, then those blocks, keeping the list at <= 50.
-# The round-13 continuation session displaced five more r5-stale
-# names (semantic_cluster_diversity_sample, session_concurrency_sweep,
+# The round-13 continuation session displaced seven more r5-stale
+# names (rollup_nation_segment, salted_join_counts,
+# semantic_cluster_diversity_sample, session_concurrency_sweep,
 # set_ops_purchasers_vs_errors, simhash_near_pairs, sort_limit_latest)
-# with the LM family — add them to round 14's stale block.
+# with the LM family (7 queries) — add them to round 14's stale block.
 # VERIFY THE ARTIFACT RECORDS (round 10's AND round 12's windows were
 # silently lost driver-side; if r13's is too, ship
 # tools/driver_sim.py output as substitute evidence and escalate in

@@ -13,14 +13,24 @@ Store layout under ``root``:
 
 - ``bigrams/batch_id=N``  (lang, bg, c): the batch's own bigram
   counts — NOT merged totals, so replay needs no read-back;
-- ``vocab/batch_id=N``    (lang, tok): tokens the batch contains
-  (distinct within batch; serving re-distincts across batches, which
-  is exactly the union of sets).
+- ``vocab/batch_id=N``    (lang, tok, c): the batch's token
+  OCCURRENCE counts.  Counts, not a distinct set, so the vocabulary
+  is associative under deletion too: serving takes tokens whose
+  merged count is positive, which equals the distinct-token set of
+  the surviving documents.
 
 The incremental contract is EXACT, not add-only-approximate like the
 graph store: merged counts equal a full refit by associativity, and
 ``lm_incremental_update_sim`` pins that equality by hash (a
 divergence flips its refit_match column and fails the driver gate).
+
+Erasure rides the same associativity: right-to-erasure lands as a
+NEGATIVE delta batch (the doomed documents' counts times -1), and
+serving's ``HAVING SUM(c) > 0`` drops exactly the bigrams/tokens the
+erased docs solely contributed — merged state equals a refit over the
+surviving corpus, pinned by ``lm_erasure_sim``.  No store rewrite, no
+tombstone scan: erasure cost is proportional to the doomed documents,
+the delta-shaped posture of every erasure path in this repo.
 
 Scale shape: a delta batch's counts aggregate map-side before the
 write; serving's merge is one vocabulary-sized ``groupBy(lang, bg)``
@@ -44,20 +54,45 @@ def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:
     df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
 
+def _token_counts(docs: DataFrame) -> DataFrame:
+    return (
+        doc_tokens(docs)
+        .select("lang", F.explode(F.col("toks")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
 def ingest_lm_batch(
     spark: SparkSession, root: str, docs: DataFrame, batch_id: int
 ) -> None:
     """Write one document batch's LM delta: per-language bigram
-    counts and the batch's distinct token set."""
+    counts and token occurrence counts."""
     _write_partition(
         bigram_counts(docs).withColumnRenamed("c_uw", "c"),
         f"{root}/bigrams",
         batch_id,
     )
+    _write_partition(_token_counts(docs), f"{root}/vocab", batch_id)
+
+
+def erase_lm_docs(
+    spark: SparkSession, root: str, doomed: DataFrame, batch_id: int
+) -> None:
+    """Right-to-erasure as a NEGATIVE delta batch: the doomed
+    documents' bigram and token counts times -1.  Replay-idempotent
+    for the same reason ingest is (the delta depends only on the
+    doomed docs); serving's positivity filter does the rest."""
     _write_partition(
-        doc_tokens(docs)
-        .select("lang", F.explode(F.col("toks")).alias("tok"))
-        .distinct(),
+        bigram_counts(doomed)
+        .select("lang", "bg", (-F.col("c_uw")).cast("bigint").alias("c")),
+        f"{root}/bigrams",
+        batch_id,
+    )
+    _write_partition(
+        _token_counts(doomed).select(
+            "lang", "tok", (-F.col("c")).cast("bigint").alias("c")
+        ),
         f"{root}/vocab",
         batch_id,
     )
@@ -67,25 +102,60 @@ def serve_bigram_counts(
     spark: SparkSession, root: str, gen: int
 ) -> DataFrame:
     """Merged (lang, bg, c_uw) as-of generation ``gen`` — the exact
-    counts a full refit over the same batches would produce."""
+    counts a full refit over the surviving batches would produce
+    (bigrams fully cancelled by erasure deltas drop)."""
     return (
         spark.read.parquet(f"{root}/bigrams")
         .where(F.col("batch_id") <= gen)
         .groupBy("lang", "bg")
         .agg(F.sum("c").cast("bigint").alias("c_uw"))
+        .where(F.col("c_uw") > 0)
     )
 
 
 def serve_vocab_sizes(
     spark: SparkSession, root: str, gen: int
 ) -> DataFrame:
-    """Merged per-language vocabulary size as-of ``gen`` (distinct of
-    the per-batch distinct sets = distinct of the union)."""
+    """Merged per-language vocabulary size as-of ``gen``: tokens with
+    positive merged occurrence count == the distinct-token set of the
+    surviving documents."""
     return (
         spark.read.parquet(f"{root}/vocab")
         .where(F.col("batch_id") <= gen)
-        .select("lang", "tok")
-        .distinct()
+        .groupBy("lang", "tok")
+        .agg(F.sum("c").cast("bigint").alias("ct"))
+        .where(F.col("ct") > 0)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_v"))
     )
+
+
+def lm_ingest_sink(store: str):
+    """foreachBatch sink driving LM store ingest from a real stream.
+
+    The store batch id is keyed off the DATA's ``grp`` column, not the
+    trigger counter (graph_ingest_sink's discipline): the final store
+    must be independent of how the file source happened to split files
+    into triggers, and a whole-stream reprocess from a fresh
+    checkpoint must replay the identical ingest sequence.  LM deltas
+    depend only on their own batch's documents, so each per-group
+    ingest rewrites byte-identically on replay.  The per-trigger group
+    list is a <=|groups|-row collect (request-bounded)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        grps = sorted(
+            int(r["grp"])
+            for r in batch_df.select("grp").distinct().collect()
+        )
+        for g in grps:
+            ingest_lm_batch(
+                spark,
+                store,
+                batch_df.where(F.col("grp") == g).drop("grp"),
+                g,
+            )
+
+    return sink

@@ -123,6 +123,42 @@ class TestLmStoreAssociativity:
         # union of {a,b,c} and {b,c,d} = 4 for en; {x,y} = 2 for de
         assert vs == {"en": 4, "de": 2}
 
+    def test_negative_delta_erasure_equals_survivor_refit(
+        self, spark, tmp_path
+    ):
+        from eventstream_fanout_spark.operators.lm import bigram_counts
+        from eventstream_fanout_spark.streaming.lm_store import (
+            erase_lm_docs,
+            ingest_lm_batch,
+            serve_bigram_counts,
+            serve_vocab_sizes,
+        )
+
+        root = str(tmp_path / "lm_store")
+        keep = _docs(spark, [(0, "en", "a b c")])
+        doomed = _docs(spark, [(2, "en", "c d")])
+        ingest_lm_batch(spark, root, keep.unionByName(doomed), 0)
+        erase_lm_docs(spark, root, doomed, 1)
+        erase_lm_docs(spark, root, doomed, 1)  # crash-replay
+
+        served = {
+            (r["lang"], r["bg"]): r["c_uw"]
+            for r in serve_bigram_counts(spark, root, 1).collect()
+        }
+        refit = {
+            (r["lang"], r["bg"]): r["c_uw"]
+            for r in bigram_counts(keep).collect()
+        }
+        # 'c d' fully cancelled and dropped; 'a b'/'b c' untouched
+        assert served == refit == {("en", "a b"): 1, ("en", "b c"): 1}
+        vs = {
+            r["lang"]: r["vocab_v"]
+            for r in serve_vocab_sizes(spark, root, 1).collect()
+        }
+        # 'd' leaves the vocabulary (only the doomed doc carried it);
+        # 'c' survives via the kept doc
+        assert vs == {"en": 3}
+
     def test_asof_gen_zero_excludes_later_batches(self, spark, tmp_path):
         from eventstream_fanout_spark.streaming.lm_store import (
             ingest_lm_batch,

@@ -60,6 +60,8 @@ BNLJ_ALLOWED = {
     "bloom_decontamination_prefilter",  # 1-row broadcast bitmap side
     "dsir_importance_select",  # 1-row corpus-total side (t_tot, s_tot)
     "lm_incremental_update_sim",  # 1-row store-vs-refit verdict side
+    "lm_erasure_sim",  # same 1-row verdict side (post-erasure)
+    "stream_lm_ingest",  # 1-row vocab-total side on the served probe
     "q11_important_balance",
     "q22_global_sales_opportunity",
     "tfidf_top_terms",
