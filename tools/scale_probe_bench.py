@@ -691,6 +691,74 @@ def main():
         res["bpe_vocab_plain"] = word_counts(big_docs).count()
         res["bpe_vocab_salted"] = wc_salted.count()
 
+    if "lm" in MODES:
+        # round-13 continuation: the n-gram LM family's two cost
+        # regimes.  Fit is one corpus pass into (lang, bigram)
+        # partials (vocab-bounded output); scoring is a second corpus
+        # pass joined against that vocab-bounded LM — both should
+        # scale ~linearly in MULT.  Erasure is a NEGATIVE delta over
+        # a fixed 1x/8 doomed slice: its cost must stay ~flat across
+        # MULT (∝ doomed docs, not store size) while a full refit
+        # scales with the corpus — the delta-shaped claim, measured.
+        from eventstream_fanout_spark.operators.lm import (
+            bigram_counts,
+            context_counts,
+            doc_fluency_scores,
+            vocab_sizes,
+        )
+        from eventstream_fanout_spark.streaming.lm_store import (
+            erase_lm_docs,
+            ingest_lm_batch,
+            serve_bigram_counts,
+        )
+
+        docs_lm = load_table(spark, SF, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        big_docs_lm = (
+            docs_lm.crossJoin(rep)
+            .repartition(64)
+            .select(
+                (F.col("doc_id") + F.col("k") * OFFSET).alias("doc_id"),
+                "text",
+                "lang",
+            )
+        )
+        tr = big_docs_lm.where(F.col("doc_id") % 2 == 0)
+
+        def _lm_fit():
+            big = bigram_counts(tr)
+            return (
+                big.count()
+                + context_counts(big).count()
+                + vocab_sizes(tr).count()
+            )
+
+        res["lm_fit_s"] = timed(_lm_fit, runs=1)
+
+        def _lm_score():
+            big = bigram_counts(tr)
+            return doc_fluency_scores(
+                big_docs_lm, big, context_counts(big), vocab_sizes(tr)
+            ).count()
+
+        res["lm_score_s"] = timed(_lm_score, runs=1)
+
+        lroot = f"{tmp}/lmstore"
+        t0 = time.perf_counter()
+        ingest_lm_batch(spark, lroot, tr, 0)
+        res["lm_store_build_s"] = round(time.perf_counter() - t0, 1)
+        doomed = tr.where(
+            (F.col("doc_id") < OFFSET) & (F.col("doc_id") % 8 == 2)
+        )
+        t0 = time.perf_counter()
+        erase_lm_docs(spark, lroot, doomed, 1)
+        res["lm_erase_delta_s"] = round(time.perf_counter() - t0, 1)
+        res["lm_erase_doomed_docs"] = doomed.count()
+        t0 = time.perf_counter()
+        serve_bigram_counts(spark, lroot, 1).count()
+        res["lm_serve_merged_s"] = round(time.perf_counter() - t0, 1)
+
     print(json.dumps(res))
 
 
