@@ -137,6 +137,19 @@ PICKS = {
     "work (lead/lag/row_number over word) + a vocab-sized join — "
     "localCheckpoint truncation keeps the plan constant-size per "
     "round",
+    "ngram_lm_fit": "round 13 continuation: one corpus pass into "
+    "map-side-combinable (lang, bigram) partials, context/vocab "
+    "derive from vocab-sized tables, top-30 is a distributed "
+    "TakeOrderedAndProject — no global window, no corpus re-scan",
+    "lm_perplexity_bucket": "round 13 continuation: scoring pass "
+    "shuffle-joined to the vocab-bounded LM on (lang, bigram); "
+    "per-language thresholds are a broadcast |langs|-row side — "
+    "CCNet bucketing with no global quantile sort",
+    "unigram_train_iterative": "round 13 continuation: after one "
+    "corpus-sized word count every Viterbi DP layer is a vocab-sized "
+    "join against the piece table (groupBy argmin, no windows) and "
+    "the backtrace walks <=12 vocab-sized joins — localCheckpoint "
+    "truncation per layer, integer-exact costs",
 }
 
 
