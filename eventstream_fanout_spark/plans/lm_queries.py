@@ -634,3 +634,126 @@ def stream_lm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "ctx", "tok", "c_uw", "vocab_total")
         .orderBy(F.desc("c_uw"), F.asc("lang"), F.asc("ctx"), F.asc("tok"))
     )
+
+
+@register(
+    "lm_quality_curation",
+    f"""
+    WITH {sql_lm_ctes()},
+    {sql_doc_scores_ctes()},
+    lm_means AS (
+      SELECT lang, {sql_davg('score')} AS mean_score
+      FROM lm_scores GROUP BY lang
+    ),
+    cur_keepers AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      FROM documents GROUP BY md5(text)
+    ),
+    cur_docs AS (
+      SELECT d.doc_id, d.lang,
+             (k.doc_id IS NOT NULL) AS is_keeper,
+             s.score,
+             CASE WHEN s.score IS NULL THEN NULL
+                  WHEN s.score > {TAIL_ABOVE!r} * m.mean_score
+                    THEN TRUE ELSE FALSE END AS is_tail
+      FROM documents d
+      LEFT JOIN cur_keepers k ON k.doc_id = d.doc_id
+      LEFT JOIN lm_scores s ON s.doc_id = d.doc_id
+      LEFT JOIN lm_means m ON m.lang = d.lang
+    )
+    SELECT lang,
+           CAST(SUM(CASE WHEN is_keeper AND is_tail = FALSE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_dropped,
+           CAST(SUM(CASE WHEN is_keeper AND is_tail = TRUE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_dropped,
+           CAST(SUM(CASE WHEN is_keeper AND is_tail IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unscored,
+           {sql_davg('CASE WHEN is_keeper AND is_tail = FALSE '
+                     'THEN score END')} AS mean_kept_score
+    FROM cur_docs
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="the LM family WIRED INTO a curation decision (the "
+    "measured-diagnostic-drives-a-choice discipline of "
+    "skew_adaptive_band_join): exact dedup keeps the lowest doc_id "
+    "per md5(text), then the fitted LM's per-language tail bucket "
+    "drops the least-fluent keepers (CCNet's middle+head retention), "
+    "with unscored docs (< 2 tokens) accounted separately — "
+    "per-language kept / dup-dropped / tail-dropped / unscored "
+    "counts + davg kept score.  One dedup aggregate + one scoring "
+    "pass + broadcast thresholds; every drop is attributable, "
+    "nothing silently truncated",
+    tags=("lm", "curation", "dedup", "pipeline", "extension"),
+)
+def lm_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import (
+        bigram_counts,
+        context_counts,
+        doc_fluency_scores,
+        vocab_sizes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = train_slice(docs)
+    big = bigram_counts(train)
+    scores = doc_fluency_scores(
+        docs, big, context_counts(big), vocab_sizes(train)
+    )
+    means = scores.groupBy("lang").agg(davg(F.col("score"), "mean_score"))
+    keepers = (
+        docs.groupBy(F.md5(F.col("text")))
+        .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("is_keeper"))
+    )
+    is_tail = F.when(F.col("score").isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.col("score") > F.lit(TAIL_ABOVE) * F.col("mean_score")
+    )
+    flagged = (
+        docs.select("doc_id", "lang")
+        .join(keepers, "doc_id", "left")
+        .join(scores.select("doc_id", "score"), "doc_id", "left")
+        .join(F.broadcast(means), "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("is_keeper"), F.lit(False)).alias(
+                "is_keeper"
+            ),
+            "score",
+            is_tail.alias("is_tail"),
+        )
+    )
+    kept = F.col("is_keeper") & (F.col("is_tail") == F.lit(False))
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_dropped"),
+            F.sum(
+                F.when(
+                    F.col("is_keeper")
+                    & (F.col("is_tail") == F.lit(True)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tail_dropped"),
+            F.sum(
+                F.when(
+                    F.col("is_keeper") & F.col("is_tail").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_unscored"),
+            davg(
+                F.when(kept, F.col("score")), "mean_kept_score"
+            ),
+        )
+        .orderBy("lang")
+    )
