@@ -208,15 +208,18 @@ def sql_lm_ctes(where_clause: str = "doc_id % 2 = 0") -> str:
     )"""
 
 
-def sql_doc_scores_ctes() -> str:
+def sql_doc_scores_ctes(score_where: str = "TRUE") -> str:
     """Scoring CTEs on top of :func:`sql_lm_ctes`: every document's
     bigram occurrences, smoothed inverse-probability terms, and the
-    per-doc davg score.  Twin of doc_fluency_scores."""
+    per-doc davg score.  Twin of doc_fluency_scores.  ``score_where``
+    picks the scored slice (the streaming scoring sim scores only the
+    held-out half)."""
     from ..functions.core import sql_davg
 
     return f"""
     lm_sdocs AS (
-      SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+      SELECT doc_id, lang, {sql_tokens('text')} AS toks
+      FROM documents WHERE {score_where}
     ),
     lm_spairs AS (
       SELECT doc_id, lang, unnest({sql_shingles('toks', 2)}) AS bg

@@ -757,3 +757,44 @@ def lm_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "lm_stream_scoring_sim",
+    f"""
+    WITH {sql_lm_ctes()},
+    {sql_doc_scores_ctes("doc_id % 2 = 1")}
+    SELECT doc_id, lang, score FROM lm_scores
+    ORDER BY doc_id ASC
+    """,
+    description="streaming scoring against a FROZEN LM generation "
+    "(the model-store scoring discipline, completing the LM family's "
+    "matrix: fit / incremental / erasure / stream-ingest / "
+    "stream-score): the reference slice lands as two store batches, "
+    "serving pins generation 1, and the held-out half streams "
+    "through the scoring sink in two batches — batch 1 crash-replays "
+    "AFTER batch 2 landed and rewrites byte-identically because a "
+    "batch's scores depend only on its own rows + the immutable "
+    "generation.  The oracle scores the held-out half against the "
+    "full-refit LM directly; any divergence in the store-served "
+    "scoring path hash-fails",
+    tags=("lm", "streaming", "store", "extension"),
+)
+def lm_stream_scoring_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.lm_store import ingest_lm_batch, lm_scoring_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="lm_score_store_")
+    ingest_lm_batch(spark, root, docs.where(F.col("doc_id") % 4 == 0), 0)
+    ingest_lm_batch(spark, root, docs.where(F.col("doc_id") % 4 == 2), 1)
+    sink = lm_scoring_sink(f"{root}", f"{root}/serving", 1)
+    sink(docs.where(F.col("doc_id") % 4 == 1), 1)
+    sink(docs.where(F.col("doc_id") % 4 == 3), 2)
+    sink(docs.where(F.col("doc_id") % 4 == 1), 1)  # crash-replay
+    return (
+        spark.read.parquet(f"{root}/serving/scores")
+        .select("doc_id", "lang", "score")
+        .orderBy(F.asc("doc_id"))
+    )

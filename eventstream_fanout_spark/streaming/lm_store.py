@@ -159,3 +159,29 @@ def lm_ingest_sink(store: str):
             )
 
     return sink
+
+
+def lm_scoring_sink(root: str, out: str, gen: int):
+    """foreachBatch sink scoring incoming documents against the
+    FROZEN LM generation ``gen`` (the model-store scoring discipline:
+    serving pins a generation, so a batch's scores depend only on its
+    own rows + an immutable artifact — crash-replay rewrites
+    byte-identically).  Each batch's (doc_id, lang, score) lands in
+    its own batch_id partition."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        from ..operators.lm import context_counts, doc_fluency_scores
+
+        big = serve_bigram_counts(spark, root, gen)
+        scored = doc_fluency_scores(
+            batch_df,
+            big,
+            context_counts(big),
+            serve_vocab_sizes(spark, root, gen),
+        )
+        _write_partition(scored, f"{out}/scores", batch_id)
+
+    return sink
