@@ -240,3 +240,73 @@ class TestLmPlanShapes:
         )
         assert "Window" not in plan  # no global quantile sort anywhere
         assert "BroadcastHashJoin" in plan  # |langs|-row threshold side
+
+
+class TestLmStoreAssociativityProperty:
+    def test_random_partitions_merge_to_refit(self, spark):
+        """Property: for arbitrary small corpora and ANY 3-way batch
+        split, merged store counts == full-refit counts and erasing a
+        random batch == refitting on the rest (hypothesis-driven,
+        bounded examples — the Spark round-trip per example is the
+        cost ceiling)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from eventstream_fanout_spark.operators.lm import bigram_counts
+
+        words = st.sampled_from(["a", "b", "ab", "ba", "abc"])
+        texts = st.lists(
+            st.lists(words, min_size=2, max_size=5).map(" ".join),
+            min_size=3,
+            max_size=6,
+        )
+
+        @settings(max_examples=4, deadline=None)
+        @given(texts=texts, split=st.lists(st.integers(0, 2), min_size=6, max_size=6))
+        def run(texts, split):
+            import tempfile
+
+            from eventstream_fanout_spark.streaming.lm_store import (
+                erase_lm_docs,
+                ingest_lm_batch,
+                serve_bigram_counts,
+            )
+
+            rows = [
+                (i, "en", t) for i, t in enumerate(texts)
+            ]
+            docs = spark.createDataFrame(
+                rows, "doc_id long, lang string, text string"
+            )
+            root = tempfile.mkdtemp(prefix="lm_prop_")
+            batches = []
+            for b in range(3):
+                ids = [
+                    i for i, _ in enumerate(texts) if split[i % 6] == b
+                ]
+                batch = docs.where(docs.doc_id.isin(ids or [-1]))
+                ingest_lm_batch(spark, root, batch, b)
+                batches.append(batch)
+            served = {
+                (r["lang"], r["bg"]): r["c_uw"]
+                for r in serve_bigram_counts(spark, root, 2).collect()
+            }
+            refit = {
+                (r["lang"], r["bg"]): r["c_uw"]
+                for r in bigram_counts(docs).collect()
+            }
+            assert served == refit
+            # erase batch 1 -> equals refit on batches 0 and 2
+            erase_lm_docs(spark, root, batches[1], 3)
+            after = {
+                (r["lang"], r["bg"]): r["c_uw"]
+                for r in serve_bigram_counts(spark, root, 3).collect()
+            }
+            rest = batches[0].unionByName(batches[2])
+            refit2 = {
+                (r["lang"], r["bg"]): r["c_uw"]
+                for r in bigram_counts(rest).collect()
+            }
+            assert after == refit2
+
+        run()
