@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.core import sql_davg
+from ..functions.core import sql_davg, sql_dsum
 from ..functions.hashing import (
     shingles,
     sql_salted_md5,
@@ -1311,3 +1311,89 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_undercounts"
         ),
     ).orderBy(F.desc("true_count"), F.asc("tok"))
+
+
+# --- temperature-based domain mixing (round 13 continuation) ----------
+
+_MIX_BUDGET = 100  # target sample size across all sources
+
+
+@register(
+    "temperature_mix_sample",
+    f"""
+    WITH tm_counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+      FROM documents GROUP BY source
+    ),
+    tm_tot AS (
+      SELECT {sql_dsum('sqrt(CAST(n_source AS DOUBLE))')} AS s
+      FROM tm_counts
+    ),
+    tm_quota AS (
+      SELECT source, n_source,
+             CAST(FLOOR({float(_MIX_BUDGET)!r}
+                        * sqrt(CAST(n_source AS DOUBLE)) / t.s)
+                  AS BIGINT) AS quota
+      FROM tm_counts CROSS JOIN tm_tot t
+    ),
+    tm_ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, q.quota, q.n_source
+    FROM tm_ranked r JOIN tm_quota q ON q.source = r.source
+    WHERE r.rn <= q.quota
+    ORDER BY r.source, r.doc_id
+    """,
+    description="temperature-based domain mixing (the alpha=0.5 "
+    "sampling-weight scheme of multilingual/multi-domain LLM data "
+    "recipes): per-source quotas proportional to sqrt(n) — sqrt is "
+    "IEEE-correctly-rounded in both engines, and the normalizer is a "
+    "dsum (quantized, order-independent), so quotas are "
+    "deterministic — then each source contributes its quota of docs "
+    "in md5-hash order (same doc always sampled, no RNG).  "
+    "Up-weights tail domains relative to proportional sampling "
+    "without flattening to uniform.  One source-sized aggregate + a "
+    "broadcast |sources|-row quota side + per-source windows that "
+    "parallelize across sources at 100 TB",
+    tags=("curation", "sampling", "mixing", "extension"),
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.core import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_source")
+    )
+    tot = counts.agg(
+        dsum(F.sqrt(F.col("n_source").cast("double")), "s")
+    )
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_source",
+        F.floor(
+            F.lit(float(_MIX_BUDGET))
+            * F.sqrt(F.col("n_source").cast("double"))
+            / F.col("s")
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rn") <= F.col("quota"))
+        .select("source", "doc_id", "quota", "n_source")
+        .orderBy("source", "doc_id")
+    )

@@ -72,6 +72,8 @@ FRONT: list[str] = [
     "unigram_fertility_by_lang",
     "lm_quality_curation",
     "lm_stream_scoring_sim",
+    "phrase_search",
+    "temperature_mix_sample",
     "pagerank_incremental_sim",
     "stream_graph_ingest",
     "pagerank_rebuild_sim",
@@ -109,8 +111,6 @@ FRONT: list[str] = [
     "q10_returned_items",
     "q14_promo_revenue_share",
     "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
@@ -123,15 +123,16 @@ FRONT: list[str] = [
 # round-6-only greens (alphabetical, ann_batch_topk ..
 # window_tumbling_10m).  Fill round 14's slots with any new/changed
 # queries first, then those blocks, keeping the list at <= 50.
-# The round-13 continuation session displaced eleven more r5-stale
-# names (q3_shipping_priority, q4_order_priority,
-# q5_local_supplier_volume, q6_forecast_revenue,
-# rollup_nation_segment, salted_join_counts,
+# The round-13 continuation session displaced thirteen more r5-stale
+# names (q19_disjunctive_predicates, q1_pricing_summary,
+# q3_shipping_priority, q4_order_priority, q5_local_supplier_volume,
+# q6_forecast_revenue, rollup_nation_segment, salted_join_counts,
 # semantic_cluster_diversity_sample, session_concurrency_sweep,
 # set_ops_purchasers_vs_errors, simhash_near_pairs, sort_limit_latest)
 # with the LM family (9 queries, incl. lm_quality_curation and
-# lm_stream_scoring_sim) and the unigram tokenizer trainer
-# (2 queries) — add them to round 14's stale block.
+# lm_stream_scoring_sim), the unigram tokenizer trainer (2), the
+# positional phrase search, and the temperature mix sampler — add
+# them to round 14's stale block.
 # VERIFY THE ARTIFACT RECORDS (round 10's AND round 12's windows were
 # silently lost driver-side; if r13's is too, ship
 # tools/driver_sim.py output as substitute evidence and escalate in

@@ -2674,3 +2674,76 @@ def bpe_packed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select(
         "doc_id", "bucket", "n_tokens", "cum_tokens", pack.alias("pack_id")
     )
+
+
+# --- positional phrase search (round 13 continuation) -----------------
+
+# The demo phrase: two common corpus words in adjacency.  A phrase
+# probe's cost is driven by the per-term postings sizes, so common
+# terms are the honest worst case.
+_PHRASE = ("part", "filter")
+
+
+@register(
+    "phrase_search",
+    f"""
+    WITH ph_toked AS (
+      SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+    ),
+    ph_pos AS (
+      SELECT doc_id, lang, CAST(i AS BIGINT) AS pos, toks[i] AS term
+      FROM ph_toked, unnest(generate_series(1, len(toks))) g(i)
+      WHERE toks[i] IN ('{_PHRASE[0]}', '{_PHRASE[1]}')
+    ),
+    ph_p1 AS (
+      SELECT doc_id, lang, pos FROM ph_pos WHERE term = '{_PHRASE[0]}'
+    ),
+    ph_p2 AS (
+      SELECT doc_id, pos FROM ph_pos WHERE term = '{_PHRASE[1]}'
+    )
+    SELECT p1.doc_id, p1.lang,
+           CAST(COUNT(*) AS BIGINT) AS phrase_tf
+    FROM ph_p1 p1
+    JOIN ph_p2 p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+    GROUP BY p1.doc_id, p1.lang
+    ORDER BY phrase_tf DESC, p1.doc_id ASC
+    LIMIT 20
+    """,
+    description="positional phrase search — the capability bag-of-"
+    "words BM25 cannot express: occurrences of the exact adjacent "
+    "pair 'part filter' per document, top-20 by phrase frequency.  "
+    "The term filter lands BEFORE the positional self-join, so only "
+    "the two query terms' postings are materialized (the pushed-term "
+    "discipline of the BM25 probes), and adjacency is an EQUI-join "
+    "on (doc_id, pos+1)=(doc_id, pos) — a hash join, never a range "
+    "or nested-loop.  On the persisted inverted index this is one "
+    "extra int column on the postings layout (term, doc_id, pos) "
+    "probed with the same term-pruned scan; the in-plan derivation "
+    "here keeps the oracle replay exact",
+    tags=("text", "search", "phrase", "extension"),
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.posexplode(_tokens(F.col("text"))).alias("pos", "term"),
+        )
+        .where(F.col("term").isin(*_PHRASE))
+    )
+    p1 = pos.where(F.col("term") == _PHRASE[0]).select(
+        "doc_id", "lang", (F.col("pos") + 1).alias("nxt")
+    )
+    p2 = pos.where(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("nxt")
+    )
+    return (
+        p1.join(p2, ["doc_id", "nxt"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("phrase_tf"))
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(20)
+    )
