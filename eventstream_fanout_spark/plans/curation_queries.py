@@ -1357,9 +1357,15 @@ _MIX_BUDGET = 100  # target sample size across all sources
     "deterministic — then each source contributes its quota of docs "
     "in md5-hash order (same doc always sampled, no RNG).  "
     "Up-weights tail domains relative to proportional sampling "
-    "without flattening to uniform.  One source-sized aggregate + a "
-    "broadcast |sources|-row quota side + per-source windows that "
-    "parallelize across sources at 100 TB",
+    "without flattening to uniform.  Scale shape: source cardinality "
+    "can be SMALL (20 here), so a bare per-source window would sort "
+    "corpus/|sources| rows in one task — instead the pick is "
+    "two-level (the vocab_coverage lossless prune): every quota is "
+    "<= the budget, so each (source, md5-prefix bucket) keeps its "
+    "local top-budget in parallel and only <= 256 x budget "
+    "candidates per source reach the per-source rank window.  The "
+    "oracle ranks unpruned — identical rows survive because the "
+    "prune is lossless for ranks <= budget",
     tags=("curation", "sampling", "mixing", "extension"),
 )
 def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,10 +1391,26 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quota"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    # level 1: bucket-local top-budget, parallel across 256 buckets
+    # per source (quota <= _MIX_BUDGET by construction, so a row with
+    # per-source rank <= quota is inside its bucket's top-budget)
+    wb = Window.partitionBy("source", "bucket").orderBy(
+        F.asc("h"), F.asc("doc_id")
     )
-    ranked = docs.select(
+    cand = (
+        docs.select(
+            "doc_id",
+            "source",
+            h.alias("h"),
+            F.substring(h, 1, 2).alias("bucket"),
+        )
+        .withColumn("local_rn", F.row_number().over(wb))
+        .where(F.col("local_rn") <= _MIX_BUDGET)
+    )
+    # level 2: exact per-source rank over the bounded candidate set
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    ranked = cand.select(
         "doc_id", "source", F.row_number().over(w).alias("rn")
     )
     return (
