@@ -798,3 +798,151 @@ def lm_stream_scoring_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "score")
         .orderBy(F.asc("doc_id"))
     )
+
+
+# Inverse multiplier applied when a bigram is unseen and scoring backs
+# off to the unigram distribution ("stupid backoff", Brants et al.
+# 2007: discount 0.4 -> inverse factor 2.5; exactly representable in
+# binary, so the multiply is one identical IEEE op in both engines).
+BACKOFF_INV = 2.5
+
+
+@register(
+    "lm_backoff_score_compare",
+    f"""
+    WITH {sql_lm_ctes()},
+    bo_uni AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_w
+      FROM (SELECT lang, unnest(toks) AS tok FROM lm_train)
+      GROUP BY lang, tok
+    ),
+    bo_tot AS (
+      SELECT lang, CAST(SUM(c_w) AS BIGINT) AS u_tot
+      FROM bo_uni GROUP BY lang
+    ),
+    bo_sdocs AS (
+      SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+    ),
+    bo_pairs AS (
+      SELECT doc_id, lang, unnest({sql_shingles('toks', 2)}) AS bg
+      FROM bo_sdocs
+    ),
+    bo_terms AS (
+      SELECT p.doc_id, p.lang,
+             (CAST(COALESCE(c.c_u, 0) + v.vocab_v AS DOUBLE)
+              / CAST(COALESCE(b.c_uw, 0) + 1 AS DOUBLE)) AS t_addone,
+             CASE WHEN b.c_uw IS NOT NULL
+                  THEN (CAST(c.c_u + v.vocab_v AS DOUBLE)
+                        / CAST(b.c_uw + 1 AS DOUBLE))
+                  ELSE {BACKOFF_INV!r}
+                       * (CAST(t.u_tot + v.vocab_v AS DOUBLE)
+                          / CAST(COALESCE(u.c_w, 0) + 1 AS DOUBLE))
+             END AS t_backoff
+      FROM bo_pairs p
+      LEFT JOIN lm_big b ON b.lang = p.lang AND b.bg = p.bg
+      LEFT JOIN lm_ctx c ON c.lang = p.lang
+                        AND c.ctx = split_part(p.bg, ' ', 1)
+      LEFT JOIN bo_uni u ON u.lang = p.lang
+                        AND u.tok = split_part(p.bg, ' ', 2)
+      JOIN bo_tot t ON t.lang = p.lang
+      JOIN lm_vocab v ON v.lang = p.lang
+    ),
+    bo_scores AS (
+      SELECT doc_id, lang,
+             {sql_davg('t_addone')} AS s_addone,
+             {sql_davg('t_backoff')} AS s_backoff
+      FROM bo_terms GROUP BY doc_id, lang
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_davg('s_addone')} AS mean_addone,
+           {sql_davg('s_backoff')} AS mean_backoff
+    FROM bo_scores GROUP BY lang
+    ORDER BY lang
+    """,
+    description="add-one vs stupid-backoff scoring compared on the "
+    "same corpus (Brants et al. 2007): where add-one gives every "
+    "unseen bigram the flat 1/V smoothing mass, backoff falls "
+    "through to the CONTINUATION token's unigram probability times "
+    "a fixed inverse discount — rare-but-real continuations stop "
+    "being punished like garbage, which is the scoring mode a "
+    "production CCNet filter actually runs.  Per-language mean "
+    "inverse-probability under both modes; every term stays a fixed "
+    "chain of exact-int divisions and one exactly-representable "
+    "2.5x multiply, davg-aggregated — deterministic cross-engine.  "
+    "Same two corpus passes as lm_perplexity_bucket plus one "
+    "vocab-bounded unigram join",
+    tags=("lm", "text", "evaluation", "extension"),
+)
+def lm_backoff_score_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.lm import doc_bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = train_slice(docs)
+    big = bigram_counts(train)
+    ctx = context_counts(big)
+    vocab = vocab_sizes(train)
+    uni = (
+        train.select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    )
+    tot = uni.groupBy("lang").agg(
+        F.sum("c_w").cast("bigint").alias("u_tot")
+    )
+    pairs = doc_bigrams(docs).withColumn(
+        "ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    ).withColumn(
+        "tok", F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+    )
+    t_addone = (
+        F.coalesce(F.col("c_u"), F.lit(0)) + F.col("vocab_v")
+    ).cast("double") / (
+        F.coalesce(F.col("c_uw"), F.lit(0)) + F.lit(1)
+    ).cast("double")
+    t_backoff = F.when(
+        F.col("c_uw").isNotNull(),
+        (F.col("c_u") + F.col("vocab_v")).cast("double")
+        / (F.col("c_uw") + F.lit(1)).cast("double"),
+    ).otherwise(
+        F.lit(BACKOFF_INV)
+        * (
+            (F.col("u_tot") + F.col("vocab_v")).cast("double")
+            / (F.coalesce(F.col("c_w"), F.lit(0)) + F.lit(1)).cast(
+                "double"
+            )
+        )
+    )
+    scores = (
+        pairs.join(big, ["lang", "bg"], "left")
+        .join(ctx, ["lang", "ctx"], "left")
+        .join(uni, ["lang", "tok"], "left")
+        .join(F.broadcast(tot), "lang")
+        .join(F.broadcast(vocab), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            t_addone.alias("t_addone"),
+            t_backoff.alias("t_backoff"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            davg(F.col("t_addone"), "s_addone"),
+            davg(F.col("t_backoff"), "s_backoff"),
+        )
+    )
+    return (
+        scores.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            davg(F.col("s_addone"), "mean_addone"),
+            davg(F.col("s_backoff"), "mean_backoff"),
+        )
+        .orderBy("lang")
+    )

@@ -74,6 +74,7 @@ FRONT: list[str] = [
     "lm_stream_scoring_sim",
     "phrase_search",
     "temperature_mix_sample",
+    "lm_backoff_score_compare",
     "pagerank_incremental_sim",
     "stream_graph_ingest",
     "pagerank_rebuild_sim",
@@ -110,7 +111,6 @@ FRONT: list[str] = [
     "null_reject_filter",
     "q10_returned_items",
     "q14_promo_revenue_share",
-    "q18_large_volume_orders",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
@@ -123,8 +123,9 @@ FRONT: list[str] = [
 # round-6-only greens (alphabetical, ann_batch_topk ..
 # window_tumbling_10m).  Fill round 14's slots with any new/changed
 # queries first, then those blocks, keeping the list at <= 50.
-# The round-13 continuation session displaced thirteen more r5-stale
-# names (q19_disjunctive_predicates, q1_pricing_summary,
+# The round-13 continuation session displaced fourteen more r5-stale
+# names (q18_large_volume_orders, q19_disjunctive_predicates,
+# q1_pricing_summary,
 # q3_shipping_priority, q4_order_priority, q5_local_supplier_volume,
 # q6_forecast_revenue, rollup_nation_segment, salted_join_counts,
 # semantic_cluster_diversity_sample, session_concurrency_sweep,
