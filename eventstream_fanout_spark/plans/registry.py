@@ -40,77 +40,80 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- ROUND-13 window (the rotation plan written at r12 close,
-    # executed as this round's first commit).  CORRECTNESS_r12 never
-    # recorded (driver-side loss, second occurrence); the judge's own
-    # full 258/258 driver_sim run stands as the r12 evidence, so the
-    # plan proceeds unchanged.  Slots 1-24: the queries registered
-    # AFTER the r12 window froze (never had a driver slot;
-    # new-first policy — classifier/model-store, graph/covariance,
-    # rollup streaming, BPE trainer, k-means family, PCA).  Note the
-    # k-means and PCA entries also carry this round's CHANGED plans
-    # (seeding window -> TakeOrdered, ntile -> broadcast boundaries),
-    # so their window slot proves the fixed shape.  Slots 25-48: the
-    # r5-stale names the r12 window displaced, oldest-evidence
-    # first (18 of 24 — stratified_sample_20_per_type,
-    # timestamp_parse, training_export_pipeline,
-    # trigram_novelty_score, union_intersect_users and
-    # weighted_systematic_sample move to round 14, displaced by the
-    # eight round-13 NEW queries that open the list). ---
-    # --- round-13 continuation: the LM family registered after the
-    # first round-13 gate run (new-first; displaces the five r5-stale
-    # tail names semantic_cluster_diversity_sample ..
-    # sort_limit_latest to round 14). ---
-    "ngram_lm_fit",
-    "lm_perplexity_bucket",
-    "lm_oov_rate",
-    "lm_incremental_update_sim",
-    "lm_erasure_sim",
-    "stream_lm_ingest",
-    "dsir_importance_select",
-    "unigram_train_iterative",
-    "unigram_fertility_by_lang",
-    "lm_quality_curation",
-    "lm_stream_scoring_sim",
-    "phrase_search",
-    "temperature_mix_sample",
-    "lm_backoff_score_compare",
+    # --- ROUND-14 window (plan written at r13 close, refined at r14
+    # open with this round's changed-plan names).  CORRECTNESS_r13
+    # recorded 50/50 green, so the stale census stands as computed by
+    # tools/rotation_bullet.py.  Composition:
+    #   * this round's NEW queries (Kneser-Ney LM scoring, the
+    #     end-to-end curation_v3 composition, forced-hot adaptive
+    #     SimHash posture) are prepended in the same commit that
+    #     registers each (new-first policy; FRONT raises on unknown
+    #     names, so they cannot be listed before they exist), each
+    #     displacing the then-last name to keep the list at 50.
+    #   * slots 4-17: CHANGED plans this round, which must re-prove
+    #     their hashes under the new shape: the graph family (postings
+    #     store goes bucketed-by-g, VERDICT r13 item 1), the LM count
+    #     store (same layout knob + trigger-merge fix, items 2 +
+    #     ADVICE 2), lm_backoff_score_compare (shared tokenizer,
+    #     ADVICE 1), dsir_importance_select (double-cast overflow fix,
+    #     ADVICE 3), unigram_fertility_by_lang (fingerprint-keyed seg
+    #     cache, ADVICE 4), simhash_near_pairs + incremental_dedup_sim
+    #     (measured adaptive join posture, item 8).
+    #   * slots 18-34: the 17 never-driver-green names (registered in
+    #     rounds whose windows were lost driver-side — r8/r10/r12).
+    #   * slots 35-38: the four r4-stale names.
+    #   * slots 39-50: the twelve oldest r5-stale names (the six the
+    #     r13 additions displaced, then alphabetical).
     "pagerank_incremental_sim",
     "stream_graph_ingest",
     "pagerank_rebuild_sim",
     "pagerank_staleness_report",
-    "classifier_drift_report",
-    "classifier_refit_sim",
-    "skew_adaptive_band_join",
-    "skew_adaptive_band_join_hot",
-    "lang_classifier_prf",
-    "classifier_stream_scoring_sim",
-    "model_asof_scoring_sim",
     "authority_weighted_sample",
-    "embedding_covariance_top",
-    "stream_rollup_cascade",
-    "rollup_anomaly_flags",
-    "knn_classifier_ivf_report",
-    "curation_v2_pipeline",
-    "bpe_train_iterative",
-    "kmeans_lloyd_report",
-    "kmeans_label_purity",
-    "kmeans_minibatch_sim",
-    "pca_power_loadings",
-    "pca_stratified_sample",
-    "bpe_store_token_stats",
-    "kmeans_erasure_sim",
-    "kmeans_outlier_report",
-    "bpe_fertility_by_lang",
-    "stream_kmeans_refresh",
-    "cluster_quota_curation",
-    "kmeans_seed_quality_report",
-    "kmeans_refit_sim",
-    "bpe_packed_export",
-    "ngram_jaccard_dups",
-    "null_reject_filter",
-    "q10_returned_items",
-    "q14_promo_revenue_share",
+    "stream_lm_ingest",
+    "lm_incremental_update_sim",
+    "lm_erasure_sim",
+    "lm_stream_scoring_sim",
+    "lm_backoff_score_compare",
+    "dsir_importance_select",
+    "unigram_fertility_by_lang",
+    "simhash_near_pairs",
+    "incremental_dedup_sim",
+    "ann_attr_drop_sim",
+    "ann_attr_evolve_sim",
+    "ann_filtered_soak_sim",
+    "ann_list_merge_sim",
+    "ann_list_split_sim",
+    "centroid_classifier_confusion",
+    "centroid_classifier_prf",
+    "centroid_classifier_report",
+    "domain_pagerank",
+    "key_skew_report",
+    "knn_classifier_report",
+    "lang_classifier_confusion",
+    "lang_classifier_report",
+    "rollup_cascade_daily",
+    "rollup_incremental_sim",
+    "text_attr_drop_sim",
+    "text_attr_evolve_sim",
+    "vocab_coverage",
+    "wav_audio_decode",
+    "winsorized_values",
+    "zorder_layout_key",
+    "stratified_sample_20_per_type",
+    "timestamp_parse",
+    "training_export_pipeline",
+    "trigram_novelty_score",
+    "union_intersect_users",
+    "weighted_systematic_sample",
+    "above_nation_avg_balance",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_multiprobe_topk",
+    "anti_join_customers_no_urgent_orders",
+    "approx_distinct_users",
+    "bigram_lift_top",
+    "bpe_merge_candidates",
+    "cdc_variant_props",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
