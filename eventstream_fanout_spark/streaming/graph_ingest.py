@@ -42,15 +42,23 @@ partitions (postings/nodes/edges/ranks for b never see b+1 data).
 
 Scale shape: the delta's touched-shingle set joins back against the
 postings store on ``g``; a rare shingle's posting list is <= DF_MAX
-rows, so the pair join is delta-bounded.  The postings scan itself
-rides Spark's runtime bloom-filter pruning on ``g`` (pinned by
-test_runtime_bloom_filter_join_pruning); at web scale the store is
-bucketed by ``g`` (the streaming/corpus_dedup.py bucketed-store
-pattern) so the lookup co-locates without a scan — documented knob,
-same trade as the model store's vocabulary bucketing.
+rows, so the pair join is delta-bounded.  The postings store is a
+``g``-bucketed TABLE (the streaming/corpus_dedup.py bucketed-store
+pattern, promoted from documented knob to the shipped layout —
+round-13 verdict item 1): every per-refresh read of the store — the
+touched join, the df re-check, the pair self-join, and the full
+rebuild's groupBy — keys on ``g``, so the store side scans its
+buckets in place with NO Exchange (pinned by
+tests/test_graph_ingest.py::test_postings_store_is_bucketed...), and
+per-refresh shuffle cost scales with the DELTA, not the store.
+Partitioned by ``batch_id`` on top of the bucketing so the as-of
+reads (``batch_id <= b``) partition-prune and replays overwrite only
+their own partition (dynamic overwrite, the corpus_dedup discipline).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +73,9 @@ from ..operators.graph import (
 )
 
 
+POSTINGS_BUCKETS = 16
+
+
 def _batch_postings(docs: DataFrame) -> DataFrame:
     """Distinct (g, source, doc_id) shingle postings of one batch."""
     return docs.select(
@@ -72,6 +83,58 @@ def _batch_postings(docs: DataFrame) -> DataFrame:
         "source",
         F.explode(shingles(tokens(F.col("text")), SHINGLE_N)).alias("g"),
     ).distinct()
+
+
+def postings_table_name(store: str) -> str:
+    """Catalog name of the store's bucketed postings table — derived
+    from the store path so concurrent sims in one session never
+    collide, stable so replays and later readers resolve the same
+    table."""
+    return "graph_postings_" + hashlib.md5(store.encode()).hexdigest()[:12]
+
+
+def _write_postings(
+    spark: SparkSession, store: str, sh_b: DataFrame, batch_id: int
+) -> None:
+    """Land one batch's postings into the ``g``-bucketed table.
+
+    First batch creates the table (partitioned by batch_id for the
+    as-of reads + replay masking, bucketed+sorted by ``g`` for the
+    shuffle-free store side of every refresh join); later batches
+    ``insertInto`` under dynamic partition overwrite, so a replayed
+    batch id replaces exactly its own partition.  Column order matches
+    the saveAsTable layout (data cols first, partition col last) —
+    insertInto binds by position.  Same session-conf flip + caveat as
+    corpus_dedup's bucketed sink: run store writes in their own
+    SparkSession if OTHER partitioned overwrite-mode writes race this
+    one (foreachBatch itself never races within a query)."""
+    tbl = postings_table_name(store)
+    out = sh_b.select(
+        "g", "source", "doc_id",
+        F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+    )
+    if not spark.catalog.tableExists(tbl):
+        (
+            out.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .bucketBy(POSTINGS_BUCKETS, "g")
+            .sortBy("g")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        return
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        out.write.mode("overwrite").insertInto(tbl)
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
+def read_postings(spark: SparkSession, store: str) -> DataFrame:
+    """The bucketed postings table: (g, source, doc_id, batch_id)."""
+    return spark.table(postings_table_name(store))
 
 
 def _write_partition(df: DataFrame, path: str, batch_id: int,
@@ -105,23 +168,25 @@ def ingest_graph_batch(
     # deliberately NOT heap-cached: at x100 replication the eager
     # localCheckpoint OOMed an 8g driver; the relation is
     # deterministic, and the second use reads the just-written
-    # parquet partition instead of recomputing the tokenize.
+    # bucketed partition instead of recomputing the tokenize.
     sh_b = _batch_postings(docs_batch)
-    _write_partition(sh_b, f"{store}/postings", batch_id)
+    _write_postings(spark, store, sh_b, batch_id)
     _write_partition(
         docs_batch.select("source").distinct(), f"{store}/nodes", batch_id
     )
 
     # --- delta edge derivation: only shingles this batch touched ---
     # (read back from the partition just written — no recompute, no
-    # heap cache)
+    # heap cache).  Every step below keys on ``g``: the bucketed scan
+    # feeds the touched distinct, the store-side join, the df
+    # re-check, and the pair self-join with zero store-side Exchange.
     touched = (
-        spark.read.parquet(f"{store}/postings")
+        read_postings(spark, store)
         .where(F.col("batch_id") == batch_id)
         .select("g")
         .distinct()
     )
-    postings_asof = spark.read.parquet(f"{store}/postings").where(
+    postings_asof = read_postings(spark, store).where(
         F.col("batch_id") <= batch_id
     )
     plist = postings_asof.join(touched, "g").select(
@@ -274,7 +339,7 @@ def rebuild_graph_store(
     epoch partition commits.  Subsequent delta ingests compose on top
     (rebuilt epoch ∪ later per-batch partitions)."""
     postings = (
-        spark.read.parquet(f"{store}/postings")
+        read_postings(spark, store)
         .where(F.col("batch_id") <= epoch)
         .select("g", "source", "doc_id")
         .distinct()
@@ -307,6 +372,27 @@ def rebuild_graph_store(
     )
 
 
+def postings_touched_join(
+    spark: SparkSession, store: str, batch_id: int
+) -> DataFrame:
+    """The refresh's store-vs-touched join — exposed for plan
+    inspection (corpus_dedup's store_rejection_join discipline): the
+    store side must scan its buckets in place, no Exchange between
+    its scan and the join."""
+    touched = (
+        read_postings(spark, store)
+        .where(F.col("batch_id") == batch_id)
+        .select("g")
+        .distinct()
+    )
+    return (
+        read_postings(spark, store)
+        .where(F.col("batch_id") <= batch_id)
+        .join(touched, "g")
+        .select("g", "source", "doc_id")
+    )
+
+
 def read_rank_generations(spark: SparkSession, store: str) -> DataFrame:
     """All persisted rank generations:
     (gen, source, rank_micro, out_deg, in_deg)."""
@@ -317,6 +403,39 @@ def read_rank_generations(spark: SparkSession, store: str) -> DataFrame:
         "out_deg",
         "in_deg",
     )
+
+
+def assert_groups_whole(batch_df: DataFrame) -> None:
+    """Fail loudly if any ``grp`` in this trigger spans multiple input
+    files (round-13 ADVICE item 2, applied to both data-keyed sinks).
+
+    The data-keyed store batch id is sound only if each group arrives
+    WHOLE in one trigger.  Spark's file source never splits one file
+    across triggers, so the structural precondition is one-file-per-
+    group — which IS checkable per trigger: a group whose rows came
+    from two files in the same trigger proves the writer broke the
+    contract (and could equally have landed those files in different
+    triggers, silently losing the earlier delta to the overwrite).
+    One groups-bounded aggregate per trigger; non-file sources yield
+    empty input_file_name for every row (one distinct value), so the
+    guard degrades to a no-op there, as documented."""
+    offending = (
+        batch_df.select("grp", F.input_file_name().alias("_f"))
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .where(F.col("n_files") > 1)
+        .limit(1)
+        .collect()
+    )
+    if offending:
+        r = offending[0]
+        raise ValueError(
+            f"grp={r['grp']} spans {r['n_files']} input files in one "
+            "trigger: the data-keyed ingest contract requires one file "
+            "per group (a multi-file group could be split across "
+            "triggers and its earlier delta silently overwritten)"
+        )
 
 
 def graph_ingest_sink(store: str):
@@ -331,11 +450,14 @@ def graph_ingest_sink(store: str):
     triggers — a trigger carrying several groups ingests each in
     ascending order, and a whole-stream reprocess from a fresh
     checkpoint replays the identical ingest sequence.  The per-trigger
-    group list is a <=|groups|-row collect (request-bounded)."""
+    group list is a <=|groups|-row collect (request-bounded).
+    Precondition (guarded by :func:`assert_groups_whole`): one parquet
+    file per group, so a group can never span triggers."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        assert_groups_whole(batch_df)
         spark = batch_df.sparkSession
         grps = sorted(
             int(r["grp"])

@@ -9,15 +9,26 @@ static overwrite, the repo's effectively-once replay discipline — a
 crashed batch re-runs byte-identically because a delta depends only
 on its own batch's documents), and serving merges ``batch_id <= g``.
 
-Store layout under ``root``:
+Store layout (both BUCKETED tables, names derived from ``root``):
 
-- ``bigrams/batch_id=N``  (lang, bg, c): the batch's own bigram
-  counts — NOT merged totals, so replay needs no read-back;
-- ``vocab/batch_id=N``    (lang, tok, c): the batch's token
+- bigrams table  (lang, bg, c, batch_id): the batch's own bigram
+  counts — NOT merged totals, so replay needs no read-back.
+  Bucketed by ``bg``;
+- vocab table    (lang, tok, c, batch_id): the batch's token
   OCCURRENCE counts.  Counts, not a distinct set, so the vocabulary
   is associative under deletion too: serving takes tokens whose
   merged count is positive, which equals the distinct-token set of
-  the surviving documents.
+  the surviving documents.  Bucketed by ``tok``.
+
+Both tables are partitioned by ``batch_id`` (dynamic-overwrite
+replay masking + as-of partition pruning) and hash-bucketed on their
+count key (the corpus_dedup bucketed-store pattern, promoted from
+documented knob to the shipped layout — round-13 verdict item 2):
+serving's merge is a ``groupBy(lang, bg)`` / ``groupBy(lang, tok)``,
+and HashPartitioning on the bucket column satisfies the clustered
+distribution of any grouping that contains it, so the merge
+aggregates each bucket in place with NO Exchange (pinned by
+tests/test_lm.py::test_lm_store_serve_merge_is_shuffle_free).
 
 The incremental contract is EXACT, not add-only-approximate like the
 graph store: merged counts equal a full refit by associativity, and
@@ -34,23 +45,71 @@ the delta-shaped posture of every erasure path in this repo.
 
 Scale shape: a delta batch's counts aggregate map-side before the
 write; serving's merge is one vocabulary-sized ``groupBy(lang, bg)``
-over the store scan, never a corpus pass.  At web scale the store is
-bucketed by ``bg`` (the corpus_dedup bucketed-store pattern) so
-serving co-locates without the shuffle — documented knob.
+over the bucketed store scan — bucket-local, shuffle-free, never a
+corpus pass.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.lm import bigram_counts, doc_tokens
 
+LM_STORE_BUCKETS = 16
+
+
+def lm_table_name(root: str, kind: str) -> str:
+    """Catalog name of one of the store's bucketed tables (``kind`` in
+    {bigrams, vocab}) — derived from the store root so concurrent
+    stores in one session never collide."""
+    return f"lm_{kind}_" + hashlib.md5(root.encode()).hexdigest()[:12]
+
+
+_KEYED = {"bigrams": ("bg", ("lang", "bg", "c")),
+          "vocab": ("tok", ("lang", "tok", "c"))}
+
+
+def _write_delta(
+    spark: SparkSession, root: str, kind: str, df: DataFrame, batch_id: int
+) -> None:
+    """Land one delta into the ``kind`` table: create-on-first-batch
+    (partitioned by batch_id, bucketed+sorted on the count key), then
+    ``insertInto`` under dynamic partition overwrite — a replayed
+    batch id replaces exactly its own partition (graph_ingest's
+    _write_postings discipline, including the session-conf-flip
+    caveat)."""
+    bucket_col, cols = _KEYED[kind]
+    tbl = lm_table_name(root, kind)
+    out = df.select(
+        *cols, F.lit(int(batch_id)).cast("bigint").alias("batch_id")
+    )
+    if not spark.catalog.tableExists(tbl):
+        (
+            out.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .bucketBy(LM_STORE_BUCKETS, bucket_col)
+            .sortBy(bucket_col)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        return
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        out.write.mode("overwrite").insertInto(tbl)
+    finally:
+        spark.conf.set(conf_key, prev)
+
 
 def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:
     """Static overwrite of one batch_id subdir (graph_ingest pattern:
     an empty delta still commits a schema-bearing zero-row file, so
-    partition-discovery reads never break)."""
+    partition-discovery reads never break).  Used by the SCORES sink
+    only — the count stores are bucketed tables."""
     df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
 
@@ -68,12 +127,12 @@ def ingest_lm_batch(
 ) -> None:
     """Write one document batch's LM delta: per-language bigram
     counts and token occurrence counts."""
-    _write_partition(
+    _write_delta(
+        spark, root, "bigrams",
         bigram_counts(docs).withColumnRenamed("c_uw", "c"),
-        f"{root}/bigrams",
         batch_id,
     )
-    _write_partition(_token_counts(docs), f"{root}/vocab", batch_id)
+    _write_delta(spark, root, "vocab", _token_counts(docs), batch_id)
 
 
 def erase_lm_docs(
@@ -83,17 +142,17 @@ def erase_lm_docs(
     documents' bigram and token counts times -1.  Replay-idempotent
     for the same reason ingest is (the delta depends only on the
     doomed docs); serving's positivity filter does the rest."""
-    _write_partition(
+    _write_delta(
+        spark, root, "bigrams",
         bigram_counts(doomed)
         .select("lang", "bg", (-F.col("c_uw")).cast("bigint").alias("c")),
-        f"{root}/bigrams",
         batch_id,
     )
-    _write_partition(
+    _write_delta(
+        spark, root, "vocab",
         _token_counts(doomed).select(
             "lang", "tok", (-F.col("c")).cast("bigint").alias("c")
         ),
-        f"{root}/vocab",
         batch_id,
     )
 
@@ -103,9 +162,10 @@ def serve_bigram_counts(
 ) -> DataFrame:
     """Merged (lang, bg, c_uw) as-of generation ``gen`` — the exact
     counts a full refit over the surviving batches would produce
-    (bigrams fully cancelled by erasure deltas drop)."""
+    (bigrams fully cancelled by erasure deltas drop).  The merge
+    rides the table's ``bg`` bucketing: no Exchange."""
     return (
-        spark.read.parquet(f"{root}/bigrams")
+        spark.table(lm_table_name(root, "bigrams"))
         .where(F.col("batch_id") <= gen)
         .groupBy("lang", "bg")
         .agg(F.sum("c").cast("bigint").alias("c_uw"))
@@ -118,9 +178,10 @@ def serve_vocab_sizes(
 ) -> DataFrame:
     """Merged per-language vocabulary size as-of ``gen``: tokens with
     positive merged occurrence count == the distinct-token set of the
-    surviving documents."""
+    surviving documents.  The first merge rides the table's ``tok``
+    bucketing: no Exchange below the per-language rollup."""
     return (
-        spark.read.parquet(f"{root}/vocab")
+        spark.table(lm_table_name(root, "vocab"))
         .where(F.col("batch_id") <= gen)
         .groupBy("lang", "tok")
         .agg(F.sum("c").cast("bigint").alias("ct"))
@@ -140,11 +201,23 @@ def lm_ingest_sink(store: str):
     checkpoint must replay the identical ingest sequence.  LM deltas
     depend only on their own batch's documents, so each per-group
     ingest rewrites byte-identically on replay.  The per-trigger group
-    list is a <=|groups|-row collect (request-bounded)."""
+    list is a <=|groups|-row collect (request-bounded).
+
+    Precondition (round-13 ADVICE item 2, now ENFORCED rather than
+    implicit): one parquet file per group.  A group's delta partition
+    is overwritten with the current trigger's rows only, so a group
+    whose files spanned two triggers would silently lose the first
+    trigger's counts — ``assert_groups_whole`` fails the batch loudly
+    the moment a multi-file group is observed, which is the only way
+    the file source could ever split a group (it never splits one
+    file across triggers)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from .graph_ingest import assert_groups_whole
+
+        assert_groups_whole(batch_df)
         spark = batch_df.sparkSession
         grps = sorted(
             int(r["grp"])

@@ -174,3 +174,92 @@ def test_rebuild_epoch_and_marker_pins(spark, tmp_path):
         (r["src"], r["dst"]) for r in edges_asof(spark, path, 2).collect()
     }
     assert served == {("sX", "sY"), ("sY", "sX")}
+
+
+def test_postings_store_is_bucketed_and_refresh_join_shuffle_free(
+    spark, store
+):
+    """Round-13 verdict item 1: the postings store is a g-bucketed
+    TABLE and the refresh's store-vs-touched join reads it with NO
+    Exchange on the store side — in the broadcast regime (small
+    touched set) the store scan feeds the join directly, and in the
+    at-scale SMJ regime (broadcast disabled) BOTH sides ride the
+    bucketing with zero Exchange anywhere in the plan."""
+    from eventstream_fanout_spark.streaming.graph_ingest import (
+        postings_table_name,
+        postings_touched_join,
+    )
+
+    assert spark.catalog.tableExists(postings_table_name(store))
+
+    plan = (
+        postings_touched_join(spark, store, 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SelectedBucketsCount" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    thresh_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(thresh_key)
+    spark.conf.set(thresh_key, "-1")
+    try:
+        smj = (
+            postings_touched_join(spark, store, 1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(thresh_key, prev)
+    assert "SortMergeJoin" in smj, smj
+    assert "Exchange" not in smj, smj
+    assert smj.count("Bucketed: true") >= 2, smj
+
+
+def test_postings_replay_overwrites_only_its_partition(spark, store):
+    """insertInto under dynamic overwrite: replaying batch 0 must
+    leave batch 1's postings untouched and rewrite batch 0's
+    identically (the table-store replay mask)."""
+    from eventstream_fanout_spark.streaming.graph_ingest import (
+        ingest_graph_batch,
+        read_postings,
+    )
+
+    before = sorted(
+        tuple(r) for r in read_postings(spark, store).collect()
+    )
+    ingest_graph_batch(
+        spark,
+        store,
+        _docs(spark, [(1, "srcA", TXT), (2, "srcB", TXT)]),
+        0,
+        n_iter=2,
+    )
+    after = sorted(
+        tuple(r) for r in read_postings(spark, store).collect()
+    )
+    assert before == after
+
+
+def test_assert_groups_whole_rejects_multi_file_groups(spark, tmp_path):
+    """The data-keyed sinks' enforced precondition (r13 ADVICE 2): a
+    grp whose rows span two input files fails loudly; one file per
+    group passes."""
+    from eventstream_fanout_spark.streaming.graph_ingest import (
+        assert_groups_whole,
+    )
+
+    good = str(tmp_path / "good")
+    rows = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b")], "doc_id long, grp long, text string"
+    )
+    rows.coalesce(1).write.parquet(good)
+    assert_groups_whole(spark.read.parquet(good))  # no raise
+
+    bad = str(tmp_path / "bad")
+    rows.where("doc_id = 1").coalesce(1).write.parquet(bad)
+    rows.where("doc_id = 2").coalesce(1).write.mode("append").parquet(bad)
+    with pytest.raises(ValueError, match="spans 2 input files"):
+        assert_groups_whole(spark.read.parquet(bad))

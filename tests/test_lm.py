@@ -310,3 +310,52 @@ class TestLmStoreAssociativityProperty:
             assert after == refit2
 
         run()
+
+
+class TestLmStoreLayout:
+    def test_lm_store_serve_merge_is_shuffle_free(self, spark, tmp_path):
+        """Round-13 verdict item 2: both count stores are bucketed
+        tables and serving's merge aggregates each bucket in place —
+        the (lang, bg) / (lang, tok) groupBy has NO Exchange below it
+        (vocab's |langs|-sized rollup above the merge is the only
+        shuffle left, and it is bounded by the language set)."""
+        from eventstream_fanout_spark.streaming.lm_store import (
+            ingest_lm_batch,
+            lm_table_name,
+            serve_bigram_counts,
+            serve_vocab_sizes,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "en", "a b a b c"), (2, "en", "a b d"), (3, "fr", "x y")],
+            "doc_id long, lang string, text string",
+        )
+        root = str(tmp_path / "lm_store")
+        ingest_lm_batch(spark, root, docs.where("doc_id < 3"), 0)
+        ingest_lm_batch(spark, root, docs.where("doc_id = 3"), 1)
+        assert spark.catalog.tableExists(lm_table_name(root, "bigrams"))
+        assert spark.catalog.tableExists(lm_table_name(root, "vocab"))
+
+        big = (
+            serve_bigram_counts(spark, root, 1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in big, big
+        assert "SelectedBucketsCount" in big, big
+
+        voc = (
+            serve_vocab_sizes(spark, root, 1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # exactly one Exchange: the per-language rollup ABOVE the
+        # bucket-local (lang, tok) merge
+        assert voc.count("Exchange hashpartitioning") == 1, voc
+        merge_part = voc.split("Exchange hashpartitioning", 1)[1]
+        assert "SelectedBucketsCount" in merge_part, voc
+        assert "Exchange" not in merge_part.replace(
+            "ENSURE_REQUIREMENTS", ""
+        ).split("]", 1)[1], voc
