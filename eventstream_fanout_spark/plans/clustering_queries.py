@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.clustering import K_CLUSTERS, N_ITER, kmeans_fit, kmeans_report
-from ..sources.tables import load_table
+from ..sources.tables import dataset_cache_key, load_table
 from ..streaming import await_or_raise
 from .registry import register
 
@@ -159,7 +159,8 @@ _KMEANS_STORE_CACHE: dict[str, str] = {}
 
 
 def _ensure_kmeans_store(spark: SparkSession, sf_dir: str) -> str:
-    path = _KMEANS_STORE_CACHE.get(sf_dir)
+    key = dataset_cache_key(sf_dir)
+    path = _KMEANS_STORE_CACHE.get(key)
     if path is None:
         import tempfile
 
@@ -171,7 +172,7 @@ def _ensure_kmeans_store(spark: SparkSession, sf_dir: str) -> str:
         assigned.select(
             "vec_id", "cluster_id", "dist"
         ).write.mode("overwrite").parquet(path)
-        _KMEANS_STORE_CACHE[sf_dir] = path
+        _KMEANS_STORE_CACHE[key] = path
     return path
 
 

@@ -1419,3 +1419,284 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "quota", "n_source")
         .orderBy("source", "doc_id")
     )
+
+
+def _curation_v3_oracle() -> str:
+    from ..operators.lm import (
+        sql_doc_scores_ctes,
+        sql_lm_ctes,
+    )
+    from .classify_queries import _model_branch_cte
+    from .lm_queries import TAIL_ABOVE
+
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, lang, unnest({sql_tokens('text')}) AS tok
+      FROM documents
+    ),{_model_branch_cte("m", "doc_id % 5 <> 0", "TRUE")},
+    {sql_lm_ctes()},
+    {sql_doc_scores_ctes()},
+    v3_means AS (
+      SELECT lang, {sql_davg('score')} AS mean_score
+      FROM lm_scores GROUP BY lang
+    ),
+    v3_keep AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      FROM documents GROUP BY md5(text)
+    ),
+    v3_base AS (
+      SELECT d.doc_id, d.source, d.lang,
+             CAST(len({sql_tokens('d.text')}) AS BIGINT) AS n_tokens,
+             (k.doc_id IS NOT NULL) AS is_keeper,
+             s.score, mm.mean_score, p.lang_pred
+      FROM documents d
+      LEFT JOIN v3_keep k ON k.doc_id = d.doc_id
+      LEFT JOIN lm_scores s ON s.doc_id = d.doc_id
+      LEFT JOIN v3_means mm ON mm.lang = d.lang
+      LEFT JOIN mpreds p ON p.doc_id = d.doc_id
+    ),
+    v3_fate0 AS (
+      SELECT doc_id, source, lang, n_tokens,
+             CASE WHEN NOT is_keeper THEN 'dup'
+                  WHEN score IS NULL THEN 'unscored'
+                  WHEN score > {TAIL_ABOVE!r} * mean_score
+                    THEN 'lm_tail'
+                  WHEN lang_pred <> lang THEN 'clf_mismatch'
+                  ELSE 'pass' END AS gate
+      FROM v3_base
+    ),
+    v3_surv AS (SELECT * FROM v3_fate0 WHERE gate = 'pass'),
+    v3_counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+      FROM v3_surv GROUP BY source
+    ),
+    v3_tot AS (
+      SELECT {sql_dsum('sqrt(CAST(n_source AS DOUBLE))')} AS s
+      FROM v3_counts
+    ),
+    v3_quota AS (
+      SELECT source,
+             CAST(FLOOR({float(_MIX_BUDGET)!r}
+                        * sqrt(CAST(n_source AS DOUBLE)) / t.s)
+                  AS BIGINT) AS quota
+      FROM v3_counts CROSS JOIN v3_tot t
+    ),
+    v3_ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rn
+      FROM v3_surv
+    ),
+    v3_mix AS (
+      SELECT r.doc_id, (r.rn <= q.quota) AS sampled
+      FROM v3_ranked r JOIN v3_quota q ON q.source = r.source
+    ),
+    v3_packed AS (
+      SELECT doc_id,
+             bucket || '-' ||
+             CAST(CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE)
+                             / {_PACK_BUDGET!r}) AS BIGINT) AS VARCHAR)
+               AS pack_id
+      FROM (
+        SELECT f.doc_id, f.n_tokens,
+               substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 2) AS bucket,
+               CAST(SUM(f.n_tokens) OVER (
+                 PARTITION BY substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 2)
+                 ORDER BY md5(CAST(f.doc_id AS VARCHAR)) ASC,
+                          f.doc_id ASC) AS BIGINT) AS cum_tokens
+        FROM v3_surv f
+        JOIN v3_mix x ON x.doc_id = f.doc_id AND x.sampled
+      )
+    )
+    SELECT f.doc_id, f.source, f.lang, f.n_tokens,
+           CASE WHEN f.gate <> 'pass' THEN f.gate
+                WHEN x.sampled THEN 'exported'
+                ELSE 'mix_out' END AS fate,
+           p.pack_id
+    FROM v3_fate0 f
+    LEFT JOIN v3_mix x ON x.doc_id = f.doc_id
+    LEFT JOIN v3_packed p ON p.doc_id = f.doc_id
+    ORDER BY f.doc_id
+    """
+
+
+@register(
+    "curation_v3_pipeline",
+    _curation_v3_oracle(),
+    description="the full training-data curation chain the north star "
+    "describes, as ONE declarative plan with EVERY document's fate "
+    "attributable (round-13 verdict item 5): exact dedup (md5 keeper "
+    "= lowest doc_id) -> fitted-LM tail drop (CCNet bucket gate, "
+    "unscored short docs accounted separately) -> fitted-classifier "
+    "self-agreement gate (token-weight lang prediction must match "
+    "the label) -> temperature-based sqrt(n) domain mix over the "
+    "SURVIVORS (md5-ordered, no RNG; two-level lossless prune, no "
+    "corpus/|sources| single-task sort) -> ~512-token sequence "
+    "packing of the exported sample (per-md5-bucket cumsum, no "
+    "global sort).  Output: one row per document with fate in "
+    "{dup, unscored, lm_tail, clf_mismatch, mix_out, exported} and "
+    "the pack_id for exported docs — nothing silently truncated.  "
+    "The oracle replays the entire composition; every gate is "
+    "integer-exact or davg/dsum-deterministic, so the hash pins the "
+    "whole pipeline",
+    tags=("curation", "pipeline", "lm", "classify", "dedup", "mixing",
+          "packing", "extension"),
+)
+def curation_v3_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.core import davg, dsum
+    from ..operators.classify import (
+        token_weight_classify,
+        token_weight_fit,
+    )
+    from ..operators.lm import (
+        bigram_counts,
+        context_counts,
+        doc_fluency_scores,
+        train_slice,
+        vocab_sizes,
+    )
+    from .lm_queries import TAIL_ABOVE
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # gate inputs: dedup keepers, LM scores + per-language means,
+    # classifier predictions over the whole corpus
+    keepers = (
+        docs.groupBy(F.md5(F.col("text")))
+        .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("is_keeper"))
+    )
+    train = train_slice(docs)
+    big = bigram_counts(train)
+    scores = doc_fluency_scores(
+        docs, big, context_counts(big), vocab_sizes(train)
+    ).select("doc_id", "score")
+    means = (
+        doc_fluency_scores(
+            docs, big, context_counts(big), vocab_sizes(train)
+        )
+        .groupBy("lang")
+        .agg(davg(F.col("score"), "mean_score"))
+    )
+    weights, priors = token_weight_fit(
+        docs.where(F.col("doc_id") % 5 != 0), "lang"
+    )
+    preds = token_weight_classify(docs, weights, priors, "lang").select(
+        "doc_id", "lang_pred"
+    )
+
+    gate = (
+        F.when(~F.col("is_keeper"), F.lit("dup"))
+        .when(F.col("score").isNull(), F.lit("unscored"))
+        .when(
+            F.col("score") > F.lit(TAIL_ABOVE) * F.col("mean_score"),
+            F.lit("lm_tail"),
+        )
+        .when(F.col("lang_pred") != F.col("lang"), F.lit("clf_mismatch"))
+        .otherwise(F.lit("pass"))
+    )
+    fate0 = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .join(keepers, "doc_id", "left")
+        .withColumn("is_keeper", F.coalesce("is_keeper", F.lit(False)))
+        .join(scores, "doc_id", "left")
+        .join(F.broadcast(means), "lang", "left")
+        .join(preds, "doc_id", "left")
+        .select("doc_id", "source", "lang", "n_tokens", gate.alias("gate"))
+    )
+    surv = fate0.where(F.col("gate") == "pass")
+
+    # temperature mix over the survivors (sqrt(n) quotas, md5 order,
+    # two-level lossless prune — temperature_mix_sample's shape)
+    counts = surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_source")
+    )
+    tot = counts.agg(dsum(F.sqrt(F.col("n_source").cast("double")), "s"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.lit(float(_MIX_BUDGET))
+            * F.sqrt(F.col("n_source").cast("double"))
+            / F.col("s")
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    wb = Window.partitionBy("source", "hbucket").orderBy(
+        F.asc("h"), F.asc("doc_id")
+    )
+    cand = (
+        surv.select(
+            "doc_id",
+            "source",
+            h.alias("h"),
+            F.substring(h, 1, 2).alias("hbucket"),
+        )
+        .withColumn("local_rn", F.row_number().over(wb))
+        .where(F.col("local_rn") <= _MIX_BUDGET)
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    mix = (
+        cand.select(
+            "doc_id", "source", F.row_number().over(w).alias("rn")
+        )
+        .join(F.broadcast(quota), "source")
+        .select(
+            "doc_id", (F.col("rn") <= F.col("quota")).alias("sampled")
+        )
+    )
+
+    # pack the exported sample (~512-token packs, per-bucket cumsum)
+    wp = Window.partitionBy("bucket").orderBy(F.asc("h"), F.asc("doc_id"))
+    packed = (
+        surv.join(mix.where(F.col("sampled")), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "n_tokens",
+            h.alias("h"),
+            F.substring(h, 1, 2).alias("bucket"),
+        )
+        .withColumn(
+            "cum_tokens", F.sum("n_tokens").over(wp).cast("bigint")
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("bucket"),
+                F.lit("-"),
+                F.floor(
+                    (F.col("cum_tokens") - F.col("n_tokens")).cast(
+                        "double"
+                    )
+                    / F.lit(_PACK_BUDGET)
+                )
+                .cast("bigint")
+                .cast("string"),
+            ).alias("pack_id"),
+        )
+    )
+
+    fate = (
+        F.when(F.col("gate") != "pass", F.col("gate"))
+        .when(F.col("sampled"), F.lit("exported"))
+        .otherwise(F.lit("mix_out"))
+    )
+    return (
+        fate0.join(mix, "doc_id", "left")
+        .join(packed, "doc_id", "left")
+        .select(
+            "doc_id", "source", "lang", "n_tokens",
+            fate.alias("fate"), "pack_id",
+        )
+        .orderBy("doc_id")
+    )

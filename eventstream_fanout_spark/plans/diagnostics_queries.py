@@ -541,3 +541,92 @@ def skew_adaptive_band_join_hot(
         .withColumn("salted", F.lit(bool(salted)))
         .withColumn("max_bucket", F.lit(int(max_cnt)).cast("long"))
     )
+
+
+def _skew_adaptive_simhash_oracle() -> str:
+    from ..functions.hashing import sql_tokens
+    from .dedup_queries import _SIMHASH_SUMS, _SIMHASH_VALUE
+
+    # the simhash chain over an injected-hot corpus: replicas of the
+    # lowest doc_id share ALL bit-bands, so one band bucket
+    # deterministically exceeds the demo cap and the posture flips
+    return f"""
+    WITH injected AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT 200000 + r.range AS doc_id, h.text
+      FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1) h
+      CROSS JOIN range({_HOT_REPLICAS}) r
+    ),
+    toked AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM injected
+    ),
+    bitsums AS (
+      SELECT doc_id, {_SIMHASH_SUMS} FROM toked GROUP BY doc_id
+    ),
+    sim AS (
+      SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bitsums
+    ),
+    posture AS (
+      SELECT (MAX(n) > {_HOT_CAP_DEMO}) AS salted FROM (
+        SELECT band_idx, band_bits, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+          SELECT doc_id,
+                 r.range AS band_idx,
+                 ((simhash >> (r.range * 8)) & 255) AS band_bits
+          FROM sim CROSS JOIN range(4) r
+        ) GROUP BY band_idx, band_bits
+      )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming,
+           p.salted
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    CROSS JOIN posture p
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register(
+    "skew_adaptive_simhash_hot",
+    _skew_adaptive_simhash_oracle(),
+    description="the measured join posture extended to the SimHash "
+    "band join (round-13 verdict item 8 — simhash_near_pairs now "
+    "routes through adaptive_bucket_pairs, and this query proves its "
+    f"SALTED branch under driver-grade evidence): {_HOT_REPLICAS} "
+    "replicas of the lowest doc_id share every 8-bit band, so the "
+    f"measurement reads a {_HOT_REPLICAS + 1}-row bucket against "
+    f"hot_cap={_HOT_CAP_DEMO} and picks the lossless salt split; the "
+    "oracle replays the all-pairs Hamming semantics plus the posture "
+    "decision, so the hash pins salt-invariance of the banded plan "
+    "exactly as skew_adaptive_band_join_hot does for MinHash-LSH.  "
+    "simhash_near_pairs itself (in the r14 window) carries the plain "
+    "branch at the production cap",
+    tags=("diagnostics", "dedup", "simhash", "skew", "extension"),
+)
+def skew_adaptive_simhash_hot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        simhash_docs,
+        simhash_near_pairs_measured,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    hot = (
+        docs.orderBy(F.asc("doc_id"))
+        .limit(1)
+        .crossJoin(
+            spark.range(_HOT_REPLICAS).select(F.col("id").alias("r"))
+        )
+        .select((F.lit(200000) + F.col("r")).alias("doc_id"), "text")
+    )
+    sim = simhash_docs(docs.unionByName(hot))
+    pairs, salted, _max_cnt = simhash_near_pairs_measured(
+        sim, 3, hot_cap=_HOT_CAP_DEMO
+    )
+    return pairs.withColumn("salted", F.lit(bool(salted)))

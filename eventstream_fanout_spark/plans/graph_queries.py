@@ -20,7 +20,7 @@ from ..operators.graph import (
     cocitation_edges,
     pagerank_integer,
 )
-from ..sources.tables import load_table
+from ..sources.tables import dataset_cache_key, load_table
 from .registry import register
 
 # Rank store, built ONCE per (process, sf_dir) — the production shape:
@@ -33,7 +33,8 @@ _RANK_STORE_CACHE: dict[str, str] = {}
 
 
 def _ensure_rank_store(spark: SparkSession, sf_dir: str) -> str:
-    path = _RANK_STORE_CACHE.get(sf_dir)
+    key = dataset_cache_key(sf_dir)
+    path = _RANK_STORE_CACHE.get(key)
     if path is None:
         import tempfile
 
@@ -42,7 +43,7 @@ def _ensure_rank_store(spark: SparkSession, sf_dir: str) -> str:
         pagerank_integer(
             docs.select("source").distinct(), cocitation_edges(docs)
         ).write.mode("overwrite").parquet(path)
-        _RANK_STORE_CACHE[sf_dir] = path
+        _RANK_STORE_CACHE[key] = path
     return path
 
 
@@ -385,7 +386,8 @@ _INC_STORE_CACHE: dict[str, str] = {}
 
 
 def _ensure_inc_store(spark: SparkSession, sf_dir: str) -> str:
-    path = _INC_STORE_CACHE.get(sf_dir)
+    key = dataset_cache_key(sf_dir)
+    path = _INC_STORE_CACHE.get(key)
     if path is None:
         import tempfile
 
@@ -406,7 +408,7 @@ def _ensure_inc_store(spark: SparkSession, sf_dir: str) -> str:
         ingest_graph_batch(
             spark, path, docs.where(F.col("doc_id") % 8 == 7), 2
         )
-        _INC_STORE_CACHE[sf_dir] = path
+        _INC_STORE_CACHE[key] = path
     return path
 
 

@@ -351,10 +351,10 @@ def lm_incremental_update_sim(
     ),
     dsir_terms AS (
       SELECT f.doc_id, f.lang,
-             (CAST((COALESCE(t.c_t, 0) + 1)
-                   * (o.s_tot + {N_FEATURE_BUCKETS}) AS DOUBLE)
-              / CAST((s.c_s + 1)
-                     * (o.t_tot + {N_FEATURE_BUCKETS}) AS DOUBLE))
+             ((CAST(COALESCE(t.c_t, 0) + 1 AS DOUBLE)
+               * CAST(o.s_tot + {N_FEATURE_BUCKETS} AS DOUBLE))
+              / (CAST(s.c_s + 1 AS DOUBLE)
+                 * CAST(o.t_tot + {N_FEATURE_BUCKETS} AS DOUBLE)))
                AS ratio
       FROM dsir_feats f
       LEFT JOIN dsir_tgt t ON t.fb = f.fb
@@ -375,8 +375,10 @@ def lm_incremental_update_sim(
     "and source (whole corpus) bucket distributions fit with add-one "
     "smoothing, and each doc is weighted by its mean "
     "target/source probability ratio (the log-free deterministic "
-    "variant of DSIR's log-likelihood ratio — each term is one "
-    "division of exact BIGINT products).  Top-50 by weight via "
+    "variant of DSIR's log-likelihood ratio — each term divides two "
+    "double products whose FACTORS cast from exact BIGINT counts, so "
+    "nothing overflows at web scale and both engines round "
+    "identically; factors stay exact below 2^53).  Top-50 via "
     "TakeOrderedAndProject.  Scale shape: the feature distributions "
     "are CONSTANT-size (64 rows, broadcast); the corpus is touched "
     "twice (fit pass, weight pass), both map-side-combinable",
@@ -405,12 +407,17 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t_tot"),
         )
     )
+    # Each FACTOR casts to double before the multiply (r13 ADVICE 3):
+    # at web scale a bigram-occurrence total ~1e13 squared overflows
+    # BIGINT (~9.2e18); double products are IEEE-identical in both
+    # engines, exact below 2^53 per factor (demo scale is far under).
     ratio = (
-        (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
-        * (F.col("s_tot") + F.lit(N_FEATURE_BUCKETS))
-    ).cast("double") / (
-        (F.col("c_s") + 1) * (F.col("t_tot") + F.lit(N_FEATURE_BUCKETS))
-    ).cast("double")
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+        * (F.col("s_tot") + F.lit(N_FEATURE_BUCKETS)).cast("double")
+    ) / (
+        (F.col("c_s") + 1).cast("double")
+        * (F.col("t_tot") + F.lit(N_FEATURE_BUCKETS)).cast("double")
+    )
     return (
         feats.join(F.broadcast(tgt), "fb", "left")
         .join(F.broadcast(src), "fb")
@@ -876,20 +883,20 @@ BACKOFF_INV = 2.5
 def lm_backoff_score_compare(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.lm import doc_bigrams
+    from ..operators.lm import doc_bigrams, doc_tokens
 
     docs = load_table(spark, sf_dir, "documents")
     train = train_slice(docs)
     big = bigram_counts(train)
     ctx = context_counts(big)
     vocab = vocab_sizes(train)
+    # unigram counts through the family's SHARED tokenizer
+    # (doc_tokens) — r13 ADVICE 1: a hand-rolled split here would
+    # silently desync from the oracle's sql_tokens if the shared
+    # definition ever changed
     uni = (
-        train.select(
-            "lang",
-            F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("tok"),
-        )
+        doc_tokens(train)
+        .select("lang", F.explode(F.col("toks")).alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
     )
@@ -943,6 +950,170 @@ def lm_backoff_score_compare(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             davg(F.col("s_addone"), "mean_addone"),
             davg(F.col("s_backoff"), "mean_backoff"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "lm_kn_score",
+    f"""
+    WITH {sql_lm_ctes()},
+    kn_n1u AS (
+      SELECT lang, split_part(bg, ' ', 1) AS ctx,
+             CAST(COUNT(*) AS BIGINT) AS n1u
+      FROM lm_big GROUP BY lang, split_part(bg, ' ', 1)
+    ),
+    kn_n1w AS (
+      SELECT lang, split_part(bg, ' ', 2) AS tok,
+             CAST(COUNT(*) AS BIGINT) AS n1w
+      FROM lm_big GROUP BY lang, split_part(bg, ' ', 2)
+    ),
+    kn_types AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM lm_big GROUP BY lang
+    ),
+    kn_sdocs AS (
+      SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+    ),
+    kn_spairs AS (
+      SELECT doc_id, lang, unnest({sql_shingles('toks', 2)}) AS bg
+      FROM kn_sdocs
+    ),
+    kn_terms AS (
+      SELECT p.doc_id, p.lang,
+             (CAST(COALESCE(c.c_u, 0) + v.vocab_v AS DOUBLE)
+              / CAST(COALESCE(b.c_uw, 0) + 1 AS DOUBLE)) AS t_addone,
+             CASE WHEN c.c_u IS NOT NULL THEN
+               ((4.0 * CAST(c.c_u AS DOUBLE)
+                 * CAST(t.n_types + v.vocab_v AS DOUBLE))
+                / (CAST(GREATEST(4 * COALESCE(b.c_uw, 0) - 3, 0)
+                        AS DOUBLE)
+                   * CAST(t.n_types + v.vocab_v AS DOUBLE)
+                   + 3.0 * CAST(COALESCE(u.n1u, 0) AS DOUBLE)
+                     * CAST(COALESCE(w.n1w, 0) + 1 AS DOUBLE)))
+             ELSE
+               (CAST(t.n_types + v.vocab_v AS DOUBLE)
+                / CAST(COALESCE(w.n1w, 0) + 1 AS DOUBLE))
+             END AS t_kn
+      FROM kn_spairs p
+      LEFT JOIN lm_big b ON b.lang = p.lang AND b.bg = p.bg
+      LEFT JOIN lm_ctx c ON c.lang = p.lang
+                        AND c.ctx = split_part(p.bg, ' ', 1)
+      LEFT JOIN kn_n1u u ON u.lang = p.lang
+                        AND u.ctx = split_part(p.bg, ' ', 1)
+      LEFT JOIN kn_n1w w ON w.lang = p.lang
+                        AND w.tok = split_part(p.bg, ' ', 2)
+      JOIN lm_vocab v ON v.lang = p.lang
+      JOIN kn_types t ON t.lang = p.lang
+    ),
+    kn_scores AS (
+      SELECT doc_id, lang,
+             {sql_davg('t_addone')} AS s_addone,
+             {sql_davg('t_kn')} AS s_kn
+      FROM kn_terms GROUP BY doc_id, lang
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_davg('s_addone')} AS mean_addone,
+           {sql_davg('s_kn')} AS mean_kn
+    FROM kn_scores GROUP BY lang
+    ORDER BY lang
+    """,
+    description="interpolated Kneser-Ney scoring vs add-one on the "
+    "same fitted counts (Kneser & Ney 1995; the production "
+    "CCNet/KenLM smoothing — round-13 verdict item 6): "
+    "P(w|u) = (c(u,w) - D)+/c(u) + D*N1+(u,.)/c(u) * Pcont(w) with "
+    "the fixed discount D = 3/4 EXACTLY representable, so 4x-scaled "
+    "integer counts keep every numerator/denominator an exact BIGINT "
+    "product: term = 4*c_u*(T+V) / ((4*c_uw-3)+ * (T+V) + "
+    "3*n1u*(n1w+1)).  The continuation probability is the smoothed "
+    "(N1+(.,w)+1)/(T+V) — never zero, so unseen contexts fall back "
+    "to pure continuation mass and the inverse score stays finite.  "
+    "Factors cast to double BEFORE multiplying (the DSIR overflow "
+    "discipline): IEEE-identical cross-engine, exact below 2^53 per "
+    "factor.  Per-language mean inverse probability under both "
+    "modes; continuation/type tables are vocab-sized, so the cost "
+    "matches add-one scoring (two corpus passes + vocab-bounded "
+    "joins, no new corpus-sized shuffle)",
+    tags=("lm", "text", "evaluation", "extension"),
+)
+def lm_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import doc_tokens as _dt  # noqa: F401 (parity)
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = train_slice(docs)
+    big = bigram_counts(train)
+    ctx = context_counts(big)
+    vocab = vocab_sizes(train)
+    n1u = (
+        big.select(
+            "lang",
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("ctx"),
+        )
+        .groupBy("lang", "ctx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n1u"))
+    )
+    n1w = (
+        big.select(
+            "lang",
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n1w"))
+    )
+    types = big.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    pairs = (
+        doc_bigrams(docs)
+        .withColumn("ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("tok", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+    )
+    tv = (F.col("n_types") + F.col("vocab_v")).cast("double")
+    t_addone = (
+        F.coalesce(F.col("c_u"), F.lit(0)) + F.col("vocab_v")
+    ).cast("double") / (
+        F.coalesce(F.col("c_uw"), F.lit(0)) + F.lit(1)
+    ).cast("double")
+    t_kn = F.when(
+        F.col("c_u").isNotNull(),
+        (F.lit(4.0) * F.col("c_u").cast("double") * tv)
+        / (
+            F.greatest(
+                F.lit(0),
+                4 * F.coalesce(F.col("c_uw"), F.lit(0)) - 3,
+            ).cast("double")
+            * tv
+            + F.lit(3.0)
+            * F.coalesce(F.col("n1u"), F.lit(0)).cast("double")
+            * (F.coalesce(F.col("n1w"), F.lit(0)) + 1).cast("double")
+        ),
+    ).otherwise(
+        tv / (F.coalesce(F.col("n1w"), F.lit(0)) + 1).cast("double")
+    )
+    scores = (
+        pairs.join(big, ["lang", "bg"], "left")
+        .join(ctx, ["lang", "ctx"], "left")
+        .join(n1u, ["lang", "ctx"], "left")
+        .join(n1w, ["lang", "tok"], "left")
+        .join(F.broadcast(vocab), "lang")
+        .join(F.broadcast(types), "lang")
+        .select(
+            "doc_id", "lang",
+            t_addone.alias("t_addone"), t_kn.alias("t_kn"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            davg(F.col("t_addone"), "s_addone"),
+            davg(F.col("t_kn"), "s_kn"),
+        )
+    )
+    return (
+        scores.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            davg(F.col("s_addone"), "mean_addone"),
+            davg(F.col("s_kn"), "mean_kn"),
         )
         .orderBy("lang")
     )

@@ -64,6 +64,9 @@ FRONT: list[str] = [
     #   * slots 35-38: the four r4-stale names.
     #   * slots 39-50: the twelve oldest r5-stale names (the six the
     #     r13 additions displaced, then alphabetical).
+    "curation_v3_pipeline",
+    "lm_kn_score",
+    "skew_adaptive_simhash_hot",
     "pagerank_incremental_sim",
     "stream_graph_ingest",
     "pagerank_rebuild_sim",
@@ -107,13 +110,10 @@ FRONT: list[str] = [
     "weighted_systematic_sample",
     "above_nation_avg_balance",
     "ann_cosine_topk",
-    "ann_ivf_topk",
+    "bigram_lift_top",
     "ann_multiprobe_topk",
     "anti_join_customers_no_urgent_orders",
     "approx_distinct_users",
-    "bigram_lift_top",
-    "bpe_merge_candidates",
-    "cdc_variant_props",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
@@ -146,6 +146,34 @@ FRONT: list[str] = [
 # additions).
 
 
+# Names RETIRED from the evidence rotation (round-13 verdict item 4 —
+# the registry outgrew the 50-slot driver window, so superseded demo
+# shapes stop competing for slots).  Each maps to the PRODUCTION TWIN
+# that fully supersedes its surface: the twin exercises the same
+# operator chain plus the fitted/persisted/indexed machinery the demo
+# stubs out, so driver-green evidence on the twin covers the demo's
+# semantics.  Exempt names STAY registered — tools/driver_sim.py and
+# tests/test_oracle_parity.py still hash-check them every round — they
+# just never re-enter FRONT, shrinking the rotation pool the window
+# must cover.
+ROTATION_EXEMPT: dict[str, str] = {
+    # seed-centroid IVF demo; the twin fits real k-means centroids
+    "ann_ivf_topk": "ann_ivf_fitted_topk",
+    # seed-codebook in-plan PQ; the twin fits codebooks AND coarse
+    # centroids and serves from the persisted index
+    "ann_pq_adc_topk": "ann_pq_fully_fitted_topk",
+    # persisted probe over seed codebooks; twin = same probe, fitted
+    "ann_pq_persisted_topk": "ann_pq_persisted_fitted_topk",
+    # fitted-codebook + seed-coarse intermediate; twin fits both
+    "ann_pq_fitted_codebook_topk": "ann_pq_fully_fitted_topk",
+    # two-literal-term adjacency demo; the twin runs the general
+    # n-term phrase through the persisted positional index
+    "phrase_search_positional": "phrase_search",
+    # single BPE merge round; the twin is the full iterative trainer
+    "bpe_merge_candidates": "bpe_train_iterative",
+}
+
+
 def ordered_queries() -> dict[str, QuerySpec]:
     """Registry in evidence-priority order: FRONT names first (in list
     order), then the remainder in registration order.
@@ -163,6 +191,20 @@ def ordered_queries() -> dict[str, QuerySpec]:
     dupes = [n for n in set(FRONT) if FRONT.count(n) > 1]
     if dupes:
         raise ValueError(f"duplicate FRONT names: {dupes}")
+    bad_exempt = [
+        n
+        for n, twin in ROTATION_EXEMPT.items()
+        if n not in QUERIES or twin not in QUERIES
+    ]
+    if bad_exempt:
+        raise ValueError(
+            f"ROTATION_EXEMPT names/twins not in registry: {bad_exempt}"
+        )
+    wasted = [n for n in FRONT if n in ROTATION_EXEMPT]
+    if wasted:
+        raise ValueError(
+            f"rotation-exempt names occupying FRONT slots: {wasted}"
+        )
     rest = [n for n in QUERIES if n not in set(FRONT)]
     return {n: QUERIES[n] for n in [*FRONT, *rest]}
 

@@ -19,7 +19,7 @@ from ..operators.similarity import (
     hyperplane_signs,
     lsh_topk,
 )
-from ..sources.tables import load_table
+from ..sources.tables import dataset_cache_key, load_table
 from .registry import register
 
 _FLAT = f"""
@@ -1672,7 +1672,8 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
     — build amortized over all probes, the 100 TB shape (in production
     the path is a warehouse location and the build is a scheduled
     job)."""
-    path = _PQ_INDEX_CACHE.get(sf_dir)
+    key = dataset_cache_key(sf_dir)
+    path = _PQ_INDEX_CACHE.get(key)
     if path is None:
         import tempfile
 
@@ -1680,7 +1681,7 @@ def _ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
 
         path = tempfile.mkdtemp(prefix="pq_index_")
         build_pq_index(spark, load_table(spark, sf_dir, "embeddings"), path)
-        _PQ_INDEX_CACHE[sf_dir] = path
+        _PQ_INDEX_CACHE[key] = path
     return path
 
 
@@ -1988,7 +1989,8 @@ def _ensure_fitted_pq_index(spark: SparkSession, sf_dir: str) -> str:
     Lloyd-fit the coarse quantizer over the corpus, persist codes +
     codebook + fitted centroids, probe only the stored artifact — the
     production shape end to end (fit -> persist -> probe)."""
-    path = _PQ_FITTED_INDEX_CACHE.get(sf_dir)
+    key = dataset_cache_key(sf_dir)
+    path = _PQ_FITTED_INDEX_CACHE.get(key)
     if path is None:
         import tempfile
 
@@ -2004,7 +2006,7 @@ def _ensure_fitted_pq_index(spark: SparkSession, sf_dir: str) -> str:
             path,
             centroids=ivf_fit_centroids(corpus, n_iters=_IVF_FIT_ITERS),
         )
-        _PQ_FITTED_INDEX_CACHE[sf_dir] = path
+        _PQ_FITTED_INDEX_CACHE[key] = path
     return path
 
 
@@ -3575,7 +3577,8 @@ _PQ_CB_FITTED_INDEX_CACHE: dict[str, str] = {}
 def ann_pq_fitted_codebook_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    path = _PQ_CB_FITTED_INDEX_CACHE.get(sf_dir)
+    key = dataset_cache_key(sf_dir)
+    path = _PQ_CB_FITTED_INDEX_CACHE.get(key)
     if path is None:
         import tempfile
 
@@ -3587,7 +3590,7 @@ def ann_pq_fitted_codebook_topk(
         build_pq_index(
             spark, emb, path, codebook=pq_fit_codebook(corpus, n_iters=1)
         )
-        _PQ_CB_FITTED_INDEX_CACHE[sf_dir] = path
+        _PQ_CB_FITTED_INDEX_CACHE[key] = path
     return _probe_with_labels(spark, sf_dir, path, nprobe=None)
 
 
@@ -3745,7 +3748,8 @@ _PQ_FULL_FITTED_INDEX_CACHE: dict[str, str] = {}
 def ann_pq_fully_fitted_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    path = _PQ_FULL_FITTED_INDEX_CACHE.get(sf_dir)
+    key = dataset_cache_key(sf_dir)
+    path = _PQ_FULL_FITTED_INDEX_CACHE.get(key)
     if path is None:
         import tempfile
 
@@ -3762,7 +3766,7 @@ def ann_pq_fully_fitted_topk(
             centroids=ivf_fit_centroids(corpus, n_iters=_IVF_FIT_ITERS),
             codebook=pq_fit_codebook(corpus, n_iters=1),
         )
-        _PQ_FULL_FITTED_INDEX_CACHE[sf_dir] = path
+        _PQ_FULL_FITTED_INDEX_CACHE[key] = path
     return _probe_with_labels(spark, sf_dir, path, nprobe=2)
 
 

@@ -22,7 +22,7 @@ from ..operators.text_analysis import (
     regex_token_counts,
     winnow_fingerprints,
 )
-from ..sources.tables import load_table
+from ..sources.tables import dataset_cache_key, load_table
 from .registry import register
 
 
@@ -1018,7 +1018,8 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the persisted inverted index once per (process, sf_dir);
     probes read only the stored tables (same amortized-build shape as
     the round-6 ANN index)."""
-    path = _TEXT_INDEX_CACHE.get(sf_dir)
+    key = dataset_cache_key(sf_dir)
+    path = _TEXT_INDEX_CACHE.get(key)
     if path is None:
         import tempfile
 
@@ -1030,7 +1031,7 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
             load_table(spark, sf_dir, "documents").select("doc_id", "text"),
             path,
         )
-        _TEXT_INDEX_CACHE[sf_dir] = path
+        _TEXT_INDEX_CACHE[key] = path
     return path
 
 
@@ -2387,7 +2388,8 @@ _BPE_STORE_CACHE: dict[str, str] = {}
 
 
 def _ensure_bpe_store(spark: SparkSession, sf_dir: str) -> str:
-    path = _BPE_STORE_CACHE.get(sf_dir)
+    key = dataset_cache_key(sf_dir)
+    path = _BPE_STORE_CACHE.get(key)
     if path is None:
         import tempfile
 
@@ -2398,7 +2400,7 @@ def _ensure_bpe_store(spark: SparkSession, sf_dir: str) -> str:
         bpe_train(word_counts(docs), 8).write.mode(
             "overwrite"
         ).parquet(path)
-        _BPE_STORE_CACHE[sf_dir] = path
+        _BPE_STORE_CACHE[key] = path
     return path
 
 

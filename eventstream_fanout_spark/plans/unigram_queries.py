@@ -17,7 +17,7 @@ from ..operators.unigram import (
     sql_unigram_ctes,
     unigram_train_tables,
 )
-from ..sources.tables import load_table
+from ..sources.tables import dataset_cache_key, load_table
 from .registry import register
 
 # Fitted round-2 artifacts, built ONCE per (process, sf_dir) — the
@@ -28,7 +28,8 @@ _SEG_CACHE: dict[str, str] = {}
 
 
 def _ensure_segmentation(spark: SparkSession, sf_dir: str) -> str:
-    path = _SEG_CACHE.get(sf_dir)
+    key = dataset_cache_key(sf_dir)
+    path = _SEG_CACHE.get(key)
     if path is None:
         import tempfile
 
@@ -36,7 +37,7 @@ def _ensure_segmentation(spark: SparkSession, sf_dir: str) -> str:
         _seed, _u1, _p2, emit2 = unigram_train_tables(docs)
         path = tempfile.mkdtemp(prefix="unigram_store_")
         emit2.write.mode("overwrite").parquet(f"{path}/emit2")
-        _SEG_CACHE[sf_dir] = path
+        _SEG_CACHE[key] = path
     return path
 
 

@@ -57,6 +57,32 @@ def _normalize_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     return df
 
 
+def dataset_cache_key(sf_dir: str) -> str:
+    """Cache key for process-lifetime fitted artifacts derived from an
+    sf_dir (trained tokenizers, persisted indexes, rank stores): the
+    dir path PLUS a fingerprint of every file's (relative path,
+    mtime_ns, size) under it — r13 ADVICE 4: keying on the path alone
+    served a stale segmentation if the tables changed in-process.
+    os.stat only, no data read; superseded artifacts are simply
+    abandoned in their tempdirs for the process lifetime (bounded by
+    how often a dataset mutates mid-process — normally never)."""
+    import hashlib
+
+    entries = []
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            entries.append(
+                f"{os.path.relpath(p, sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+            )
+    digest = hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
+    return f"{sf_dir}:{digest[:16]}"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

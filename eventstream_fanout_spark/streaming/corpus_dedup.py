@@ -105,7 +105,19 @@ def dedup_batch_against_store(
     store), the rejection join keys on it so the store side scans its
     buckets with no Exchange — the distinct() and the join both reuse
     the table's hash bucketing (``band_key = band:bh`` is bijective, so
-    semantics are identical to the (band, bh) join)."""
+    semantics are identical to the (band, bh) join).
+
+    The within-batch self-join's posture is MEASURED per batch (r13
+    verdict item 8): the largest band bucket is read back (one 1-row
+    planning collect per trigger — request-bounded; it recomputes the
+    batch-sized band derivation once, deliberately NOT checkpointed —
+    a LogicalRDD reused across this tree's many self-joined branches
+    mis-resolved attributes and doubled n_common, see
+    test_redelivered_doc_id_raises), and the salt split applies only
+    when the batch actually carries a hot bucket; a clean micro-batch
+    pays no salt explode or per-bucket count window."""
+    from ..operators.diagnostics import adaptive_bucket_pairs
+
     bands = batch_bands(batch)
     if "band_key" in store.columns:
         vs_store = (
@@ -120,17 +132,18 @@ def dedup_batch_against_store(
         vs_store = bands.join(
             store.select("band", "bh").distinct(), ["band", "bh"], "left_semi"
         ).select("doc_id").distinct()
-    # Salted bucket-local self-join (same skew bound as the batch
-    # family): _salted_bucket_pairs emits ordered pairs a.id < b.id and
-    # is lossless by construction, so rejecting every b.doc_id is
-    # exactly "drop all but the lowest id of each near-dup band group"
-    # — identical result set to a plain (band, bh, id<id) join, but a
-    # degenerate band value inside one large micro-batch can no longer
+    # Measured bucket-local self-join (same skew bound as the batch
+    # family): both postures emit ordered pairs a.id < b.id and the
+    # salt split is lossless, so rejecting every b.doc_id is exactly
+    # "drop all but the lowest id of each near-dup band group" —
+    # identical result set either way; what the measurement changes is
+    # whether a degenerate band value inside one large micro-batch can
     # concentrate its pair work in a single task.
+    wb_pairs, _salted, _max_cnt = adaptive_bucket_pairs(
+        bands, ["band", "bh"], "doc_id"
+    )
     vs_batch = (
-        _salted_bucket_pairs(bands, ["band", "bh"], "doc_id")
-        .select(F.col("b.doc_id").alias("doc_id"))
-        .distinct()
+        wb_pairs.select(F.col("b.doc_id").alias("doc_id")).distinct()
     )
     rejected = vs_store.unionByName(vs_batch).distinct()
     return batch.join(rejected, "doc_id", "left_anti")
@@ -160,7 +173,13 @@ def _candidate_pairs(
     A ``band_key`` column on ``store`` (the bucketed-table store)
     switches the store join to that key, so the verified path rides the
     table's bucketing exactly like :func:`store_rejection_join` — no
-    Exchange above the store scan (ADVICE r5)."""
+    Exchange above the store scan (ADVICE r5).  The within-batch side
+    takes the measured posture (adaptive_bucket_pairs, r13 item 8);
+    the bands relation is deliberately NOT checkpointed here — see
+    :func:`dedup_batch_against_store` on the LogicalRDD-reuse
+    hazard."""
+    from ..operators.diagnostics import adaptive_bucket_pairs
+
     if "band_key" in store.columns:
         vs_store = (
             _with_band_key(bands)
@@ -187,7 +206,10 @@ def _candidate_pairs(
                 F.col("n.doc_id").alias("doc_b"),
             )
         )
-    vs_batch = _salted_bucket_pairs(bands, ["band", "bh"], "doc_id").select(
+    wb_pairs, _salted, _max_cnt = adaptive_bucket_pairs(
+        bands, ["band", "bh"], "doc_id"
+    )
+    vs_batch = wb_pairs.select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
     return vs_store.unionByName(vs_batch).distinct()

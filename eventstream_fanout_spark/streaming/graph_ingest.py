@@ -13,8 +13,10 @@ delta actually changed.
 Store layout (all batch-id-keyed dynamic partition overwrites — the
 repo's effectively-once replay contract):
 
-- ``postings/``  (batch_id, g, source, doc_id): the delta batch's
-  distinct shingle postings, append-only by batch;
+- postings TABLE (g, source, doc_id, batch_id) — catalog name from
+  :func:`postings_table_name` — the delta batch's distinct shingle
+  postings, append-only by batch, hash-bucketed on ``g`` (see Scale
+  shape below);
 - ``nodes/``     (batch_id, source): sources first seen per batch;
 - ``edges/``     (batch_id, src, dst): the NEW co-citation pairs the
   batch created — pairs of every shingle the batch TOUCHED whose

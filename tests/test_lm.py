@@ -359,3 +359,64 @@ class TestLmStoreLayout:
         assert "Exchange" not in merge_part.replace(
             "ENSURE_REQUIREMENTS", ""
         ).split("]", 1)[1], voc
+
+
+class TestKneserNey:
+    def test_kn_term_hand_solved(self, spark):
+        """Interpolated KN with D=3/4 on a corpus small enough to solve
+        by hand, via the registered query's arithmetic: train = 'a b a
+        b c' (doc 0, even = train slice).  Bigrams: (a b)x2, (b a)x1,
+        (b c)x1 -> c(a)=3 ctx total... solved below against the exact
+        4x-scaled integer formula the query ships."""
+        import tempfile
+
+        from eventstream_fanout_spark.plans.lm_queries import lm_kn_score
+
+        # build a tiny sf_dir with one even (train) + one odd doc
+        tmp = tempfile.mkdtemp(prefix="kn_sf_")
+        spark.createDataFrame(
+            [
+                (0, "a b a b c", "en", "s1", 9),
+                (1, "a b z", "en", "s1", 5),
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars int",
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+        rows = {r["lang"]: r for r in lm_kn_score(spark, tmp).collect()}
+        en = rows["en"]
+        assert en["n_docs"] == 2
+
+        # hand solution.  Train bigrams: ab:2, ba:1, bc:1.
+        # c_u: a->2? no: ctx totals from bigram counts: c(a)=2 (ab),
+        # wait: ctx 'a' appears in 'a b' twice -> c_u(a)=2; ctx 'b' in
+        # 'b a' + 'b c' -> c_u(b)=2.  V=3 (a,b,c), T=3 types.
+        # n1u: a->1 (only 'b' follows), b->2.  n1w: b->1 (follows a),
+        # a->1, c->1.  T+V=6.
+        def kn_seen(c_uw, c_u, n1u, n1w):
+            return (4.0 * c_u * 6.0) / (
+                max(4 * c_uw - 3, 0) * 6.0 + 3.0 * n1u * (n1w + 1)
+            )
+
+        def addone(c_uw, c_u, V=3):
+            return (c_u + V) / (c_uw + 1)
+
+        # doc 0 terms (bigrams ab, ba, ab, bc):
+        t_ab = kn_seen(2, 2, 1, 1 + 1 - 1)  # n1w(b)=1
+        t_ba = kn_seen(1, 2, 2, 1)  # n1w(a)=1
+        t_bc = kn_seen(1, 2, 2, 1)  # n1w(c)=1
+        s0_kn = (t_ab + t_ab + t_ba + t_bc) / 4
+        a0 = (addone(2, 2) + addone(2, 2) + addone(1, 2) + addone(1, 2)) / 4
+        # doc 1 terms (bigrams ab, bz): bz unseen token z ->
+        # ctx b seen: kn_seen(0, 2, 2, 0)
+        t_bz = kn_seen(0, 2, 2, 0)
+        s1_kn = (kn_seen(2, 2, 1, 1) + t_bz) / 2
+        a1 = (addone(2, 2) + addone(0, 2)) / 2
+        import math
+
+        assert math.isclose(
+            en["mean_kn"], (s0_kn + s1_kn) / 2, rel_tol=1e-5
+        ), (en["mean_kn"], (s0_kn + s1_kn) / 2)
+        assert math.isclose(
+            en["mean_addone"], (a0 + a1) / 2, rel_tol=1e-5
+        ), (en["mean_addone"], (a0 + a1) / 2)

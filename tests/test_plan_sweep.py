@@ -63,6 +63,7 @@ BNLJ_ALLOWED = {
     "lm_erasure_sim",  # same 1-row verdict side (post-erasure)
     "stream_lm_ingest",  # 1-row vocab-total side on the served probe
     "temperature_mix_sample",  # 1-row sqrt-sum normalizer side
+    "curation_v3_pipeline",  # same 1-row sqrt-sum normalizer side
     "q11_important_balance",
     "q22_global_sales_opportunity",
     "tfidf_top_terms",

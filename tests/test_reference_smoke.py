@@ -171,3 +171,24 @@ def test_registry_front_window_valid():
     ordered = list(ordered_queries())
     assert ordered[: len(FRONT)] == FRONT
     assert len(ordered) == len(QUERIES)
+
+
+def test_dataset_cache_key_tracks_file_changes(tmp_path):
+    """r13 ADVICE 4: the fitted-artifact caches key on a dataset
+    fingerprint, not the bare path — touching any file under the
+    sf_dir must change the key; an untouched dir must not."""
+    import os
+    import time
+
+    from eventstream_fanout_spark.sources.tables import dataset_cache_key
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    f = d / "documents.parquet"
+    f.write_bytes(b"v1")
+    k1 = dataset_cache_key(str(d))
+    assert k1 == dataset_cache_key(str(d))
+    ts = time.time() + 2
+    f.write_bytes(b"v2+")
+    os.utime(f, (ts, ts))
+    assert dataset_cache_key(str(d)) != k1
