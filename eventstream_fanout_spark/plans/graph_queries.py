@@ -623,3 +623,63 @@ def stream_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         await_or_raise(q, 600)
     return read_rank_generations(spark, f"{tmp}/store")
+
+
+@register(
+    "graph_postings_compact_sim",
+    f"""
+    WITH {_incremental_ctes()},
+    compact_ranks AS (
+      SELECT CAST(0 AS INT) AS gen, source, rank_micro,
+             out_deg, in_deg FROM g0out
+      UNION ALL
+      SELECT CAST(1 AS INT) AS gen, source, rank_micro,
+             out_deg, in_deg FROM g1out
+      UNION ALL
+      SELECT CAST(2 AS INT) AS gen, source, rank_micro,
+             out_deg, in_deg FROM g2out
+    )
+    SELECT r.*, CAST(2 AS BIGINT) AS n_live_parts
+    FROM compact_ranks r
+    """,
+    description="manifest-committed postings compaction proven "
+    "TRANSPARENT to the refresh (r14): the pagerank_incremental_sim "
+    "ingest sequence with compact_postings(upto=2) folding batches "
+    "0-1 into a frozen generation BEFORE batch 2's refresh — the "
+    "delta edge derivation reads the frozen base exactly as it read "
+    "the per-batch partitions, so all three rank generations "
+    "hash-match the uncompacted replay; n_live_parts (computed from "
+    "the table's actual partitions) pins that the fold really "
+    "happened (frozen gen + batch 2 = 2).  The oracle is the plain "
+    "incremental replay — compaction must be invisible to it",
+    tags=("graph", "incremental", "compaction", "store", "extension"),
+)
+def graph_postings_compact_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.graph_ingest import (
+        compact_postings,
+        ingest_graph_batch,
+        postings_table_name,
+        read_rank_generations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="graph_compact_")
+    ingest_graph_batch(spark, tmp, docs.where(F.col("doc_id") % 4 != 3), 0)
+    ingest_graph_batch(spark, tmp, docs.where(F.col("doc_id") % 8 == 3), 1)
+    compact_postings(spark, tmp, upto_batch_id=2)
+    ingest_graph_batch(spark, tmp, docs.where(F.col("doc_id") % 8 == 7), 2)
+    parts = (
+        spark.table(postings_table_name(tmp))
+        .select("batch_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_live_parts"))
+    )
+    return read_rank_generations(spark, tmp).crossJoin(F.broadcast(parts))

@@ -1117,3 +1117,199 @@ def lm_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "lm_compaction_sim",
+    f"""
+    WITH {sql_lm_ctes("doc_id % 8 <> 2")},
+    lmc_top AS (
+      SELECT lang, split_part(bg, ' ', 1) AS ctx,
+             split_part(bg, ' ', 2) AS tok, c_uw
+      FROM lm_big
+      ORDER BY c_uw DESC, lang ASC, bg ASC
+      LIMIT 20
+    ),
+    lmc_vtot AS (
+      SELECT CAST(SUM(vocab_v) AS BIGINT) AS vocab_total FROM lm_vocab
+    )
+    SELECT t.lang, t.ctx, t.tok, t.c_uw, v.vocab_total,
+           CAST(2 AS BIGINT) AS n_live_parts
+    FROM lmc_top t CROSS JOIN lmc_vtot v
+    ORDER BY t.c_uw DESC, t.lang ASC, t.ctx ASC, t.tok ASC
+    """,
+    description="manifest-committed LM store compaction proven EXACT "
+    "(r14): whole-corpus ingest as two deltas, an erasure delta, then "
+    "compact_lm_store folds all three into one frozen generation per "
+    "table BEFORE a fourth delta lands — serving as-of the last batch "
+    "must equal a full refit over the surviving documents (counts "
+    "re-aggregate associatively, fully-cancelled keys drop in the "
+    "fold), and n_live_parts (read from the actual bigrams table) "
+    "pins that the fold really happened (frozen gen + the post-"
+    "compaction delta = 2 partitions).  The oracle refits on the "
+    "survivors directly — compaction must be invisible to it",
+    tags=("lm", "compaction", "store", "erasure", "extension"),
+)
+def lm_compaction_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.lm_store import (
+        compact_lm_store,
+        erase_lm_docs,
+        ingest_lm_batch,
+        lm_table_name,
+        serve_bigram_counts,
+        serve_vocab_sizes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="lm_compact_")
+    ingest_lm_batch(spark, root, docs.where(F.col("doc_id") % 2 == 0), 0)
+    ingest_lm_batch(
+        spark,
+        root,
+        docs.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 8 != 7)),
+        1,
+    )
+    erase_lm_docs(spark, root, docs.where(F.col("doc_id") % 8 == 2), 2)
+    compact_lm_store(spark, root, upto_batch_id=3)
+    ingest_lm_batch(spark, root, docs.where(F.col("doc_id") % 8 == 7), 3)
+
+    served = serve_bigram_counts(spark, root, 3)
+    vtot = serve_vocab_sizes(spark, root, 3).agg(
+        F.sum("vocab_v").cast("bigint").alias("vocab_total")
+    )
+    parts = (
+        spark.table(lm_table_name(root, "bigrams"))
+        .select("batch_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_live_parts"))
+    )
+    return (
+        served.withColumn(
+            "ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .withColumn("tok", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .orderBy(F.desc("c_uw"), F.asc("lang"), F.asc("bg"))
+        .limit(20)
+        .crossJoin(F.broadcast(vtot))
+        .crossJoin(F.broadcast(parts))
+        .select(
+            "lang", "ctx", "tok", "c_uw", "vocab_total", "n_live_parts"
+        )
+        .orderBy(
+            F.desc("c_uw"), F.asc("lang"), F.asc("ctx"), F.asc("tok")
+        )
+    )
+
+
+@register(
+    "stream_lm_autocompact",
+    f"""
+    WITH {sql_lm_ctes("doc_id % 2 = 0")},
+    lma_top AS (
+      SELECT lang, split_part(bg, ' ', 1) AS ctx,
+             split_part(bg, ' ', 2) AS tok, c_uw
+      FROM lm_big
+      ORDER BY c_uw DESC, lang ASC, bg ASC
+      LIMIT 20
+    ),
+    lma_vtot AS (
+      SELECT CAST(SUM(vocab_v) AS BIGINT) AS vocab_total FROM lm_vocab
+    )
+    SELECT t.lang, t.ctx, t.tok, t.c_uw, v.vocab_total,
+           CAST(1 AS BIGINT) AS n_live_parts,
+           CAST(4 AS BIGINT) AS watermark
+    FROM lma_top t CROSS JOIN lma_vtot v
+    ORDER BY t.c_uw DESC, t.lang ASC, t.ctx ASC, t.tok ASC
+    """,
+    description="AUTO-compaction inside the live stream (r14): four "
+    "delta groups arrive one file per trigger into the LM ingest sink "
+    "armed with max_live_parts=2, so the stream itself folds the "
+    "store TWICE mid-flight (after group 1: deltas 0-1 freeze; after "
+    "group 3: the frozen gen + deltas 2-3 re-freeze) — an unbounded "
+    "stream keeps a bounded partition count with no maintenance "
+    "outage.  Then the WHOLE stream reprocesses from a fresh "
+    "checkpoint against the SAME store: every group is now below the "
+    "watermark and the sink SKIPS it (the delta is durable inside the "
+    "frozen generation), leaving the store byte-identical.  Serving "
+    "must equal the full-refit oracle exactly; n_live_parts=1 (only "
+    "the final frozen generation remains physically) and watermark=4 "
+    "pin that both folds and the crash-window sweep really happened",
+    tags=("lm", "streaming", "compaction", "store", "extension"),
+)
+def stream_lm_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import tempfile
+
+    from ..streaming import await_or_raise
+    from ..streaming.lm_store import (
+        _lm_watermark,
+        lm_ingest_sink,
+        lm_table_name,
+        serve_bigram_counts,
+        serve_vocab_sizes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    grp = ((F.col("doc_id") % 8) / 2).cast("int")
+    tmp = tempfile.mkdtemp(prefix="stream_lm_ac_")
+    src = f"{tmp}/src"
+    (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .withColumn("grp", grp)
+        .coalesce(1)
+        .write.partitionBy("grp")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    base = os.path.getmtime(src) - 3600
+    for g in (0, 1, 2, 3):
+        for f in glob.glob(f"{src}/grp={g}/*.parquet"):
+            os.utime(f, (base + g, base + g))
+    sink = lm_ingest_sink(f"{tmp}/store", max_live_parts=2)
+    for run in (1, 2):  # run 2 = full reprocess: every group skips
+        q = (
+            spark.readStream.schema(
+                "doc_id long, lang string, text string, grp int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt{run}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 600)
+
+    served = serve_bigram_counts(spark, f"{tmp}/store", 3)
+    vtot = serve_vocab_sizes(spark, f"{tmp}/store", 3).agg(
+        F.sum("vocab_v").cast("bigint").alias("vocab_total")
+    )
+    wm = _lm_watermark(spark, f"{tmp}/store", "bigrams")
+    parts = (
+        spark.table(lm_table_name(f"{tmp}/store", "bigrams"))
+        .select("batch_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_live_parts"))
+    )
+    return (
+        served.withColumn(
+            "ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .withColumn("tok", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .orderBy(F.desc("c_uw"), F.asc("lang"), F.asc("bg"))
+        .limit(20)
+        .crossJoin(F.broadcast(vtot))
+        .crossJoin(F.broadcast(parts))
+        .select(
+            "lang", "ctx", "tok", "c_uw", "vocab_total", "n_live_parts",
+            F.lit(int(wm)).cast("bigint").alias("watermark"),
+        )
+        .orderBy(
+            F.desc("c_uw"), F.asc("lang"), F.asc("ctx"), F.asc("tok")
+        )
+    )

@@ -65,6 +65,9 @@ FRONT: list[str] = [
     #   * slots 39-50: the twelve oldest r5-stale names (the six the
     #     r13 additions displaced, then alphabetical).
     "curation_v3_pipeline",
+    "graph_postings_compact_sim",
+    "lm_compaction_sim",
+    "stream_lm_autocompact",
     "lm_kn_score",
     "skew_adaptive_simhash_hot",
     "pagerank_incremental_sim",
@@ -111,9 +114,6 @@ FRONT: list[str] = [
     "above_nation_avg_balance",
     "ann_cosine_topk",
     "bigram_lift_top",
-    "ann_multiprobe_topk",
-    "anti_join_customers_no_urgent_orders",
-    "approx_distinct_users",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with

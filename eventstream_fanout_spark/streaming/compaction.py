@@ -166,3 +166,140 @@ def erase_rows(
             )
             fs.delete(jvm.Path(f"{path}/{sub}"), True)
     return len(touched)
+
+
+# --- manifest-committed table compaction (r14: graph postings + LM
+# count stores) -------------------------------------------------------
+#
+# corpus_dedup.compact_store_table's crash window (insert done, drops
+# not) leaves DUPLICATE rows, which is safe there only because dup
+# bands can merely over-reject.  Count stores (LM) would double their
+# sums, and the graph postings contract wants exactness too — so these
+# stores commit each compaction through a MANIFEST row instead:
+#
+#   1. fold the visible rows below the watermark into a new frozen
+#      partition  batch_id = min(existing) - 1   (invisible until 3);
+#   2. nothing yet — a crash here leaves an orphan frozen partition
+#      that the visibility mask never reads (next_gen always decrements
+#      past it);
+#   3. append the manifest row (gen, upto) — THE commit point: readers
+#      switch to frozen(gen) ∪ batches >= upto atomically;
+#   4. drop the superseded source partitions — a crash between 3 and 4
+#      leaves masked garbage, not double counting.
+#
+# Visibility (one tiny manifest read per serve, maintenance-cadence
+# rows): batch_id == latest committed frozen gen OR batch_id >=
+# watermark.  As-of reads below watermark - 1 are REFUSED by the
+# caller (compaction deliberately destroys that time travel; the
+# guard makes it loud instead of wrong).
+
+
+def read_compact_manifest(
+    spark: SparkSession, manifest_path: str
+) -> tuple[int, int | None]:
+    """(watermark, latest_frozen_gen): watermark = highest committed
+    ``upto`` (0 if never compacted), latest_frozen_gen = the gen
+    carrying it (None if never compacted)."""
+    man = read_store_or_none(spark, manifest_path)
+    if man is None:
+        return 0, None
+    rows = man.select("gen", "upto").collect()
+    if not rows:
+        return 0, None
+    best = max(rows, key=lambda r: (int(r["upto"]), -int(r["gen"])))
+    return int(best["upto"]), int(best["gen"])
+
+
+def visible_partitions(
+    df: DataFrame, watermark: int, frozen_gen: int | None
+) -> DataFrame:
+    """The manifest-committed view of a compacted table: the latest
+    frozen generation plus every live batch at or above the
+    watermark.  Orphan frozen partitions (crash between fold and
+    manifest) and superseded sources (crash between manifest and
+    drops) are both masked."""
+    cond = F.col("batch_id") >= int(watermark)
+    if frozen_gen is not None:
+        cond = cond | (F.col("batch_id") == int(frozen_gen))
+    return df.where(cond)
+
+
+def compact_table_manifest(
+    spark: SparkSession,
+    table: str,
+    manifest_path: str,
+    upto_batch_id: int,
+    fold,
+) -> int:
+    """Manifest-committed compaction of a bucketed, batch_id-partitioned
+    TABLE (see block comment above).  ``fold`` maps the visible
+    below-watermark relation (data columns only, no batch_id) to the
+    frozen generation's rows — identity for postings (consumers
+    distinct anyway), a count re-aggregation for the LM store.
+    Returns the number of live source partitions folded.  Run with the
+    owning stream stopped; shares streaming_dedup_sink_bucketed's
+    session-scoped partitionOverwriteMode caveat."""
+    if spark.conf.get(
+        "spark.sql.files.ignoreMissingFiles", "false"
+    ) == "true":
+        raise RuntimeError(
+            "compact_table_manifest refuses to run with "
+            "spark.sql.files.ignoreMissingFiles=true (see "
+            "compact_generations)"
+        )
+    wm, frozen = read_compact_manifest(spark, manifest_path)
+    if int(upto_batch_id) <= wm:
+        return 0  # nothing new below the requested watermark
+    df = spark.table(table)
+    live = [
+        int(r["batch_id"])
+        for r in df.select("batch_id").distinct().collect()
+    ]
+    fold_ids = [
+        b for b in live if wm <= b < int(upto_batch_id)
+    ]
+    if frozen is not None:
+        fold_ids.append(frozen)
+    if not fold_ids or not any(b >= 0 for b in fold_ids):
+        return 0
+    next_gen = min(live, default=0) - 1 if min(live, default=0) < 0 else -1
+    data_cols = [c for c in df.columns if c != "batch_id"]
+    folded = fold(
+        df.where(F.col("batch_id").isin(fold_ids)).select(*data_cols)
+    ).withColumn("batch_id", F.lit(int(next_gen)).cast("bigint"))
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        folded.select(*data_cols, "batch_id").write.mode(
+            "overwrite"
+        ).insertInto(table)
+    finally:
+        spark.conf.set(conf_key, prev)
+    # THE commit point: the manifest row makes frozen(next_gen) the
+    # serving base and masks everything below upto_batch_id
+    (
+        spark.range(1)
+        .select(F.lit(int(upto_batch_id)).cast("bigint").alias("upto"))
+        .write.mode("overwrite")
+        .parquet(f"{manifest_path}/gen={int(next_gen)}")
+    )
+    # Superseded sources go away only now (masked either way).  The
+    # sweep covers every live id below the new watermark — not just
+    # fold_ids — because a prior crash between manifest-commit and
+    # drops can leave masked partitions under the OLD watermark; by
+    # induction their rows were folded into the previous frozen
+    # generation (which this fold consumed), so dropping them loses
+    # nothing, and folding them again would double-count, which is
+    # why fold_ids above starts at wm.
+    dropped = 0
+    sweep = {b for b in live if 0 <= b < int(upto_batch_id)}
+    if frozen is not None:
+        sweep.add(frozen)
+    for bid in sorted(sweep):
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS "
+            f"PARTITION (batch_id={int(bid)})"
+        )
+        dropped += 1 if bid >= 0 and bid in fold_ids else 0
+    return dropped

@@ -16,7 +16,9 @@ repo's effectively-once replay contract):
 - postings TABLE (g, source, doc_id, batch_id) — catalog name from
   :func:`postings_table_name` — the delta batch's distinct shingle
   postings, append-only by batch, hash-bucketed on ``g`` (see Scale
-  shape below);
+  shape below); partition count bounded by
+  :func:`compact_postings` (manifest-committed fold; replays and
+  rebuild epochs below the watermark are refused);
 - ``nodes/``     (batch_id, source): sources first seen per batch;
 - ``edges/``     (batch_id, src, dst): the NEW co-citation pairs the
   batch created — pairs of every shingle the batch TOUCHED whose
@@ -135,8 +137,52 @@ def _write_postings(
 
 
 def read_postings(spark: SparkSession, store: str) -> DataFrame:
-    """The bucketed postings table: (g, source, doc_id, batch_id)."""
-    return spark.table(postings_table_name(store))
+    """The manifest-committed view of the bucketed postings table:
+    (g, source, doc_id, batch_id) — the latest frozen generation plus
+    live batches at or above the compaction watermark (orphan frozen
+    partitions and superseded sources both masked; see
+    compaction.compact_table_manifest)."""
+    from .compaction import read_compact_manifest, visible_partitions
+
+    wm, frozen = read_compact_manifest(
+        spark, f"{store}/postings_compact_manifest"
+    )
+    return visible_partitions(
+        spark.table(postings_table_name(store)), wm, frozen
+    )
+
+
+def _postings_watermark(spark: SparkSession, store: str) -> int:
+    from .compaction import read_compact_manifest
+
+    return read_compact_manifest(
+        spark, f"{store}/postings_compact_manifest"
+    )[0]
+
+
+def compact_postings(
+    spark: SparkSession, store: str, upto_batch_id: int
+) -> int:
+    """Fold the postings table's per-batch partitions below
+    ``upto_batch_id`` (plus the previous frozen generation) into one
+    new frozen generation, committed through the manifest so the
+    crash window is EXACT (no double counting, unlike the dedup
+    store's over-reject contract).  Postings are consumed through
+    distinct()s, so the fold also collapses cross-batch duplicate
+    (g, source, doc_id) rows.  As-of reads and batch replays below
+    the watermark are REFUSED afterwards (ingest_graph_batch /
+    rebuild_graph_store guards) — compaction deliberately trades that
+    time travel for a bounded partition count.  Run with the ingest
+    stream stopped."""
+    from .compaction import compact_table_manifest
+
+    return compact_table_manifest(
+        spark,
+        postings_table_name(store),
+        f"{store}/postings_compact_manifest",
+        upto_batch_id,
+        lambda df: df.dropDuplicates(["g", "source", "doc_id"]),
+    )
 
 
 def _write_partition(df: DataFrame, path: str, batch_id: int,
@@ -165,7 +211,18 @@ def ingest_graph_batch(
     Idempotent per batch_id: all reads are ``batch_id <= b`` and all
     writes are partition overwrites keyed by this batch, so a replay
     (even after later batches committed) rewrites identical bytes.
+    Batches below the compaction watermark are REFUSED — their
+    partitions were folded away, so a replay could neither rewrite
+    identical bytes nor even see its own postings.
     """
+    wm = _postings_watermark(spark, store)
+    if int(batch_id) < wm:
+        raise ValueError(
+            f"batch_id={batch_id} is below the postings compaction "
+            f"watermark {wm}: its source partitions were folded away, "
+            "so this replay cannot be byte-identical; reprocess from "
+            "a fresh store or raise the retention"
+        )
     # sh_b is read twice (postings write + touched-set derivation) but
     # deliberately NOT heap-cached: at x100 replication the eager
     # localCheckpoint OOMed an 8g driver; the relation is
@@ -339,7 +396,18 @@ def rebuild_graph_store(
     partition overwrite — the rebuild itself is replay-idempotent,
     and it becomes visible to ``edges_asof`` atomically when the
     epoch partition commits.  Subsequent delta ingests compose on top
-    (rebuilt epoch ∪ later per-batch partitions)."""
+    (rebuilt epoch ∪ later per-batch partitions).
+
+    Epochs below ``watermark - 1`` are REFUSED: the frozen postings
+    generation covers [0, watermark) as one unit, so an as-of read
+    under it cannot exclude the folded batches above the epoch."""
+    wm = _postings_watermark(spark, store)
+    if int(epoch) < wm - 1:
+        raise ValueError(
+            f"rebuild epoch {epoch} is below the postings compaction "
+            f"watermark {wm} - 1: the folded generation cannot be "
+            "split at that point"
+        )
     postings = (
         read_postings(spark, store)
         .where(F.col("batch_id") <= epoch)
@@ -440,7 +508,21 @@ def assert_groups_whole(batch_df: DataFrame) -> None:
         )
 
 
-def graph_ingest_sink(store: str):
+def live_posting_ids(spark: SparkSession, store: str) -> list[int]:
+    """Non-frozen postings partitions currently serving: batch ids at
+    or above the compaction watermark.  Partition-metadata-sized."""
+    wm = _postings_watermark(spark, store)
+    tbl = postings_table_name(store)
+    if not spark.catalog.tableExists(tbl):
+        return []
+    return sorted(
+        int(r["batch_id"])
+        for r in spark.table(tbl).select("batch_id").distinct().collect()
+        if int(r["batch_id"]) >= wm
+    )
+
+
+def graph_ingest_sink(store: str, max_live_parts: int | None = None):
     """foreachBatch sink driving the incremental graph refresh from a
     real stream.
 
@@ -454,7 +536,17 @@ def graph_ingest_sink(store: str):
     checkpoint replays the identical ingest sequence.  The per-trigger
     group list is a <=|groups|-row collect (request-bounded).
     Precondition (guarded by :func:`assert_groups_whole`): one parquet
-    file per group, so a group can never span triggers."""
+    file per group, so a group can never span triggers.
+
+    ``max_live_parts`` arms AUTO-COMPACTION (r14, lm_ingest_sink's
+    policy): once the live postings partition count reaches the bound,
+    the trigger folds them into one frozen generation via
+    :func:`compact_postings`.  A replayed/reprocessed group below the
+    resulting watermark is SKIPPED, not refused — its postings are
+    durable inside the frozen generation and its nodes/edges/rank
+    partitions (which compaction never touches) are already committed,
+    so the idempotent outcome holds; the batch-API guard still refuses
+    bare callers."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -465,7 +557,10 @@ def graph_ingest_sink(store: str):
             int(r["grp"])
             for r in batch_df.select("grp").distinct().collect()
         )
+        wm = _postings_watermark(spark, store)
         for g in grps:
+            if g < wm:
+                continue  # folded away — outputs already durable
             ingest_graph_batch(
                 spark,
                 store,
@@ -474,5 +569,11 @@ def graph_ingest_sink(store: str):
                 ),
                 g,
             )
+        if max_live_parts is not None:
+            live = live_posting_ids(spark, store)
+            if len(live) >= max_live_parts:
+                compact_postings(
+                    spark, store, upto_batch_id=max(live) + 1
+                )
 
     return sink

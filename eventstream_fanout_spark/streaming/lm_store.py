@@ -46,7 +46,12 @@ the delta-shaped posture of every erasure path in this repo.
 Scale shape: a delta batch's counts aggregate map-side before the
 write; serving's merge is one vocabulary-sized ``groupBy(lang, bg)``
 over the bucketed store scan — bucket-local, shuffle-free, never a
-corpus pass.
+corpus pass.  Long-running ingest bounds its partition count with
+:func:`compact_lm_store` (manifest-committed fold, r14): counts are
+associative, so the frozen generation's re-aggregated sums equal the
+sources' exactly, and the manifest commit point means a crash can
+never double a served count.  Time travel below the compaction
+watermark is refused loudly, not served wrong.
 """
 
 from __future__ import annotations
@@ -122,11 +127,66 @@ def _token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def _lm_watermark(spark: SparkSession, root: str, kind: str) -> int:
+    from .compaction import read_compact_manifest
+
+    return read_compact_manifest(
+        spark, f"{root}/compact_manifest_{kind}"
+    )[0]
+
+
+def _guard_below_watermark(
+    spark: SparkSession, root: str, batch_id: int
+) -> None:
+    for kind in _KEYED:
+        wm = _lm_watermark(spark, root, kind)
+        if int(batch_id) < wm:
+            raise ValueError(
+                f"batch_id={batch_id} is below the {kind} compaction "
+                f"watermark {wm}: its delta partition was folded away, "
+                "so a replay cannot be byte-identical"
+            )
+
+
+def compact_lm_store(
+    spark: SparkSession, root: str, upto_batch_id: int
+) -> int:
+    """Fold both count tables' per-batch delta partitions below
+    ``upto_batch_id`` into one frozen generation each, committed
+    through per-kind manifests (compaction.compact_table_manifest) —
+    the crash window is EXACT, which matters here because duplicate
+    rows would DOUBLE the served sums.  Counts are associative, so
+    the fold re-aggregates (sum per key, fully-cancelled keys drop)
+    and the frozen generation's merged state equals the sources' by
+    construction.  Batch replays and as-of serves below the watermark
+    are refused afterwards.  Run with the ingest stream stopped.
+    Returns total live partitions folded across both tables."""
+    from .compaction import compact_table_manifest
+
+    total = 0
+    for kind, (_bucket, cols) in _KEYED.items():
+        keys = [c for c in cols if c != "c"]
+        total += compact_table_manifest(
+            spark,
+            lm_table_name(root, kind),
+            f"{root}/compact_manifest_{kind}",
+            upto_batch_id,
+            lambda df, keys=keys: (
+                df.groupBy(*keys)
+                .agg(F.sum("c").cast("bigint").alias("c"))
+                .where(F.col("c") != 0)
+            ),
+        )
+    return total
+
+
 def ingest_lm_batch(
     spark: SparkSession, root: str, docs: DataFrame, batch_id: int
 ) -> None:
     """Write one document batch's LM delta: per-language bigram
-    counts and token occurrence counts."""
+    counts and token occurrence counts.  Batches below the compaction
+    watermark are refused (their partitions were folded away)."""
+    _guard_below_watermark(spark, root, batch_id)
     _write_delta(
         spark, root, "bigrams",
         bigram_counts(docs).withColumnRenamed("c_uw", "c"),
@@ -142,6 +202,7 @@ def erase_lm_docs(
     documents' bigram and token counts times -1.  Replay-idempotent
     for the same reason ingest is (the delta depends only on the
     doomed docs); serving's positivity filter does the rest."""
+    _guard_below_watermark(spark, root, batch_id)
     _write_delta(
         spark, root, "bigrams",
         bigram_counts(doomed)
@@ -157,16 +218,38 @@ def erase_lm_docs(
     )
 
 
+def _visible(
+    spark: SparkSession, root: str, kind: str, gen: int
+) -> DataFrame:
+    """Manifest-committed as-of view of one count table: the latest
+    frozen generation plus live deltas in [watermark, gen].  Refuses
+    gens below watermark - 1 — the frozen generation covers
+    [0, watermark) as one unit and cannot be split at serve time."""
+    from .compaction import read_compact_manifest, visible_partitions
+
+    wm, frozen = read_compact_manifest(
+        spark, f"{root}/compact_manifest_{kind}"
+    )
+    if int(gen) < wm - 1:
+        raise ValueError(
+            f"as-of gen {gen} is below the {kind} compaction "
+            f"watermark {wm} - 1: that history was folded away"
+        )
+    return visible_partitions(
+        spark.table(lm_table_name(root, kind)), wm, frozen
+    ).where(F.col("batch_id") <= int(gen))
+
+
 def serve_bigram_counts(
     spark: SparkSession, root: str, gen: int
 ) -> DataFrame:
     """Merged (lang, bg, c_uw) as-of generation ``gen`` — the exact
     counts a full refit over the surviving batches would produce
     (bigrams fully cancelled by erasure deltas drop).  The merge
-    rides the table's ``bg`` bucketing: no Exchange."""
+    rides the table's ``bg`` bucketing: no Exchange.  As-of reads
+    below ``watermark - 1`` are refused (that history was folded)."""
     return (
-        spark.table(lm_table_name(root, "bigrams"))
-        .where(F.col("batch_id") <= gen)
+        _visible(spark, root, "bigrams", gen)
         .groupBy("lang", "bg")
         .agg(F.sum("c").cast("bigint").alias("c_uw"))
         .where(F.col("c_uw") > 0)
@@ -181,8 +264,7 @@ def serve_vocab_sizes(
     surviving documents.  The first merge rides the table's ``tok``
     bucketing: no Exchange below the per-language rollup."""
     return (
-        spark.table(lm_table_name(root, "vocab"))
-        .where(F.col("batch_id") <= gen)
+        _visible(spark, root, "vocab", gen)
         .groupBy("lang", "tok")
         .agg(F.sum("c").cast("bigint").alias("ct"))
         .where(F.col("ct") > 0)
@@ -191,7 +273,23 @@ def serve_vocab_sizes(
     )
 
 
-def lm_ingest_sink(store: str):
+def live_delta_ids(spark: SparkSession, root: str) -> list[int]:
+    """The non-frozen delta partitions currently serving: batch ids at
+    or above the compaction watermark in the bigrams table (both
+    tables ingest the same groups in lockstep, so one table's census
+    stands for both).  Partition-metadata-sized collect."""
+    wm = _lm_watermark(spark, root, "bigrams")
+    tbl = lm_table_name(root, "bigrams")
+    if not spark.catalog.tableExists(tbl):
+        return []
+    return sorted(
+        int(r["batch_id"])
+        for r in spark.table(tbl).select("batch_id").distinct().collect()
+        if int(r["batch_id"]) >= wm
+    )
+
+
+def lm_ingest_sink(store: str, max_live_parts: int | None = None):
     """foreachBatch sink driving LM store ingest from a real stream.
 
     The store batch id is keyed off the DATA's ``grp`` column, not the
@@ -210,7 +308,23 @@ def lm_ingest_sink(store: str):
     trigger's counts — ``assert_groups_whole`` fails the batch loudly
     the moment a multi-file group is observed, which is the only way
     the file source could ever split a group (it never splits one
-    file across triggers)."""
+    file across triggers).
+
+    ``max_live_parts`` arms AUTO-COMPACTION (r14): after the trigger's
+    ingests, if the live (non-frozen) delta partition count reaches
+    the bound, the sink folds every live delta into one frozen
+    generation via :func:`compact_lm_store` — so an unbounded stream
+    keeps a bounded partition count without a maintenance outage.
+    Two consequences for the replay contract, both exactness-
+    preserving: (a) a replayed or reprocessed group BELOW the
+    compaction watermark is SKIPPED, not refused — its delta is
+    already durable inside the frozen generation, so the idempotent
+    outcome holds even though the bytes can no longer be rewritten
+    (the batch-API guard still refuses, because a bare
+    ingest_lm_batch caller has no way to know the fold happened);
+    (b) a crash between the fold's manifest commit and the source
+    drops leaves masked partitions that the next compaction sweeps
+    (compact_table_manifest's below-watermark drop loop)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -223,13 +337,22 @@ def lm_ingest_sink(store: str):
             int(r["grp"])
             for r in batch_df.select("grp").distinct().collect()
         )
+        wm = _lm_watermark(spark, store, "bigrams")
         for g in grps:
+            if g < wm:
+                continue  # folded away — delta already durable
             ingest_lm_batch(
                 spark,
                 store,
                 batch_df.where(F.col("grp") == g).drop("grp"),
                 g,
             )
+        if max_live_parts is not None:
+            live = live_delta_ids(spark, store)
+            if len(live) >= max_live_parts:
+                compact_lm_store(
+                    spark, store, upto_batch_id=max(live) + 1
+                )
 
     return sink
 

@@ -263,3 +263,127 @@ def test_assert_groups_whole_rejects_multi_file_groups(spark, tmp_path):
     rows.where("doc_id = 2").coalesce(1).write.mode("append").parquet(bad)
     with pytest.raises(ValueError, match="spans 2 input files"):
         assert_groups_whole(spark.read.parquet(bad))
+
+
+def test_compact_postings_preserves_refresh_and_guards(spark, tmp_path):
+    """Manifest-committed postings compaction (r14): refreshes above
+    the watermark derive the identical edges/ranks from the frozen
+    generation, replays and rebuild epochs below it are refused, and
+    only the frozen partition remains live."""
+    from eventstream_fanout_spark.streaming.graph_ingest import (
+        compact_postings,
+        ingest_graph_batch,
+        read_postings,
+        read_rank_generations,
+        rebuild_graph_store,
+    )
+
+    path = str(tmp_path / "gstore")
+    ingest_graph_batch(
+        spark, path, _docs(spark, [(1, "srcA", TXT), (2, "srcB", TXT)]),
+        0, n_iter=2,
+    )
+    ingest_graph_batch(
+        spark, path, _docs(spark, [(3, "srcC", TXT)]), 1, n_iter=2
+    )
+    post_before = sorted(
+        tuple(r)
+        for r in read_postings(spark, path)
+        .select("g", "source", "doc_id")
+        .collect()
+    )
+
+    assert compact_postings(spark, path, upto_batch_id=2) == 2
+    post_after = sorted(
+        tuple(r)
+        for r in read_postings(spark, path)
+        .select("g", "source", "doc_id")
+        .collect()
+    )
+    assert post_before == post_after  # no cross-batch dups here
+    assert {
+        int(r["batch_id"])
+        for r in read_postings(spark, path)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    } == {-1}
+
+    # refresh above the watermark: batch 2 composes on the frozen base
+    ingest_graph_batch(
+        spark, path, _docs(spark, [(4, "srcD", TXT)]), 2, n_iter=2
+    )
+    gens = {
+        int(r["gen"])
+        for r in read_rank_generations(spark, path)
+        .select("gen")
+        .distinct()
+        .collect()
+    }
+    assert gens == {0, 1, 2}
+
+    # below-watermark replay / rebuild epoch: refused
+    with pytest.raises(ValueError, match="watermark"):
+        ingest_graph_batch(
+            spark, path, _docs(spark, [(1, "srcA", TXT)]), 1
+        )
+    with pytest.raises(ValueError, match="watermark"):
+        rebuild_graph_store(spark, path, epoch=0)
+    # epoch == watermark - 1 is the oldest rebuildable point
+    rebuild_graph_store(spark, path, epoch=1)
+
+
+def test_graph_autocompact_sink_bounds_and_skips(spark, tmp_path):
+    """graph_ingest_sink(max_live_parts=2): the stream folds its own
+    postings once the live count hits the bound, a replayed trigger
+    below the watermark skips (nodes/edges/rank gens already durable),
+    and later refreshes compose on the frozen base."""
+    from eventstream_fanout_spark.streaming.graph_ingest import (
+        _postings_watermark,
+        graph_ingest_sink,
+        live_posting_ids,
+        read_rank_generations,
+    )
+
+    path = str(tmp_path / "gstore_ac")
+    sink = graph_ingest_sink(path, max_live_parts=2)
+    batches = {
+        0: [(1, "srcA", TXT), (2, "srcB", TXT)],
+        1: [(3, "srcC", TXT)],
+        2: [(4, "srcD", TXT)],
+    }
+    for g, rows in batches.items():
+        sink(
+            _docs(spark, rows).withColumn("grp", F.lit(g).cast("int")),
+            g,
+        )
+    # fold fired after group 1 (live {0,1} -> frozen); group 2 lives
+    assert _postings_watermark(spark, path) == 2
+    assert live_posting_ids(spark, path) == [2]
+    gens = {
+        int(r["gen"])
+        for r in read_rank_generations(spark, path)
+        .select("gen")
+        .distinct()
+        .collect()
+    }
+    assert gens == {0, 1, 2}
+    ranks_before = sorted(
+        tuple(r)
+        for r in read_rank_generations(spark, path)
+        .select("gen", "source", "rank_micro")
+        .collect()
+    )
+    # replayed trigger below the watermark: skipped, store unchanged
+    sink(
+        _docs(spark, batches[1]).withColumn("grp", F.lit(1).cast("int")),
+        99,
+    )
+    assert _postings_watermark(spark, path) == 2
+    ranks_after = sorted(
+        tuple(r)
+        for r in read_rank_generations(spark, path)
+        .select("gen", "source", "rank_micro")
+        .collect()
+    )
+    assert ranks_before == ranks_after

@@ -420,3 +420,156 @@ class TestKneserNey:
         assert math.isclose(
             en["mean_addone"], (a0 + a1) / 2, rel_tol=1e-5
         ), (en["mean_addone"], (a0 + a1) / 2)
+
+
+class TestLmStoreCompaction:
+    def test_compact_preserves_serve_and_guards_below_watermark(
+        self, spark, tmp_path
+    ):
+        """Manifest-committed compaction (r14): folding the delta
+        partitions below the watermark must leave every as-of serve at
+        or above watermark-1 EXACTLY unchanged (counts re-aggregate
+        associatively), shrink the live partition count, and make
+        below-watermark replays/serves fail loudly instead of wrong."""
+        import pytest
+
+        from eventstream_fanout_spark.streaming.lm_store import (
+            compact_lm_store,
+            erase_lm_docs,
+            ingest_lm_batch,
+            lm_table_name,
+            serve_bigram_counts,
+            serve_vocab_sizes,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "a b a b c"),
+                (2, "en", "a b d"),
+                (3, "en", "c d c"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        root = str(tmp_path / "lm_store")
+        ingest_lm_batch(spark, root, docs.where("doc_id = 1"), 0)
+        ingest_lm_batch(spark, root, docs.where("doc_id = 2"), 1)
+        erase_lm_docs(spark, root, docs.where("doc_id = 2"), 2)
+        before = sorted(
+            tuple(r) for r in serve_bigram_counts(spark, root, 2).collect()
+        )
+        vbefore = sorted(
+            tuple(r) for r in serve_vocab_sizes(spark, root, 2).collect()
+        )
+
+        folded = compact_lm_store(spark, root, upto_batch_id=3)
+        assert folded == 6  # 3 partitions per table
+
+        after = sorted(
+            tuple(r) for r in serve_bigram_counts(spark, root, 2).collect()
+        )
+        vafter = sorted(
+            tuple(r) for r in serve_vocab_sizes(spark, root, 2).collect()
+        )
+        assert before == after and vbefore == vafter
+
+        # one frozen partition left per table
+        parts = (
+            spark.table(lm_table_name(root, "bigrams"))
+            .select("batch_id")
+            .distinct()
+            .collect()
+        )
+        assert {int(r["batch_id"]) for r in parts} == {-1}
+
+        # ingest continues above the watermark and composes exactly
+        ingest_lm_batch(spark, root, docs.where("doc_id = 3"), 3)
+        merged = {
+            (r["lang"], r["bg"]): r["c_uw"]
+            for r in serve_bigram_counts(spark, root, 3).collect()
+        }
+        assert merged[("en", "c d")] == 1 and merged[("en", "d c")] == 1
+
+        # below-watermark replay and serve are refused
+        with pytest.raises(ValueError, match="compaction"):
+            ingest_lm_batch(spark, root, docs.where("doc_id = 1"), 0)
+        with pytest.raises(ValueError, match="folded away"):
+            serve_bigram_counts(spark, root, 0).collect()
+
+        # second compaction folds the frozen gen + the new delta
+        assert compact_lm_store(spark, root, upto_batch_id=4) == 2
+        after2 = {
+            (r["lang"], r["bg"]): r["c_uw"]
+            for r in serve_bigram_counts(spark, root, 3).collect()
+        }
+        assert after2 == merged
+
+    def test_autocompact_sink_bounds_partitions_and_skips_folded(
+        self, spark, tmp_path
+    ):
+        """lm_ingest_sink(max_live_parts=2): the stream folds itself
+        once the live delta count hits the bound, a replayed trigger
+        whose groups fell below the watermark SKIPS them (idempotent
+        outcome — the deltas are durable inside the frozen gen), and
+        serving stays exactly refit-equal throughout."""
+        from eventstream_fanout_spark.streaming.lm_store import (
+            _lm_watermark,
+            lm_ingest_sink,
+            lm_table_name,
+            live_delta_ids,
+            serve_bigram_counts,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "en", "a b a"),
+                (1, "en", "b c"),
+                (2, "en", "c a c"),
+                (3, "en", "a b c"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        root = str(tmp_path / "lm_ac")
+        sink = lm_ingest_sink(root, max_live_parts=2)
+        for g in range(4):
+            sink(
+                docs.where(F.col("doc_id") == g).withColumn(
+                    "grp", F.lit(g).cast("int")
+                ),
+                g,
+            )
+        # two folds happened: wm=4, one frozen partition, zero live
+        assert _lm_watermark(spark, root, "bigrams") == 4
+        assert live_delta_ids(spark, root) == []
+        parts = {
+            int(r["batch_id"])
+            for r in spark.table(lm_table_name(root, "bigrams"))
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
+        assert parts == {-2}
+        served = {
+            (r["lang"], r["bg"]): r["c_uw"]
+            for r in serve_bigram_counts(spark, root, 3).collect()
+        }
+        # exact refit over all four docs: a b a | b c | c a c | a b c
+        assert served == {
+            ("en", "a b"): 2,
+            ("en", "b a"): 1,
+            ("en", "b c"): 2,
+            ("en", "c a"): 1,
+            ("en", "a c"): 1,
+        }
+        # replayed trigger below the watermark: skipped, store unchanged
+        sink(
+            docs.where(F.col("doc_id") == 1).withColumn(
+                "grp", F.lit(1).cast("int")
+            ),
+            99,
+        )
+        assert _lm_watermark(spark, root, "bigrams") == 4
+        after = {
+            (r["lang"], r["bg"]): r["c_uw"]
+            for r in serve_bigram_counts(spark, root, 3).collect()
+        }
+        assert after == served

@@ -114,6 +114,11 @@ BNLJ_ALLOWED = {
     "classifier_drift_report",
     # round 13: pagerank 1-row node-count sides + 1-row edge counts
     "pagerank_staleness_report",
+    # round 14: 1-row live-partition-count broadcast side
+    "graph_postings_compact_sim",
+    # round 14: 1-row vocab-total + 1-row live-partition-count sides
+    "lm_compaction_sim",
+    "stream_lm_autocompact",
 }
 
 # Queries whose plan legitimately contains an UNPARTITIONED Window
