@@ -239,3 +239,130 @@ def sql_doc_scores_ctes(score_where: str = "TRUE") -> str:
       SELECT doc_id, lang, {sql_davg('term')} AS score
       FROM lm_terms GROUP BY doc_id, lang
     )"""
+
+
+def kn_trigram_terms(docs: DataFrame, train: DataFrame) -> DataFrame:
+    """Per-trigram-event interpolated Kneser-Ney terms at order 3
+    (Chen & Goodman 1999 eq. 18 with fixed discount D = 3/4): one row
+    per trigram occurrence of ``docs`` scored under counts fitted on
+    ``train`` — (doc_id, lang, lvl, term) where ``term`` is the
+    INVERSE interpolated probability (1/P, the family's log-free
+    fluency unit) and ``lvl`` records which order served the event
+    (3 = trigram context seen, 2 = backed off to the continuation
+    bigram distribution, 1 = pure smoothed continuation unigram).
+
+    Every level's distribution sums to EXACTLY 1 over the training
+    vocabulary (the interpolation weights use the trigram-table
+    continuation-type counts, and Pcont's +1 smoothing normalizes by
+    construction) — pinned by tests/test_lm.py.  Each term is one
+    IEEE division of sums of products of exact BIGINT counts, every
+    factor cast to double BEFORE multiplying in a fixed association
+    order, so DuckDB replays it bit-for-bit (lm_kn_score discipline).
+
+    Scale shape: the count/continuation tables are vocab-bounded
+    (production prunes singletons — documented knob), the corpus is
+    passed twice, and every join key is (lang, ngram)."""
+    big = bigram_counts(train)
+    vocab = vocab_sizes(train)
+    tri = (
+        doc_tokens(train)
+        .select("lang", F.explode(shingles(F.col("toks"), 3)).alias("tg"))
+        .groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+    )
+
+    def p(n: int) -> Column:
+        return F.split_part(F.col("tg"), F.lit(" "), F.lit(n))
+
+    uv = F.concat_ws(" ", p(1), p(2))
+    vw_ = F.concat_ws(" ", p(2), p(3))
+    tctx = (
+        tri.select("lang", uv.alias("uv"), "c3")
+        .groupBy("lang", "uv")
+        .agg(
+            F.sum("c3").cast("bigint").alias("c_uv"),
+            F.count(F.lit(1)).cast("bigint").alias("n1t"),
+        )
+    )
+    n1vw = (
+        tri.select("lang", vw_.alias("vw"))
+        .groupBy("lang", "vw")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n1vw"))
+    )
+    n1mid = (
+        tri.select("lang", p(2).alias("v"), p(3).alias("w3"))
+        .groupBy("lang", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1mid"),
+            F.count_distinct(F.col("w3")).cast("bigint").alias("n1fw"),
+        )
+    )
+    n1w = (
+        big.select(
+            "lang",
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n1w"))
+    )
+    types = big.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+
+    ev = (
+        doc_tokens(docs)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(shingles(F.col("toks"), 3)).alias("tg"),
+        )
+        .withColumn("uv", uv)
+        .withColumn("vw", vw_)
+        .withColumn("v", p(2))
+        .withColumn("w", p(3))
+    )
+    joined = (
+        ev.join(tri, ["lang", "tg"], "left")
+        .join(tctx, ["lang", "uv"], "left")
+        .join(n1vw, ["lang", "vw"], "left")
+        .join(n1mid, ["lang", "v"], "left")
+        .join(n1w.withColumnRenamed("tok", "w"), ["lang", "w"], "left")
+        .join(F.broadcast(vocab), "lang")
+        .join(F.broadcast(types), "lang")
+    )
+    tv = (F.col("n_types") + F.col("vocab_v")).cast("double")
+    a3 = F.greatest(
+        F.lit(0), 4 * F.coalesce(F.col("c3"), F.lit(0)) - 3
+    ).cast("double")
+    p2den = F.lit(4.0) * F.col("n1mid").cast("double") * tv
+    p2num = (
+        F.greatest(
+            F.lit(0), 4 * F.coalesce(F.col("n1vw"), F.lit(0)) - 3
+        ).cast("double")
+        * tv
+        + F.lit(3.0)
+        * F.col("n1fw").cast("double")
+        * (F.coalesce(F.col("n1w"), F.lit(0)) + 1).cast("double")
+    )
+    term = (
+        F.when(
+            F.col("c_uv").isNotNull(),
+            (F.lit(4.0) * F.col("c_uv").cast("double") * p2den)
+            / (
+                a3 * p2den
+                + F.lit(3.0) * F.col("n1t").cast("double") * p2num
+            ),
+        )
+        .when(F.col("n1mid").isNotNull(), p2den / p2num)
+        .otherwise(
+            tv / (F.coalesce(F.col("n1w"), F.lit(0)) + 1).cast("double")
+        )
+    )
+    lvl = (
+        F.when(F.col("c_uv").isNotNull(), F.lit(3))
+        .when(F.col("n1mid").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return joined.select(
+        "doc_id", "lang", lvl.alias("lvl"), term.alias("term")
+    )

@@ -1313,3 +1313,180 @@ def stream_lm_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("c_uw"), F.asc("lang"), F.asc("ctx"), F.asc("tok")
         )
     )
+
+
+@register(
+    "lm_kn_trigram_score",
+    f"""
+    WITH {sql_lm_ctes()},
+    kt_tri AS (
+      SELECT lang, unnest({sql_shingles('toks', 3)}) AS tg FROM lm_train
+    ),
+    kt_c3 AS (
+      SELECT lang, tg, CAST(COUNT(*) AS BIGINT) AS c3
+      FROM kt_tri GROUP BY lang, tg
+    ),
+    kt_ctx AS (
+      SELECT lang,
+             split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS uv,
+             CAST(SUM(c3) AS BIGINT) AS c_uv,
+             CAST(COUNT(*) AS BIGINT) AS n1t
+      FROM kt_c3
+      GROUP BY lang, split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2)
+    ),
+    kt_vw AS (
+      SELECT lang,
+             split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS vw,
+             CAST(COUNT(*) AS BIGINT) AS n1vw
+      FROM kt_c3
+      GROUP BY lang, split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3)
+    ),
+    kt_mid AS (
+      SELECT lang, split_part(tg, ' ', 2) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n1mid,
+             CAST(COUNT(DISTINCT split_part(tg, ' ', 3)) AS BIGINT)
+               AS n1fw
+      FROM kt_c3 GROUP BY lang, split_part(tg, ' ', 2)
+    ),
+    kt_n1w AS (
+      SELECT lang, split_part(bg, ' ', 2) AS tok,
+             CAST(COUNT(*) AS BIGINT) AS n1w
+      FROM lm_big GROUP BY lang, split_part(bg, ' ', 2)
+    ),
+    kt_types AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM lm_big GROUP BY lang
+    ),
+    kt_sdocs AS (
+      SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+    ),
+    kt_ev AS (
+      SELECT doc_id, lang, unnest({sql_shingles('toks', 3)}) AS tg
+      FROM kt_sdocs
+    ),
+    kt_terms AS (
+      SELECT e.doc_id, e.lang,
+        CASE WHEN x.c_uv IS NOT NULL THEN 3
+             WHEN m.n1mid IS NOT NULL THEN 2
+             ELSE 1 END AS lvl,
+        CASE WHEN x.c_uv IS NOT NULL THEN
+          (4.0 * CAST(x.c_uv AS DOUBLE)
+           * (4.0 * CAST(m.n1mid AS DOUBLE)
+              * CAST(t.n_types + v.vocab_v AS DOUBLE)))
+          / (CAST(GREATEST(4 * COALESCE(c.c3, 0) - 3, 0) AS DOUBLE)
+               * (4.0 * CAST(m.n1mid AS DOUBLE)
+                  * CAST(t.n_types + v.vocab_v AS DOUBLE))
+             + 3.0 * CAST(x.n1t AS DOUBLE)
+               * (CAST(GREATEST(4 * COALESCE(vw.n1vw, 0) - 3, 0)
+                       AS DOUBLE)
+                    * CAST(t.n_types + v.vocab_v AS DOUBLE)
+                  + 3.0 * CAST(m.n1fw AS DOUBLE)
+                    * CAST(COALESCE(w.n1w, 0) + 1 AS DOUBLE)))
+        WHEN m.n1mid IS NOT NULL THEN
+          (4.0 * CAST(m.n1mid AS DOUBLE)
+           * CAST(t.n_types + v.vocab_v AS DOUBLE))
+          / (CAST(GREATEST(4 * COALESCE(vw.n1vw, 0) - 3, 0) AS DOUBLE)
+               * CAST(t.n_types + v.vocab_v AS DOUBLE)
+             + 3.0 * CAST(m.n1fw AS DOUBLE)
+               * CAST(COALESCE(w.n1w, 0) + 1 AS DOUBLE))
+        ELSE
+          CAST(t.n_types + v.vocab_v AS DOUBLE)
+          / CAST(COALESCE(w.n1w, 0) + 1 AS DOUBLE)
+        END AS term
+      FROM kt_ev e
+      LEFT JOIN kt_c3 c ON c.lang = e.lang AND c.tg = e.tg
+      LEFT JOIN kt_ctx x ON x.lang = e.lang
+        AND x.uv = split_part(e.tg, ' ', 1) || ' ' || split_part(e.tg, ' ', 2)
+      LEFT JOIN kt_vw vw ON vw.lang = e.lang
+        AND vw.vw = split_part(e.tg, ' ', 2) || ' ' || split_part(e.tg, ' ', 3)
+      LEFT JOIN kt_mid m ON m.lang = e.lang
+        AND m.v = split_part(e.tg, ' ', 2)
+      LEFT JOIN kt_n1w w ON w.lang = e.lang
+        AND w.tok = split_part(e.tg, ' ', 3)
+      JOIN lm_vocab v ON v.lang = e.lang
+      JOIN kt_types t ON t.lang = e.lang
+    ),
+    kt_scores AS (
+      SELECT doc_id, lang, {sql_davg('term')} AS s_kn3
+      FROM kt_terms GROUP BY doc_id, lang
+    ),
+    kt_evagg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bo2,
+             CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bo1
+      FROM kt_terms GROUP BY lang
+    )
+    SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, a.n_events,
+           {sql_davg('s_kn3')} AS mean_kn3,
+           CAST(FLOOR(a.bo2 * 1000000.0 / a.n_events) AS BIGINT)
+             AS backoff2_ppm,
+           CAST(FLOOR(a.bo1 * 1000000.0 / a.n_events) AS BIGINT)
+             AS backoff1_ppm
+    FROM kt_scores s JOIN kt_evagg a ON a.lang = s.lang
+    GROUP BY s.lang, a.n_events, a.bo2, a.bo1
+    ORDER BY s.lang
+    """,
+    description="interpolated Kneser-Ney at TRIGRAM order with the "
+    "full recursive backoff chain (Kneser & Ney 1995; Chen & Goodman "
+    "1999 eq. 18 — the production KenLM posture is this recursion at "
+    "order 5): P(w|u,v) = (c(uvw)-D)+/c(uv) + D*N1+(uv.)/c(uv) * "
+    "P2(w|v), where the ORDER-2 distribution uses continuation "
+    "counts — P2(w|v) = (N1+(.vw)-D)+/N1+(.v.) + D*|w:N1+(.vw)>0|"
+    "/N1+(.v.) * Pcont(w), the interpolation weight being the "
+    "TRIGRAM-table continuation-type count so each level sums to "
+    "EXACTLY 1 over the vocabulary (pytest-pinned normalization) — "
+    "and Pcont is the same smoothed (N1+(.,w)+1)/(T+V) as "
+    "lm_kn_score, so the chain never hits zero.  D = 3/4 exactly "
+    "representable; every level's term is ONE fraction whose "
+    "numerator/denominator are sums of products of exact BIGINT "
+    "counts, each factor cast to double BEFORE multiplying with "
+    "identical association order in both engines (the lm_kn_score / "
+    "DSIR discipline), so hashes pin the arithmetic bit-for-bit.  "
+    "Unseen (u,v) contexts fall through to pure P2 (backoff2_ppm "
+    "pins how often), unseen middles to pure continuation "
+    "(backoff1_ppm).  Cost shape matches bigram KN: the trigram "
+    "count/continuation tables are vocab-bounded (production prunes "
+    "singletons — documented knob), the corpus is passed twice, and "
+    "every join key is (lang, ngram) — no new corpus-sized shuffle",
+    tags=("lm", "text", "evaluation", "extension"),
+)
+def lm_kn_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import kn_trigram_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = kn_trigram_terms(docs, train_slice(docs))
+    scores = terms.groupBy("doc_id", "lang").agg(
+        davg(F.col("term"), "s_kn3")
+    )
+    evagg = terms.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bo2"),
+        F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bo1"),
+    )
+    return (
+        scores.join(F.broadcast(evagg), "lang")
+        .groupBy("lang", "n_events", "bo2", "bo1")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            davg(F.col("s_kn3"), "mean_kn3"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_events",
+            "mean_kn3",
+            F.floor(F.col("bo2") * 1000000.0 / F.col("n_events"))
+            .cast("bigint")
+            .alias("backoff2_ppm"),
+            F.floor(F.col("bo1") * 1000000.0 / F.col("n_events"))
+            .cast("bigint")
+            .alias("backoff1_ppm"),
+        )
+        .orderBy("lang")
+    )

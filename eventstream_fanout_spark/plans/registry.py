@@ -69,6 +69,7 @@ FRONT: list[str] = [
     "lm_compaction_sim",
     "stream_lm_autocompact",
     "lm_kn_score",
+    "lm_kn_trigram_score",
     "skew_adaptive_simhash_hot",
     "pagerank_incremental_sim",
     "stream_graph_ingest",
@@ -113,7 +114,6 @@ FRONT: list[str] = [
     "weighted_systematic_sample",
     "above_nation_avg_balance",
     "ann_cosine_topk",
-    "bigram_lift_top",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with

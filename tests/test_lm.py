@@ -573,3 +573,54 @@ class TestLmStoreCompaction:
             for r in serve_bigram_counts(spark, root, 3).collect()
         }
         assert after == served
+
+
+class TestKneserNeyTrigram:
+    def test_each_level_normalizes_over_vocab(self, spark):
+        """Interpolated trigram KN sums to EXACTLY 1 over the training
+        vocabulary at every backoff level — the property that makes it
+        a probability distribution, and the reason the interpolation
+        weight must be the TRIGRAM-table continuation-type count (a
+        bigram-table N1+(v.) over-weights the tail whenever a bigram
+        'v w' occurs only at document ends and super-normalizes)."""
+        import math
+
+        from eventstream_fanout_spark.operators.lm import (
+            kn_trigram_terms,
+            train_slice,
+        )
+
+        vocab = ["a", "b", "c", "d"]
+        train_rows = [(0, "en", "a b c a b d"), (2, "en", "b c d a")]
+        # one single-trigram probe doc per (level, w): odd ids so
+        # train_slice (even ids) never sees them
+        probes, nid = [], 1
+        fams = {
+            3: "a b",  # (u,v) seen as trigram context
+            2: "d b",  # uv unseen, v=b seen as a middle
+            1: "z z",  # v unseen anywhere -> pure continuation
+        }
+        fam_ids = {}
+        for lvl, ctx in fams.items():
+            fam_ids[lvl] = []
+            for w in vocab:
+                probes.append((nid, "en", f"{ctx} {w}"))
+                fam_ids[lvl].append(nid)
+                nid += 2
+        docs = spark.createDataFrame(
+            train_rows + probes, "doc_id long, lang string, text string"
+        )
+        terms = {
+            int(r["doc_id"]): (int(r["lvl"]), float(r["term"]))
+            for r in kn_trigram_terms(docs, train_slice(docs))
+            .where(F.col("doc_id") % 2 == 1)
+            .collect()
+        }
+        assert len(terms) == 12  # every probe doc has exactly 1 event
+        for lvl, ids in fam_ids.items():
+            assert {terms[i][0] for i in ids} == {lvl}, (lvl, terms)
+            total_p = sum(1.0 / terms[i][1] for i in ids)
+            assert math.isclose(total_p, 1.0, rel_tol=1e-12), (
+                lvl,
+                total_p,
+            )
