@@ -759,6 +759,60 @@ def main():
         serve_bigram_counts(spark, lroot, 1).count()
         res["lm_serve_merged_s"] = round(time.perf_counter() - t0, 1)
 
+    if "lmcompact" in MODES:
+        # round-14: manifest-committed compaction payoff.  A
+        # long-running ingest accumulates per-batch delta partitions;
+        # serving merges all of them, so its task/file count tracks
+        # the DELTA COUNT, not the data size.  Measure serve latency
+        # with NDELTA live partitions, the fold cost, serve latency
+        # against the single frozen generation, and pin exactness
+        # (served row count unchanged).  The graph postings store
+        # shares compact_table_manifest, so this measures both.
+        from eventstream_fanout_spark.streaming.lm_store import (
+            compact_lm_store,
+            ingest_lm_batch as _ing,
+            serve_bigram_counts as _srv,
+        )
+
+        docs_lc = load_table(spark, SF, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        big_docs_lc = (
+            docs_lc.crossJoin(rep)
+            .repartition(64)
+            .select(
+                (F.col("doc_id") + F.col("k") * OFFSET).alias("doc_id"),
+                "text",
+                "lang",
+            )
+        )
+        NDELTA = 32
+        croot = f"{tmp}/lmcstore"
+        t0 = time.perf_counter()
+        for b in range(NDELTA):
+            _ing(
+                spark,
+                croot,
+                big_docs_lc.where(
+                    F.pmod(F.col("doc_id"), NDELTA) == b
+                ),
+                b,
+            )
+        res["lmc_ingest_deltas_s"] = round(time.perf_counter() - t0, 1)
+        res["lmc_ndelta"] = NDELTA
+
+        def _serve_all():
+            return _srv(spark, croot, NDELTA - 1).count()
+
+        n_before = _serve_all()
+        res["lmc_serve_live_parts_s"] = timed(_serve_all, runs=3)
+        t0 = time.perf_counter()
+        compact_lm_store(spark, croot, upto_batch_id=NDELTA)
+        res["lmc_compact_s"] = round(time.perf_counter() - t0, 1)
+        n_after = _serve_all()
+        res["lmc_serve_frozen_s"] = timed(_serve_all, runs=3)
+        res["lmc_rows_match"] = bool(n_before == n_after)
+
     print(json.dumps(res))
 
 
