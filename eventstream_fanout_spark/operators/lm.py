@@ -241,6 +241,20 @@ def sql_doc_scores_ctes(score_where: str = "TRUE") -> str:
     )"""
 
 
+def trigram_counts(docs: DataFrame) -> DataFrame:
+    """Per-language trigram counts of a corpus slice: (lang, tg, c3).
+    One corpus pass, map-side combinable — bigram_counts one order up,
+    the raw material for trigram KN (all continuation-type tables
+    DERIVE from these counts, so a generational store only needs the
+    associative counts themselves)."""
+    return (
+        doc_tokens(docs)
+        .select("lang", F.explode(shingles(F.col("toks"), 3)).alias("tg"))
+        .groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+    )
+
+
 def kn_trigram_terms(docs: DataFrame, train: DataFrame) -> DataFrame:
     """Per-trigram-event interpolated Kneser-Ney terms at order 3
     (Chen & Goodman 1999 eq. 18 with fixed discount D = 3/4): one row
@@ -262,14 +276,25 @@ def kn_trigram_terms(docs: DataFrame, train: DataFrame) -> DataFrame:
     Scale shape: the count/continuation tables are vocab-bounded
     (production prunes singletons — documented knob), the corpus is
     passed twice, and every join key is (lang, ngram)."""
-    big = bigram_counts(train)
-    vocab = vocab_sizes(train)
-    tri = (
-        doc_tokens(train)
-        .select("lang", F.explode(shingles(F.col("toks"), 3)).alias("tg"))
-        .groupBy("lang", "tg")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+    return kn_trigram_terms_from_counts(
+        docs, trigram_counts(train), bigram_counts(train),
+        vocab_sizes(train),
     )
+
+
+def kn_trigram_terms_from_counts(
+    docs: DataFrame,
+    tri: DataFrame,
+    big: DataFrame,
+    vocab: DataFrame,
+) -> DataFrame:
+    """:func:`kn_trigram_terms` with the raw count tables supplied by
+    the caller — (lang, tg, c3), (lang, bg, c_uw), (lang, vocab_v) —
+    so the SAME arithmetic scores against a frozen generation of the
+    streaming count store (lm_store.serve_trigram_counts /
+    serve_bigram_counts / serve_vocab_sizes): every continuation-type
+    table derives here from the merged counts, which equal a refit's
+    by associativity, so store-served KN == refit KN exactly."""
 
     def p(n: int) -> Column:
         return F.split_part(F.col("tg"), F.lit(" "), F.lit(n))

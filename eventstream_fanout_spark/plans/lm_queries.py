@@ -1315,10 +1315,15 @@ def stream_lm_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lm_kn_trigram_score",
-    f"""
-    WITH {sql_lm_ctes()},
+def _sql_kn3_ctes(train_where: str, score_where: str) -> str:
+    """DuckDB twin of operators/lm.kn_trigram_terms(_from_counts):
+    trigram counts + derived continuation tables fitted on
+    ``train_where`` documents, per-event interpolated-KN terms for
+    ``score_where`` documents, per-doc scores and per-lang event
+    aggregates.  Shared by lm_kn_trigram_score (in-plan fit) and
+    lm_kn_store_scoring_sim (store-served counts — identical by
+    associativity, so the SAME oracle text replays both)."""
+    return f"""{sql_lm_ctes(train_where)},
     kt_tri AS (
       SELECT lang, unnest({sql_shingles('toks', 3)}) AS tg FROM lm_train
     ),
@@ -1359,6 +1364,7 @@ def stream_lm_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     kt_sdocs AS (
       SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+      WHERE {score_where}
     ),
     kt_ev AS (
       SELECT doc_id, lang, unnest({sql_shingles('toks', 3)}) AS tg
@@ -1417,7 +1423,10 @@ def stream_lm_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS bo1
       FROM kt_terms GROUP BY lang
-    )
+    )"""
+
+
+_SQL_KN3_FINAL = f"""
     SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, a.n_events,
            {sql_davg('s_kn3')} AS mean_kn3,
            CAST(FLOOR(a.bo2 * 1000000.0 / a.n_events) AS BIGINT)
@@ -1425,7 +1434,14 @@ def stream_lm_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR(a.bo1 * 1000000.0 / a.n_events) AS BIGINT)
              AS backoff1_ppm
     FROM kt_scores s JOIN kt_evagg a ON a.lang = s.lang
-    GROUP BY s.lang, a.n_events, a.bo2, a.bo1
+    GROUP BY s.lang, a.n_events, a.bo2, a.bo1"""
+
+
+@register(
+    "lm_kn_trigram_score",
+    f"""
+    WITH {_sql_kn3_ctes("doc_id % 2 = 0", "TRUE")}
+    {_SQL_KN3_FINAL}
     ORDER BY s.lang
     """,
     description="interpolated Kneser-Ney at TRIGRAM order with the "
@@ -1487,6 +1503,119 @@ def lm_kn_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("bo1") * 1000000.0 / F.col("n_events"))
             .cast("bigint")
             .alias("backoff1_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "lm_kn_store_scoring_sim",
+    f"""
+    WITH {_sql_kn3_ctes(
+        "doc_id % 2 = 0 AND doc_id % 8 <> 4", "doc_id % 2 = 1"
+    )},
+    kn_final AS (
+      {_SQL_KN3_FINAL}
+    )
+    SELECT k.*, CAST(1 AS BIGINT) AS n_live_parts,
+           CAST(3 AS BIGINT) AS watermark
+    FROM kn_final k
+    ORDER BY k.lang
+    """,
+    description="trigram KN served from a FROZEN generation of the "
+    "streaming count store (r14 — the production posture: scoring "
+    "never refits): the reference slice lands as two delta batches "
+    "of bigram+vocab+TRIGRAM counts, an erasure delta removes a "
+    "doomed slice, and compact_lm_store folds all three kinds into "
+    "one frozen generation each; KN's continuation-type tables "
+    "(N1+) then DERIVE at serve time from the merged counts — which "
+    "equal a refit's by associativity — so store-served scores for "
+    "the held-out half hash-equal the same refit oracle "
+    "lm_kn_trigram_score uses, with train = the erasure survivors.  "
+    "n_live_parts=1 and watermark=3 pin that the fold really "
+    "happened.  The store only ever holds raw associative counts: "
+    "incremental + erasure + compaction contracts carry over to "
+    "order 3 unchanged, no type-count maintenance needed",
+    tags=("lm", "compaction", "store", "erasure", "extension"),
+)
+def lm_kn_store_scoring_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.lm import kn_trigram_terms_from_counts
+    from ..streaming.lm_store import (
+        _lm_watermark,
+        compact_lm_store,
+        erase_lm_docs,
+        erase_lm_trigram_docs,
+        ingest_lm_batch,
+        ingest_lm_trigram_batch,
+        lm_table_name,
+        serve_bigram_counts,
+        serve_trigram_counts,
+        serve_vocab_sizes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="lm_kn_store_")
+    b0 = docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 4 == 0))
+    b1 = docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 4 == 2))
+    doomed = docs.where(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 8 == 4)
+    )
+    ingest_lm_batch(spark, root, b0, 0)
+    ingest_lm_trigram_batch(spark, root, b0, 0)
+    ingest_lm_batch(spark, root, b1, 1)
+    ingest_lm_trigram_batch(spark, root, b1, 1)
+    erase_lm_docs(spark, root, doomed, 2)
+    erase_lm_trigram_docs(spark, root, doomed, 2)
+    compact_lm_store(spark, root, upto_batch_id=3)
+
+    terms = kn_trigram_terms_from_counts(
+        docs.where(F.col("doc_id") % 2 == 1),
+        serve_trigram_counts(spark, root, 2),
+        serve_bigram_counts(spark, root, 2),
+        serve_vocab_sizes(spark, root, 2),
+    )
+    scores = terms.groupBy("doc_id", "lang").agg(
+        davg(F.col("term"), "s_kn3")
+    )
+    evagg = terms.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bo2"),
+        F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("bo1"),
+    )
+    wm = _lm_watermark(spark, root, "trigrams")
+    parts = (
+        spark.table(lm_table_name(root, "trigrams"))
+        .select("batch_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_live_parts"))
+    )
+    return (
+        scores.join(F.broadcast(evagg), "lang")
+        .groupBy("lang", "n_events", "bo2", "bo1")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            davg(F.col("s_kn3"), "mean_kn3"),
+        )
+        .crossJoin(F.broadcast(parts))
+        .select(
+            "lang",
+            "n_docs",
+            "n_events",
+            "mean_kn3",
+            F.floor(F.col("bo2") * 1000000.0 / F.col("n_events"))
+            .cast("bigint")
+            .alias("backoff2_ppm"),
+            F.floor(F.col("bo1") * 1000000.0 / F.col("n_events"))
+            .cast("bigint")
+            .alias("backoff1_ppm"),
+            "n_live_parts",
+            F.lit(int(wm)).cast("bigint").alias("watermark"),
         )
         .orderBy("lang")
     )

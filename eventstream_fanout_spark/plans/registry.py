@@ -70,6 +70,7 @@ FRONT: list[str] = [
     "stream_lm_autocompact",
     "lm_kn_score",
     "lm_kn_trigram_score",
+    "lm_kn_store_scoring_sim",
     "skew_adaptive_simhash_hot",
     "pagerank_incremental_sim",
     "stream_graph_ingest",
@@ -113,7 +114,6 @@ FRONT: list[str] = [
     "union_intersect_users",
     "weighted_systematic_sample",
     "above_nation_avg_balance",
-    "ann_cosine_topk",
 ]
 
 # ROUND-14 ROTATION PLAN (regenerate the census with

@@ -74,7 +74,11 @@ def lm_table_name(root: str, kind: str) -> str:
 
 
 _KEYED = {"bigrams": ("bg", ("lang", "bg", "c")),
-          "vocab": ("tok", ("lang", "tok", "c"))}
+          "vocab": ("tok", ("lang", "tok", "c")),
+          # opt-in third kind (r14): raw trigram counts for KN-order-3
+          # serving — ingested only by ingest_lm_trigram_batch, so
+          # bigram-only stores never create (or compact) this table
+          "trigrams": ("tg", ("lang", "tg", "c"))}
 
 
 def _write_delta(
@@ -165,6 +169,8 @@ def compact_lm_store(
 
     total = 0
     for kind, (_bucket, cols) in _KEYED.items():
+        if not spark.catalog.tableExists(lm_table_name(root, kind)):
+            continue  # opt-in kind this store never ingested
         keys = [c for c in cols if c != "c"]
         total += compact_table_manifest(
             spark,
@@ -253,6 +259,59 @@ def serve_bigram_counts(
         .groupBy("lang", "bg")
         .agg(F.sum("c").cast("bigint").alias("c_uw"))
         .where(F.col("c_uw") > 0)
+    )
+
+
+def ingest_lm_trigram_batch(
+    spark: SparkSession, root: str, docs: DataFrame, batch_id: int
+) -> None:
+    """Write one document batch's TRIGRAM count delta (the opt-in
+    third kind powering KN-order-3 serving).  Call alongside
+    ingest_lm_batch with the same batch_id so all three tables share
+    one generation timeline; same replay/watermark contract."""
+    _guard_below_watermark(spark, root, batch_id)
+    from ..operators.lm import trigram_counts
+
+    _write_delta(
+        spark, root, "trigrams",
+        trigram_counts(docs).withColumnRenamed("c3", "c"),
+        batch_id,
+    )
+
+
+def erase_lm_trigram_docs(
+    spark: SparkSession, root: str, doomed: DataFrame, batch_id: int
+) -> None:
+    """Right-to-erasure for the trigram kind: the doomed documents'
+    trigram counts times -1 (erase_lm_docs' contract, one order up)."""
+    _guard_below_watermark(spark, root, batch_id)
+    from ..operators.lm import trigram_counts
+
+    _write_delta(
+        spark, root, "trigrams",
+        trigram_counts(doomed)
+        .withColumn("c", (-F.col("c3")).cast("bigint"))
+        .drop("c3"),
+        batch_id,
+    )
+
+
+def serve_trigram_counts(
+    spark: SparkSession, root: str, gen: int
+) -> DataFrame:
+    """Merged (lang, tg, c3) as-of generation ``gen`` — exactly a
+    refit's trigram counts over the surviving documents (associativity
+    + the positivity filter, serve_bigram_counts' contract).  Rides
+    the table's ``tg`` bucketing: no Exchange.  Continuation-type
+    tables (N1+) are NOT stored — they derive from these counts at
+    serve time (operators/lm.kn_trigram_terms_from_counts), which is
+    what keeps the store's incremental/erasure contract a plain
+    associative-count one."""
+    return (
+        _visible(spark, root, "trigrams", gen)
+        .groupBy("lang", "tg")
+        .agg(F.sum("c").cast("bigint").alias("c3"))
+        .where(F.col("c3") > 0)
     )
 
 

@@ -119,6 +119,7 @@ BNLJ_ALLOWED = {
     # round 14: 1-row vocab-total + 1-row live-partition-count sides
     "lm_compaction_sim",
     "stream_lm_autocompact",
+    "lm_kn_store_scoring_sim",
 }
 
 # Queries whose plan legitimately contains an UNPARTITIONED Window
