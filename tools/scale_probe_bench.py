@@ -744,6 +744,24 @@ def main():
 
         res["lm_score_s"] = timed(_lm_score, runs=1)
 
+        def _lm_kn3_score():
+            # r14: trigram-KN scoring, same materialization shape as
+            # _lm_score (per-doc davg) — the "cost matches bigram
+            # scoring" claim, measured
+            from eventstream_fanout_spark.functions.core import davg
+            from eventstream_fanout_spark.operators.lm import (
+                kn_trigram_terms,
+            )
+
+            return (
+                kn_trigram_terms(big_docs_lm, tr)
+                .groupBy("doc_id", "lang")
+                .agg(davg(F.col("term"), "s_kn3"))
+                .count()
+            )
+
+        res["lm_kn3_score_s"] = timed(_lm_kn3_score, runs=1)
+
         lroot = f"{tmp}/lmstore"
         t0 = time.perf_counter()
         ingest_lm_batch(spark, lroot, tr, 0)
