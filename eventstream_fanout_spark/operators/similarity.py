@@ -55,9 +55,11 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
-def lsh_bucket(embedding_col: F.Column) -> F.Column:
+def lsh_bucket(embedding_col: F.Column, dim: int = EMBED_DIM) -> F.Column:
     """8-bit LSH bucket id from hyperplane projection signs.  Uses the
-    same nano-quantized integer dot products as the oracle."""
+    same nano-quantized integer dot products as the oracle.  ``dim``
+    selects the hyperplane length (64 for whole embeddings, 16 for the
+    multi-vector chunk buckets in operators/multivector.py)."""
     quant = F.transform(
         embedding_col,
         lambda x: F.floor(x.cast("double") * F.lit(1e9) + F.lit(0.5)).cast(
@@ -67,7 +69,7 @@ def lsh_bucket(embedding_col: F.Column) -> F.Column:
     bucket = F.lit(0).cast("long")
     for j in range(NUM_HYPERPLANES):
         signs = F.array(
-            *[F.lit(s).cast("long") for s in hyperplane_signs(j)]
+            *[F.lit(s).cast("long") for s in hyperplane_signs(j, dim)]
         )
         proj = F.aggregate(
             F.zip_with(quant, signs, lambda e, s: e * s),

@@ -64,6 +64,11 @@ FRONT: list[str] = [
     #   * slots 35-38: the four r4-stale names.
     #   * slots 39-50: the twelve oldest r5-stale names (the six the
     #     r13 additions displaced, then alphabetical).
+    "maxsim_multivector_topk",
+    "maxsim_pruned_topk",
+    "maxsim_recall_report",
+    "ann_matryoshka_topk",
+    "ann_matryoshka_recall_report",
     "curation_v3_pipeline",
     "graph_postings_compact_sim",
     "lm_compaction_sim",
@@ -109,12 +114,12 @@ FRONT: list[str] = [
     "zorder_layout_key",
     "stratified_sample_20_per_type",
     "timestamp_parse",
-    "training_export_pipeline",
-    "trigram_novelty_score",
-    "union_intersect_users",
-    "weighted_systematic_sample",
-    "above_nation_avg_balance",
 ]
+# Displaced by the round-14 continuation's multi-vector/matryoshka
+# additions (new-first policy): training_export_pipeline,
+# trigram_novelty_score, union_intersect_users,
+# weighted_systematic_sample, above_nation_avg_balance — re-queue them
+# in the round-15 stale block.
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
 # tools/rotation_bullet.py at round close).  Assuming CORRECTNESS_r13
@@ -244,6 +249,7 @@ def _load_all() -> None:
         "window_queries",
         "dedup_queries",
         "similarity_queries",
+        "multivector_queries",
         "text_queries",
         "curation_queries",
         "pipeline_queries",

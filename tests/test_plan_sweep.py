@@ -37,6 +37,11 @@ BNLJ_ALLOWED = {
     "bm25_batch_search",  # 1-row corpus-stats side (n_docs, total_len)
     "hybrid_batch_search_rrf",  # 1-row stats + 8-row centroid sides
     "ann_recall_report",  # composes the three ANN top-k plans above
+    "maxsim_multivector_topk",  # 4-row broadcast query-chunk side
+    "maxsim_pruned_topk",  # same 4-row chunk side (+ 4-row bucket probe)
+    "maxsim_recall_report",  # composes the two MaxSim plans above
+    "ann_matryoshka_topk",  # 1-row broadcast query (prefix + full norms)
+    "ann_matryoshka_recall_report",  # same + brute-force truth side
     "ann_pq_recall_report",  # exact-L2 twin: broadcast 1-row query
     "ann_pq_rerank_topk",  # broadcast 1-row query on the rerank side
     "hard_negative_mining",
