@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.core import sql_davg, sql_dsum
+from ..functions.core import sql_davg, sql_dsum, sql_round_half_up
 from ..functions.hashing import (
     shingles,
     sql_salted_md5,
@@ -18,8 +18,14 @@ from ..functions.hashing import (
     sql_tokens,
     tokens,
 )
+from ..operators.text_analysis import PUNCT_CLASS, STOPWORDS
 from ..sources.tables import load_table
 from .registry import register
+
+
+def _sql_in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
 
 # --- intra-document repetition (quality signal) -----------------------
 
@@ -1699,4 +1705,214 @@ def curation_v3_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             fate.alias("fate"), "pack_id",
         )
         .orderBy("doc_id")
+    )
+
+
+# --- preference-pair mining (reward-model data prep) -------------------
+
+_PREF_MARGIN = 0.05
+
+_PREF_RANKED = f"""
+    toked AS (
+      SELECT doc_id, text, {sql_tokens('text')} AS toks FROM documents
+    ),
+    quality AS (
+      SELECT doc_id,
+             {sql_round_half_up(
+                 "0.5 * (CAST(least(len(toks), 100) AS DOUBLE) / 100.0) "
+                 "+ 0.3 * (1.0 - (CAST(length(text) - length(regexp_replace(text, '"
+                 + PUNCT_CLASS
+                 + "', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))) "
+                 "+ 0.2 * (CAST(len(list_filter(toks, t -> t IN ("
+                 + _sql_in_list(STOPWORDS)
+                 + "))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))",
+                 6,
+             )} AS quality_score
+      FROM toked
+    ),
+    ranked AS (
+      SELECT d.lang, d.source, d.doc_id, q.quality_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang, d.source
+               ORDER BY q.quality_score DESC, d.doc_id ASC) AS rt,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang, d.source
+               ORDER BY q.quality_score ASC, d.doc_id DESC) AS rb,
+             COUNT(*) OVER (PARTITION BY d.lang, d.source) AS n_g
+      FROM documents d JOIN quality q ON q.doc_id = d.doc_id
+      WHERE q.quality_score IS NOT NULL
+    )"""
+
+
+@register(
+    "preference_pair_mining",
+    f"""
+    WITH {_PREF_RANKED}
+    SELECT t.lang, t.source, CAST(t.rt AS INTEGER) AS pair_rank,
+           t.doc_id AS chosen_doc_id, b.doc_id AS rejected_doc_id,
+           t.quality_score AS chosen_quality,
+           b.quality_score AS rejected_quality,
+           (t.quality_score - b.quality_score) AS margin
+    FROM ranked t
+    JOIN ranked b
+      ON b.lang = t.lang AND b.source = t.source AND b.rb = t.rt
+    WHERE t.rt * 2 <= t.n_g
+      AND (t.quality_score - b.quality_score) >= {_PREF_MARGIN!r}
+    """,
+    description="reward-model preference-pair mining: within each "
+    "(lang, source) group, the i-th best document by blended quality "
+    "is paired with the i-th worst (mirrored row_number ranks with "
+    "doc_id tie-breaks -> deterministic disjoint halves), kept only "
+    "when the quality margin clears 0.05 — the standard weak-"
+    "supervision recipe for (chosen, rejected) training pairs. "
+    "Windows are (lang, source)-partitioned; at 100 TB a hot group "
+    "uses the repo's two-level range-partitioned rank "
+    "(plans/classify_queries.py PCA deciles) instead of one partition "
+    "per group",
+    tags=("curation", "preference", "extension"),
+)
+def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text_analysis import quality_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    qp = quality_profile(docs).select("doc_id", "quality_score")
+    d = (
+        docs.select("doc_id", "lang", "source")
+        .join(qp, "doc_id")
+        .where(F.col("quality_score").isNotNull())
+    )
+    grp = Window.partitionBy("lang", "source")
+    w_top = grp.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    w_bot = grp.orderBy(F.asc("quality_score"), F.desc("doc_id"))
+    ranked = d.select(
+        "lang",
+        "source",
+        "doc_id",
+        "quality_score",
+        F.row_number().over(w_top).alias("rt"),
+        F.row_number().over(w_bot).alias("rb"),
+        F.count(F.lit(1)).over(grp).alias("n_g"),
+    )
+    top = ranked.where(F.col("rt") * 2 <= F.col("n_g")).select(
+        "lang",
+        "source",
+        F.col("rt").cast("int").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("quality_score").alias("chosen_quality"),
+    )
+    bot = ranked.select(
+        "lang",
+        "source",
+        F.col("rb").cast("int").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("quality_score").alias("rejected_quality"),
+    )
+    return (
+        top.join(bot, ["lang", "source", "pair_rank"])
+        .withColumn(
+            "margin", F.col("chosen_quality") - F.col("rejected_quality")
+        )
+        .where(F.col("margin") >= F.lit(_PREF_MARGIN))
+        .select(
+            "lang", "source", "pair_rank", "chosen_doc_id",
+            "rejected_doc_id", "chosen_quality", "rejected_quality",
+            "margin",
+        )
+    )
+
+
+# --- epoch-repeat mixing schedule (data-constrained scaling) -----------
+
+_EPOCH_BUDGET_MULT = 3
+_EPOCH_MAX_REPEATS = 4
+
+
+@register(
+    "epoch_repeat_schedule",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, source, {sql_tokens('text')} AS toks FROM documents
+    ),
+    per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+      FROM toked GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             {sql_dsum('sqrt(CAST(n_tokens AS DOUBLE))')} AS total_sqrt
+      FROM per_source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           (sqrt(CAST(p.n_tokens AS DOUBLE)) / t.total_sqrt) AS mix_weight,
+           (CAST({_EPOCH_BUDGET_MULT} * t.total_tokens AS DOUBLE)
+              * (sqrt(CAST(p.n_tokens AS DOUBLE)) / t.total_sqrt))
+             AS desired_tokens,
+           CAST(LEAST({_EPOCH_MAX_REPEATS},
+                GREATEST(1, CEIL(
+                  (CAST({_EPOCH_BUDGET_MULT} * t.total_tokens AS DOUBLE)
+                     * (sqrt(CAST(p.n_tokens AS DOUBLE)) / t.total_sqrt))
+                  / CAST(p.n_tokens AS DOUBLE)))) AS INTEGER)
+             AS repeat_epochs,
+           CAST(CAST(LEAST({_EPOCH_MAX_REPEATS},
+                GREATEST(1, CEIL(
+                  (CAST({_EPOCH_BUDGET_MULT} * t.total_tokens AS DOUBLE)
+                     * (sqrt(CAST(p.n_tokens AS DOUBLE)) / t.total_sqrt))
+                  / CAST(p.n_tokens AS DOUBLE)))) AS BIGINT) * p.n_tokens
+             AS BIGINT) AS served_tokens
+    FROM per_source p, tot t
+    """,
+    description="data-constrained-scaling epoch schedule (Muennighoff "
+    "et al. 2023): token budget = 3x the corpus under sqrt-temperature "
+    "mix weights; each source's repeat factor is ceil(desired/actual) "
+    "clamped to [1, 4] epochs — past ~4 repeats marginal value decays, "
+    "so the schedule surfaces which sources cap out. Weight "
+    "denominator is the quantized order-independent dsum; every other "
+    "step is int arithmetic or a fixed IEEE chain, so the schedule "
+    "hash-matches cross-engine. One corpus pass + a sources-sized "
+    "relation: trivially 100 TB-safe",
+    tags=("curation", "mixing", "extension"),
+)
+def epoch_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.core import dsum
+    from ..functions.hashing import tokens as tok_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source", F.size(tok_fn(F.col("text"))).alias("n_toks")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        dsum(F.sqrt(F.col("n_tokens").cast("double")), "total_sqrt"),
+    )
+    weight = F.sqrt(F.col("n_tokens").cast("double")) / F.col("total_sqrt")
+    desired = (
+        F.lit(_EPOCH_BUDGET_MULT) * F.col("total_tokens")
+    ).cast("double") * weight
+    repeats = F.least(
+        F.lit(_EPOCH_MAX_REPEATS),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(desired / F.col("n_tokens").cast("double")),
+        ),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        weight.alias("mix_weight"),
+        desired.alias("desired_tokens"),
+        repeats.cast("int").alias("repeat_epochs"),
+        (repeats.cast("bigint") * F.col("n_tokens"))
+        .cast("bigint")
+        .alias("served_tokens"),
     )

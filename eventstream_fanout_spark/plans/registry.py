@@ -64,6 +64,8 @@ FRONT: list[str] = [
     #   * slots 35-38: the four r4-stale names.
     #   * slots 39-50: the twelve oldest r5-stale names (the six the
     #     r13 additions displaced, then alphabetical).
+    "preference_pair_mining",
+    "epoch_repeat_schedule",
     "maxsim_multivector_topk",
     "maxsim_pruned_topk",
     "maxsim_recall_report",
@@ -112,14 +114,12 @@ FRONT: list[str] = [
     "wav_audio_decode",
     "winsorized_values",
     "zorder_layout_key",
-    "stratified_sample_20_per_type",
-    "timestamp_parse",
 ]
-# Displaced by the round-14 continuation's multi-vector/matryoshka
-# additions (new-first policy): training_export_pipeline,
-# trigram_novelty_score, union_intersect_users,
-# weighted_systematic_sample, above_nation_avg_balance — re-queue them
-# in the round-15 stale block.
+# Displaced by the round-14 continuation's additions (new-first
+# policy): training_export_pipeline, trigram_novelty_score,
+# union_intersect_users, weighted_systematic_sample,
+# above_nation_avg_balance, stratified_sample_20_per_type,
+# timestamp_parse — re-queue them in the round-15 stale block.
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
 # tools/rotation_bullet.py at round close).  Assuming CORRECTNESS_r13

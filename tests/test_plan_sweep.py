@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     # scalar-subquery joins: the build side is a 1-row aggregate
     # (TPC-H threshold / total-doc-count), a constant by construction
     "weighted_systematic_sample",  # 1-row corpus-token-total side
+    "epoch_repeat_schedule",  # 1-row corpus-total + quantized-sqrt side
     "bigram_lift_top",  # 1-row corpus-token-total side
     "semantic_cluster_diversity_sample",  # 8-row broadcast centroid set
     "dq_expectations_report",  # 1-row orphan-count side
