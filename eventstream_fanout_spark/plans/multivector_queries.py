@@ -461,3 +461,152 @@ def ann_matryoshka_recall_report(
             / (F.col("n_corpus") * F.lit(64)).cast("double")
         ).alias("bandwidth_fraction"),
     )
+
+
+# ------------------------------------------------- persisted MV index
+
+_MV_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ensure_mv_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the chunk-bucket store ONCE per (process, dataset
+    fingerprint) into a temp dir; probes read only the stored
+    artifact (the _ensure_pq_index pattern)."""
+    from ..operators.mv_index import build_mv_index
+    from ..sources.tables import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir)
+    path = _MV_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="mv_index_")
+        build_mv_index(
+            spark, load_table(spark, sf_dir, "embeddings"), path
+        )
+        _MV_INDEX_CACHE[key] = path
+    return path
+
+
+def _mv_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+
+
+_MV_PRUNED_ORACLE = f"""
+    WITH {_CHUNK_BASE},
+    {_CHUNK_CANDS},
+    {_maxsim_core("AND d.vec_id IN (SELECT vec_id FROM cands)")}
+    SELECT s.vec_id, e.label, s.maxsim
+    FROM scored s JOIN embeddings e ON e.vec_id = s.vec_id
+    ORDER BY s.maxsim DESC, s.vec_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "maxsim_persisted_topk",
+    _MV_PRUNED_ORACLE,
+    description="two-stage MaxSim against the PERSISTED chunk-bucket "
+    "store (operators/mv_index.py): chunks live partitioned by "
+    "(batch_id, bucket), so stage 1 is partition pruning by the 4-row "
+    "broadcast query-bucket probe — no corpus bucketing at query time "
+    "(the in-plan pruned variant pays a corpus scan for stage 1; "
+    "measured x100: in-plan pruned 7.7s vs exact 4.4s, PERF.md). "
+    "Bit-identical to maxsim_pruned_topk, so it shares the oracle",
+    tags=("similarity", "multivector", "maxsim", "index", "extension"),
+)
+def maxsim_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mv_index import mv_probe_topk
+
+    path = _ensure_mv_index(spark, sf_dir)
+    return mv_probe_topk(spark, path, _mv_query(spark, sf_dir), 10)
+
+
+@register(
+    "mv_index_ingest_sim",
+    _MV_PRUNED_ORACLE,
+    description="incremental MV-index ingestion: the static build "
+    "indexes vec_id%3==1 only, then two batch-id-keyed ingests append "
+    "the rest (batch 1 REPLAYED once — dynamic overwrite rewrites "
+    "exactly itself, so the replay is invisible); the stored-index "
+    "probe must equal the all-at-once oracle exactly (chunking and "
+    "bucketing are per-vector, so ingest batching cannot show)",
+    tags=(
+        "similarity", "multivector", "maxsim", "index", "streaming",
+        "extension",
+    ),
+)
+def mv_index_ingest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.mv_index import (
+        build_mv_index,
+        ingest_mv_vectors,
+        mv_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="mv_index_ingest_")
+    corpus = emb.where(F.col("vec_id") != 0)
+    build_mv_index(
+        spark, emb, path, corpus=corpus.where(F.col("vec_id") % 3 == 1)
+    )
+    b1 = corpus.where(F.col("vec_id") % 3 == 2)
+    b2 = corpus.where(F.col("vec_id") % 3 == 0)
+    ingest_mv_vectors(spark, path, b1, 1)
+    ingest_mv_vectors(spark, path, b2, 2)
+    ingest_mv_vectors(spark, path, b1, 1)  # replay: must be a no-op
+    return mv_probe_topk(spark, path, _mv_query(spark, sf_dir), 10)
+
+
+@register(
+    "mv_index_delete_sim",
+    f"""
+    WITH {_CHUNK_BASE},
+    {_CHUNK_CANDS},
+    {_maxsim_core(
+        "AND d.vec_id IN (SELECT vec_id FROM cands)"
+        " AND d.vec_id % 7 <> 3"
+    )}
+    SELECT s.vec_id, e.label, s.maxsim
+    FROM scored s JOIN embeddings e ON e.vec_id = s.vec_id
+    ORDER BY s.maxsim DESC, s.vec_id ASC
+    LIMIT 10
+    """,
+    description="right-to-erasure on the MV index: every chunk row of "
+    "vec_id%7==3 is physically removed from every generation (the "
+    "shared partition-local eraser — only touched (batch_id, bucket) "
+    "partitions rewrite, emptied partitions are deleted outright); "
+    "the post-erasure probe must equal a never-contained index. "
+    "MaxSim carries no corpus statistics, so erasure needs no "
+    "correction bookkeeping",
+    tags=(
+        "similarity", "multivector", "maxsim", "index", "erasure",
+        "extension",
+    ),
+)
+def mv_index_delete_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.mv_index import (
+        build_mv_index,
+        delete_mv_vectors,
+        mv_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="mv_index_delete_")
+    build_mv_index(spark, emb, path)
+    doomed = [
+        r["vec_id"]
+        for r in emb.where(
+            (F.col("vec_id") % 7 == 3) & (F.col("vec_id") != 0)
+        )
+        .select("vec_id")
+        .collect()
+    ]
+    delete_mv_vectors(spark, path, doomed)
+    return mv_probe_topk(spark, path, _mv_query(spark, sf_dir), 10)

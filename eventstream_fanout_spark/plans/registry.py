@@ -64,6 +64,9 @@ FRONT: list[str] = [
     #   * slots 35-38: the four r4-stale names.
     #   * slots 39-50: the twelve oldest r5-stale names (the six the
     #     r13 additions displaced, then alphabetical).
+    "maxsim_persisted_topk",
+    "mv_index_ingest_sim",
+    "mv_index_delete_sim",
     "preference_pair_mining",
     "epoch_repeat_schedule",
     "maxsim_multivector_topk",
@@ -111,15 +114,13 @@ FRONT: list[str] = [
     "text_attr_drop_sim",
     "text_attr_evolve_sim",
     "vocab_coverage",
-    "wav_audio_decode",
-    "winsorized_values",
-    "zorder_layout_key",
 ]
 # Displaced by the round-14 continuation's additions (new-first
 # policy): training_export_pipeline, trigram_novelty_score,
 # union_intersect_users, weighted_systematic_sample,
 # above_nation_avg_balance, stratified_sample_20_per_type,
-# timestamp_parse — re-queue them in the round-15 stale block.
+# timestamp_parse, wav_audio_decode, winsorized_values,
+# zorder_layout_key — re-queue them in the round-15 stale block.
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
 # tools/rotation_bullet.py at round close).  Assuming CORRECTNESS_r13

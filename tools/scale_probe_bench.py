@@ -831,6 +831,109 @@ def main():
         res["lmc_serve_frozen_s"] = timed(_serve_all, runs=3)
         res["lmc_rows_match"] = bool(n_before == n_after)
 
+    if "maxsim" in MODES:
+        # round-14 continuation: multi-vector MaxSim exact vs the
+        # chunk-LSH two-stage at xMULT corpus.  The claim under test:
+        # exact cost tracks corpus size (|corpus| x 16 chunk cosines)
+        # while the pruned path's stage-2 cost tracks the CANDIDATE
+        # count (a ~constant fraction under random hyperplanes), so
+        # the gap widens with MULT.  Matryoshka likewise: prefix pass
+        # reads 1/4 of the vector elements, rerank is candidate-sized.
+        from eventstream_fanout_spark.operators.multivector import (
+            chunk_candidates,
+            maxsim_pruned_topk,
+            maxsim_topk,
+        )
+        from eventstream_fanout_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        big_vecs = (
+            emb.crossJoin(rep)
+            .repartition(64)
+            .select(
+                (F.col("vec_id") + F.col("k") * OFFSET).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            .where(F.col("vec_id") != 0)
+        )
+        big_vecs.cache().count()
+        qv = emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe")
+        )
+        res["maxsim_exact_s"] = timed(
+            lambda: maxsim_topk(big_vecs, qv, 10).collect()
+        )
+        res["maxsim_pruned_s"] = timed(
+            lambda: maxsim_pruned_topk(big_vecs, qv, 10).collect()
+        )
+        res["maxsim_n_cands"] = chunk_candidates(big_vecs, qv).count()
+        res["maxsim_n_corpus"] = big_vecs.count()
+
+        # the stored-index serve path: chunk buckets computed ONCE at
+        # build, stage 1 = partition-pruned scan of the chunk store
+        from eventstream_fanout_spark.operators.mv_index import (
+            build_mv_index,
+            mv_probe_topk,
+        )
+
+        mvpath = f"{tmp}/mvidx"
+        t0 = time.perf_counter()
+        build_mv_index(spark, emb, mvpath, corpus=big_vecs)
+        res["mv_build_s"] = round(time.perf_counter() - t0, 1)
+        res["mv_probe_s"] = timed(
+            lambda: mv_probe_topk(spark, mvpath, qv, 10).collect()
+        )
+
+        from eventstream_fanout_spark.plans.multivector_queries import (
+            MATRYOSHKA_CANDIDATES,
+            PREFIX_DIM,
+        )
+        from eventstream_fanout_spark.functions.vectors import (
+            cosine_given_bnorm,
+            norm2,
+        )
+
+        qp = qv.select(
+            F.slice(F.col("qe"), 1, PREFIX_DIM).alias("qpe"), F.col("qe")
+        ).withColumn("qpn2", norm2(F.col("qpe"))).withColumn(
+            "qn2", norm2(F.col("qe"))
+        )
+
+        def _mat_run():
+            coarse = big_vecs.crossJoin(F.broadcast(qp)).select(
+                "vec_id",
+                "embedding",
+                "qe",
+                "qn2",
+                cosine_given_bnorm(
+                    F.slice(F.col("embedding"), 1, PREFIX_DIM),
+                    F.col("qpe"),
+                    F.col("qpn2"),
+                ).alias("cp"),
+            )
+            cands = coarse.orderBy(F.desc("cp"), F.asc("vec_id")).limit(
+                MATRYOSHKA_CANDIDATES
+            )
+            return (
+                cands.select(
+                    "vec_id",
+                    cosine_given_bnorm(
+                        F.col("embedding"), F.col("qe"), F.col("qn2")
+                    ).alias("cosine"),
+                )
+                .orderBy(F.desc("cosine"), F.asc("vec_id"))
+                .limit(10)
+                .collect()
+            )
+
+        res["matryoshka_s"] = timed(_mat_run)
+        res["brute_force_s"] = timed(
+            lambda: brute_force_topk(big_vecs, qv, 10).collect()
+        )
+        big_vecs.unpersist()
+
     print(json.dumps(res))
 
 
