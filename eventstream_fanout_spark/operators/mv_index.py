@@ -40,8 +40,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_given_bnorm
+from ..functions.vectors import norm2 as _norm2
 from .ann_index import FROZEN_BATCH_ID
-from .multivector import CHUNK_DIM, _maxsim_agg, doc_chunks, query_chunks
+from .multivector import (
+    CHUNK_DIM,
+    NUM_CHUNKS,
+    _maxsim_agg,
+    chunk_array,
+    doc_chunks,
+    query_chunks,
+)
 from .similarity import lsh_bucket
 
 
@@ -152,4 +160,66 @@ def mv_probe_topk(
         _maxsim_agg(pairs)
         .orderBy(F.desc("maxsim"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def mv_batch_probe_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    corpus_pred: F.Column | None = None,
+) -> DataFrame:
+    """Batch MaxSim serving: ONE stored-index scan answers the whole
+    query batch (the production shape, mirroring ann_batch_topk /
+    pq_batch_probe_topk).  ``queries`` carries (qid, qe); stage 1 is
+    the same bucket partition pruning with a (batch x 4)-row broadcast
+    probe, candidates are per-query (qid, vec_id) pairs, stage 2 joins
+    candidates' chunk rows to THEIR query's chunks (qid-keyed
+    broadcast) and ranks per query.  ``corpus_pred`` optionally
+    narrows the stored corpus (e.g. excluding the query ids when they
+    are themselves indexed)."""
+    from pyspark.sql import Window
+
+    chunks = spark.read.parquet(f"{index_path}/chunks")
+    if corpus_pred is not None:
+        chunks = chunks.where(corpus_pred)
+    qch = queries.select(
+        "qid",
+        F.posexplode(chunk_array(F.col("qe"))).alias("qc", "qchunk"),
+    ).withColumn("qn2", _norm2(F.col("qchunk")))
+    qb = qch.select(
+        "qid", lsh_bucket(F.col("qchunk"), CHUNK_DIM).alias("qbucket")
+    )
+    cands = (
+        chunks.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    pairs = (
+        chunks.join(cands, "vec_id")
+        .join(F.broadcast(qch), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            "qc",
+            cosine_given_bnorm(
+                F.col("chunk"), F.col("qchunk"), F.col("qn2")
+            ).alias("pcos"),
+        )
+    )
+    best = pairs.groupBy("qid", "vec_id", "label").agg(
+        *[
+            F.max(F.when(F.col("qc") == c, F.col("pcos"))).alias(f"m{c}")
+            for c in range(NUM_CHUNKS)
+        ]
+    )
+    msum = ((F.col("m0") + F.col("m1")) + F.col("m2")) + F.col("m3")
+    scored = best.select("qid", "vec_id", "label", msum.alias("maxsim"))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("maxsim"), F.asc("vec_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
     )

@@ -610,3 +610,94 @@ def mv_index_delete_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     delete_mv_vectors(spark, path, doomed)
     return mv_probe_topk(spark, path, _mv_query(spark, sf_dir), 10)
+
+
+@register(
+    "maxsim_batch_topk",
+    f"""
+    WITH {_CHUNK_BASE},
+    signs16(p, j, s) AS (SELECT * FROM (VALUES {_SIGNS16_VALUES})),
+    quantc AS (
+      SELECT vec_id, c, j, CAST(FLOOR(x * {1e9!r} + 0.5) AS BIGINT) AS xq
+      FROM chunkflat
+    ),
+    cprojs AS (
+      SELECT q.vec_id, q.c, s.p, SUM(q.xq * s.s) AS proj
+      FROM quantc q JOIN signs16 s ON q.j = s.j
+      GROUP BY 1, 2, 3
+    ),
+    cbuckets AS (
+      SELECT vec_id, c,
+             CAST(SUM(CASE WHEN proj > 0 THEN CAST(POW(2, p) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS bucket
+      FROM cprojs GROUP BY vec_id, c
+    ),
+    qcb AS (
+      SELECT vec_id AS qid, bucket AS qbucket FROM cbuckets
+      WHERE vec_id < 5
+    ),
+    cands AS (
+      SELECT DISTINCT q.qid, b.vec_id
+      FROM cbuckets b JOIN qcb q ON b.bucket = q.qbucket
+      WHERE b.vec_id >= 5
+    ),
+    qcf AS (
+      SELECT vec_id AS qid, c AS qc, j, x FROM chunkflat
+      WHERE vec_id < 5
+    ),
+    pair AS (
+      SELECT cd.qid, d.vec_id, d.c AS dc, q.qc,
+             CAST(SUM(CAST(FLOOR(d.x * q.x * {QV!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {QV!r} AS dot
+      FROM chunkflat d
+      JOIN cands cd ON cd.vec_id = d.vec_id
+      JOIN qcf q ON q.qid = cd.qid AND d.j = q.j
+      GROUP BY 1, 2, 3, 4
+    ),
+    pcosr AS (
+      SELECT p.qid, p.vec_id,
+             (p.dot / (sqrt(dn.n2) * sqrt(qn.n2))) AS pcos, p.qc
+      FROM pair p
+      JOIN cnorms dn ON dn.vec_id = p.vec_id AND dn.c = p.dc
+      JOIN cnorms qn ON qn.vec_id = p.qid AND qn.c = p.qc
+    ),
+    best AS (
+      SELECT qid, vec_id,
+             {_BEST_MAXES}
+      FROM pcosr GROUP BY qid, vec_id
+    ),
+    scored AS (
+      SELECT b.qid, b.vec_id, e.label,
+             (((b.m0 + b.m1) + b.m2) + b.m3) AS maxsim
+      FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+    )
+    SELECT * FROM (
+      SELECT qid, vec_id, label, maxsim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY maxsim DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    description="batch MaxSim serving from the persisted chunk store: "
+    "one stored-index scan answers 5 queries (vec_ids 0-4) at once — "
+    "stage 1 prunes on the 20-row (query x chunk) broadcast bucket "
+    "probe, candidates are per-query (qid, vec_id) pairs, stage 2 "
+    "joins candidate chunk rows to their own query's chunks and ranks "
+    "per query (the ann_batch_topk / pq_batch_probe_topk production "
+    "shape carried to late interaction)",
+    tags=(
+        "similarity", "multivector", "maxsim", "index", "batch",
+        "extension",
+    ),
+)
+def maxsim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mv_index import mv_batch_probe_topk
+
+    path = _ensure_mv_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return mv_batch_probe_topk(
+        spark, path, queries, 5, corpus_pred=F.col("vec_id") >= 5
+    )

@@ -44,13 +44,16 @@ FRONT: list[str] = [
     # open with this round's changed-plan names).  CORRECTNESS_r13
     # recorded 50/50 green, so the stale census stands as computed by
     # tools/rotation_bullet.py.  Composition:
-    #   * this round's NEW queries (Kneser-Ney LM scoring, the
-    #     end-to-end curation_v3 composition, forced-hot adaptive
-    #     SimHash posture) are prepended in the same commit that
-    #     registers each (new-first policy; FRONT raises on unknown
-    #     names, so they cannot be listed before they exist), each
-    #     displacing the then-last name to keep the list at 50.
-    #   * slots 4-17: CHANGED plans this round, which must re-prove
+    #   * this round's NEW queries are prepended in the same commit
+    #     that registers each (new-first policy; FRONT raises on
+    #     unknown names, so they cannot be listed before they exist),
+    #     each displacing the then-last name to keep the list at 50:
+    #     first the Kneser-Ney/curation_v3/adaptive-SimHash block,
+    #     then the continuation's multi-vector MaxSim family (exact /
+    #     pruned / recall / persisted / batch / ingest / delete),
+    #     Matryoshka ANN (+recall), preference-pair mining, and the
+    #     epoch-repeat schedule.
+    #   * next: CHANGED plans this round, which must re-prove
     #     their hashes under the new shape: the graph family (postings
     #     store goes bucketed-by-g, VERDICT r13 item 1), the LM count
     #     store (same layout knob + trigger-merge fix, items 2 +
@@ -64,6 +67,7 @@ FRONT: list[str] = [
     #   * slots 35-38: the four r4-stale names.
     #   * slots 39-50: the twelve oldest r5-stale names (the six the
     #     r13 additions displaced, then alphabetical).
+    "maxsim_batch_topk",
     "maxsim_persisted_topk",
     "mv_index_ingest_sim",
     "mv_index_delete_sim",
@@ -113,14 +117,14 @@ FRONT: list[str] = [
     "rollup_incremental_sim",
     "text_attr_drop_sim",
     "text_attr_evolve_sim",
-    "vocab_coverage",
 ]
 # Displaced by the round-14 continuation's additions (new-first
 # policy): training_export_pipeline, trigram_novelty_score,
 # union_intersect_users, weighted_systematic_sample,
 # above_nation_avg_balance, stratified_sample_20_per_type,
 # timestamp_parse, wav_audio_decode, winsorized_values,
-# zorder_layout_key — re-queue them in the round-15 stale block.
+# zorder_layout_key, vocab_coverage — re-queue them in the round-15
+# stale block.
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
 # tools/rotation_bullet.py at round close).  Assuming CORRECTNESS_r13

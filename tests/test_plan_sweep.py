@@ -40,6 +40,9 @@ BNLJ_ALLOWED = {
     "maxsim_multivector_topk",  # 4-row broadcast query-chunk side
     "maxsim_pruned_topk",  # same 4-row chunk side (+ 4-row bucket probe)
     "maxsim_recall_report",  # composes the two MaxSim plans above
+    "maxsim_persisted_topk",  # 4-row chunk side over the stored scan
+    "mv_index_ingest_sim",  # same stored-probe 4-row chunk side
+    "mv_index_delete_sim",  # same stored-probe 4-row chunk side
     "ann_matryoshka_topk",  # 1-row broadcast query (prefix + full norms)
     "ann_matryoshka_recall_report",  # same + brute-force truth side
     "ann_pq_recall_report",  # exact-L2 twin: broadcast 1-row query
