@@ -836,9 +836,11 @@ _RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 _RRF_DEPTH = 20  # candidates taken from each ranker
 
 
-def _hybrid_rrf_oracle() -> str:
-    """DuckDB replay: BM25 top-20 rank + exact-cosine top-20 rank
-    (vec i is doc i's embedding) fused by 1/(k+rank) sums."""
+def _hybrid_fused_sql() -> str:
+    """The shared fused-candidates CTE chain: BM25 top-20 rank +
+    exact-cosine top-20 rank (vec i is doc i's embedding) fused by
+    1/(k+rank) sums — everything up to and including ``fused``.
+    Reused by hybrid_search_rrf and the RAG context assembly."""
     from ..functions.core import sql_dsum
     from ..functions.hashing import sql_tokens as _sqlt
     from ..functions.vectors import QV
@@ -925,12 +927,19 @@ def _hybrid_rrf_oracle() -> str:
                          / CAST({_RRF_K} + v.rank_vec AS DOUBLE),
                          CAST(0.0 AS DOUBLE))) AS rrf_score
       FROM brank b FULL OUTER JOIN vrank v ON v.doc_id = b.doc_id
-    )
+    )"""
+
+
+def _hybrid_rrf_oracle() -> str:
+    return (
+        _hybrid_fused_sql()
+        + """
     SELECT doc_id, rank_text, rank_vec, rrf_score
     FROM fused
     ORDER BY rrf_score DESC, doc_id ASC
     LIMIT 10
     """
+    )
 
 
 @register(
@@ -947,6 +956,13 @@ def _hybrid_rrf_oracle() -> str:
     tags=("pipeline", "search", "similarity", "extension"),
 )
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fused = _hybrid_fused(spark, sf_dir)
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+def _hybrid_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_hybrid_fused_sql` — the fused candidate
+    relation (<= 2 x RRF_DEPTH rows), before any final cut."""
     from pyspark.sql import Window
 
     from ..operators.similarity import brute_force_topk
@@ -981,7 +997,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0.0).cast("double")
     one = F.lit(1.0).cast("double")
-    fused = brank.join(vrank, "doc_id", "full_outer").select(
+    return brank.join(vrank, "doc_id", "full_outer").select(
         "doc_id",
         "rank_text",
         "rank_vec",
@@ -996,7 +1012,6 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rrf_score"),
     )
-    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
 
 
 def _curated_multimodal_oracle() -> str:
@@ -1953,3 +1968,64 @@ def streaming_erasure_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_merged(
         spark, f"{tmp}/index", list(_BM25_TERMS), 10
     )
+
+
+# --- RAG context assembly (retrieval -> token-budget packing) ----------
+
+_CTX_BUDGET = 1024  # tokens of retrieved context the prompt can hold
+
+
+@register(
+    "rag_context_pack",
+    _hybrid_fused_sql()
+    + f""",
+    ctx_toked AS (
+      SELECT f.doc_id, f.rrf_score,
+             CAST(len(string_split_regex(trim(lower(d.text)), '\\s+')) AS BIGINT) AS n_tokens
+      FROM fused f JOIN documents d ON d.doc_id = f.doc_id
+    ),
+    ctx AS (
+      SELECT doc_id, rrf_score, n_tokens,
+             CAST(ROW_NUMBER() OVER w AS INTEGER) AS ctx_rank,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY rrf_score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM ctx_toked
+      WINDOW w AS (ORDER BY rrf_score DESC, doc_id ASC)
+    )
+    SELECT doc_id, ctx_rank, rrf_score, n_tokens, cum_tokens,
+           (cum_tokens <= {_CTX_BUDGET}) AS included
+    FROM ctx
+    """,
+    description="RAG context assembly: the hybrid (BM25 + cosine) RRF "
+    f"candidate set, ranked by fused score, greedily packed into a "
+    f"{_CTX_BUDGET}-token context budget (rank-ordered prefix: a doc "
+    "is included iff the running token total through it fits). One "
+    "row per retrieved candidate with its inclusion fate — the "
+    "retrieval-to-prompt stage of a RAG pipeline as a single "
+    "declarative plan. The cumulative window runs over the fused "
+    "candidate relation (<= 2x RRF depth rows, bounded post-top-k)",
+    tags=("pipeline", "search", "rag", "extension"),
+)
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import tokens as _tok
+
+    fused = _hybrid_fused(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tok(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    ctx = fused.join(docs, "doc_id").select(
+        "doc_id", "rrf_score", "n_tokens"
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ctx.select(
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("ctx_rank"),
+        "rrf_score",
+        "n_tokens",
+        F.sum("n_tokens").over(wsum).cast("bigint").alias("cum_tokens"),
+    ).withColumn("included", F.col("cum_tokens") <= F.lit(_CTX_BUDGET))

@@ -66,6 +66,7 @@ BNLJ_ALLOWED = {
     "text_index_upsert_sim",  # same 1-row stats side (post-upsert probe)
     "text_index_asof_probe",  # same 1-row stats side (watermark-filtered)
     "hybrid_search_rrf",  # 1-row query vector + 1-row stats sides
+    "rag_context_pack",  # composes the hybrid fused relation above
     "bloom_decontamination_prefilter",  # 1-row broadcast bitmap side
     "dsir_importance_select",  # 1-row corpus-total side (t_tot, s_tot)
     "lm_incremental_update_sim",  # 1-row store-vs-refit verdict side
@@ -150,6 +151,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "training_export_pipeline",  # same bucket cumulative, composed
     "hybrid_search_rrf",  # row_number over fused top-k candidates
     "hybrid_filtered_search_rrf",  # same, filtered probe
+    "rag_context_pack",  # cumulative over the fused candidate set
 }
 
 
