@@ -223,3 +223,25 @@ def mv_batch_probe_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def compact_mv_index(
+    spark: SparkSession, index_path: str, upto_batch_id: int
+) -> int:
+    """Fold per-batch chunk partitions below ``upto_batch_id`` (plus
+    previous frozen generations) into a new frozen generation and drop
+    the sources — the shared two-phase contract
+    (:mod:`..streaming.compaction`).  ``dedup_cols=(vec_id, c)`` for
+    hygiene, though MaxSim itself is duplicate-insensitive (MAX over
+    pair cosines and DISTINCT candidates both absorb repeats).  Run
+    with the ingest stopped; returns source partitions folded."""
+    from ..streaming.compaction import compact_generations
+
+    return compact_generations(
+        spark,
+        f"{index_path}/chunks",
+        int(upto_batch_id),
+        data_cols=["vec_id", "c", "chunk", "label", "bucket"],
+        dedup_cols=["vec_id", "c"],
+        extra_partition_cols=["bucket"],
+    )

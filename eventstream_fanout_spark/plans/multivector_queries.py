@@ -701,3 +701,47 @@ def maxsim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv_batch_probe_topk(
         spark, path, queries, 5, corpus_pred=F.col("vec_id") >= 5
     )
+
+
+@register(
+    "mv_index_compact_sim",
+    _MV_PRUNED_ORACLE,
+    description="MV chunk-store compaction transparency: build "
+    "vec_id%3==1, ingest the other two thirds as batches 1-2, fold "
+    "everything into one frozen generation (the shared two-phase "
+    "compaction contract — new generation durably in place before "
+    "sources drop), then probe; the result must equal the all-at-once "
+    "oracle, with the store back to a single live generation",
+    tags=(
+        "similarity", "multivector", "maxsim", "index", "compaction",
+        "extension",
+    ),
+)
+def mv_index_compact_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.mv_index import (
+        build_mv_index,
+        compact_mv_index,
+        ingest_mv_vectors,
+        mv_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="mv_index_compact_")
+    corpus = emb.where(F.col("vec_id") != 0)
+    build_mv_index(
+        spark, emb, path, corpus=corpus.where(F.col("vec_id") % 3 == 1)
+    )
+    ingest_mv_vectors(spark, path, corpus.where(F.col("vec_id") % 3 == 2), 1)
+    ingest_mv_vectors(spark, path, corpus.where(F.col("vec_id") % 3 == 0), 2)
+    n_folded = compact_mv_index(spark, path, upto_batch_id=3)
+    assert n_folded == 3, n_folded  # frozen build + two ingest batches
+    gens = (
+        spark.read.parquet(f"{path}/chunks")
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert gens == 1, gens  # single frozen generation after the fold
+    return mv_probe_topk(spark, path, _mv_query(spark, sf_dir), 10)

@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "maxsim_persisted_topk",  # 4-row chunk side over the stored scan
     "mv_index_ingest_sim",  # same stored-probe 4-row chunk side
     "mv_index_delete_sim",  # same stored-probe 4-row chunk side
+    "mv_index_compact_sim",  # same stored-probe 4-row chunk side
     "ann_matryoshka_topk",  # 1-row broadcast query (prefix + full norms)
     "ann_matryoshka_recall_report",  # same + brute-force truth side
     "ann_pq_recall_report",  # exact-L2 twin: broadcast 1-row query
