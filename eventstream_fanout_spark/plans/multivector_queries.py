@@ -745,3 +745,67 @@ def mv_index_compact_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert gens == 1, gens  # single frozen generation after the fold
     return mv_probe_topk(spark, path, _mv_query(spark, sf_dir), 10)
+
+
+@register(
+    "stream_mv_ingest",
+    _MV_PRUNED_ORACLE,
+    description="REAL Structured Streaming proof for the MV chunk "
+    "store: the non-frozen two thirds of the corpus arrive as "
+    "mtime-ordered one-file-per-group parquet through "
+    "maxFilesPerTrigger=1 into the foreachBatch MV sink (store batch "
+    "ids keyed off the data's group id, not the trigger counter), "
+    "then the WHOLE stream reprocesses from a fresh checkpoint — "
+    "every ingest rewrites byte-identically because chunking and "
+    "bucketing depend only on the vector itself.  The stored-index "
+    "probe must equal the all-at-once oracle",
+    tags=(
+        "similarity", "multivector", "maxsim", "index", "streaming",
+        "extension",
+    ),
+)
+def stream_mv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import tempfile
+
+    from ..operators.mv_index import build_mv_index, mv_probe_topk
+    from ..streaming import await_or_raise
+    from ..streaming.mv_ingest import mv_ingest_sink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    tmp = tempfile.mkdtemp(prefix="stream_mv_")
+    path = f"{tmp}/mvidx"
+    build_mv_index(
+        spark, emb, path, corpus=corpus.where(F.col("vec_id") % 3 == 1)
+    )
+    grp = (F.col("vec_id") % 3 == 2).cast("int")  # 1 -> grp 1, 0 -> grp 0
+    src = f"{tmp}/src"
+    (
+        corpus.where(F.col("vec_id") % 3 != 1)
+        .withColumn("grp", grp)
+        .coalesce(1)
+        .write.partitionBy("grp")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    base = os.path.getmtime(src) - 3600
+    for g in (0, 1):
+        for f in glob.glob(f"{src}/grp={g}/*.parquet"):
+            os.utime(f, (base + g, base + g))
+    sink = mv_ingest_sink(path)
+    for run in (1, 2):  # run 2 = full reprocess, fresh checkpoint
+        q = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int, grp int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt{run}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 600)
+    return mv_probe_topk(spark, path, _mv_query(spark, sf_dir), 10)

@@ -67,6 +67,7 @@ FRONT: list[str] = [
     #   * slots 35-38: the four r4-stale names.
     #   * slots 39-50: the twelve oldest r5-stale names (the six the
     #     r13 additions displaced, then alphabetical).
+    "stream_mv_ingest",
     "mv_index_compact_sim",
     "rag_context_pack",
     "maxsim_batch_topk",
@@ -116,7 +117,6 @@ FRONT: list[str] = [
     "lang_classifier_confusion",
     "lang_classifier_report",
     "rollup_cascade_daily",
-    "rollup_incremental_sim",
 ]
 # Displaced by the round-14 continuation's additions (new-first
 # policy): training_export_pipeline, trigram_novelty_score,
@@ -124,7 +124,8 @@ FRONT: list[str] = [
 # above_nation_avg_balance, stratified_sample_20_per_type,
 # timestamp_parse, wav_audio_decode, winsorized_values,
 # zorder_layout_key, vocab_coverage, text_attr_evolve_sim,
-# text_attr_drop_sim — re-queue them in the round-15 stale block.
+# text_attr_drop_sim, rollup_incremental_sim — re-queue them in the
+# round-15 stale block.
 
 # ROUND-14 ROTATION PLAN (regenerate the census with
 # tools/rotation_bullet.py at round close).  Assuming CORRECTNESS_r13
