@@ -130,6 +130,16 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # The edge relation is |near-dup pairs|-bounded (tiny next to the
+    # corpus) but its LINEAGE is the whole minhash/LSH derivation —
+    # without this checkpoint every propagation round re-tokenized,
+    # re-minhashed and re-banded the full corpus once per consuming
+    # branch (neighbor_min + the changed-probe + the round's own
+    # checkpoint: ~3 full LSH passes per round, measured 12.8 s at
+    # sf0.1).  Deriving the edges exactly once is the 100 TB posture
+    # too: each avoided recompute is a corpus-sized scan (guide §1.2
+    # step 1 / §5 caching-when-reused).
+    bidir = bidir.localCheckpoint(eager=True)
     labels = (
         bidir.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -180,14 +190,18 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cluster_id"),
             )
         )
+        # checkpoint FIRST, probe the checkpointed result: the old
+        # order ran the round's whole join tree twice (once for the
+        # changed-probe, once to materialize the checkpoint)
+        new_labels = updated.localCheckpoint(eager=True)
         changed = (
-            updated.alias("u")
+            new_labels.alias("u")
             .join(labels.alias("l"), "doc_id")
             .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
             .limit(1)
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             converged = True
             break
