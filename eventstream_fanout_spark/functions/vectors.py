@@ -81,6 +81,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_d / (F.sqrt(na_d) * F.sqrt(nb_d))
 
 
+def cosine_given_norms(a: Column, b: Column, an2: Column, bn2: Column) -> Column:
+    """:func:`cosine` with BOTH squared norms precomputed per row
+    (``norm2`` materialized on each side before a pair join).  The
+    quantized dot sum and the final IEEE combine are the same
+    expressions as :func:`cosine`, so the value is bit-identical; the
+    per-PAIR work drops from a 3-field struct fold to one BIGINT fold
+    — the right shape for pair-quadratic scorers (brute-force
+    near-pair verification, kNN eval batches), where each vector's
+    norm is otherwise recomputed once per partner instead of once per
+    row."""
+    return dot(a, b) / (F.sqrt(an2) * F.sqrt(bn2))
+
+
 def cosine_given_bnorm(a: Column, b: Column, bn2: Column) -> Column:
     """:func:`cosine` with the b-side squared norm precomputed (pass
     ``norm2(b)`` materialized on the broadcast side — query vectors,

@@ -21,7 +21,13 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, cosine_given_bnorm, dot, norm2
+from ..functions.vectors import (
+    cosine,
+    cosine_given_bnorm,
+    cosine_given_norms,
+    dot,
+    norm2,
+)
 
 NUM_HYPERPLANES = 8
 EMBED_DIM = 64
@@ -402,19 +408,30 @@ def embedding_near_pairs(
     LSH bucket equi-join (``embedding_lsh_near_pairs``); use this one
     to estimate its recall on the sample.  ``sample_mod=1`` (full
     corpus) is available for tests only."""
+    # squared norms are materialized per ROW before the pair join —
+    # per pair only the single-fold quantized dot remains (the norm of
+    # each vector was otherwise re-folded once per partner: O(n²) norm
+    # work for an O(n) quantity).  cosine_given_norms reproduces
+    # cosine() bit-for-bit (same BIGINT sums, same IEEE combine).
     sampled = corpus.where(F.col("vec_id") % sample_mod == 0)
     a = sampled.select(
-        F.col("vec_id").alias("vid_a"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("ea"),
+        norm2(F.col("embedding")).alias("na2"),
     )
     b = sampled.select(
-        F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("eb"),
+        norm2(F.col("embedding")).alias("nb2"),
     )
     return (
         a.join(b, F.col("vid_a") < F.col("vid_b"))
         .select(
             "vid_a",
             "vid_b",
-            cosine(F.col("ea"), F.col("eb")).alias("cosine"),
+            cosine_given_norms(
+                F.col("ea"), F.col("eb"), F.col("na2"), F.col("nb2")
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= F.lit(min_cosine))
     )

@@ -307,11 +307,19 @@ def _knn_oracle(k: int = 5) -> str:
 def knn_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions.vectors import cosine as _cosine
+    from ..functions.vectors import cosine_given_norms as _cgn
+    from ..functions.vectors import norm2 as _norm2
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per ROW on both sides (the broadcast test batch
+    # carries its norm), so the train-x-test pair evaluation folds one
+    # BIGINT dot instead of a 3-field struct — bit-identical values
+    # (cosine_given_norms shares cosine()'s sums and IEEE combine)
     train = emb.where(F.col("vec_id") % 5 != 0).select(
-        "vec_id", F.col("label").alias("nb_label"), "embedding"
+        "vec_id",
+        F.col("label").alias("nb_label"),
+        "embedding",
+        _norm2(F.col("embedding")).alias("n2c"),
     )
     test = emb.where(
         (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < EVAL_CAP)
@@ -319,13 +327,16 @@ def knn_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("label").alias("label_true"),
         F.col("embedding").alias("qe"),
+        _norm2(F.col("embedding")).alias("n2q"),
     )
     scored = train.crossJoin(F.broadcast(test)).select(
         "qid",
         "label_true",
         "vec_id",
         "nb_label",
-        _cosine(F.col("embedding"), F.col("qe")).alias("cosine"),
+        _cgn(
+            F.col("embedding"), F.col("qe"), F.col("n2c"), F.col("n2q")
+        ).alias("cosine"),
     )
     wk = Window.partitionBy("qid").orderBy(
         F.desc("cosine"), F.asc("vec_id")

@@ -259,13 +259,20 @@ def embedding_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "lsh", "extension"),
 )
 def embedding_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import cosine as _cosine
+    from ..functions.vectors import cosine_given_norms as _cgn
+    from ..functions.vectors import norm2 as _norm2
     from ..operators.dedup import _salted_bucket_pairs
     from ..operators.similarity import lsh_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # norm once per ROW before the pair join (bit-identical to
+    # cosine(): same BIGINT sums, same IEEE combine) — the per-pair
+    # work in the bucket-quadratic join is one fold, not three
     bucketed = emb.select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        _norm2(F.col("embedding")).alias("n2"),
     )
     # same lossless hot-bucket salting as the MinHash/SimHash joins: a
     # dense embedding cluster concentrating one LSH bucket splits into
@@ -275,9 +282,12 @@ def embedding_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vid_a"),
             F.col("b.vec_id").alias("vid_b"),
-            _cosine(F.col("a.embedding"), F.col("b.embedding")).alias(
-                "cosine"
-            ),
+            _cgn(
+                F.col("a.embedding"),
+                F.col("b.embedding"),
+                F.col("a.n2"),
+                F.col("b.n2"),
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.15)
     )
