@@ -53,10 +53,16 @@ def cocitation_edges(docs: DataFrame) -> DataFrame:
     count per shingle is <= DF_MAX^2 regardless of corpus size (the
     same skew guard as the LSH band join in operators/dedup.py).
     """
-    sh = docs.select(
+    # tokens materialized as a column first (doc_shingles discipline):
+    # inlining the split into the shingle lambda re-splits the text on
+    # every element_at — O(tokens²) per document
+    toked = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    sh = toked.select(
         "doc_id",
         "source",
-        F.explode(shingles(tokens(F.col("text")), SHINGLE_N)).alias("g"),
+        F.explode(shingles(F.col("toks"), SHINGLE_N)).alias("g"),
     ).distinct()
     rare = (
         sh.groupBy("g")

@@ -459,8 +459,15 @@ def pagerank_staleness_report(
         .where(F.col("gen") == 2)
         .select("source", F.col("rank_micro").alias("rank_incr"))
     )
+    # derive the exact edge set ONCE: it feeds both the exact rank and
+    # the edge-count comparator, and its lineage is the full
+    # corpus-sized shingle self-join (previously re-run per consumer).
+    # pagerank_integer localCheckpoints its edges input anyway, so
+    # checkpointing here just moves that materialization one level up
+    # and lets the count reuse it.
+    edges_exact = cocitation_edges(docs).localCheckpoint(eager=True)
     exact = pagerank_integer(
-        docs.select("source").distinct(), cocitation_edges(docs)
+        docs.select("source").distinct(), edges_exact
     ).select("source", F.col("rank_micro").alias("rank_exact"))
     n_incr = (
         spark.read.parquet(f"{store}/edges")
@@ -468,7 +475,7 @@ def pagerank_staleness_report(
         .distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("n_edges_incr"))
     )
-    n_exact = cocitation_edges(docs).agg(
+    n_exact = edges_exact.agg(
         F.count(F.lit(1)).cast("long").alias("n_edges_exact")
     )
     return (

@@ -81,11 +81,20 @@ POSTINGS_BUCKETS = 16
 
 
 def _batch_postings(docs: DataFrame) -> DataFrame:
-    """Distinct (g, source, doc_id) shingle postings of one batch."""
-    return docs.select(
+    """Distinct (g, source, doc_id) shingle postings of one batch.
+
+    Tokens are materialized as a column FIRST (the doc_shingles
+    discipline, operators/dedup.py): inlining the split into the
+    shingle lambda makes every element_at re-split the text —
+    O(tokens²) per document (measured 17 s -> 4 s for one sf0.1
+    batch's postings write)."""
+    toked = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    return toked.select(
         "doc_id",
         "source",
-        F.explode(shingles(tokens(F.col("text")), SHINGLE_N)).alias("g"),
+        F.explode(shingles(F.col("toks"), SHINGLE_N)).alias("g"),
     ).distinct()
 
 
@@ -248,16 +257,24 @@ def ingest_graph_batch(
     postings_asof = read_postings(spark, store).where(
         F.col("batch_id") <= batch_id
     )
+    # plist/bounded are delta-bounded (touched shingles x <= DF_MAX
+    # postings each) but appear 2x/2x in the pair tree — without the
+    # persist the store-side join re-ran once per branch (4 store
+    # reads per refresh; at scale each is a bucket scan of the whole
+    # touched slice).  persist() not localCheckpoint: the pair join is
+    # a SELF-join of bounded, and a LogicalRDD reused across
+    # self-joined branches mis-resolves attributes (the corpus_dedup
+    # lesson); cache keeps the logical plan intact.
     plist = postings_asof.join(touched, "g").select(
         "g", "source", "doc_id"
-    ).distinct()
+    ).distinct().persist()
     rare_now = (
         plist.groupBy("g")
         .agg(F.count("*").alias("df"))
         .where(F.col("df").between(DF_MIN, DF_MAX))
         .select("g")
     )
-    bounded = plist.join(rare_now, "g")
+    bounded = plist.join(rare_now, "g").persist()
     a = bounded.select("g", F.col("source").alias("src"))
     b = bounded.select("g", F.col("source").alias("dst"))
     pairs = (
@@ -266,7 +283,11 @@ def ingest_graph_batch(
         .select("src", "dst")
         .distinct()
     )
-    _write_partition(pairs, f"{store}/edges", batch_id)
+    try:
+        _write_partition(pairs, f"{store}/edges", batch_id)
+    finally:
+        bounded.unpersist()
+        plist.unpersist()
 
     # --- rank refresh: iterations over merged aggregates only ---
     # The rebuild epoch this generation ranks against is PINNED by a
@@ -408,11 +429,15 @@ def rebuild_graph_store(
             f"watermark {wm} - 1: the folded generation cannot be "
             "split at that point"
         )
+    # same recompute-elimination as the delta refresh: postings/bounded
+    # feed 2x/2x branches of the pair tree — persist (not checkpoint,
+    # self-join below) so the full as-of store derivation runs once
     postings = (
         read_postings(spark, store)
         .where(F.col("batch_id") <= epoch)
         .select("g", "source", "doc_id")
         .distinct()
+        .persist()
     )
     rare = (
         postings.groupBy("g")
@@ -420,7 +445,7 @@ def rebuild_graph_store(
         .where(F.col("df").between(DF_MIN, DF_MAX))
         .select("g")
     )
-    bounded = postings.join(rare, "g")
+    bounded = postings.join(rare, "g").persist()
     a = bounded.select("g", F.col("source").alias("src"))
     b = bounded.select("g", F.col("source").alias("dst"))
     pairs = (
@@ -429,7 +454,13 @@ def rebuild_graph_store(
         .select("src", "dst")
         .distinct()
     )
-    _write_partition(pairs, f"{store}/edges_rebuilt", epoch, key="epoch")
+    try:
+        _write_partition(
+            pairs, f"{store}/edges_rebuilt", epoch, key="epoch"
+        )
+    finally:
+        bounded.unpersist()
+        postings.unpersist()
     # manifest row written LAST — the commit point: the epoch becomes
     # visible to edges_asof only once its edge set is fully on disk
     # (and stays visible even when that set is legitimately empty —
