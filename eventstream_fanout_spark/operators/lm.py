@@ -70,12 +70,15 @@ def doc_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_bigrams(docs: DataFrame) -> DataFrame:
+def doc_bigrams(docs: DataFrame, toked: DataFrame | None = None) -> DataFrame:
     """One row per bigram OCCURRENCE: (doc_id, lang, bg) where ``bg``
     is the space-joined adjacent pair (tokens are whitespace-split so
     the join is unambiguous).  Docs with fewer than two tokens
-    contribute nothing."""
-    return doc_tokens(docs).select(
+    contribute nothing.  ``toked`` optionally supplies the
+    :func:`doc_tokens` relation precomputed (callers that derive
+    several count kinds from one batch persist it so the tokenize
+    runs once — r14, guide §1.2)."""
+    return (doc_tokens(docs) if toked is None else toked).select(
         "doc_id",
         "lang",
         F.explode(shingles(F.col("toks"), 2)).alias("bg"),
@@ -89,11 +92,12 @@ def train_slice(docs: DataFrame) -> DataFrame:
     return docs.where(F.col("doc_id") % 2 == 0)
 
 
-def bigram_counts(docs: DataFrame) -> DataFrame:
+def bigram_counts(docs: DataFrame, toked: DataFrame | None = None) -> DataFrame:
     """Per-language bigram counts of a corpus slice:
-    (lang, bg, c_uw).  One corpus pass, map-side combinable."""
+    (lang, bg, c_uw).  One corpus pass, map-side combinable.
+    ``toked`` as on :func:`doc_bigrams`."""
     return (
-        doc_bigrams(docs)
+        doc_bigrams(docs, toked)
         .groupBy("lang", "bg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_uw"))
     )
@@ -241,14 +245,15 @@ def sql_doc_scores_ctes(score_where: str = "TRUE") -> str:
     )"""
 
 
-def trigram_counts(docs: DataFrame) -> DataFrame:
+def trigram_counts(docs: DataFrame, toked: DataFrame | None = None) -> DataFrame:
     """Per-language trigram counts of a corpus slice: (lang, tg, c3).
     One corpus pass, map-side combinable — bigram_counts one order up,
     the raw material for trigram KN (all continuation-type tables
     DERIVE from these counts, so a generational store only needs the
-    associative counts themselves)."""
+    associative counts themselves).  ``toked`` as on
+    :func:`doc_bigrams`."""
     return (
-        doc_tokens(docs)
+        (doc_tokens(docs) if toked is None else toked)
         .select("lang", F.explode(shingles(F.col("toks"), 3)).alias("tg"))
         .groupBy("lang", "tg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c3"))

@@ -145,11 +145,28 @@ def build_text_index(
     generations exist — its frozen-only contract is unchanged —
     while erasure correction generations (always ``< -1``) keep it
     valid on an erased-but-never-ingested index."""
-    postings, dl = doc_postings(docs)
-    vocab = postings.groupBy("tok").agg(
+    # tokenize ONCE (r14, guide §1.2): the postings table is written
+    # first and READ BACK (the streaming sink's discipline); doclens
+    # is its distinct (doc_id, dl) projection — postings denormalize
+    # dl — vocab its per-tok row count, stats the doclens rollup.
+    # Before, each of the four writes re-ran the explode→tf→dl tree
+    # over the corpus.
+    postings, _dl = doc_postings(docs)
+    (
+        postings.withColumn("batch_id", F.lit(FROZEN_BATCH_ID))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_path}/postings")
+    )
+    stored = spark.read.parquet(f"{index_path}/postings").where(
+        F.col("batch_id") == FROZEN_BATCH_ID
+    )
+    dl = stored.select("doc_id", "dl").distinct()
+    vocab = stored.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    for rel, name in ((postings, "postings"), (dl, "doclens"),
+    for rel, name in ((dl, "doclens"),
                       (vocab, "vocab"), (batch_stats(dl), "stats")):
         (
             rel.withColumn("batch_id", F.lit(FROZEN_BATCH_ID))

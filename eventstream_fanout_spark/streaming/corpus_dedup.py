@@ -92,6 +92,7 @@ def accepted_bands(
 def dedup_batch_against_store(
     batch: DataFrame,
     store: DataFrame,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Return the subset of ``batch`` docs that are NOT near-dups of the
     store or of an earlier-id doc in the same batch.
@@ -115,10 +116,21 @@ def dedup_batch_against_store(
     mis-resolved attributes and doubled n_common, see
     test_redelivered_doc_id_raises), and the salt split applies only
     when the batch actually carries a hot bucket; a clean micro-batch
-    pays no salt explode or per-bucket count window."""
+    pays no salt explode or per-bucket count window.
+
+    ``bands`` optionally supplies the batch's band derivation
+    precomputed (the sinks pass it PERSISTED, r14): the derivation
+    feeds ~4 consumers here — the planning collect, the store
+    rejection join, and both sides of the within-batch self-join — and
+    without the cache each consumer re-ran the full
+    tokenize→minhash→band pipeline over the batch (guide §1.2: don't
+    compute things twice).  persist(), never localCheckpoint — the
+    self-join needs the logical plan intact (the LogicalRDD hazard
+    above)."""
     from ..operators.diagnostics import adaptive_bucket_pairs
 
-    bands = batch_bands(batch)
+    if bands is None:
+        bands = batch_bands(batch)
     if "band_key" in store.columns:
         vs_store = (
             _with_band_key(bands)
@@ -150,11 +162,30 @@ def dedup_batch_against_store(
 
 
 def append_accepted(
-    accepted: DataFrame, store_path: str, batch_id: int
+    accepted: DataFrame,
+    store_path: str,
+    batch_id: int,
+    bands: DataFrame | None = None,
 ) -> None:
     """Idempotently append the accepted docs' bands under their batch
-    partition (replay overwrites, never duplicates)."""
-    out = batch_bands(accepted).withColumn("batch_id", F.lit(int(batch_id)))
+    partition (replay overwrites, never duplicates).
+
+    ``bands`` optionally supplies the BATCH's band derivation already
+    computed (and persisted) by the dedup step: bands are a pure
+    per-document function of the text, so semi-joining them on the
+    accepted doc_ids yields exactly ``batch_bands(accepted)`` without
+    re-running the tokenize→minhash pipeline over the survivors (r14
+    — this was a full second derivation per trigger)."""
+    src = (
+        batch_bands(accepted)
+        if bands is None
+        else bands.join(
+            accepted.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    )
+    out = src.select("doc_id", "band", "bh").withColumn(
+        "batch_id", F.lit(int(batch_id))
+    )
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -220,6 +251,7 @@ def dedup_batch_verified(
     store: DataFrame,
     accepted_docs: DataFrame | None,
     min_jaccard: float,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`dedup_batch_against_store` with the batch family's
     LSH→verify composition: a band candidate rejects a batch doc only
@@ -254,7 +286,8 @@ def dedup_batch_verified(
        by |candidates|, not the corpus."""
     from ..operators.dedup import doc_shingles, jaccard_verify_candidates
 
-    bands = batch_bands(batch)
+    if bands is None:
+        bands = batch_bands(batch)
     cands = _candidate_pairs(bands, store)
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
@@ -376,28 +409,40 @@ def streaming_dedup_sink(
             return
         spark = batch_df.sparkSession
         store = accepted_bands(spark, store_path, exclude_batch_id=batch_id)
-        if min_jaccard is None:
-            survivors = dedup_batch_against_store(batch_df, store)
-        else:
-            accepted = _verified_inputs_or_raise(
-                store,
-                _accepted_docs(spark, out_path, exclude_batch_id=batch_id),
-            )
-            survivors = dedup_batch_verified(
-                batch_df, store, accepted, min_jaccard
-            )
-        survivors = survivors.persist()
+        # the batch's band derivation is computed ONCE per trigger and
+        # persisted: its ~5 consumers (planning collect, store join,
+        # both self-join sides, the accepted-bands append) otherwise
+        # each re-ran the tokenize→minhash pipeline (r14, guide §1.2)
+        bands = batch_bands(batch_df).persist()
         try:
-            (
-                survivors.withColumn("batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(out_path)
-            )
-            append_accepted(survivors, store_path, batch_id)
+            if min_jaccard is None:
+                survivors = dedup_batch_against_store(
+                    batch_df, store, bands=bands
+                )
+            else:
+                accepted = _verified_inputs_or_raise(
+                    store,
+                    _accepted_docs(
+                        spark, out_path, exclude_batch_id=batch_id
+                    ),
+                )
+                survivors = dedup_batch_verified(
+                    batch_df, store, accepted, min_jaccard, bands=bands
+                )
+            survivors = survivors.persist()
+            try:
+                (
+                    survivors.withColumn("batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(out_path)
+                )
+                append_accepted(survivors, store_path, batch_id, bands=bands)
+            finally:
+                survivors.unpersist()
         finally:
-            survivors.unpersist()
+            bands.unpersist()
 
     return process
 
@@ -468,52 +513,69 @@ def streaming_dedup_sink_bucketed(
             store = spark.createDataFrame(
                 [], "doc_id long, band int, bh string"
             )
-        if min_jaccard is None:
-            survivors = dedup_batch_against_store(batch_df, store)
-        else:
-            accepted = _verified_inputs_or_raise(
-                store,
-                _accepted_docs(spark, out_path, exclude_batch_id=batch_id),
-            )
-            survivors = dedup_batch_verified(
-                batch_df, store, accepted, min_jaccard
-            )
-        survivors = survivors.persist()
+        # one persisted band derivation per trigger (see
+        # streaming_dedup_sink): the survivors' store rows below are a
+        # semi-join on it instead of a second tokenize→minhash pass
+        bands = batch_bands(batch_df).persist()
         try:
-            (
-                survivors.withColumn("batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(out_path)
-            )
-            bands = _with_band_key(batch_bands(survivors)).withColumn(
-                "batch_id", F.lit(int(batch_id))
-            )
-            if not exists:
-                (
-                    bands.write.mode("overwrite")
-                    .partitionBy("batch_id")
-                    .bucketBy(num_buckets, "band_key")
-                    .sortBy("band_key")
-                    .format("parquet")
-                    .saveAsTable(store_table)
+            if min_jaccard is None:
+                survivors = dedup_batch_against_store(
+                    batch_df, store, bands=bands
                 )
             else:
-                # session-level conf (saved/restored): the per-write
-                # option is not visible to the analyzer's
-                # self-overwrite check, which must see DYNAMIC mode to
-                # allow replacing only the replayed batch partition of
-                # a table the same plan reads
-                conf_key = "spark.sql.sources.partitionOverwriteMode"
-                prev = spark.conf.get(conf_key, "static")
-                spark.conf.set(conf_key, "dynamic")
-                try:
-                    bands.write.mode("overwrite").insertInto(store_table)
-                finally:
-                    spark.conf.set(conf_key, prev)
+                accepted = _verified_inputs_or_raise(
+                    store,
+                    _accepted_docs(
+                        spark, out_path, exclude_batch_id=batch_id
+                    ),
+                )
+                survivors = dedup_batch_verified(
+                    batch_df, store, accepted, min_jaccard, bands=bands
+                )
+            survivors = survivors.persist()
+            try:
+                (
+                    survivors.withColumn("batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(out_path)
+                )
+                surv_bands = _with_band_key(
+                    bands.join(
+                        survivors.select("doc_id").distinct(),
+                        "doc_id",
+                        "left_semi",
+                    ).select("doc_id", "band", "bh")
+                ).withColumn("batch_id", F.lit(int(batch_id)))
+                if not exists:
+                    (
+                        surv_bands.write.mode("overwrite")
+                        .partitionBy("batch_id")
+                        .bucketBy(num_buckets, "band_key")
+                        .sortBy("band_key")
+                        .format("parquet")
+                        .saveAsTable(store_table)
+                    )
+                else:
+                    # session-level conf (saved/restored): the per-write
+                    # option is not visible to the analyzer's
+                    # self-overwrite check, which must see DYNAMIC mode
+                    # to allow replacing only the replayed batch
+                    # partition of a table the same plan reads
+                    conf_key = "spark.sql.sources.partitionOverwriteMode"
+                    prev = spark.conf.get(conf_key, "static")
+                    spark.conf.set(conf_key, "dynamic")
+                    try:
+                        surv_bands.write.mode("overwrite").insertInto(
+                            store_table
+                        )
+                    finally:
+                        spark.conf.set(conf_key, prev)
+            finally:
+                survivors.unpersist()
         finally:
-            survivors.unpersist()
+            bands.unpersist()
 
     return process
 

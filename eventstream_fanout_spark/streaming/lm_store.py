@@ -122,9 +122,11 @@ def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:
     df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
 
-def _token_counts(docs: DataFrame) -> DataFrame:
+def _token_counts(
+    docs: DataFrame, toked: DataFrame | None = None
+) -> DataFrame:
     return (
-        doc_tokens(docs)
+        (doc_tokens(docs) if toked is None else toked)
         .select("lang", F.explode(F.col("toks")).alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -191,14 +193,23 @@ def ingest_lm_batch(
 ) -> None:
     """Write one document batch's LM delta: per-language bigram
     counts and token occurrence counts.  Batches below the compaction
-    watermark are refused (their partitions were folded away)."""
+    watermark are refused (their partitions were folded away).
+    Tokenization runs ONCE per batch (r14, guide §1.2): the persisted
+    doc_tokens relation feeds both count kinds instead of each delta
+    write re-splitting the text."""
     _guard_below_watermark(spark, root, batch_id)
-    _write_delta(
-        spark, root, "bigrams",
-        bigram_counts(docs).withColumnRenamed("c_uw", "c"),
-        batch_id,
-    )
-    _write_delta(spark, root, "vocab", _token_counts(docs), batch_id)
+    toked = doc_tokens(docs).persist()
+    try:
+        _write_delta(
+            spark, root, "bigrams",
+            bigram_counts(docs, toked).withColumnRenamed("c_uw", "c"),
+            batch_id,
+        )
+        _write_delta(
+            spark, root, "vocab", _token_counts(docs, toked), batch_id
+        )
+    finally:
+        toked.unpersist()
 
 
 def erase_lm_docs(
@@ -207,21 +218,27 @@ def erase_lm_docs(
     """Right-to-erasure as a NEGATIVE delta batch: the doomed
     documents' bigram and token counts times -1.  Replay-idempotent
     for the same reason ingest is (the delta depends only on the
-    doomed docs); serving's positivity filter does the rest."""
+    doomed docs); serving's positivity filter does the rest.
+    Tokenizes the doomed docs once (ingest_lm_batch's r14 cache)."""
     _guard_below_watermark(spark, root, batch_id)
-    _write_delta(
-        spark, root, "bigrams",
-        bigram_counts(doomed)
-        .select("lang", "bg", (-F.col("c_uw")).cast("bigint").alias("c")),
-        batch_id,
-    )
-    _write_delta(
-        spark, root, "vocab",
-        _token_counts(doomed).select(
-            "lang", "tok", (-F.col("c")).cast("bigint").alias("c")
-        ),
-        batch_id,
-    )
+    toked = doc_tokens(doomed).persist()
+    try:
+        _write_delta(
+            spark, root, "bigrams",
+            bigram_counts(doomed, toked).select(
+                "lang", "bg", (-F.col("c_uw")).cast("bigint").alias("c")
+            ),
+            batch_id,
+        )
+        _write_delta(
+            spark, root, "vocab",
+            _token_counts(doomed, toked).select(
+                "lang", "tok", (-F.col("c")).cast("bigint").alias("c")
+            ),
+            batch_id,
+        )
+    finally:
+        toked.unpersist()
 
 
 def _visible(

@@ -92,8 +92,28 @@ def streaming_text_index_sink(
         spark = batch_df.sparkSession
         if enforce_unique_doc_ids:
             _check_new_doc_ids(spark, index_path, batch_df, int(batch_id))
-        postings, dl = doc_postings(batch_df.select("doc_id", "text"))
-        vocab = postings.groupBy("tok").agg(
+        # tokenize ONCE per trigger (r14, guide §1.2): the postings
+        # generation is written first, then READ BACK from its own
+        # just-written partition (the graph_ingest discipline — no
+        # recompute, no heap cache), and every other artifact derives
+        # from it: postings rows carry the denormalized ``dl``, so
+        # doclens is their distinct (doc_id, dl) projection, vocab
+        # their per-tok row count, stats the doclens rollup.  Before,
+        # each of the 4-5 generation writes re-ran the explode→tf→dl
+        # tree over the batch.
+        postings, _dl = doc_postings(batch_df.select("doc_id", "text"))
+        (
+            postings.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{index_path}/postings")
+        )
+        stored = spark.read.parquet(f"{index_path}/postings").where(
+            F.col("batch_id") == int(batch_id)
+        )
+        dl = stored.select("doc_id", "dl").distinct()
+        vocab = stored.groupBy("tok").agg(
             F.count(F.lit(1)).cast("bigint").alias("df")
         )
         # delta-shaped attr maintenance (VERDICT r9 item 3, the ANN
@@ -105,7 +125,6 @@ def streaming_text_index_sink(
         # carry raises instead of appending uncovered postings.
         attrs_store = _read_or_none(spark, f"{index_path}/attrs")
         rels = [
-            (postings, "postings"),
             (dl, "doclens"),
             (vocab, "vocab"),
         ]
@@ -126,7 +145,7 @@ def streaming_text_index_sink(
                     "columns on the ingest stream (or drop the attrs "
                     "store)"
                 )
-            attr_rows = postings.select("tok", "doc_id").join(
+            attr_rows = stored.select("tok", "doc_id").join(
                 batch_df.select("doc_id", *acols), "doc_id"
             )
             rels.append((attr_rows, "attrs"))

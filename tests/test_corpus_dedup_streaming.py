@@ -383,7 +383,7 @@ def test_crash_between_survivor_and_signature_writes_heals_on_replay(
 
     b1 = _docs(spark, [(10, texts[2][1]), (11, texts[0][1])])  # 11 = dup
 
-    def boom(accepted, store_path, batch_id):
+    def boom(accepted, store_path, batch_id, **kwargs):
         raise RuntimeError("simulated crash between the two writes")
 
     monkeypatch.setattr(corpus_dedup, "append_accepted", boom)
@@ -780,3 +780,39 @@ def test_erased_docs_leave_no_ghost_signatures(spark, tmp_path):
         .collect()
     }
     assert admitted1 == {900}
+
+
+def test_append_accepted_precomputed_bands_matches_recompute(spark, tmp_path):
+    """r14 optimization: the sinks pass the batch's persisted band
+    derivation into append_accepted, which semi-joins it on the
+    accepted doc_ids instead of re-running tokenize→minhash over the
+    survivors.  Bands are a pure per-document function of the text, so
+    the two paths must write byte-identical store rows."""
+    from eventstream_fanout_spark.streaming.corpus_dedup import (
+        append_accepted,
+        batch_bands,
+    )
+
+    texts = _corpus_texts(spark, 3)
+    batch = _docs(
+        spark,
+        [(0, texts[0][1]), (1, texts[1][1]), (2, texts[2][1])],
+    )
+    accepted = batch.where(F.col("doc_id") != 1)
+    bands = batch_bands(batch).persist()
+    p_recompute = str(tmp_path / "store_recompute")
+    p_precomp = str(tmp_path / "store_precomputed")
+    append_accepted(accepted, p_recompute, 0)
+    append_accepted(accepted, p_precomp, 0, bands=bands)
+    bands.unpersist()
+    rows_a = {
+        (r["doc_id"], r["band"], r["bh"], r["batch_id"])
+        for r in spark.read.parquet(p_recompute).collect()
+    }
+    rows_b = {
+        (r["doc_id"], r["band"], r["bh"], r["batch_id"])
+        for r in spark.read.parquet(p_precomp).collect()
+    }
+    assert rows_a == rows_b
+    assert rows_a  # non-degenerate: the accepted docs do carry bands
+    assert {r[0] for r in rows_a} == {0, 2}
