@@ -511,11 +511,13 @@ _MV_PRUNED_ORACLE = f"""
     _MV_PRUNED_ORACLE,
     description="two-stage MaxSim against the PERSISTED chunk-bucket "
     "store (operators/mv_index.py): chunks live partitioned by "
-    "(batch_id, bucket), so stage 1 is partition pruning by the 4-row "
-    "broadcast query-bucket probe — no corpus bucketing at query time "
-    "(the in-plan pruned variant pays a corpus scan for stage 1; "
-    "measured x100: in-plan pruned 7.7s vs exact 4.4s, PERF.md). "
-    "Bit-identical to maxsim_pruned_topk, so it shares the oracle",
+    "(batch_id, bgrp) with bucket a SORTED data column, so stage 1 "
+    "pushes the query's <=4 buckets into the scan (bgrp dir pruning "
+    "+ bucket row-group min/max skipping) — no corpus bucketing at "
+    "query time (the in-plan pruned variant pays a corpus scan for "
+    "stage 1; measured x100: in-plan pruned 7.7s vs exact 4.4s, "
+    "PERF.md). Bit-identical to maxsim_pruned_topk, so it shares the "
+    "oracle",
     tags=("similarity", "multivector", "maxsim", "index", "extension"),
 )
 def maxsim_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

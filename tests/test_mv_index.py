@@ -41,14 +41,18 @@ def test_store_probe_equals_inplan_pruned_and_plan_prunes(spark):
     assert stored == inplan  # bit-identical scores, same order
 
     # the probe must not re-bucket stored data: lsh_bucket's md5-sign
-    # subtree appears only over the broadcast query side.  The stored
-    # scan carries `bucket` as a partition column, so the plan's
-    # parquet scans read it via partition values (PartitionFilters /
-    # dynamic pruning), never via a bucket-computation over `chunk`.
+    # subtree runs only in the tiny query-side job that computes the
+    # probe buckets.  The stored scan reads `bucket` as a SORTED data
+    # column with the probe's buckets PUSHED into it (r14 layout:
+    # bgrp partition dirs + row-group min/max on bucket), never via a
+    # bucket-computation over `chunk`.
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in plan
     # exactly two chunk-store scans: stage-1 candidates + stage-2 rerank
     assert plan.count("chunks") >= 2
+    # stage 1's bucket probe is a pushed parquet predicate (row-group
+    # skipping over the bucket-sorted files), not a post-scan join
+    assert "PushedFilters: [In(bucket" in plan, plan
 
 
 def test_mv_erasure_physically_removes(spark):
