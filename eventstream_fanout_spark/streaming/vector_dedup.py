@@ -187,27 +187,35 @@ def streaming_vector_dedup_sink(
             if raw is None
             else raw.select("vec_id", "list_id", "codes")
         )
-        survivors, scodes = dedup_vector_batch(
+        survivors, _scodes = dedup_vector_batch(
             batch_df, store, codebook, centroids, max_adc_dist,
             nprobe=nprobe,
         )
-        survivors = survivors.persist()
-        try:
-            (
-                survivors.withColumn("batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(out_path)
-            )
-            (
-                scodes.withColumn("batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id", "list_id")
-                .parquet(f"{index_path}/codes")
-            )
-        finally:
-            survivors.unpersist()
+        (
+            survivors.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        # codes derive from the just-written survivors partition (the
+        # graph/text read-back discipline, r14): PQ encoding is a pure
+        # per-vector function, so re-encoding the admitted rows equals
+        # the returned scodes relation — without re-running the whole
+        # rejection tree (store join included) a second time for the
+        # codes write (guide §1.2).
+        admitted = (
+            spark.read.parquet(out_path)
+            .where(F.col("batch_id") == int(batch_id))
+            .select("vec_id", "embedding")
+        )
+        (
+            encode_pq_codes(admitted, codebook, centroids)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "list_id")
+            .parquet(f"{index_path}/codes")
+        )
 
     return process
