@@ -145,16 +145,27 @@ def _write_postings(
         spark.conf.set(conf_key, prev)
 
 
-def read_postings(spark: SparkSession, store: str) -> DataFrame:
+def read_postings(
+    spark: SparkSession,
+    store: str,
+    manifest: tuple[int, int | None] | None = None,
+) -> DataFrame:
     """The manifest-committed view of the bucketed postings table:
     (g, source, doc_id, batch_id) — the latest frozen generation plus
     live batches at or above the compaction watermark (orphan frozen
     partitions and superseded sources both masked; see
-    compaction.compact_table_manifest)."""
+    compaction.compact_table_manifest).  ``manifest`` optionally
+    supplies an already-read (watermark, frozen_gen) pair: a single
+    refresh consults the view several times and the manifest cannot
+    change mid-call (compaction shares the maintenance window), so
+    callers read it once instead of paying the exists-probe + 1-row
+    collect per consumer (r14)."""
     from .compaction import read_compact_manifest, visible_partitions
 
-    wm, frozen = read_compact_manifest(
-        spark, f"{store}/postings_compact_manifest"
+    wm, frozen = (
+        read_compact_manifest(spark, f"{store}/postings_compact_manifest")
+        if manifest is None
+        else manifest
     )
     return visible_partitions(
         spark.table(postings_table_name(store)), wm, frozen
@@ -224,7 +235,12 @@ def ingest_graph_batch(
     partitions were folded away, so a replay could neither rewrite
     identical bytes nor even see its own postings.
     """
-    wm = _postings_watermark(spark, store)
+    from .compaction import read_compact_manifest
+
+    manifest = read_compact_manifest(
+        spark, f"{store}/postings_compact_manifest"
+    )
+    wm = manifest[0]
     if int(batch_id) < wm:
         raise ValueError(
             f"batch_id={batch_id} is below the postings compaction "
@@ -249,12 +265,12 @@ def ingest_graph_batch(
     # feeds the touched distinct, the store-side join, the df
     # re-check, and the pair self-join with zero store-side Exchange.
     touched = (
-        read_postings(spark, store)
+        read_postings(spark, store, manifest=manifest)
         .where(F.col("batch_id") == batch_id)
         .select("g")
         .distinct()
     )
-    postings_asof = read_postings(spark, store).where(
+    postings_asof = read_postings(spark, store, manifest=manifest).where(
         F.col("batch_id") <= batch_id
     )
     # plist/bounded are delta-bounded (touched shingles x <= DF_MAX
@@ -422,7 +438,12 @@ def rebuild_graph_store(
     Epochs below ``watermark - 1`` are REFUSED: the frozen postings
     generation covers [0, watermark) as one unit, so an as-of read
     under it cannot exclude the folded batches above the epoch."""
-    wm = _postings_watermark(spark, store)
+    from .compaction import read_compact_manifest
+
+    manifest = read_compact_manifest(
+        spark, f"{store}/postings_compact_manifest"
+    )
+    wm = manifest[0]
     if int(epoch) < wm - 1:
         raise ValueError(
             f"rebuild epoch {epoch} is below the postings compaction "
@@ -433,7 +454,7 @@ def rebuild_graph_store(
     # feed 2x/2x branches of the pair tree — persist (not checkpoint,
     # self-join below) so the full as-of store derivation runs once
     postings = (
-        read_postings(spark, store)
+        read_postings(spark, store, manifest=manifest)
         .where(F.col("batch_id") <= epoch)
         .select("g", "source", "doc_id")
         .distinct()
