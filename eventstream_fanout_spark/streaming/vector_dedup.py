@@ -203,9 +203,22 @@ def streaming_vector_dedup_sink(
         # per-vector function, so re-encoding the admitted rows equals
         # the returned scodes relation — without re-running the whole
         # rejection tree (store join included) a second time for the
-        # codes write (guide §1.2).
+        # codes write (guide §1.2).  The read is SCHEMA-SPECIFIED: an
+        # ALL-REJECTED batch commits no data file under dynamic
+        # overwrite (SPARK-23271), so a first-ever rejected batch
+        # leaves out_path holding only _SUCCESS and schema inference
+        # would fail — with the schema given, that reads as zero
+        # admitted rows (the old empty-scodes no-op), while a
+        # genuinely corrupt file still errors at scan time
+        # (fail-closed).
+        from pyspark.sql import types as T
+
+        surv_schema = batch_df.select("vec_id", "embedding").schema.add(
+            "batch_id", T.LongType()
+        )
         admitted = (
-            spark.read.parquet(out_path)
+            spark.read.schema(surv_schema)
+            .parquet(out_path)
             .where(F.col("batch_id") == int(batch_id))
             .select("vec_id", "embedding")
         )
