@@ -530,6 +530,15 @@ def read_rank_generations(spark: SparkSession, store: str) -> DataFrame:
 def assert_groups_whole(batch_df: DataFrame) -> None:
     """Fail loudly if any ``grp`` in this trigger spans multiple input
     files (round-13 ADVICE item 2, applied to both data-keyed sinks).
+    See :func:`whole_groups`, which this wraps."""
+    whole_groups(batch_df)
+
+
+def whole_groups(batch_df: DataFrame) -> list[int]:
+    """The trigger's sorted distinct group ids, with the one-file-per-
+    group contract enforced in the SAME pass (r14: the data-keyed
+    sinks previously paid two driver round-trips per trigger — the
+    guard aggregate plus a separate distinct-groups collect).
 
     The data-keyed store batch id is sound only if each group arrives
     WHOLE in one trigger.  Spark's file source never splits one file
@@ -538,18 +547,18 @@ def assert_groups_whole(batch_df: DataFrame) -> None:
     from two files in the same trigger proves the writer broke the
     contract (and could equally have landed those files in different
     triggers, silently losing the earlier delta to the overwrite).
-    One groups-bounded aggregate per trigger; non-file sources yield
-    empty input_file_name for every row (one distinct value), so the
-    guard degrades to a no-op there, as documented."""
-    offending = (
+    One groups-bounded aggregate per trigger (the group list is
+    request-bounded by nature); non-file sources yield empty
+    input_file_name for every row (one distinct value), so the guard
+    degrades to a plain group census there, as documented."""
+    rows = (
         batch_df.select("grp", F.input_file_name().alias("_f"))
         .distinct()
         .groupBy("grp")
         .agg(F.count(F.lit(1)).alias("n_files"))
-        .where(F.col("n_files") > 1)
-        .limit(1)
         .collect()
     )
+    offending = [r for r in rows if r["n_files"] > 1]
     if offending:
         r = offending[0]
         raise ValueError(
@@ -558,6 +567,7 @@ def assert_groups_whole(batch_df: DataFrame) -> None:
             "per group (a multi-file group could be split across "
             "triggers and its earlier delta silently overwritten)"
         )
+    return sorted(int(r["grp"]) for r in rows)
 
 
 def live_posting_ids(spark: SparkSession, store: str) -> list[int]:
@@ -603,12 +613,8 @@ def graph_ingest_sink(store: str, max_live_parts: int | None = None):
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        assert_groups_whole(batch_df)
         spark = batch_df.sparkSession
-        grps = sorted(
-            int(r["grp"])
-            for r in batch_df.select("grp").distinct().collect()
-        )
+        grps = whole_groups(batch_df)  # census + guard, one pass (r14)
         wm = _postings_watermark(spark, store)
         for g in grps:
             if g < wm:

@@ -405,14 +405,10 @@ def lm_ingest_sink(store: str, max_live_parts: int | None = None):
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        from .graph_ingest import assert_groups_whole
+        from .graph_ingest import whole_groups
 
-        assert_groups_whole(batch_df)
         spark = batch_df.sparkSession
-        grps = sorted(
-            int(r["grp"])
-            for r in batch_df.select("grp").distinct().collect()
-        )
+        grps = whole_groups(batch_df)  # census + guard, one pass (r14)
         wm = _lm_watermark(spark, store, "bigrams")
         for g in grps:
             if g < wm:

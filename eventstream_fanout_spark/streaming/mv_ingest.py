@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.mv_index import ingest_mv_vectors
-from .graph_ingest import assert_groups_whole
+from .graph_ingest import whole_groups
 
 
 def mv_ingest_sink(index_path: str):
@@ -32,11 +32,7 @@ def mv_ingest_sink(index_path: str):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        assert_groups_whole(batch_df)
-        grps = [
-            r["grp"]
-            for r in batch_df.select("grp").distinct().collect()
-        ]
+        grps = whole_groups(batch_df)  # census + guard, one pass (r14)
         if len(grps) != 1:
             raise ValueError(
                 f"mv_ingest_sink expects one group per trigger, got "
