@@ -159,15 +159,30 @@ def build_text_index(
         .partitionBy("batch_id")
         .parquet(f"{index_path}/postings")
     )
-    stored = spark.read.parquet(f"{index_path}/postings").where(
-        F.col("batch_id") == FROZEN_BATCH_ID
+    # Schema-specified read-back (r15 — the SPARK-23271 corner the
+    # vector-dedup sink fixed first): an all-empty-text corpus commits
+    # no data file under dynamic overwrite, so inference over the bare
+    # _SUCCESS would fail; with the schema given it reads as zero
+    # postings and the derived artifacts land empty (a corrupt file
+    # still errors at scan time — fail-closed).
+    from pyspark.sql import Observation
+    from pyspark.sql import types as T
+
+    stored = (
+        spark.read.schema(postings.schema.add("batch_id", T.LongType()))
+        .parquet(f"{index_path}/postings")
+        .where(F.col("batch_id") == FROZEN_BATCH_ID)
     )
     dl = stored.select("doc_id", "dl").distinct()
     vocab = stored.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    for rel, name in ((dl, "doclens"),
-                      (vocab, "vocab"), (batch_stats(dl), "stats")):
+    # n_docs for the bloom sizing rides the stats write as an
+    # Observation (r15; the r14 shape re-read the just-written stats
+    # partition — one extra driver job per build)
+    stats_obs = Observation()
+    stats = batch_stats(dl).observe(stats_obs, F.sum("n_docs").alias("n"))
+    for rel, name in ((dl, "doclens"), (vocab, "vocab"), (stats, "stats")):
         (
             rel.withColumn("batch_id", F.lit(FROZEN_BATCH_ID))
             .write.mode("overwrite")
@@ -179,19 +194,17 @@ def build_text_index(
     # tokenization subtree (ADVICE r11: the old bloom-first call
     # re-computed the explode once for the count and once for the
     # rows): ids come from the written doclens generation (a
-    # partition-pruned two-column scan) and m from the written stats
-    # row (one row).  A crash before this write leaves the generation
-    # bloom-less, which the ingest gate detects and answers with the
-    # full fallback scan — the same conservative ordering as the sink.
-    written_dl = spark.read.parquet(f"{index_path}/doclens").where(
-        F.col("batch_id") == FROZEN_BATCH_ID
-    )
-    n_docs = int(
-        spark.read.parquet(f"{index_path}/stats")
+    # partition-pruned two-column scan, schema-specified like the
+    # postings read-back) and m from the observed stats row.  A crash
+    # before this write leaves the generation bloom-less, which the
+    # ingest gate detects and answers with the full fallback scan —
+    # the same conservative ordering as the sink.
+    written_dl = (
+        spark.read.schema(dl.schema.add("batch_id", T.LongType()))
+        .parquet(f"{index_path}/doclens")
         .where(F.col("batch_id") == FROZEN_BATCH_ID)
-        .agg(F.sum("n_docs").alias("n"))
-        .collect()[0]["n"]
     )
+    n_docs = int(stats_obs.get["n"] or 0)
     write_idbloom(
         spark,
         index_path,

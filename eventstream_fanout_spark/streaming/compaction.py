@@ -109,6 +109,7 @@ def erase_rows(
     key_col: str,
     ids: list,
     extra_partition_cols: list[str] | None = None,
+    touched: list[tuple] | None = None,
 ) -> int:
     """Remove every row whose ``key_col`` is in ``ids`` from a
     batch_id-partitioned store — the shared mechanics behind the
@@ -124,19 +125,35 @@ def erase_rows(
     (the compaction contract).  ``ids`` is a driver-side list — an
     erasure request is metadata-sized by nature; the touched-partition
     collects are the same metadata shape as compaction's.  Returns the
-    number of partitions rewritten or removed."""
+    number of partitions rewritten or removed.
+
+    ``touched`` (r15, guide §1.2 — erasure was ~3 Spark jobs per
+    store) lets a caller that already knows the doomed partitions
+    pass them as value tuples in ``part_cols`` order and skip the
+    touched-partition scan; extras that hold no doomed row are
+    rewritten byte-identically (harmless), and a tuple naming a
+    missing partition is a no-op delete.  The kept-partition census
+    rides the survivors write itself as an ``Observation`` — one
+    Spark job total instead of three when ``touched`` is given."""
     from py4j.java_gateway import java_import
+
+    from pyspark.sql import Observation
 
     part_cols = ["batch_id", *(extra_partition_cols or [])]
     ids = list(ids)
+    if touched is not None:
+        touched = [tuple(t) for t in touched]
+        if not touched:
+            return 0  # before the read — even inference costs a job
     df = spark.read.parquet(path)
-    touched = [
-        tuple(r[c] for c in part_cols)
-        for r in df.where(F.col(key_col).isin(ids))
-        .select(*part_cols)
-        .distinct()
-        .collect()
-    ]
+    if touched is None:
+        touched = [
+            tuple(r[c] for c in part_cols)
+            for r in df.where(F.col(key_col).isin(ids))
+            .select(*part_cols)
+            .distinct()
+            .collect()
+        ]
     if not touched:
         return 0
     pair_cond = F.lit(False)
@@ -146,16 +163,24 @@ def erase_rows(
             c = c & (F.col(col) == v)
         pair_cond = pair_cond | c
     survivors = df.where(pair_cond & ~F.col(key_col).isin(ids))
-    keep = {
-        tuple(r[c] for c in part_cols)
-        for r in survivors.select(*part_cols).distinct().collect()
-    }
+    # the kept-partition census rides the write (the partitions whose
+    # survivors row count is zero must be deleted below — dynamic
+    # overwrite leaves them untouched); an Observation is computed
+    # DURING the write action, so no separate collect job runs
+    obs = Observation()
     (
-        survivors.write.mode("overwrite")
+        survivors.observe(
+            obs,
+            F.collect_set(
+                F.struct(*[F.col(c) for c in part_cols])
+            ).alias("kept"),
+        )
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*part_cols)
         .parquet(path)
     )
+    keep = {tuple(r) for r in obs.get["kept"]}
     jvm = spark._jvm
     java_import(jvm, "org.apache.hadoop.fs.Path")
     fs = jvm.Path(path).getFileSystem(spark._jsc.hadoopConfiguration())

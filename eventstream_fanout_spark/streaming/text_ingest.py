@@ -109,8 +109,19 @@ def streaming_text_index_sink(
             .partitionBy("batch_id")
             .parquet(f"{index_path}/postings")
         )
-        stored = spark.read.parquet(f"{index_path}/postings").where(
-            F.col("batch_id") == int(batch_id)
+        # The read-back is SCHEMA-SPECIFIED (r15 — the vector-dedup
+        # sink's SPARK-23271 lesson): a first-ever batch of all-empty
+        # texts commits NO data file under dynamic overwrite, so
+        # schema inference over the bare _SUCCESS would fail; with the
+        # schema given it reads as zero postings (every derived
+        # artifact lands empty, exactly like the recompute would),
+        # while a genuinely corrupt file still errors at scan time.
+        from pyspark.sql import types as T
+
+        stored = (
+            spark.read.schema(postings.schema.add("batch_id", T.LongType()))
+            .parquet(f"{index_path}/postings")
+            .where(F.col("batch_id") == int(batch_id))
         )
         dl = stored.select("doc_id", "dl").distinct()
         vocab = stored.groupBy("tok").agg(
@@ -150,7 +161,21 @@ def streaming_text_index_sink(
             )
             rels.append((attr_rows, "attrs"))
         rels.append((batch_stats(dl), "stats"))  # LAST — see module doc
+        # m for the id bloom is sized from the stats row as it is
+        # WRITTEN (an Observation riding the stats write — r15; the
+        # r14 shape re-read the just-written partition, one extra
+        # driver job per trigger); zero-token docs make it a slight
+        # under-estimate of the distinct-id count, which only nudges
+        # the false-positive rate — over-approximation stays safe by
+        # construction.
+        from pyspark.sql import Observation
+
+        stats_obs = Observation()
         for rel, name in rels:
+            if name == "stats":
+                rel = rel.observe(
+                    stats_obs, F.sum("n_docs").alias("n")
+                )
             (
                 rel.withColumn("batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite")
@@ -165,19 +190,7 @@ def streaming_text_index_sink(
         # clash); replay overwrites it like every other partition.
         from ..operators.text_index import write_idbloom
 
-        # m is sized from the just-written stats row (one-row
-        # partition-pruned read) instead of a second count pass over
-        # the micro-batch (ADVICE r11); zero-token docs make it a
-        # slight under-estimate of the distinct-id count, which only
-        # nudges the false-positive rate — over-approximation stays
-        # safe by construction.
-        n_docs = int(
-            spark.read.parquet(f"{index_path}/stats")
-            .where(F.col("batch_id") == int(batch_id))
-            .agg(F.sum("n_docs").alias("n"))
-            .collect()[0]["n"]
-            or 0
-        )
+        n_docs = int(stats_obs.get["n"] or 0)
         write_idbloom(
             spark,
             index_path,
@@ -344,9 +357,31 @@ def _check_new_doc_ids(
     byte-identical; blooms can only be OVER-approximate (erased ids
     linger until compaction — they cost a narrow probe that finds
     nothing, never a missed clash)."""
-    stored = _read_or_none(spark, f"{index_path}/doclens")
-    if stored is None:
+    from py4j.java_gateway import java_import
+
+    from pyspark.sql import types as T
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    dlp = jvm.Path(f"{index_path}/doclens")
+    fs = dlp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(dlp):
         return  # no store yet — the batch founds it
+    # The read is SCHEMA-SPECIFIED (r15, SPARK-23271): a first batch
+    # whose docs all had NULL text commits only _SUCCESS under dynamic
+    # overwrite, so the store exists but holds no generation — with
+    # the schema given it reads as zero rows (nothing to clash with)
+    # instead of failing inference.  The doclens layout is pinned by
+    # this module (doc_id, dl) + batch_id, so the schema cannot drift.
+    stored = spark.read.schema(
+        T.StructType(
+            [
+                batch_df.schema["doc_id"],
+                T.StructField("dl", T.LongType()),
+                T.StructField("batch_id", T.LongType()),
+            ]
+        )
+    ).parquet(f"{index_path}/doclens")
     batch_ids = batch_df.select("doc_id").distinct()
     maybe = _idbloom_maybe_ids(spark, index_path, batch_ids, batch_id)
     if maybe is not None and not maybe:
@@ -522,6 +557,209 @@ def _erased_ids(tombs: DataFrame) -> set[int]:
     return {r["doc_id"] for r in _erased_docs(tombs).collect()}
 
 
+class _ErasureProbe:
+    """Driver-side snapshot of every metadata relation the erasure /
+    upsert path needs, collected in ONE Spark job (r15, guide §1.2 —
+    the old flow ran a separate collect per question: tombstone
+    balance, committed correction gens, structural stats gens, upsert
+    replay markers — 3-4 driver round-trips per erasure batch)."""
+
+    __slots__ = ("balance", "all_gens", "marked_under")
+
+    def __init__(self, balance, all_gens, marked_under):
+        self.balance: dict[int, int] = balance  # id -> tombstone balance
+        self.all_gens: list[int] = all_gens  # structural + tombstone gens
+        self.marked_under: set[int] = marked_under  # upsert replay marks
+
+    @property
+    def done(self) -> set[int]:
+        """Ids already erased (committed correction, not resurrected)
+        — the tombstone BALANCE rule of :func:`_erased_docs`."""
+        return {i for i, b in self.balance.items() if b > 0}
+
+    @property
+    def tomb_seen(self) -> set[int]:
+        """Requested ids with ANY tombstone history."""
+        return set(self.balance)
+
+    def next_correction_gen(self) -> int:
+        """Same allocation rule as :func:`_next_correction_gen`
+        (orphan corrections deliberately uncounted, so a crashed
+        erasure's re-run overwrites its own partitions in place)."""
+        return min([*self.all_gens, 0]) - 1
+
+
+def _erasure_probe(
+    spark: SparkSession,
+    index_path: str,
+    ids: list[int],
+    upsert_batch_id: int | None = None,
+) -> _ErasureProbe:
+    """ONE unioned collect over the metadata-sized relations: per-id
+    tombstone rows (kind 0 — balance summed driver-side), every
+    tombstone generation (kind 2 — committed corrections AND
+    resurrection markers, exactly the set
+    :func:`_next_correction_gen` counts), every structural stats
+    generation (kind 3, ``n_docs >= 0``), and — for the upsert replay
+    check — the ids already marked under ``upsert_batch_id``
+    (kind 4).
+
+    Every branch is a NARROW projection (no groupBy/distinct): under
+    AQE each shuffle becomes its own query-stage job, so the obvious
+    aggregate-per-branch union costs more driver round-trips than the
+    collects it replaces.  The raw rows are metadata-sized by the
+    stores' own contracts (stats: one row per generation; tombstones:
+    bounded by erasures-since-compaction — compaction drops the
+    table), so aggregating them in the driver is the cheap side."""
+    stats = spark.read.parquet(f"{index_path}/stats")
+    nul = F.lit(None).cast("long")
+    branches = [
+        stats.where(F.col("n_docs") >= 0).select(
+            F.lit(3).alias("kind"),
+            F.col("batch_id").cast("long").alias("a"),
+            nul.alias("b"),
+        )
+    ]
+    tombs = _read_or_none(spark, f"{index_path}/tombstones")
+    if tombs is not None:
+        branches.append(
+            tombs.where(F.col("doc_id").isin(ids)).select(
+                F.lit(0).alias("kind"),
+                F.col("doc_id").cast("long").alias("a"),
+                F.when(F.col("batch_id") < 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                .alias("b"),
+            )
+        )
+        branches.append(
+            tombs.select(
+                F.lit(2).alias("kind"),
+                F.col("batch_id").cast("long").alias("a"),
+                nul.alias("b"),
+            )
+        )
+        if upsert_batch_id is not None:
+            branches.append(
+                tombs.where(
+                    (F.col("batch_id") == int(upsert_batch_id))
+                    & F.col("doc_id").isin(ids)
+                ).select(
+                    F.lit(4).alias("kind"),
+                    F.col("doc_id").cast("long").alias("a"),
+                    nul.alias("b"),
+                )
+            )
+    merged = branches[0]
+    for b in branches[1:]:
+        merged = merged.unionByName(b)
+    rows = merged.collect()
+    balance: dict[int, int] = {}
+    all_gens: set[int] = set()
+    marked: set[int] = set()
+    for r in rows:
+        k = r["kind"]
+        if k == 0:
+            a = int(r["a"])
+            balance[a] = balance.get(a, 0) + int(r["b"])
+        elif k == 4:
+            marked.add(int(r["a"]))
+        else:
+            all_gens.add(int(r["a"]))
+    return _ErasureProbe(balance, sorted(all_gens), marked)
+
+
+def _doomed_doclens_rows(
+    spark: SparkSession, index_path: str, ids: list[int]
+) -> list:
+    """The requested ids' doclens rows ``(batch_id, doc_id, dl)`` —
+    one pushed ``doc_id IN`` collect that answers three questions at
+    once (r15): which ids are actually stored (→ the correction's
+    scope), the stats delta (row count + dl sum over the new ids),
+    and which generations the row-erase must touch.  Because doclens
+    is the distinct (doc_id, dl) projection of the postings of the
+    SAME generation (one ``doc_postings`` code path for build, sink
+    and upsert; compaction folds both stores with the same watermark),
+    the doclens generations containing an id equal the postings (and
+    attrs) generations containing it — so this one probe also spares
+    the per-store touched-partition scans in :func:`erase_rows`."""
+    return (
+        spark.read.parquet(f"{index_path}/doclens")
+        .where(F.col("doc_id").isin(ids))
+        .select("batch_id", "doc_id", "dl")
+        .collect()
+    )
+
+
+def _apply_erasure(
+    spark: SparkSession,
+    index_path: str,
+    ids: list[int],
+    probe: _ErasureProbe,
+    drows: list,
+) -> int:
+    """The write half of :func:`delete_docs`: corrections (vocab
+    delta, stats delta, tombstones LAST — the commit marker), then the
+    partition-local row erase over exactly the generations ``drows``
+    names.  Same write order, same dynamic-overwrite replay contract,
+    same correction-generation allocation as always — only the number
+    of driver round-trips changed (guide §1.2)."""
+    from .compaction import erase_rows
+
+    done = probe.done
+    new_set = {i for i in ids if i not in done}
+    stored_new = [r for r in drows if r["doc_id"] in new_set]
+    if stored_new:
+        gen = probe.next_correction_gen()
+        vocab_delta = (
+            spark.read.parquet(f"{index_path}/postings")
+            .where(F.col("doc_id").isin(sorted(new_set)))
+            .groupBy("tok")
+            .agg((-F.count(F.lit(1))).cast("bigint").alias("df"))
+        )
+        correction = spark.createDataFrame(
+            [
+                (
+                    -len(stored_new),
+                    -sum(int(r["dl"]) for r in stored_new),
+                )
+            ],
+            "n_docs bigint, total_len bigint",
+        )
+        tomb_rows = spark.createDataFrame(
+            [(int(r["doc_id"]),) for r in stored_new], "doc_id bigint"
+        )
+        for rel, name in (
+            (vocab_delta, "vocab"),
+            (correction, "stats"),
+            (tomb_rows, "tombstones"),  # commit marker LAST
+        ):
+            (
+                rel.withColumn("batch_id", F.lit(int(gen)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{index_path}/{name}")
+            )
+    touched = [(int(g),) for g in sorted({r["batch_id"] for r in drows})]
+    if not touched:
+        return 0  # nothing stored anywhere — nothing to rewrite
+    rewritten = 0
+    for name in ("postings", "doclens"):
+        rewritten += erase_rows(
+            spark, f"{index_path}/{name}", "doc_id", ids, touched=touched
+        )
+    # attrs side store (when present): the doomed docs' attr-posting
+    # rows leave alongside their postings (delta-shaped — attrs need
+    # no df/stats correction, they carry no statistics); attrs rows
+    # live in the same generations as their postings (built from them)
+    if _read_or_none(spark, f"{index_path}/attrs") is not None:
+        erase_rows(
+            spark, f"{index_path}/attrs", "doc_id", ids, touched=touched
+        )
+    return rewritten
+
+
 def delete_docs(
     spark: SparkSession, index_path: str, doc_ids: list[int]
 ) -> int:
@@ -568,51 +806,19 @@ def delete_docs(
     is metadata-sized by nature); the rewrite cost is proportional to
     the TOUCHED generations' size and the correction cost to the
     DOOMED rows — never to the store.  Compact first if erasures
-    should touch one folded generation instead of many."""
-    from .compaction import erase_rows
+    should touch one folded generation instead of many.
 
+    Job shape (r15, guide §1.2): the old flow ran ~14 small Spark
+    jobs per call (a collect per metadata question plus 3 scans per
+    erased store); now ONE unioned metadata probe + ONE doclens probe
+    answer everything (done-set, correction gen, stats delta,
+    touched generations for all three stores), and each store's
+    row-erase is a single observed write — ≤ 8 jobs with the same
+    writes in the same commit order."""
     ids = [int(d) for d in doc_ids]
-    tombs = _read_or_none(spark, f"{index_path}/tombstones")
-    done = (
-        _erased_ids(tombs.where(F.col("doc_id").isin(ids)))
-        if tombs is not None
-        else set()
-    )
-    new_ids = [i for i in ids if i not in done]
-    if new_ids:
-        vocab_delta, stats_delta, tomb_rows = _erasure_deltas(
-            spark, index_path, new_ids
-        )
-        sd = stats_delta.collect()[0]  # 1 row — metadata-sized
-        if sd["n_docs"] != 0:  # any of the ids actually stored?
-            gen = _next_correction_gen(spark, index_path)
-            correction = spark.createDataFrame(
-                [(int(sd["n_docs"]), int(sd["total_len"]))],
-                "n_docs bigint, total_len bigint",
-            )
-            for rel, name in (
-                (vocab_delta, "vocab"),
-                (correction, "stats"),
-                (tomb_rows, "tombstones"),  # commit marker LAST
-            ):
-                (
-                    rel.withColumn("batch_id", F.lit(int(gen)))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(f"{index_path}/{name}")
-                )
-    rewritten = 0
-    for name in ("postings", "doclens"):
-        rewritten += erase_rows(
-            spark, f"{index_path}/{name}", "doc_id", ids
-        )
-    # attrs side store (when present): the doomed docs' attr-posting
-    # rows leave alongside their postings (delta-shaped — attrs need
-    # no df/stats correction, they carry no statistics)
-    if _read_or_none(spark, f"{index_path}/attrs") is not None:
-        erase_rows(spark, f"{index_path}/attrs", "doc_id", ids)
-    return rewritten
+    probe = _erasure_probe(spark, index_path, ids)
+    drows = _doomed_doclens_rows(spark, index_path, ids)
+    return _apply_erasure(spark, index_path, ids, probe, drows)
 
 
 def upsert_docs(
@@ -674,6 +880,15 @@ def upsert_docs(
         int(r["doc_id"])
         for r in new_docs.select("doc_id").distinct().collect()
     ]
+    # ONE metadata probe (r15, guide §1.2) answers the replay check,
+    # the known-docs precondition, the delete phase's done-set and
+    # its correction-generation allocation; ONE doclens probe yields
+    # the stored ids, the stats delta and the touched generations.
+    # The old flow collected each answer separately (~5 driver
+    # round-trips before the first write).
+    probe = _erasure_probe(
+        spark, index_path, ids, upsert_batch_id=int(batch_id)
+    )
     # Replay of a COMMITTED upsert is a no-op, decided by its own
     # commit marker: if this batch's resurrection rows already cover
     # the ids, re-running the delete phase would append a fresh
@@ -681,47 +896,18 @@ def upsert_docs(
     # partition overwrite — a double subtraction nothing offsets.
     # (batch_id identifies the upsert batch, exactly like the sink's
     # replay contract: a re-call under the same id IS a replay.)
-    tombs0 = _read_or_none(spark, f"{index_path}/tombstones")
-    if tombs0 is not None:
-        already = {
-            r["doc_id"]
-            for r in tombs0.where(
-                (F.col("batch_id") == int(batch_id))
-                & F.col("doc_id").isin(ids)
-            )
-            .select("doc_id")
-            .collect()
-        }
-        if already >= set(ids):
-            return 0
+    if ids and probe.marked_under >= set(ids):
+        return 0
+    drows = _doomed_doclens_rows(spark, index_path, ids)
     # Fail-closed precondition: this op UPDATES (or re-admits) docs
     # the store already knows — a doc with neither index rows nor a
     # tombstone history belongs to the ingest sink.  The restriction
     # is what makes the commit marker exact: every accepted id ends
-    # the run marked, so a replay is recognized by `already >= ids`
+    # the run marked, so a replay is recognized by the marker check
     # above; a mixed insert+update batch would leave its brand-new
     # ids unmarked and a replay's delete phase would double-subtract
-    # the updated ones.
-    stored = _read_or_none(spark, f"{index_path}/doclens")
-    known = (
-        {
-            r["doc_id"]
-            for r in stored.where(F.col("doc_id").isin(ids))
-            .select("doc_id")
-            .distinct()
-            .collect()
-        }
-        if stored is not None
-        else set()
-    )
-    if tombs0 is not None:
-        known |= {
-            r["doc_id"]
-            for r in tombs0.where(F.col("doc_id").isin(ids))
-            .select("doc_id")
-            .distinct()
-            .collect()
-        }
+    # the updated ones.  (Checked BEFORE any destructive write.)
+    known = probe.tomb_seen | {int(r["doc_id"]) for r in drows}
     unknown = sorted(set(ids) - known)
     if unknown:
         raise RuntimeError(
@@ -752,16 +938,34 @@ def upsert_docs(
                 "phase so the old rows stay servable; carry the attr "
                 "columns on the batch"
             )
-    rewritten = delete_docs(spark, index_path, ids)
+    rewritten = _apply_erasure(spark, index_path, ids, probe, drows)
     # pass new_docs whole: the sink tokenizes (doc_id, text) and, when
     # the index carries an attr store, requires the attr columns on
-    # the batch (fail-closed) to keep the attrs delta-maintained
-    streaming_text_index_sink(index_path)(new_docs, int(batch_id))
-    tombs = _read_or_none(spark, f"{index_path}/tombstones")
-    marked = (
-        sorted(_erased_ids(tombs.where(F.col("doc_id").isin(ids))))
-        if tombs is not None
-        else []
+    # the batch (fail-closed) to keep the attrs delta-maintained.
+    # The sink's doc_id-uniqueness gate is SKIPPED here (r15): the
+    # erase phase just removed every requested id's rows from every
+    # generation in this same call (single-writer maintenance window),
+    # so the gate could only ever pass — its two corpus probes per
+    # call were pure overhead.  The precondition check above already
+    # refused unknown ids before anything destructive ran.
+    streaming_text_index_sink(index_path, enforce_unique_doc_ids=False)(
+        new_docs, int(batch_id)
+    )
+    # Resurrection markers, derived DRIVER-SIDE from the same two
+    # probes (r15): post-delete balance = pre-balance (probe) + the
+    # correction's tombstone rows (one per erased doclens row — the
+    # exact multiset _apply_erasure wrote).  Equal to re-reading the
+    # tombstones table, without the extra collect.
+    done = probe.done
+    newly: dict[int, int] = {}
+    for r in drows:
+        d = int(r["doc_id"])
+        if d not in done:
+            newly[d] = newly.get(d, 0) + 1
+    marked = sorted(
+        i
+        for i in set(ids)
+        if probe.balance.get(i, 0) + newly.get(i, 0) > 0
     )
     if marked:
         markers = spark.createDataFrame(

@@ -1921,3 +1921,115 @@ def test_drop_doc_attr_column_contracts(spark, tmp_path):
         drop_doc_attr_column(spark, path, ["source"], batch_id=1)
         is False
     )
+
+
+def test_text_sink_all_null_text_first_batch(spark, tmp_path):
+    """SPARK-23271 corner (r15, VERDICT r14 item 2 — the text twin of
+    test_vector_erasure_leaves_no_ghost_codes's catch): a FIRST batch
+    whose docs all carry NULL text produces zero postings, so the
+    dynamic-overwrite write commits only _SUCCESS and a
+    schema-INFERRED read-back would raise UNABLE_TO_INFER_SCHEMA
+    inside the sink.  The schema-specified read-back must instead
+    treat it as an empty generation: the sink returns, a later real
+    batch ingests normally (the uniqueness gate reads the empty store
+    without raising), and the probe equals a fresh index of the real
+    docs only."""
+    from eventstream_fanout_spark.operators.text_index import (
+        bm25_topk_merged,
+    )
+    from eventstream_fanout_spark.streaming.text_ingest import (
+        streaming_text_index_sink,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "tidx")
+    sink = streaming_text_index_sink(path)
+    nulls = docs.limit(7).select(
+        "doc_id", F.lit(None).cast("string").alias("text")
+    )
+    sink(nulls, 0)  # must not raise
+    real = docs.where(F.col("doc_id") >= 100)
+    sink(real, 1)  # gate reads the empty store without raising
+
+    fresh = str(tmp_path / "tidx_fresh")
+    build_text_index(spark, real, fresh)
+    assert [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, path, TERMS, 10).collect()
+    ] == [
+        (r["doc_id"], r["bm25_score"])
+        for r in bm25_topk_merged(spark, fresh, TERMS, 10).collect()
+    ]
+
+
+def test_build_text_index_all_null_corpus(spark, tmp_path):
+    """The static-build face of the same corner: an all-NULL-text
+    corpus must BUILD without inference failures on the read-backs
+    (postings/doclens land as empty generations, the stats rollup
+    records zero docs).  Probing a store with no data at all stays a
+    loud error — fail-closed serve behavior, unchanged."""
+    docs = _docs(spark).limit(5).select(
+        "doc_id", F.lit(None).cast("string").alias("text")
+    )
+    path = str(tmp_path / "tidx_null")
+    build_text_index(spark, docs, path)  # must not raise
+    stats = spark.read.parquet(f"{path}/stats").collect()
+    assert [int(r["n_docs"]) for r in stats] == [0]
+
+
+def test_erase_rows_precomputed_touched_matches_self_computed(
+    spark, tmp_path
+):
+    """r15: erase_rows grew a ``touched=`` fast path (the caller
+    passes the doomed partitions) and an Observation-based
+    kept-partition census.  Both paths must leave BYTE-EQUAL stores:
+    same surviving rows, same surviving partition directories
+    (emptied partitions deleted under both)."""
+    import os
+
+    from eventstream_fanout_spark.streaming.compaction import erase_rows
+
+    ids = [3, 4, 5, 20, 21]
+
+    def seed(path):
+        df = spark.range(0, 30).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).alias("v"),
+            F.when(F.col("id") < 10, 0)
+            .when(F.col("id") < 20, 1)
+            .otherwise(2)
+            .cast("int")
+            .alias("batch_id"),
+        )
+        # make partition 2 empty entirely after the erase
+        df = df.where((F.col("batch_id") != 2) | F.col("doc_id").isin([20, 21]))
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    seed(a)
+    seed(b)
+    na = erase_rows(spark, a, "doc_id", ids)
+    nb = erase_rows(spark, b, "doc_id", ids, touched=[(0,), (2,)])
+    assert na == nb == 2
+    rows_a = sorted(
+        tuple(r) for r in spark.read.parquet(a).collect()
+    )
+    rows_b = sorted(
+        tuple(r) for r in spark.read.parquet(b).collect()
+    )
+    assert rows_a == rows_b
+    dirs_a = sorted(
+        d for d in os.listdir(a) if d.startswith("batch_id=")
+    )
+    dirs_b = sorted(
+        d for d in os.listdir(b) if d.startswith("batch_id=")
+    )
+    assert dirs_a == dirs_b == ["batch_id=0", "batch_id=1"]
+    # idempotence through the fast path: an empty touched list is a
+    # zero-job no-op
+    assert erase_rows(spark, b, "doc_id", ids, touched=[]) == 0
