@@ -1315,6 +1315,42 @@ def stream_lm_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kn3_scores_and_evagg(terms: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(per-doc scores, per-lang event aggregate) from ONE pass over
+    the KN term relation (r15, guide §1.2 / VERDICT r14 item 5): the
+    old shape consumed ``terms`` from two branches — per-doc davg and
+    per-lang lvl counts — so the whole serve-time derivation (trigram
+    shingles of the score docs joined against the five derived
+    continuation tables) executed twice per call.  Now one per-doc
+    aggregation carries the lvl counts alongside the davg, the tiny
+    doc-bounded result is localCheckpoint-ed (one execution, lineage
+    cut), and the per-lang aggregate derives from it by exact integer
+    re-summation: n_events = Σ per-doc counts, bo2/bo1 = Σ per-doc
+    backoff counts — bit-identical to aggregating the events directly
+    (associative BIGINT sums), so hashes are unchanged."""
+    perdoc = (
+        terms.groupBy("doc_id", "lang")
+        .agg(
+            davg(F.col("term"), "s_kn3"),
+            F.count(F.lit(1)).cast("bigint").alias("_nev"),
+            F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("_bo2"),
+            F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("_bo1"),
+        )
+        .localCheckpoint()
+    )
+    scores = perdoc.select("doc_id", "lang", "s_kn3")
+    evagg = perdoc.groupBy("lang").agg(
+        F.sum("_nev").cast("bigint").alias("n_events"),
+        F.sum("_bo2").cast("bigint").alias("bo2"),
+        F.sum("_bo1").cast("bigint").alias("bo1"),
+    )
+    return scores, evagg
+
+
 def _sql_kn3_ctes(train_where: str, score_where: str) -> str:
     """DuckDB twin of operators/lm.kn_trigram_terms(_from_counts):
     trigram counts + derived continuation tables fitted on
@@ -1473,18 +1509,7 @@ def lm_kn_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     terms = kn_trigram_terms(docs, train_slice(docs))
-    scores = terms.groupBy("doc_id", "lang").agg(
-        davg(F.col("term"), "s_kn3")
-    )
-    evagg = terms.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
-        .cast("bigint")
-        .alias("bo2"),
-        F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("bo1"),
-    )
+    scores, evagg = _kn3_scores_and_evagg(terms)
     return (
         scores.join(F.broadcast(evagg), "lang")
         .groupBy("lang", "n_events", "bo2", "bo1")
@@ -1576,18 +1601,7 @@ def lm_kn_store_scoring_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         serve_bigram_counts(spark, root, 2),
         serve_vocab_sizes(spark, root, 2),
     )
-    scores = terms.groupBy("doc_id", "lang").agg(
-        davg(F.col("term"), "s_kn3")
-    )
-    evagg = terms.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
-        .cast("bigint")
-        .alias("bo2"),
-        F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("bo1"),
-    )
+    scores, evagg = _kn3_scores_and_evagg(terms)
     wm = _lm_watermark(spark, root, "trigrams")
     parts = (
         spark.table(lm_table_name(root, "trigrams"))

@@ -55,6 +55,50 @@ def read_store_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
+def partition_batch_ids_path(spark: SparkSession, path: str) -> list[int]:
+    """``batch_id`` partition census of a path-backed store from the
+    DIRECTORY LISTING (namenode RPCs only — zero Spark jobs; r15,
+    guide §1.2: the ``select("batch_id").distinct().collect()`` it
+    replaces cost a full shuffle-distinct job per maintenance call).
+    A partition counts iff its directory holds at least one
+    non-hidden file — the same leaf-file rule Spark's partition
+    discovery applies, so a crash-leftover empty directory is not
+    mistaken for a generation (dynamic overwrite and partitionBy
+    writes only ever create a data file for a partition with rows,
+    so file-bearing ⇔ row-bearing for these stores)."""
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    p = jvm.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch_id=")):
+            continue
+        kids = fs.listStatus(st.getPath())
+        if any(
+            not k.getPath().getName().startswith(("_", "."))
+            for k in kids
+        ):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def partition_batch_ids_table(spark: SparkSession, table: str) -> list[int]:
+    """``batch_id`` partition census of a catalog TABLE via
+    ``SHOW PARTITIONS`` — metastore metadata, zero Spark jobs (r15).
+    Exact for these stores: every write path registers partitions
+    through saveAsTable/insertInto and every removal goes through
+    ``ALTER TABLE .. DROP PARTITION``, so the catalog cannot drift
+    from the files."""
+    return sorted(
+        int(r[0].split("=", 1)[1])
+        for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
+    )
+
+
 def compact_generations(
     spark: SparkSession,
     path: str,
@@ -76,7 +120,7 @@ def compact_generations(
             "partial store"
         )
     df = spark.read.parquet(path)
-    bids = [r["batch_id"] for r in df.select("batch_id").distinct().collect()]
+    bids = partition_batch_ids_path(spark, path)  # metadata, no job
     fold_ids = [b for b in bids if b < 0 or (0 <= b < int(upto_batch_id))]
     if len(fold_ids) <= 1 and not any(b >= 0 for b in fold_ids):
         return 0  # nothing but (at most) one frozen generation
@@ -276,10 +320,7 @@ def compact_table_manifest(
     if int(upto_batch_id) <= wm:
         return 0  # nothing new below the requested watermark
     df = spark.table(table)
-    live = [
-        int(r["batch_id"])
-        for r in df.select("batch_id").distinct().collect()
-    ]
+    live = partition_batch_ids_table(spark, table)  # metadata, no job
     fold_ids = [
         b for b in live if wm <= b < int(upto_batch_id)
     ]

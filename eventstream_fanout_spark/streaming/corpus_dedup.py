@@ -641,11 +641,10 @@ def compact_store(
             "reader racing the post-fold deletes would silently read a "
             "partial store and admit duplicates"
         )
+    from .compaction import partition_batch_ids_path
+
     df = spark.read.parquet(store_path)
-    bids = [
-        r["batch_id"]
-        for r in df.select("batch_id").distinct().collect()
-    ]
+    bids = partition_batch_ids_path(spark, store_path)  # metadata, no job
     fold_ids = [
         b for b in bids if b < 0 or (0 <= b < int(upto_batch_id))
     ]
@@ -697,11 +696,10 @@ def compact_store_table(
             "compact_store_table refuses to run with "
             "spark.sql.files.ignoreMissingFiles=true (see compact_store)"
         )
+    from .compaction import partition_batch_ids_table
+
     df = spark.table(store_table)
-    bids = [
-        r["batch_id"]
-        for r in df.select("batch_id").distinct().collect()
-    ]
+    bids = partition_batch_ids_table(spark, store_table)  # metadata
     fold_ids = [
         b for b in bids if b < 0 or (0 <= b < int(upto_batch_id))
     ]

@@ -573,14 +573,16 @@ def whole_groups(batch_df: DataFrame) -> list[int]:
 def live_posting_ids(spark: SparkSession, store: str) -> list[int]:
     """Non-frozen postings partitions currently serving: batch ids at
     or above the compaction watermark.  Partition-metadata-sized."""
+    from .compaction import partition_batch_ids_table
+
     wm = _postings_watermark(spark, store)
     tbl = postings_table_name(store)
     if not spark.catalog.tableExists(tbl):
         return []
     return sorted(
-        int(r["batch_id"])
-        for r in spark.table(tbl).select("batch_id").distinct().collect()
-        if int(r["batch_id"]) >= wm
+        b
+        for b in partition_batch_ids_table(spark, tbl)  # metadata, no job
+        if b >= wm
     )
 
 

@@ -354,14 +354,16 @@ def live_delta_ids(spark: SparkSession, root: str) -> list[int]:
     or above the compaction watermark in the bigrams table (both
     tables ingest the same groups in lockstep, so one table's census
     stands for both).  Partition-metadata-sized collect."""
+    from .compaction import partition_batch_ids_table
+
     wm = _lm_watermark(spark, root, "bigrams")
     tbl = lm_table_name(root, "bigrams")
     if not spark.catalog.tableExists(tbl):
         return []
     return sorted(
-        int(r["batch_id"])
-        for r in spark.table(tbl).select("batch_id").distinct().collect()
-        if int(r["batch_id"]) >= wm
+        b
+        for b in partition_batch_ids_table(spark, tbl)  # metadata, no job
+        if b >= wm
     )
 
 
