@@ -36,6 +36,14 @@ ENGINE_CONF: dict[str, str] = {
     # Streaming state that survives large key cardinality.
     "spark.sql.streaming.stateStore.providerClass":
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # Changelog checkpointing: commit the per-batch changelog instead
+    # of a full RocksDB snapshot per state store per micro-batch (r15;
+    # measured stateCommit dominated the stateful queries' addBatch —
+    # ~0.7-1 s per store instance per commit under snapshot mode).
+    # Same results, lower commit latency at every scale; recovery
+    # replays the changelog (the documented trade).
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
     # Scan sizing: 128 MiB splits keep scan tasks balanced at 100 TB.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # CPU-matched shuffle parallelism (AQE coalesces further; streaming
