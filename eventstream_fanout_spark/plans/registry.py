@@ -40,83 +40,75 @@ QUERIES: dict[str, QuerySpec] = {}
 # (tools/driver_sim.py + tests/test_oracle_parity.py keep them honest
 # locally).  Keep this list at <= 50 names.
 FRONT: list[str] = [
-    # --- ROUND-14 window (plan written at r13 close, refined at r14
-    # open with this round's changed-plan names).  CORRECTNESS_r13
-    # recorded 50/50 green, so the stale census stands as computed by
-    # tools/rotation_bullet.py.  Composition:
-    #   * this round's NEW queries are prepended in the same commit
-    #     that registers each (new-first policy; FRONT raises on
-    #     unknown names, so they cannot be listed before they exist),
-    #     each displacing the then-last name to keep the list at 50:
-    #     first the Kneser-Ney/curation_v3/adaptive-SimHash block,
-    #     then the continuation's multi-vector MaxSim family (exact /
-    #     pruned / recall / persisted / batch / ingest / delete),
-    #     Matryoshka ANN (+recall), preference-pair mining, and the
-    #     epoch-repeat schedule.
-    #   * next: CHANGED plans this round, which must re-prove
-    #     their hashes under the new shape: the graph family (postings
-    #     store goes bucketed-by-g, VERDICT r13 item 1), the LM count
-    #     store (same layout knob + trigger-merge fix, items 2 +
-    #     ADVICE 2), lm_backoff_score_compare (shared tokenizer,
-    #     ADVICE 1), dsir_importance_select (double-cast overflow fix,
-    #     ADVICE 3), unigram_fertility_by_lang (fingerprint-keyed seg
-    #     cache, ADVICE 4), simhash_near_pairs + incremental_dedup_sim
-    #     (measured adaptive join posture, item 8).
-    #   * slots 18-34: the 17 never-driver-green names (registered in
-    #     rounds whose windows were lost driver-side — r8/r10/r12).
-    #   * slots 35-38: the four r4-stale names.
-    #   * slots 39-50: the twelve oldest r5-stale names (the six the
-    #     r13 additions displaced, then alphabetical).
-    "stream_mv_ingest",
-    "mv_index_compact_sim",
-    "rag_context_pack",
-    "maxsim_batch_topk",
-    "maxsim_persisted_topk",
-    "mv_index_ingest_sim",
-    "mv_index_delete_sim",
-    "preference_pair_mining",
-    "epoch_repeat_schedule",
-    "maxsim_multivector_topk",
-    "maxsim_pruned_topk",
-    "maxsim_recall_report",
-    "ann_matryoshka_topk",
-    "ann_matryoshka_recall_report",
-    "curation_v3_pipeline",
+    # --- ROUND-15 window (optimization round — no new queries, so
+    # the slots go to CHANGED code paths first, then the oldest stale
+    # cohort; CORRECTNESS_r14 landed 50/50 green so the r14 window
+    # rotates out whole).  Composition:
+    #   * slots 1-33: queries whose executing code changed this round
+    #     and should re-prove their hashes driver-side — the
+    #     erasure/upsert job-count collapse (observed erase_rows,
+    #     merged delete/upsert probes, schema-specified text-index
+    #     read-backs: the curated/streaming erasure+upsert sims, the
+    #     text_index maintenance sims and asof/attr/layout consumers,
+    #     the ANN delete/upsert/refit/compact/soak/churn sims), the
+    #     KN one-pass scores (lm_kn_trigram_score /
+    #     lm_kn_store_scoring_sim), the metadata partition censuses
+    #     (graph/LM auto-compacting sinks + the compaction sims), and
+    #     the RocksDB changelog-checkpointing stateful queries.
+    #   * slots 34-50: the oldest stale cohort per
+    #     tools/rotation_bullet.py — the never-green names
+    #     (multimodal_decode_stub, rollup_incremental_sim), the four
+    #     r4-stale names, then the r5-stale block alphabetically.
+    "streaming_erasure_sim",
+    "curated_erasure_sim",
+    "curated_multimodal_erasure_sim",
+    "streaming_upsert_sim",
+    "curated_ingest_pipeline",
+    "curated_multimodal_ingest",
+    "text_index_delete_sim",
+    "text_index_upsert_sim",
+    "text_index_ingest_sim",
+    "text_index_compact_sim",
+    "text_index_layout_census",
+    "text_index_asof_probe",
+    "text_filtered_asof_probe",
+    "text_attr_drop_sim",
+    "text_attr_evolve_sim",
+    "ann_index_delete_sim",
+    "ann_index_upsert_sim",
+    "ann_index_refit_sim",
+    "ann_index_compact_sim",
+    "ann_filtered_soak_sim",
+    "ann_filtered_live_sim",
+    "ann_recall_after_churn",
+    "lm_kn_trigram_score",
+    "lm_kn_store_scoring_sim",
+    "stream_graph_ingest",
     "graph_postings_compact_sim",
     "lm_compaction_sim",
     "stream_lm_autocompact",
-    "lm_kn_score",
-    "lm_kn_trigram_score",
-    "lm_kn_store_scoring_sim",
-    "skew_adaptive_simhash_hot",
-    "pagerank_incremental_sim",
-    "stream_graph_ingest",
-    "pagerank_rebuild_sim",
-    "pagerank_staleness_report",
-    "authority_weighted_sample",
-    "stream_lm_ingest",
-    "lm_incremental_update_sim",
-    "lm_erasure_sim",
-    "lm_stream_scoring_sim",
-    "lm_backoff_score_compare",
-    "dsir_importance_select",
-    "unigram_fertility_by_lang",
-    "simhash_near_pairs",
     "incremental_dedup_sim",
-    "ann_attr_drop_sim",
-    "ann_attr_evolve_sim",
-    "ann_filtered_soak_sim",
-    "ann_list_merge_sim",
-    "ann_list_split_sim",
-    "centroid_classifier_confusion",
-    "centroid_classifier_prf",
-    "centroid_classifier_report",
-    "domain_pagerank",
-    "key_skew_report",
-    "knn_classifier_report",
-    "lang_classifier_confusion",
-    "lang_classifier_report",
-    "rollup_cascade_daily",
+    "incremental_dedup_verified_sim",
+    "mv_index_compact_sim",
+    "stream_interval_join",
+    "stream_session_window_watermark",
+    "multimodal_decode_stub",
+    "rollup_incremental_sim",
+    "vocab_coverage",
+    "wav_audio_decode",
+    "winsorized_values",
+    "zorder_layout_key",
+    "above_nation_avg_balance",
+    "ann_cosine_topk",
+    "ann_multiprobe_topk",
+    "anti_join_customers_no_urgent_orders",
+    "approx_distinct_users",
+    "bigram_lift_top",
+    "cdc_variant_props",
+    "corpus_clean_pipeline",
+    "count_star",
+    "deterministic_sample",
+    "dq_expectations_report",
 ]
 # Displaced by the round-14 continuation's additions (new-first
 # policy): training_export_pipeline, trigram_novelty_score,

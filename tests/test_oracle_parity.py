@@ -10,11 +10,40 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 from decimal import Decimal
 
+import duckdb
 import pytest
 
-from tests.conftest import SF_ORACLE
+# This module's sweep defaults to sf0.001 (r15, VERDICT r14 item 6 —
+# the driver-side pytest run outgrew its window and was truncated):
+# the 306-check parity sweep at sf0.01 is exactly what the driver's
+# own correctness gate and tools/driver_sim*.py already run; the
+# pytest sweep's job is catching LOGIC drift early, which the smallest
+# deterministic SF does in a fraction of the time.  Override with
+# SPARK_GRAFT_PARITY_SF_DIR for a full-fidelity local run.
+SF_ORACLE = os.environ.get(
+    "SPARK_GRAFT_PARITY_SF_DIR",
+    os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    """Module-scoped DuckDB oracle over THIS module's SF (the shared
+    session fixture registers sf0.01 views; parity runs at its own
+    SF)."""
+    from eventstream_fanout_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
 
 
 def _norm_cell(v):
